@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify, runs the oracle SQL in DuckDB over
+the same parquet tables, sorts columns by name, and compares row-by-row.
+Dev-only tool (not part of the Spark library).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetch_arrow_table()
+        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        wrows = [tuple(canon(r[c]) for c in wcols) for r in want.to_pylist()]
+        grows = [tuple(canon(r[c]) for c in gcols) for r in got.to_pylist()]
+        if len(wrows) != len(grows):
+            print(f"FAIL {name}: rows differ: oracle={len(wrows)} spark={len(grows)}")
+            n_fail += 1
+            continue
+        bad = [(i, w, g) for i, (w, g) in enumerate(zip(wrows, grows)) if w != g]
+        if bad:
+            i, w, g = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(wrows)} rows differ; first at {i}:")
+            print(f"  cols:   {wcols}")
+            print(f"  oracle: {w}")
+            print(f"  spark:  {g}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(wrows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
