@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis and deduplication surface over the `documents` table:
+  * token statistics, quality scoring, language ID, exact-hash dedup,
+  * n-gram (token-set) Jaccard near-dup, and relational TF-IDF. All six
+  * are DuckDB-oracle-checked; the probabilistic dedup family (MinHash
+  * LSH, SimHash) lives in `PipelineQueries` with rows-only checks plus
+  * ScalaTest specs, since their hash seeds are engine-internal.
+  */
+object DocQueries {
+  import QueryDef._
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("q34_text_stats",
+      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_char,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |       / len(string_split(trim(text), ' ')), 4) AS avg_word_len,
+        | round(CAST(len(list_filter(string_split(trim(text), ' '),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |       / len(string_split(trim(text), ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          charCount(col("text")).as("n_char"),
+          round(avgWordLen(col("text")), 4).as("avg_word_len"),
+          round(stopwordRatio(col("text")), 4).as("stopword_ratio"))
+          .orderBy(col("doc_id"))
+    },
+
+    sql("q35_quality_score",
+      """SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM (
+        | SELECT lang, round(
+        |   least(1.0, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100) * 0.4 +
+        |   (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split(trim(text), ' '))) * 0.3 +
+        |   least(1.0, CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(trim(text), ' ')) / 8) * 0.3, 4) AS q
+        | FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        documents(s, d).select(col("lang"), qualityScore(col("text")).as("q"))
+          .groupBy(col("lang"))
+          .agg(round(avg("q"), 4).as("avg_quality"), count(lit(1)).as("n"))
+          .orderBy(col("lang"))
+    },
+
+    sql("q36_lang_id",
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('el','la','los','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
+        | FROM documents)
+        |SELECT doc_id, CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |  ELSE 'fr' END AS detected
+        |FROM scored ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), langIdMarkers(col("text")).as("detected"))
+          .orderBy(col("doc_id"))
+    },
+
+    sql("q37_dedup_exact",
+      """SELECT md5(lower(text)) AS fp, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+          .orderBy(col("fp"))
+    },
+
+    // Token-set (1-gram) Jaccard near-dup over blocking buckets
+    // (same lang + same n_chars). The relational formulation — explode
+    // distinct tokens, self-join within bucket, count intersections,
+    // derive |A∪B| = |A|+|B|−|A∩B| — is exactly the shape that scales:
+    // the token join shuffles on the token key, never materializing the
+    // O(n²) pair space outside the blocking buckets.
+    sql("q38_ngram_jaccard",
+      """WITH toks AS (
+        | SELECT doc_id, lang, n_chars, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+        | FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_both
+        | FROM toks a JOIN toks b
+        |   ON a.tok = b.tok AND a.lang = b.lang AND a.n_chars = b.n_chars
+        |  AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id1, id2,
+        | round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |ORDER BY id1, id2""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(tokenSet(col("text"))).as("tok"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = toks.alias("a")
+        val b = toks.alias("b")
+        val inter = a.join(b,
+            col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang")
+              && col("a.n_chars") === col("b.n_chars")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("n_both"))
+        inter
+          .join(sizes.select(col("doc_id"), col("n").as("na")), col("id1") === col("doc_id")).drop("doc_id")
+          .join(sizes.select(col("doc_id"), col("n").as("nb")), col("id2") === col("doc_id")).drop("doc_id")
+          .select(col("id1"), col("id2"),
+            round(col("n_both").cast("double") / (col("na") + col("nb") - col("n_both")), 4).as("jaccard"))
+          .orderBy(col("id1"), col("id2"))
+    },
+
+    // Relational TF-IDF: tf = in-doc term count, idf = ln(N/df);
+    // top-scoring term per document via a ranking window.
+    sql("q39_tfidf_top_term",
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, tok, round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        | FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok AS top_term, score FROM (
+        | SELECT doc_id, tok, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        | FROM scored) t WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+        tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+          .orderBy(col("doc_id"))
+    }
+  )
+}

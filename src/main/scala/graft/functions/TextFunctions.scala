@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, token/char counting, quality scoring, stopword-marker
+  * language ID, and document fingerprinting.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * (including higher-order array functions), so the whole family stays
+  * inside whole-stage codegen — no Scala UDF boundary, no per-row
+  * serialization. That is the property that matters at 100 TB: these
+  * run at parquet-scan speed and pipeline into downstream joins and
+  * aggregations without an exchange.
+  *
+  * Reference scope: the reference's design docs commit to QA/dedup/
+  * report stages over ingested records
+  * (/root/reference/docs/system-plan.md:23-27); these functions realize
+  * that contract plus the LLM-pipeline text operators.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (single-space delimited corpora). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Distinct token set, for Jaccard/shingling. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Mean token length (characters of non-space text / token count). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      length(text)
+
+  /** English-ish stopwords present in the synthetic corpus. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    hitCount(text, Stopwords).cast("double") / tokenCount(text)
+
+  /** Composite document quality score in [0, 1]: rewards length (up to
+    * 100 tokens), non-stopword density, and word length (up to 8 chars).
+    * Deterministic and SQL-expressible for oracle parity.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(lit(1.0), tokenCount(text).cast("double") / 100) * 0.4 +
+        (lit(1.0) - stopwordRatio(text)) * 0.3 +
+        least(lit(1.0), avgWordLen(text) / 8) * 0.3,
+      4)
+
+  /** Marker-stopword sets per language for the lightweight lang-ID
+    * heuristic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Language ID by marker-word scoring: the language with the highest
+    * marker hit count wins; ties break alphabetically (declaration
+    * order); zero hits overall → "und". Deterministic, SQL-mirrorable.
+    */
+  def langIdMarkers(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ws) => l -> hitCount(text, ws) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val top = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(sc === top, lit(l)).otherwise(els)
+    }
+    when(total === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Stable content fingerprint (md5 of lowercased text) for exact
+    * dedup; reproducible in any engine with md5.
+    */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** 64-bit polynomial rolling hash over tokens (base-257 Horner form
+    * over each token's xxhash64). Engine-internal (not oracle-
+    * mirrorable); used for shingle hashing and cheap near-dup
+    * pre-buckets.
+    */
+  def rollingTokenHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tok) => acc * lit(257L) + xxhash64(tok))
+}
