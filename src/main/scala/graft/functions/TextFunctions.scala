@@ -89,11 +89,13 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(lower(text))
 
-  /** 64-bit polynomial rolling hash over tokens (base-257 Horner form
-    * over each token's xxhash64). Engine-internal (not oracle-
-    * mirrorable); used for shingle hashing and cheap near-dup
+  /** Polynomial rolling hash over tokens (base-257 Horner form over
+    * each token's xxhash64, mod 2^31−1 so every intermediate stays
+    * overflow-safe under Spark's ANSI mode). Engine-internal (not
+    * oracle-mirrorable); used for shingle hashing and cheap near-dup
     * pre-buckets.
     */
   def rollingTokenHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, tok) => acc * lit(257L) + xxhash64(tok))
+    aggregate(tokens(text), lit(0L), (acc, tok) =>
+      pmod(acc * lit(257L) + pmod(xxhash64(tok), lit(2147483647L)), lit(2147483647L)))
 }

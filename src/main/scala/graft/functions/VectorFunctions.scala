@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `ArrayType(FloatType)` embedding
+  * columns, composed from higher-order array functions (`zip_with`,
+  * `aggregate`, `transform`) so they compile into whole-stage codegen
+  * rather than crossing a UDF boundary.
+  *
+  * All arithmetic is promoted to Double before accumulating: the
+  * float32 source values are exact in float64, so elementwise products
+  * and left-to-right sums are bit-identical across engines computing in
+  * double — which is what makes cosine similarity DuckDB-oracle
+  * comparable (`list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  /** Sign-bit LSH bucket from the first `bits` dimensions: a cheap
+    * hyperplane-LSH coarse quantizer. Vectors close in cosine tend to
+    * share sign patterns, so ANN search only probes the matching
+    * bucket. At 100 TB the embedding table is pre-partitioned by this
+    * bucket, turning an ANN query into a single-partition probe.
+    */
+  def signBucket(a: Column, bits: Int): Column =
+    aggregate(
+      zip_with(slice(d(a), 1, bits), sequence(lit(0), lit(bits - 1)),
+        (x, i) => when(x >= 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), _ + _)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Two tiers, per the scale plan:
+  *  - [[cosineTopK]] — brute force: broadcast the (small) query set,
+  *    score every (query, candidate) pair with a codegen'd dot
+  *    product, keep top-k per query with a ranking window. Exact;
+  *    O(|queries| × |corpus|) work but only one broadcast and one
+  *    window shuffle of the scored pairs. The correctness baseline.
+  *  - [[annSignLsh]] — hyperplane sign-LSH: bucket corpus and queries
+  *    by the sign pattern of the leading dimensions and only score
+  *    within matching buckets. At 100 TB the corpus is written
+  *    partitioned by bucket, so a query probes one partition instead
+  *    of scanning the table; recall is traded via `bits`.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` nearest
+    * rows of `corpus` (excluding identical ids).
+    * Output: (qid, cid, sim, rn).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Sign-LSH bucketed ANN top-k: same output shape as [[cosineTopK]]
+    * but scores only candidates whose sign bucket matches the query's,
+    * cutting compared pairs by ~2^bits at the cost of recall.
+    */
+  def annSignLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
+    * (coarse quantizer); each query probes the `nprobe` nearest
+    * centroids' inverted lists only. With a corpus pre-partitioned by
+    * list id this is the classic IVF-Flat layout on Spark partitions.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    // Centroid per list: elementwise mean. Computed via posexplode +
+    // avg + re-assemble, which stays fully distributed (no whole-list
+    // collect per group) — the formulation that survives lists with
+    // millions of members.
+    val centroids = corpus
+      .select(col(labelCol).as("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cd", cosine(col("qv"), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd").desc, col("list_id"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qv"), col("list_id"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      col(labelCol).as("list_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(probes), Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}
