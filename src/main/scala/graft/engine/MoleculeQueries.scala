@@ -1,0 +1,118 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Chemistry
+import graft.sources.SdfReader
+
+/** Molecule-domain surface: chemistry UDFs (validity, molecular weight,
+  * descriptor proxies) and the SDF property parser, oracle-checked by
+  * DERIVING deterministic SMILES / SDF text from the `part` table and
+  * comparing against independently hand-computed closed-form values in
+  * the oracle SQL. This cross-checks the Scala implementations (parser,
+  * valence model, descriptor constants) without the oracle ever calling
+  * them.
+  */
+object MoleculeQueries {
+  import QueryDef._
+  import Tables._
+
+  // deterministic SMILES per part row: mix of alkanes, a ring, an acid,
+  // a salt, and two malformed strings
+  private val smilesSql =
+    """CASE p_partkey % 6
+      |  WHEN 0 THEN repeat('C', (p_size % 10) + 1) || '('
+      |  WHEN 1 THEN 'C1CCCCC1'
+      |  WHEN 2 THEN 'CC(=O)O'
+      |  WHEN 3 THEN 'C1CC'
+      |  WHEN 4 THEN '[Na+].[Cl-]'
+      |  ELSE repeat('C', (p_size % 10) + 1) END""".stripMargin
+
+  private def smilesCol = expr(
+    smilesSql.replaceAll("\\s+", " ") // Spark SQL parser accepts the same CASE
+  )
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("q46_smiles_validity",
+      s"""SELECT p_partkey, ($smilesSql) AS smiles,
+         | (p_partkey % 6) NOT IN (0, 3) AS valid
+         |FROM part ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .withColumn("smiles", smilesCol)
+          .select(col("p_partkey"), col("smiles"),
+            Chemistry.is_valid_smiles(col("smiles")).as("valid"))
+          .orderBy(col("p_partkey"))
+    },
+
+    // MW oracle: alkane CnH2n+2 = n·12.011 + (2n+2)·1.008; fixed
+    // molecules hand-computed (cyclohexane 84.162, acetic acid 60.052,
+    // NaCl 58.443). Exact at 3 decimals because all weights carry
+    // exactly three.
+    sql("q47_molecular_weight",
+      s"""SELECT p_partkey,
+         | round(CAST(CASE p_partkey % 6
+         |  WHEN 1 THEN 84.162
+         |  WHEN 2 THEN 60.052
+         |  WHEN 4 THEN 58.443
+         |  ELSE ((p_size % 10) + 1) * 12.011 + (2 * ((p_size % 10) + 1) + 2) * 1.008
+         | END AS DOUBLE), 3) AS mw
+         |FROM part WHERE (p_partkey % 6) NOT IN (0, 3)
+         |ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .withColumn("smiles", smilesCol)
+          .filter(Chemistry.is_valid_smiles(col("smiles")))
+          .select(col("p_partkey"),
+            round(Chemistry.molecular_weight(col("smiles")), 3).as("mw"))
+          .orderBy(col("p_partkey"))
+    },
+
+    // Descriptor proxies: logP = 0.5·C + 0.35·hal + 0.18·S − 0.65·(N+O)
+    // − 0.4·Σ|charge|; TPSA = 20.3·N + 17.1·O + 8.4·S (documented
+    // constants, hand-applied per fixed molecule in the oracle).
+    sql("q48_descriptors",
+      s"""SELECT p_partkey,
+         | round(CAST(CASE p_partkey % 6
+         |  WHEN 1 THEN 3.0
+         |  WHEN 2 THEN -0.3
+         |  WHEN 4 THEN -0.45
+         |  ELSE 0.5 * ((p_size % 10) + 1) END AS DOUBLE), 3) AS logp,
+         | round(CAST(CASE p_partkey % 6
+         |  WHEN 2 THEN 34.2
+         |  ELSE 0.0 END AS DOUBLE), 3) AS tpsa
+         |FROM part WHERE (p_partkey % 6) NOT IN (0, 3)
+         |ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .withColumn("smiles", smilesCol)
+          .filter(Chemistry.is_valid_smiles(col("smiles")))
+          .select(col("p_partkey"),
+            round(Chemistry.log_p(col("smiles")), 3).as("logp"),
+            round(Chemistry.tpsa(col("smiles")), 3).as("tpsa"))
+          .orderBy(col("p_partkey"))
+    },
+
+    // SDF property-block parse round-trip (S2): SDF text is synthesized
+    // from part columns, parsed by sdfProps, and the extracted tags must
+    // equal the original columns.
+    sql("q49_sdf_props_roundtrip",
+      """SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS id_tag,
+        | p_name AS name_tag, p_type AS type_tag
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        val sdfText = concat(
+          lit("mol\n  comment\n\nM  END\n> <PKEY>\n"), col("p_partkey").cast("string"),
+          lit("\n\n> <PNAME>\n"), col("p_name"),
+          lit("\n\n> <PTYPE>\n"), col("p_type"), lit("\n"))
+        part(s, d)
+          .withColumn("props", SdfReader.sdfProps(sdfText))
+          .select(col("p_partkey"),
+            element_at(col("props"), "PKEY").as("id_tag"),
+            element_at(col("props"), "PNAME").as("name_tag"),
+            element_at(col("props"), "PTYPE").as("type_tag"))
+          .orderBy(col("p_partkey"))
+    }
+  )
+}
