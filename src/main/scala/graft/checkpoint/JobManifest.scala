@@ -1,0 +1,99 @@
+package graft.checkpoint
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-source job checkpoint with the reference's resume contract
+  * (S19–S21): `{cursor, batch_index, completed}` persisted as JSON with
+  * an atomic tmp+rename commit. Reference:
+  * /root/reference/src/open_molecule_data_pipeline/ingestion/
+  * common.py:38-75 (model + atomic store), runner.py:203-215
+  * (skip-completed short-circuit).
+  *
+  * Batch jobs use file-level idempotence (skip a completed source
+  * outright; within a source, Spark's commit protocol makes the write
+  * all-or-nothing), which upgrades the reference's at-least-once
+  * write-batch-then-checkpoint ordering (runner.py:168-177) to
+  * effectively-once. Streaming paths use Structured Streaming's own
+  * offset/commit logs instead (see graft.streaming).
+  */
+object JobManifest {
+
+  final case class Checkpoint(
+      cursor: Map[String, String],
+      batchIndex: Int,
+      completed: Boolean)
+
+  private def fs(path: Path, conf: Configuration): FileSystem =
+    path.getFileSystem(conf)
+
+  private def pathFor(root: String, source: String) =
+    new Path(s"$root/$source.json")
+
+  def load(root: String, source: String,
+      conf: Configuration = new Configuration()): Option[Checkpoint] = {
+    val p = pathFor(root, source)
+    val f = fs(p, conf)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      parse(new String(bytes, StandardCharsets.UTF_8))
+    }
+  }
+
+  def store(root: String, source: String, cp: Checkpoint,
+      conf: Configuration = new Configuration()): Unit = {
+    val p = pathFor(root, source)
+    val f = fs(p, conf)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${source}.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(render(cp).getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"atomic checkpoint rename failed: $tmp -> $p")
+  }
+
+  def isCompleted(root: String, source: String,
+      conf: Configuration = new Configuration()): Boolean =
+    load(root, source, conf).exists(_.completed)
+
+  def markCompleted(root: String, source: String, batchIndex: Int,
+      conf: Configuration = new Configuration()): Unit =
+    store(root, source, Checkpoint(Map.empty, batchIndex, completed = true), conf)
+
+  // -- minimal flat-JSON codec (string-valued cursor) --------------------
+  private[checkpoint] def render(cp: Checkpoint): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val cur = cp.cursor.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    s"""{"cursor": $cur, "batch_index": ${cp.batchIndex}, "completed": ${cp.completed}}"""
+  }
+
+  private[checkpoint] def parse(json: String): Option[Checkpoint] = {
+    // Jackson ships with Spark; use it rather than hand-rolling a parser.
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(json)
+      val cur = Option(node.get("cursor")).map { c =>
+        val it = c.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      Some(Checkpoint(cur,
+        Option(node.get("batch_index")).map(_.asInt()).getOrElse(0),
+        Option(node.get("completed")).exists(_.asBoolean())))
+    } catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.checkpoint.JobManifest
+import graft.config.JobConfig
+import graft.config.JobConfig.{JobSpec, SourceSpec}
+import graft.report.Report
+import graft.report.Report.SourceSummary
+import graft.sinks.NdjsonSink
+import graft.sources.{DelimitedReader, SdfReader}
+
+/** CLI entry points mirroring the reference's `smiles download` /
+  * `smiles ingest` commands (/root/reference/src/open_molecule_data_
+  * pipeline/ingestion/cli.py) on Spark execution.
+  *
+  * `ingest` runs each configured source through its registered reader,
+  * writes reference-parity numbered NDJSON batches, marks the source
+  * checkpoint completed (file-level idempotence — a re-run skips
+  * completed sources, S21), and renders the Markdown report.
+  * `concurrency` maps to parallel Spark actions on the driver; Spark
+  * parallelizes *within* a source regardless, which the reference's
+  * one-thread-per-source model could not.
+  */
+object Main {
+
+  /** Source registry (S31): type → reader. Plain function table. */
+  def readers: Map[String, (SparkSession, SourceSpec) => DataFrame] = Map(
+    "sdf" -> ((spark, spec) => SdfReader.read(
+      spark, spec.options("paths"), spec.name,
+      identifierTag = spec.options.getOrElse("identifier_tag", "ID"),
+      smilesTag = spec.options.getOrElse("smiles_tag", "SMILES"),
+      metadataTags = spec.options.get("metadata_tags").map(_.split(",").toSeq))),
+    "pubchem" -> ((spark, spec) => SdfReader.read(
+      spark, spec.options("paths"), spec.name,
+      identifierTag = spec.options.getOrElse("identifier_tag", "PUBCHEM_COMPOUND_CID"),
+      smilesTag = spec.options.getOrElse("smiles_tag", "PUBCHEM_OPENEYE_ISO_SMILES"),
+      metadataTags = spec.options.get("metadata_tags").map(_.split(",").toSeq))),
+    "chembl" -> ((spark, spec) => SdfReader.read(
+      spark, spec.options("paths"), spec.name,
+      identifierTag = spec.options.getOrElse("identifier_tag", "ChEMBL_ID"),
+      smilesTag = spec.options.getOrElse("smiles_tag", "CANONICAL_SMILES"),
+      metadataTags = spec.options.get("metadata_tags").map(_.split(",").toSeq))),
+    "zinc" -> ((spark, spec) => DelimitedReader.read(
+      spark, spec.options("paths"), spec.name,
+      delimiter = spec.options.get("delimiter").filter(_ != "whitespace").orElse(
+        if (spec.options.get("delimiter").contains("whitespace")) None else Some("\t")),
+      smilesColumn = spec.options.getOrElse("smiles_column", "0").toInt,
+      identifierColumn = spec.options.getOrElse("identifier_column", "1").toInt)),
+    "delimited" -> ((spark, spec) => DelimitedReader.read(
+      spark, spec.options("paths"), spec.name,
+      delimiter = spec.options.get("delimiter"),
+      smilesColumn = spec.options.getOrElse("smiles_column", "0").toInt,
+      identifierColumn = spec.options.getOrElse("identifier_column", "1").toInt)))
+
+  def runIngestion(spark: SparkSession, job: JobSpec): Seq[SourceSummary] = {
+    val checkpointRoot = s"${job.checkpointDir}/ingestion-parse"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // pool must be shut down or the non-daemon workers keep the JVM alive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(job.concurrency)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    try {
+    val futures = job.sources.map { spec =>
+      Future {
+        if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
+          val cp = JobManifest.load(checkpointRoot, spec.name, hconf).get
+          SourceSummary(spec.name, spec.sourceType, completed = true,
+            cp.batchIndex, 0, 0,
+            Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
+              Seq(".jsonl", ".jsonl.gz"), hconf)), None)
+        } else {
+          val reader = readers.getOrElse(spec.sourceType,
+            throw new IllegalArgumentException(s"no reader for '${spec.sourceType}'"))
+          val df = reader(spark, spec)
+          val records = df.count()
+          val batches = NdjsonSink.writeNumberedBatches(df, job.outputDir, spec.name,
+            job.batchSize, compress = job.compressOutput)
+          JobManifest.markCompleted(checkpointRoot, spec.name, batches.toInt, hconf)
+          SourceSummary(spec.name, spec.sourceType, completed = true,
+            batches, batches, records,
+            Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
+              Seq(".jsonl", ".jsonl.gz"), hconf)), None)
+        }
+      }
+    }
+    val summaries = Await.result(Future.sequence(futures), Duration.Inf)
+    val report = Report.render(summaries)
+    Files.createDirectories(Paths.get(job.outputDir))
+    Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)
+    summaries
+    } finally pool.shutdown()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.cli.Main <ingest|report> <config.yaml>")
+    val job = JobConfig.load(args(1))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args(0) match {
+        case "ingest" =>
+          val summaries = runIngestion(spark, job)
+          summaries.sortBy(_.name).foreach(s =>
+            println(s"${s.name}: ${s.recordsWritten} records in ${s.batchesWritten} batches"))
+        case other =>
+          throw new IllegalArgumentException(s"unknown command '$other'")
+      }
+    } finally spark.stop()
+  }
+}

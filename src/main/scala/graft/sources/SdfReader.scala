@@ -36,7 +36,8 @@ object SdfReader {
         classOf[LongWritable], classOf[Text], conf)
       .map { case (_, t) => t.toString }
     rdd.toDF("record")
-      .filter(length(trim(col("record"))) > 0)
+      // trim() strips spaces only — newline-only tail records need \s
+      .filter(length(regexp_replace(col("record"), "^\\s+|\\s+$", "")) > 0)
   }
 
   /** `> <TAG>` property blocks of one SDF record as Map[String,String].

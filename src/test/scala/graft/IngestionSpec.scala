@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.checkpoint.JobManifest
+import graft.cli.Main
+import graft.config.JobConfig
+import graft.report.Report
+import graft.sources.{Aria2Mirror, HttpPaginatedSource, Manifests}
+import graft.model.MoleculeRecord
+
+/** End-to-end ingestion contracts mirrored from the reference's test
+  * assertions (SURVEY.md §5): config validation, numbered batch files,
+  * checkpoint round-trip + resume, golden report lines, aria2 argv
+  * behavior, manifest parsing, paginated source resume.
+  */
+class IngestionSpec extends SparkSpec {
+
+  test("config: YAML parses; unknown types and duplicate names rejected") {
+    val ok = JobConfig.parse(
+      """job:
+        |  output_dir: /tmp/out
+        |  checkpoint_dir: /tmp/cp
+        |  batch_size: 500
+        |  concurrency: 2
+        |  sources:
+        |    - type: delimited
+        |      name: zinc-a
+        |      options: {paths: /tmp/x, delimiter: "\t"}
+        |""".stripMargin)
+    assert(ok.batchSize === 500 && ok.sources.head.name === "zinc-a")
+    assertThrows[IllegalArgumentException](JobConfig.parse(
+      "job:\n  output_dir: a\n  checkpoint_dir: b\n  sources:\n    - {type: nope, name: x}\n"))
+    assertThrows[IllegalArgumentException](JobConfig.parse(
+      """job:
+        |  output_dir: a
+        |  checkpoint_dir: b
+        |  sources:
+        |    - {type: sdf, name: x, options: {paths: p}}
+        |    - {type: sdf, name: x, options: {paths: p}}
+        |""".stripMargin))
+    assertThrows[IllegalArgumentException](JobConfig.parse(
+      "job:\n  output_dir: a\n  checkpoint_dir: b\n  batch_size: 0\n  sources: []\n"))
+  }
+
+  test("checkpoint round-trip and atomic store") {
+    val root = tmpDir("cp")
+    val cp = JobManifest.Checkpoint(Map("file_index" -> "0", "record_offset" -> "2"), 1, completed = false)
+    JobManifest.store(root, "src", cp)
+    assert(JobManifest.load(root, "src").contains(cp))
+    JobManifest.markCompleted(root, "src", 2)
+    assert(JobManifest.isCompleted(root, "src"))
+  }
+
+  test("ingest end-to-end: batch files, checkpoint, golden report line, idempotent rerun") {
+    val dir = tmpDir("e2e")
+    val data = s"$dir/data.tsv"
+    Files.writeString(Paths.get(data),
+      "C\tZINC1\nCC\tZINC2\nCCC\tZINC3\n")
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  batch_size: 2
+         |  compress_output: false
+         |  sources:
+         |    - type: delimited
+         |      name: zinc
+         |      options: {paths: $data, delimiter: "\\t"}
+         |""".stripMargin)
+    val summaries = Main.runIngestion(spark, job)
+    assert(summaries.head.recordsWritten === 3)
+    assert(summaries.head.batchesWritten === 2) // ceil(3/2)
+    val files = Files.list(Paths.get(s"$dir/out/zinc")).toArray.map(_.toString).sorted
+    assert(files.exists(_.endsWith("zinc-batch-000001.jsonl")))
+    assert(files.exists(_.endsWith("zinc-batch-000002.jsonl")))
+    val report = Files.readString(Paths.get(s"$dir/out/raw-data-report.md"))
+    assert(report.contains("| zinc | delimited | yes | 2 | 2 | 3 |"), report)
+    // rerun skips the completed source (file-level idempotence)
+    val again = Main.runIngestion(spark, job)
+    assert(again.head.recordsWritten === 0 && again.head.completed)
+  }
+
+  test("NDJSON rows round-trip through spark.read.json") {
+    val dir = tmpDir("ndjson")
+    import spark.implicits._
+    val df = Seq(MoleculeRecord("s", "id1", "C", Map("k" -> "v"))).toDF()
+    graft.sinks.NdjsonSink.writeNumberedBatches(df, dir, "s", 10, compress = true)
+    val back = spark.read.json(s"$dir/s/*.jsonl.gz")
+    val row = back.selectExpr("identifier", "smiles", "metadata.k").collect()(0)
+    assert(row.getString(0) === "id1" && row.getString(1) === "C" && row.getString(2) === "v")
+  }
+
+  test("manifest parsing: comments, whitespace token, checksum and zinc paths") {
+    val p = tmpDir("mf")
+    Files.writeString(Paths.get(s"$p/links.txt"),
+      """# comment
+        |
+        |https://example.org/pub/Compound_001.sdf.gz extra tokens
+        |https://example.org/pub/Compound_002.sdf.gz
+        |""".stripMargin)
+    val entries = Manifests.parsePubChem(s"$p/links.txt")
+    assert(entries.map(_.fileName) === Seq("Compound_001.sdf.gz", "Compound_002.sdf.gz"))
+    assert(entries.head.checksumUrl.contains("https://example.org/pub/Compound_001.sdf.gz.md5"))
+
+    Files.writeString(Paths.get(s"$p/zinc.uri"), "http://zinc.example/2D/AA/AAAA.txt\n")
+    val z = Manifests.parseZinc(s"$p/zinc.uri")
+    assert(z.head.relativePath.contains("2D/AA/AAAA.txt"))
+  }
+
+  test("aria2 mirror: argv shape, skip-existing, checksum forces run") {
+    val dir = tmpDir("aria2")
+    var calls = List.empty[Seq[String]]
+    val runner: Seq[String] => Int = { argv => calls ::= argv; 0 }
+    val target = Paths.get(s"$dir/f.bin")
+
+    assert(Aria2Mirror.download("http://x/f.bin", target, runner))
+    val argv = calls.head
+    assert(argv.head === "aria2c")
+    assert(argv.contains("--continue=true") && argv.contains("--max-connection-per-server=16"))
+    assert(argv.last === "http://x/f.bin")
+
+    Files.write(target, Array[Byte](1, 2, 3))
+    calls = Nil
+    assert(Aria2Mirror.download("http://x/f.bin", target, runner))
+    assert(calls.isEmpty, "existing non-empty file skipped")
+
+    assert(Aria2Mirror.download("http://x/f.bin", target, runner,
+      checksum = Some(("md5", "abc"))))
+    assert(calls.head.contains("--checksum=md5=abc") && calls.head.contains("--check-integrity=true"))
+  }
+
+  test("paginated source: pages, checkpoint resume, completed short-circuit") {
+    val dir = tmpDir("http")
+    def rec(i: Int) = MoleculeRecord("cs", s"id$i", "C" * i, Map.empty)
+    val pages = Map(
+      Map.empty[String, String] -> HttpPaginatedSource.Page(Seq(rec(1), rec(2)), Some(Map("token" -> "t1"))),
+      Map("token" -> "t1") -> HttpPaginatedSource.Page(Seq(rec(3)), None))
+    var fetches = 0
+    val fetch: Map[String, String] => HttpPaginatedSource.Page =
+      c => { fetches += 1; pages(c) }
+
+    // stop after first page (simulated crash), then resume
+    val r1 = HttpPaginatedSource.run(spark, "cs", fetch, Map.empty,
+      s"$dir/out", s"$dir/cp", compress = false, maxPages = 1)
+    assert(r1.pagesFetched === 1 && !r1.completed && r1.recordsWritten === 2)
+    val r2 = HttpPaginatedSource.run(spark, "cs", fetch, Map.empty,
+      s"$dir/out", s"$dir/cp", compress = false)
+    assert(r2.completed && r2.recordsWritten === 1, "resume fetched only the remainder")
+    // completed source short-circuits without fetching
+    val before = fetches
+    val r3 = HttpPaginatedSource.run(spark, "cs", fetch, Map.empty,
+      s"$dir/out", s"$dir/cp", compress = false)
+    assert(r3.completed && fetches === before)
+  }
+
+  test("report: byte humanization and empty-run message") {
+    assert(Report.formatBytes(512) === "512 B")
+    assert(Report.formatBytes(2048) === "2.00 KB")
+    assert(Report.formatBytes(5L * 1024 * 1024 * 1024) === "5.00 GB")
+    assert(Report.render(Nil).contains("No sources were executed."))
+  }
+}
