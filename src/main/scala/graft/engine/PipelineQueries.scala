@@ -79,6 +79,21 @@ object PipelineQueries {
       documents(s, d)
         .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
+    },
+
+    // Multimodal plumbing (rows-only): documents → binary payload +
+    // typed metadata → partition-batched stub decode → per-mime feature
+    // aggregate. The decode itself is a documented deterministic fake
+    // (no codecs in this environment); schema/partitioning/batch shape
+    // are the real contract, pinned further in OperatorsSpec.
+    rowsOnly("q50_multimodal_features") { (s, d) =>
+      val media = graft.operators.Multimodal.synthesize(
+        documents(s, d), "doc_id", "text")
+      val feats = graft.operators.Multimodal.decodeStub(media, dim = 8)
+      feats.select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("media_id"))
     }
   )
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2C streaming rows):
+  * watermarked tumbling/sliding windows, session windows, stateful
+  * dedup within watermark, and an arbitrary-state cursor machine via
+  * flatMapGroupsWithState — the streaming upgrade of the reference's
+  * cursor+checkpoint incremental pulls (S4/S18–S21), where Structured
+  * Streaming's offset/commit logs replace the hand-rolled JSON
+  * checkpoint files and give exactly-once sink semantics the reference
+  * lacks (its write-batch-then-checkpoint order is at-least-once,
+  * runner.py:168-177).
+  *
+  * All transforms below work identically on batch and streaming
+  * DataFrames; specs drive them with MemoryStream for determinism and
+  * the batch oracle queries (EventQueries) pin the same semantics
+  * against DuckDB.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with late-data drop. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (length, slide). */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: gap-based grouping per user. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stateful exactly-once-ish dedup keyed on event_id, bounded by the
+    * watermark (state is dropped once the watermark passes).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- arbitrary state: per-user cursor machine ------------------------
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+
+  final case class CursorState(lastEventId: Long, runningValue: Double, n: Long)
+
+  final case class CursorUpdate(user_id: Long, last_event_id: Long,
+      running_value: Double, n_events: Long)
+
+  /** flatMapGroupsWithState cursor machine: per user, tracks the last
+    * event id seen and a running value — the reference's per-source
+    * cursor (`{file_index, record_offset}`) generalized to keyed state
+    * with automatic checkpointing.
+    */
+  def cursorMachine(events: Dataset[UserEvent]): Dataset[CursorUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CursorState, CursorUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[CursorState]) =>
+          val prev = state.getOption.getOrElse(CursorState(-1L, 0.0, 0L))
+          // deterministic order within the micro-batch
+          val evs = it.toSeq.sortBy(_.event_id).filter(_.event_id > prev.lastEventId)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val next = CursorState(
+              evs.map(_.event_id).max,
+              prev.runningValue + evs.map(_.value).sum,
+              prev.n + evs.size)
+            state.update(next)
+            Iterator(CursorUpdate(uid, next.lastEventId, next.runningValue, next.n))
+          }
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Dedup, similarity-search, and multimodal operator behavior. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different content about spark engines and shuffles at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup of 1
+      (5L, "yet another unrelated document mentioning embeddings and vectors")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps smallest id per content") {
+    val out = Dedup.exactByContent(docs, "doc_id", "text")
+    assert(out.count() === 4)
+    assert(!out.collect().map(_.getLong(0)).contains(4L))
+  }
+
+  test("minhash LSH surfaces the near-dup pair without cross product") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup must collide in all bands: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near-dup should collide in some band: $pairs")
+    assert(!pairs.contains((3L, 5L)), "unrelated docs must not be candidates")
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    import spark.implicits._
+    val sig = docs.select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), 64).as("sig"))
+    val s = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def simOf(a: Long, b: Long) =
+      s(a).zip(s(b)).count { case (x, y) => x == y } / 64.0
+    assert(simOf(1L, 4L) === 1.0)
+    assert(simOf(1L, 2L) > simOf(1L, 3L))
+  }
+
+  test("simhash: identical texts equal, near-dups closer than unrelated") {
+    val h = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) === h(4L))
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+  }
+
+  test("token jaccard verifier") {
+    import spark.implicits._
+    val j = Seq(("a b c", "a b d")).toDF("t1", "t2")
+      .select(Dedup.tokenJaccard(col("t1"), col("t2"))).collect()(0).getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // |{a,b}| / |{a,b,c,d}|
+  }
+
+  private lazy val vectors = {
+    import spark.implicits._
+    // 4-d unit-ish vectors: 0/1 close to 2; 3 orthogonal
+    Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.2f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 0.1f, 0.0f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force cosine top-k ranks the near neighbor first") {
+    val out = Similarity.cosineTopK(vectors, vectors.filter(col("vec_id") === 0), k = 2)
+    val got = out.orderBy("rn").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.head._1 === 2L || got.head._1 === 1L)
+    assert(got.length === 2)
+    assert(!got.map(_._1).contains(0L), "query excluded from its own neighbors")
+  }
+
+  test("sign-LSH ANN returns same top neighbor as brute force here") {
+    val brute = Similarity.cosineTopK(vectors, vectors.filter(col("vec_id") === 0), k = 1)
+      .collect()(0).getLong(1)
+    val ann = Similarity.annSignLsh(vectors, vectors.filter(col("vec_id") === 0),
+      k = 1, bits = 4).collect()
+    assert(ann.nonEmpty && ann(0).getLong(1) === brute)
+  }
+
+  test("IVF ANN probes matching lists and finds in-list neighbors") {
+    val out = Similarity.annIvf(vectors, vectors.filter(col("vec_id") === 3), k = 1,
+      nprobe = 1).collect()
+    assert(out.length === 1 && out(0).getLong(1) === 4L)
+  }
+
+  test("multimodal: schema, stub decode batch shape, resize, frames") {
+    val media = Multimodal.synthesize(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text")
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.decodeStub(media, dim = 8)
+    val row = feats.filter(col("media_id") === 1).collect()(0)
+    val f = row.getSeq[Float](row.fieldIndex("features"))
+    assert(f.length === 8)
+    assert(math.abs(f.sum - 1.0f) < 1e-5, "histogram features normalized")
+    // determinism: same payload → same features
+    val f4 = feats.filter(col("media_id") === 4).collect()(0)
+    assert(f4.getSeq[Float](f4.fieldIndex("features")) === f)
+    val resized = Multimodal.resize(media, 32, 32).select("meta.width").distinct().collect()
+    assert(resized.map(_.getInt(0)).toSeq === Seq(32))
+    assert(Multimodal.sampleFrames(media).count() >= media.count())
+  }
+}

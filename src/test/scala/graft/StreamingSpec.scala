@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics driven deterministically through
+  * MemoryStream + processAllAvailable.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  test("tumbling window with watermark aggregates and drops late data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(src.toDF(), "1 hour", "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+
+    src.addData(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0),
+      Ev(4, ts(200), 1, "click", 4.0)) // advances watermark past hour 0-1
+    q.processAllAvailable()
+    src.addData(Ev(5, ts(6), 1, "click", 99.0)) // late beyond watermark: dropped
+    q.processAllAvailable()
+    src.addData(Ev(6, ts(400), 1, "click", 1.0)) // flush remaining windows
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)),
+      s"late event must not inflate hour-0 window: ${out.mkString(", ")}")
+    assert(out.exists(t => t._1 == "2024-01-01 01:00:00.0" && t._3 == 1L))
+  }
+
+  test("session windows split on gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(src.toDF(), gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_out").start()
+    src.addData(
+      Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(5), 7, "click", 1.0),   // session A
+      Ev(3, ts(30), 7, "click", 1.0),                                  // session B
+      Ev(4, ts(300), 7, "click", 0.0))                                 // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("session_out")
+      .filter(col("n_events") > 0).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq.sorted
+    assert(sessions.contains((7L, 2L)) && sessions.contains((7L, 1L)),
+      s"expected a 2-event and a 1-event session: $sessions")
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(src.toDF(), "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    src.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(2, ts(2), 1, "view", 1.0))
+    q.processAllAvailable()
+    src.addData(Ev(1, ts(3), 1, "click", 1.0)) // duplicate within watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("cursor machine keeps per-user monotonic state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.cursorMachine(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cursor_out").start()
+    src.addData(EventStreams.UserEvent(1, 10, 1.0), EventStreams.UserEvent(1, 11, 2.0))
+    q.processAllAvailable()
+    src.addData(EventStreams.UserEvent(1, 11, 99.0), EventStreams.UserEvent(1, 12, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("cursor_out")
+      .orderBy("last_event_id").collect()
+      .map(r => (r.getAs[Long]("last_event_id"), r.getAs[Double]("running_value"), r.getAs[Long]("n_events")))
+    assert(updates.last === ((12L, 6.0, 3L)),
+      s"replayed event 11 must be ignored by the cursor: ${updates.mkString(", ")}")
+  }
+
+  test("file-stream AvailableNow over parquet events matches batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.engine.Tables.events(spark, dir)
+    val expected = batch.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .count().collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+
+    val cp = tmpDir("stream_cp")
+    // write the batch out as the stream input (ts already micros)
+    val in = tmpDir("stream_in")
+    batch.write.mode("overwrite").parquet(in)
+    val q = spark.readStream.schema(batch.schema).parquet(in)
+      .groupBy(date_trunc("hour", col("ts")).as("h")).count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_stream_out")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("file_stream_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(got === expected)
+  }
+}
