@@ -47,20 +47,42 @@ object Dedup {
     */
   private val P31 = 2147483647L
 
-  /** MinHash signature: `numHashes` permutations approximated by
-    * (a_k · h(shingle) + b_k) mod (2^31−1) with deterministic odd
-    * multipliers over xxhash64 shingle hashes. Returns
-    * ArrayType(LongType) of length `numHashes`.
+  /** Shingle hash array: each shingle's xxhash64 reduced mod 2^31−1,
+    * materialized ONCE per row. Keep this in its own projection: the
+    * shingle builder sits under a `when()` (empty-doc guard), which
+    * blocks Catalyst's common-subexpression elimination — inlining it
+    * into every one of `numHashes` permutations re-runs the string
+    * shingling N times per row (measured: unbounded runtime at sf0.1).
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val sh = shingles(text, shingleSize)
-    transform(sequence(lit(0), lit(numHashes - 1)), k => {
-      val a = k.cast("long") * 2 + 1
-      val b = pmod(k.cast("long") * lit(2654435761L) + 1, lit(P31))
-      array_min(transform(sh, s =>
-        pmod(a * pmod(xxhash64(s), lit(P31)) + b, lit(P31))))
-    })
+  def shingleHashes(text: Column, shingleSize: Int = 3): Column =
+    transform(shingles(text, shingleSize), s => pmod(xxhash64(s), lit(P31)))
+
+  /** MinHash signature over the shingle-hash array: permutation k is
+    * (2k+1)·h + b_k mod 2^31−1.
+    *
+    * Implemented as ONE `aggregate` pass that folds every shingle hash
+    * into an array of `numHashes` running minima. The naive shape —
+    * `transform(0..n, k => array_min(transform(hashes, ...)))` —
+    * references `hashes` n times, and CollapseProject happily inlines
+    * the (string-building) shingle expression into all n copies, which
+    * measured 166 s at sf0.1. The fold references `hashes` exactly
+    * once, so the strings are built once per row no matter how the
+    * optimizer rewrites the projection (1.3 s at sf0.1).
+    */
+  def signatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    val ks = array((0 until numHashes).map(k => lit(k.toLong)): _*)
+    val init = array(Seq.fill(numHashes)(lit(P31)): _*)
+    aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, ks, (m, k) =>
+        least(m, pmod((k * 2 + 1) * h + pmod(k * lit(2654435761L) + 1, lit(P31)), lit(P31)))))
   }
+
+  /** Convenience one-shot signature (hashes inlined — fine for a few
+    * hash functions, use shingleHashes+signatureFromHashes in wide
+    * plans).
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    signatureFromHashes(shingleHashes(text, shingleSize), numHashes)
 
   /** Band keys for LSH: the signature is cut into `bands` slices of
     * `rowsPerBand` and each slice is folded to one key with a modular
@@ -77,9 +99,10 @@ object Dedup {
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val sig = minHashSignature(col(textCol), bands * rowsPerBand, shingleSize)
     val banded = df
-      .select(col(idCol).as("id"), posexplode(lshBandKeys(sig, bands, rowsPerBand)).as(Seq("band", "key")))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
+      .select(col("id"), signatureFromHashes(col("__sh"), bands * rowsPerBand).as("__sig"))
+      .select(col("id"), posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("band", "key")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -94,19 +117,18 @@ object Dedup {
     * arithmetic available to higher-order expressions.
     */
   def simHash32(text: Column): Column = {
+    val powers = array((0 until 32).map(i => lit(1L << i)): _*)
     val toks = TextFunctions.tokens(text)
     val votes = aggregate(
       toks,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
       (acc, tok) => {
         val h = pmod(xxhash64(tok), lit(4294967296L)) // low 32 bits, non-negative
-        zip_with(acc, sequence(lit(0), lit(31)), (v, i) =>
-          v + when(pmod(floor(h / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2L)) === 1, 1L)
-            .otherwise(-1L))
+        zip_with(acc, powers, (v, p) =>
+          v + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L))
       })
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)), (v, i) =>
-        when(v > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L), _ + _)
   }
 
