@@ -1,0 +1,159 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Coverage for the remaining SURVEY.md §2C rows: collect_list/set,
+  * multiset set-ops (INTERSECT/EXCEPT ALL), GROUPING SETS through the
+  * SQL API, array and map scalar families, scalar subqueries,
+  * unionByName, partitioned writes (with read-back equivalence), a
+  * conditioned semi join, and approx_count_distinct (rows-only — HLL
+  * implementations differ by engine).
+  */
+object ExtraQueries {
+  import QueryDef._
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("q51_collect_list_set",
+      """SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) AS nations,
+        | list_sort(list(c_custkey)) AS custkeys
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        customer(s, d).groupBy(col("c_mktsegment"))
+          .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
+            sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+          .orderBy(col("c_mktsegment"))
+    },
+
+    sql("q52_intersect_all",
+      """SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT ALL
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_nationkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_nationkey"))
+          .intersectAll(
+            customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey")))
+          .orderBy(col("c_nationkey"))
+    },
+
+    sql("q53_except_all",
+      """SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT ALL
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_nationkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_nationkey"))
+          .exceptAll(
+            customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey")))
+          .orderBy(col("c_nationkey"))
+    },
+
+    // SQL-text surface: the engine accepts full SQL (temp view +
+    // spark.sql), proven on GROUPING SETS which also covers the
+    // §2C grouping-sets row.
+    sql("q54_grouping_sets_sql",
+      """SELECT grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        | l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+            | l_returnflag, l_linestatus, count(*) AS n
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    sql("q55_array_funcs",
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | embedding[1:3] AS first3, list_reverse(embedding[1:3]) AS rev3,
+        | embedding[3] AS third
+        |FROM embeddings ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        embeddings(s, d).select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          slice(col("embedding"), 1, 3).as("first3"),
+          reverse(slice(col("embedding"), 1, 3)).as("rev3"),
+          element_at(col("embedding"), 3).as("third"))
+          .orderBy(col("vec_id"))
+    },
+
+    sql("q56_map_funcs",
+      """SELECT doc_id, lang AS lang_val, CAST(2 AS BIGINT) AS n_keys,
+        | ['lang', 'source', 'x'] AS all_keys
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
+        documents(s, d).select(col("doc_id"),
+          element_at(m, "lang").as("lang_val"),
+          size(map_filter(m, (k, _) => k.isin("lang", "source"))).cast("long").as("n_keys"),
+          sort_array(map_keys(map_concat(m, map(lit("x"), lit("y"))))).as("all_keys"))
+          .orderBy(col("doc_id"))
+    },
+
+    sql("q57_scalar_subquery",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        val avgPrice = orders(s, d).agg(avg("o_totalprice").as("avg_price"))
+        orders(s, d).crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("o_orderkey"))
+    },
+
+    sql("q58_union_by_name",
+      """SELECT n_nationkey AS key, n_name AS name FROM nation
+        |UNION ALL SELECT r_regionkey AS key, r_name AS name FROM region
+        |ORDER BY key, name""".stripMargin) {
+      (s, d) =>
+        val a = nation(s, d).select(col("n_nationkey").as("key"), col("n_name").as("name"))
+        // deliberately reversed column order: unionByName aligns by name
+        val b = region(s, d).select(col("r_name").as("name"), col("r_regionkey").as("key"))
+        a.unionByName(b).orderBy(col("key"), col("name"))
+    },
+
+    // partitionBy write + read-back: the round-trip must preserve the
+    // per-partition-value row counts (oracle aggregates the source).
+    sql("q59_partitioned_write",
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        val out = java.nio.file.Files.createTempDirectory("graft_partwrite").toString
+        customer(s, d).write.mode("overwrite")
+          .partitionBy("c_mktsegment").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+    },
+
+    sql("q60_semi_join_condition",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+    },
+
+    // HLL sketches differ across engines: rows-only, spec-checked for
+    // accuracy bounds instead.
+    rowsOnly("q61_approx_count_distinct") { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}
