@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Direct tests for text/vector Column functions and SQL registration. */
+class FunctionsSpec extends SparkSpec {
+
+  test("text functions: tokens, counts, ratios, quality, langid, fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat", "en-ish"),
+      ("der hund und die katze", "de-ish"),
+      ("xyzzy plugh", "und-ish")).toDF("text", "tag")
+    val out = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      round(TextFunctions.stopwordRatio($"text"), 4).as("sw"),
+      TextFunctions.langIdMarkers($"text").as("lang"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.rollingTokenHash($"text").as("rh")).collect()
+    assert(out(0).getLong(0) === 6)
+    assert(out(0).getDouble(1) === 0.3333) // "the" twice / 6
+    assert(out(0).getString(2) === "en")
+    assert(out(1).getString(2) === "de")
+    assert(out(2).getString(2) === "und")
+    assert(out(0).getString(3).length === 32) // md5 hex
+    assert(out(0).getLong(4) !== out(1).getLong(4))
+  }
+
+  test("quality score is in [0,1] and rewards longer, denser text") {
+    import spark.implicits._
+    val df = Seq(
+      "the the the the a a of",
+      "substantive engineering document describing partitioned shuffle topology extensively")
+      .toDF("text")
+    val q = df.select(TextFunctions.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0 && v <= 1))
+    assert(q(1) > q(0))
+  }
+
+  test("vector functions: dot/norm/cosine/l2/signBucket") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("dot"),
+      VectorFunctions.norm($"a").as("na"),
+      round(VectorFunctions.cosine($"a", $"b"), 6).as("cos"),
+      VectorFunctions.l2Distance($"a", $"b").as("l2"),
+      VectorFunctions.signBucket($"a", 2).as("bucket")).collect()(0)
+    assert(r.getDouble(0) === 24.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 0.96)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2)) < 1e-12)
+    assert(r.getLong(4) === 3L) // both dims positive → bits 0+1 set
+  }
+
+  test("SQL registration exposes the full function surface to spark.sql") {
+    graft.engine.Functions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT is_valid_smiles('CCO') AS v, round(molecular_weight('CCO'), 3) AS mw,
+        | normalize_smiles('C[C@H](N)O.[Na+]') AS norm,
+        | sdf_props('mol\nM  END\n> <A>\nval\n')['A'] AS a,
+        | format_bytes(2048) AS fb
+        |""".stripMargin).collect()(0)
+    assert(row.getBoolean(0))
+    assert(row.getDouble(1) === 46.069)
+    assert(row.getString(2) === "C[CH](N)O")
+    assert(row.getString(3) === "val")
+    assert(row.getString(4) === "2.00 KB")
+  }
+}
