@@ -67,7 +67,7 @@ object JobManifest {
     store(root, source, Checkpoint(Map.empty, batchIndex, completed = true), conf)
 
   // -- minimal flat-JSON codec (string-valued cursor) --------------------
-  private[checkpoint] def render(cp: Checkpoint): String = {
+  def render(cp: Checkpoint): String = {
     def q(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -80,7 +80,7 @@ object JobManifest {
     s"""{"cursor": $cur, "batch_index": ${cp.batchIndex}, "completed": ${cp.completed}}"""
   }
 
-  private[checkpoint] def parse(json: String): Option[Checkpoint] = {
+  def parse(json: String): Option[Checkpoint] = {
     // Jackson ships with Spark; use it rather than hand-rolling a parser.
     try {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -78,12 +78,11 @@ object Main {
           val reader = readers.getOrElse(spec.sourceType,
             throw new IllegalArgumentException(s"no reader for '${spec.sourceType}'"))
           val df = reader(spark, spec)
-          val records = df.count()
-          val batches = NdjsonSink.writeNumberedBatches(df, job.outputDir, spec.name,
+          val res = NdjsonSink.writeNumberedBatches(df, job.outputDir, spec.name,
             job.batchSize, compress = job.compressOutput)
-          JobManifest.markCompleted(checkpointRoot, spec.name, batches.toInt, hconf)
+          JobManifest.markCompleted(checkpointRoot, spec.name, res.batches.toInt, hconf)
           SourceSummary(spec.name, spec.sourceType, completed = true,
-            batches, batches, records,
+            res.batches, res.batches, res.records,
             Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
               Seq(".jsonl", ".jsonl.gz"), hconf)), None)
         }

@@ -154,6 +154,26 @@ object ExtraQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // RANGE window frame (value-based, tie-inclusive): count of orders
+    // of the same status within the trailing 1000-price band. Ordering
+    // by an integral price keeps the frame boundary type exact in both
+    // engines; RANGE semantics include peers, so duplicate prices are
+    // deterministic without extra tiebreaks.
+    sql("q62_window_range_frame",
+      """SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(floor(o_totalprice) AS BIGINT)
+        |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))
+          .orderBy(floor(col("o_totalprice")))
+          .rangeBetween(-1000, org.apache.spark.sql.expressions.Window.currentRow)
+        orders(s, d)
+          .select(col("o_orderkey"), count(lit(1)).over(w).as("n_in_band"))
+          .orderBy(col("o_orderkey"))
     }
   )
 }

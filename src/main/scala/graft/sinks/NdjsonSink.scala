@@ -34,12 +34,17 @@ object NdjsonSink {
     (if (compress) w.option("compression", "gzip") else w).json(outDir)
   }
 
-  /** Reference-parity numbered batch files. Returns files written. */
+  final case class BatchWriteResult(batches: Long, records: Long)
+
+  /** Reference-parity numbered batch files. One count() action sizes
+    * the partitioning and doubles as the record metric (callers must
+    * not re-count — at 100 TB every extra pass is a full scan).
+    */
   def writeNumberedBatches(df: DataFrame, outDir: String, source: String,
-      batchSize: Int, compress: Boolean = true, startBatch: Int = 0): Long = {
+      batchSize: Int, compress: Boolean = true, startBatch: Int = 0): BatchWriteResult = {
     val spark = df.sparkSession
     val total = df.count()
-    if (total == 0) return 0L
+    if (total == 0) return BatchWriteResult(0L, 0L)
     val nBatches = math.max(1, math.ceil(total.toDouble / batchSize).toInt)
     val json = df.toJSON.repartition(nBatches)
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -58,6 +63,6 @@ object NdjsonSink {
         finally writer.close()
       }
     }
-    nBatches.toLong
+    BatchWriteResult(nBatches.toLong, total)
   }
 }

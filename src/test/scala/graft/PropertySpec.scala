@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.checkpoint.JobManifest
+import graft.functions.Chemistry
+import graft.sources.SdfReader
+
+/** ScalaCheck property tests for the parsers (SURVEY.md §5 engine test
+  * plan): SDF render↔parse round-trip, checkpoint JSON round-trip, and
+  * the alkane molecular-weight closed form.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val tagGen: Gen[String] = for {
+    h <- Gen.alphaUpperChar
+    t <- Gen.listOfN(8, Gen.oneOf(Gen.alphaUpperChar, Gen.numChar, Gen.const('_')))
+  } yield (h :: t).mkString
+
+  // value lines: printable, no leading '>', non-blank, pre-trimmed
+  private val valueLineGen: Gen[String] = Gen.chooseNum(1, 20)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('-'), Gen.const('.'))))
+    .map(_.mkString)
+  private val valueGen: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, valueLineGen)).map(_.mkString("\n"))
+
+  test("property: SDF render → parse round-trips any tag map") {
+    val propsGen = Gen.mapOfN(5, Gen.zip(tagGen, valueGen))
+    check(Prop.forAll(propsGen) { props =>
+      val rendered = "mol\n  comment\n\nM  END\n" +
+        props.map { case (k, v) => s"> <$k>\n$v\n" }.mkString("\n")
+      SdfReader.parseProps(rendered) == props
+    }, "sdf round-trip")
+  }
+
+  test("property: checkpoint JSON round-trips any cursor map") {
+    val kvGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', '/', ' ', ':')))
+        .map(_.mkString))
+    val cpGen = for {
+      cur <- Gen.mapOfN(4, kvGen)
+      idx <- Gen.chooseNum(0, 100000)
+      done <- Gen.oneOf(true, false)
+    } yield JobManifest.Checkpoint(cur, idx, done)
+    check(Prop.forAll(cpGen) { cp =>
+      JobManifest.parse(JobManifest.render(cp)).contains(cp)
+    }, "checkpoint round-trip")
+  }
+
+  test("property: alkane molecular weight matches the closed form") {
+    check(Prop.forAll(Gen.chooseNum(1, 60)) { n =>
+      val mw = Chemistry.molecularWeight("C" * n).get
+      math.abs(mw - (n * 12.011 + (2 * n + 2) * 1.008)) < 1e-9
+    }, "alkane MW")
+  }
+
+  test("property: normalize is idempotent and salt-strip keeps a fragment") {
+    val smilesGen = Gen.oneOf("CCO", "C[C@H](N)C(=O)O", "CCO.[Na+]", "F/C=C/F",
+      "c1ccccc1.[Cl-]", "CC(C)(C)Br")
+    check(Prop.forAll(smilesGen) { s =>
+      val n1 = Chemistry.normalize(s)
+      Chemistry.normalize(n1) == n1 && Chemistry.stripSalt(s).nonEmpty
+    }, "normalize idempotent")
+  }
+}
