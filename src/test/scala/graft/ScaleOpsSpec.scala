@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salting
+import graft.report.Metrics
+
+/** Scale levers: salting preserves semantics; observe() metrics ride
+  * inside the job.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private lazy val skewed = {
+    import spark.implicits._
+    // hot key: 90% of rows share key 1
+    (1 to 1000).map(i => (if (i <= 900) 1L else (i % 50).toLong, i.toDouble))
+      .toDF("k", "v")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val salted = Salting.saltedAggregate(skewed, Seq("k"), buckets = 8,
+      partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("salted join equals plain join (inner and left)") {
+    import spark.implicits._
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "label")
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+        .groupBy("k").agg(count(lit(1)).as("n"), count(col("label")).as("nl"))
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val salted = Salting.saltedJoin(skewed, dim, Seq("k"), buckets = 4, joinType = jt)
+        .groupBy("k").agg(count(lit(1)).as("n"), count(col("label")).as("nl"))
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(salted.toSeq === plain.toSeq, s"join type $jt")
+    }
+  }
+
+  test("observe metrics report record counts without a second scan") {
+    import spark.implicits._
+    val collector = Metrics.install(spark)
+    val df = Seq(("s", "id1", "CCO"), ("s", "id2", "C"))
+      .toDF("source", "identifier", "smiles")
+    Metrics.observed(df, "ingest_metrics").write.mode("overwrite")
+      .parquet(tmpDir("metrics_out"))
+    // listener fires asynchronously after the action completes
+    val deadline = System.currentTimeMillis() + 10000
+    while (!collector.results.contains("ingest_metrics")
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val m = collector.results("ingest_metrics")
+    assert(m("n_records") === 2L)
+    assert(m("smiles_chars") === 4L)
+  }
+}
