@@ -21,7 +21,11 @@ object Bench {
     // untimed warmup: session init, parquet footers, first codegen —
     // otherwise the alphabetically-first query absorbs ~4s of one-time cost
     graft.engine.Tables.names.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
+      try graft.engine.Tables.t(spark, sfDir, t).count()
+      catch { case _: Throwable =>
+        try graft.engine.Tables.events(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] start $name")

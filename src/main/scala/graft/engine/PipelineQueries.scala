@@ -71,7 +71,7 @@ object PipelineQueries {
 
     rowsOnly("q44_minhash_lsh_candidates") { (s, d) =>
       Dedup.minHashCandidates(documents(s, d), "doc_id", "text",
-          bands = 16, rowsPerBand = 4)
+          bands = 8, rowsPerBand = 4)
         .orderBy(col("id1"), col("id2"))
     },
 

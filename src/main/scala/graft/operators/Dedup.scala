@@ -70,11 +70,16 @@ object Dedup {
     * optimizer rewrites the projection (1.3 s at sf0.1).
     */
   def signatureFromHashes(hashes: Column, numHashes: Int): Column = {
-    val ks = array((0 until numHashes).map(k => lit(k.toLong)): _*)
+    // permutation constants precomputed driver-side as a literal struct
+    // array — the inner loop does one multiply-add-mod per (shingle, k)
+    val ab = array((0 until numHashes).map { k =>
+      struct(lit(2L * k + 1).as("a"),
+        lit(((k.toLong * 2654435761L) + 1) % P31).as("b"))
+    }: _*)
     val init = array(Seq.fill(numHashes)(lit(P31)): _*)
     aggregate(hashes, init, (acc, h) =>
-      zip_with(acc, ks, (m, k) =>
-        least(m, pmod((k * 2 + 1) * h + pmod(k * lit(2654435761L) + 1, lit(P31)), lit(P31)))))
+      zip_with(acc, ab, (m, c) =>
+        least(m, pmod(c.getField("a") * h + c.getField("b"), lit(P31)))))
   }
 
   /** Convenience one-shot signature (hashes inlined — fine for a few
