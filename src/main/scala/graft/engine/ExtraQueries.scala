@@ -156,6 +156,24 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // CSV sink + scan round-trip: a projection of orders goes out as
+    // headered CSV and comes back through the schema'd csv reader; the
+    // aggregate must match the oracle computed on the original parquet.
+    sql("q63_csv_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .csv(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus"))
+    },
+
     // RANGE window frame (value-based, tie-inclusive): count of orders
     // of the same status within the trailing 1000-price band. Ordering
     // by an integral price keeps the frame boundary type exact in both
