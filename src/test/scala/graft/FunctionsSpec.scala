@@ -55,6 +55,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(4) === 3L) // both dims positive → bits 0+1 set
   }
 
+  test("fingerprint OR-fold aggregator unions bit sets per group") {
+    import spark.implicits._
+    import graft.functions.{Chemistry, FingerprintAgg}
+    val df = Seq(("grp1", "CCO"), ("grp1", "CCN"), ("grp2", "C")).toDF("g", "smiles")
+    val out = df
+      .select($"g", Chemistry.morgan_fp($"smiles").as("bits"))
+      .groupBy($"g").agg(FingerprintAgg.fingerprint_or($"bits").as("profile"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSet).toMap
+    val ccoBits = Chemistry.morganBits("CCO").get.toSet
+    val ccnBits = Chemistry.morganBits("CCN").get.toSet
+    assert(out("grp1") === (ccoBits ++ ccnBits), "group profile is the union")
+    assert(out("grp2") === Chemistry.morganBits("C").get.toSet)
+  }
+
   test("SQL registration exposes the full function surface to spark.sql") {
     graft.engine.Functions.registerAll(spark)
     val row = spark.sql(
