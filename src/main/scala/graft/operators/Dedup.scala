@@ -69,9 +69,15 @@ object Dedup {
     * once, so the strings are built once per row no matter how the
     * optimizer rewrites the projection (1.3 s at sf0.1).
     */
-  def signatureFromHashes(hashes: Column, numHashes: Int): Column = {
-    // permutation constants precomputed driver-side as a literal struct
-    // array — the inner loop does one multiply-add-mod per (shingle, k)
+  def signatureFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.plans.MinHashSignatureExpr.minhash_signature(hashes, numHashes)
+
+  /** Higher-order-function formulation of the signature — kept as the
+    * differential reference for the native codegen expression above
+    * (see DedupSpec equivalence test). Same semantics, ~3× slower:
+    * each shingle allocates an intermediate array per fold step.
+    */
+  def signatureFromHashesHof(hashes: Column, numHashes: Int): Column = {
     val ab = array((0 until numHashes).map { k =>
       struct(lit(2L * k + 1).as("a"),
         lit(((k.toLong * 2654435761L) + 1) % P31).as("b"))
