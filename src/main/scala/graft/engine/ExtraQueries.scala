@@ -174,6 +174,22 @@ object ExtraQueries {
           .orderBy(col("o_orderstatus"))
     },
 
+    // NDJSON sink + scan round-trip (S22 parity read-back): documents
+    // go out as gzip NDJSON and come back through the schema'd json
+    // reader; per-language stats must match the parquet oracle.
+    sql("q64_json_roundtrip",
+      """SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").option("compression", "gzip").json(out)
+        s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy(col("lang"))
+    },
+
     // RANGE window frame (value-based, tie-inclusive): count of orders
     // of the same status within the trailing 1000-price band. Ordering
     // by an integral price keeps the frame boundary type exact in both
