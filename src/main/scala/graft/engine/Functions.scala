@@ -26,5 +26,7 @@ object Functions {
     r.register("structural_keys", (s: String) => Chemistry.structuralKeys(s))
     r.register("sdf_props", SdfReader.parseProps)
     r.register("format_bytes", (n: Long) => graft.report.Report.formatBytes(n))
+    // native Catalyst expressions (codegen'd, not UDFs)
+    graft.plans.GraftExtensions.register(spark)
   }
 }

@@ -83,4 +83,18 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getString(3) === "val")
     assert(row.getString(4) === "2.00 KB")
   }
+
+  test("native minhash_signature is callable from SQL text") {
+    graft.engine.Functions.registerAll(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(7L, 99L, 12345L), 8) AS sig")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length === 8)
+    assert(sig.forall(v => v >= 0 && v < 2147483647L))
+    // deterministic
+    val sig2 = spark.sql(
+      "SELECT minhash_signature(array(7L, 99L, 12345L), 8) AS sig")
+      .collect()(0).getSeq[Long](0)
+    assert(sig === sig2)
+  }
 }
