@@ -152,7 +152,8 @@ object ExtraQueries {
     rowsOnly("q61_approx_count_distinct") { (s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -68,6 +68,45 @@ object EventStreams {
   final case class CursorUpdate(user_id: Long, last_event_id: Long,
       running_value: Double, n_events: Long)
 
+  /** transformWithState version of the cursor machine (Spark 4's
+    * StatefulProcessor API; requires the RocksDB state store). Same
+    * semantics as [[cursorMachine]] with typed ValueState and
+    * explicit lifecycle.
+    */
+  class CursorProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, CursorUpdate] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[CursorState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[CursorState]("cursor",
+        Encoders.product[CursorState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CursorUpdate] = {
+      val prev = Option(state.get()).getOrElse(CursorState(-1L, 0.0, 0L))
+      val evs = rows.toSeq.sortBy(_.event_id).filter(_.event_id > prev.lastEventId)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val next = CursorState(
+          evs.map(_.event_id).max,
+          prev.runningValue + evs.map(_.value).sum,
+          prev.n + evs.size)
+        state.update(next)
+        Iterator(CursorUpdate(key, next.lastEventId, next.runningValue, next.n))
+      }
+    }
+  }
+
+  /** Cursor machine on the transformWithState API. */
+  def cursorMachineTws(events: Dataset[UserEvent]): Dataset[CursorUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CursorProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   /** flatMapGroupsWithState cursor machine: per user, tracks the last
     * event id seen and a running value — the reference's per-source
     * cursor (`{file_index, record_offset}`) generalized to keyed state

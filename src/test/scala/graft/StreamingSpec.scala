@@ -102,6 +102,31 @@ class StreamingSpec extends SparkSpec {
       s"replayed event 11 must be ignored by the cursor: ${updates.mkString(", ")}")
   }
 
+  test("transformWithState cursor machine matches fMGWS semantics (RocksDB store)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[EventStreams.UserEvent]
+      val q = EventStreams.cursorMachineTws(src.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_out").start()
+      src.addData(EventStreams.UserEvent(5, 10, 1.0), EventStreams.UserEvent(5, 11, 2.0))
+      q.processAllAvailable()
+      src.addData(EventStreams.UserEvent(5, 11, 99.0), EventStreams.UserEvent(5, 12, 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val updates = spark.table("tws_out").orderBy("last_event_id").collect()
+        .map(r => (r.getAs[Long]("last_event_id"), r.getAs[Double]("running_value"), r.getAs[Long]("n_events")))
+      assert(updates.last === ((12L, 6.0, 3L)), updates.mkString(", "))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file-stream AvailableNow over parquet events matches batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.engine.Tables.events(spark, dir)
