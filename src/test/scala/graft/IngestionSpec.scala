@@ -81,6 +81,30 @@ class IngestionSpec extends SparkSpec {
     assert(again.head.recordsWritten === 0 && again.head.completed)
   }
 
+  test("ingest e2e with a pubchem-style SDF source through the registry") {
+    val dir = tmpDir("sdf_e2e")
+    val sdf = Seq("CID1" -> "C", "CID2" -> "CC", "CID3" -> "CCC").map { case (cid, smi) =>
+      s"PubChem\nM  END\n> <PUBCHEM_COMPOUND_CID>\n$cid\n\n> <PUBCHEM_OPENEYE_ISO_SMILES>\n$smi\n"
+    }.mkString("\n$$$$\n") + "\n$$$$\n"
+    Files.writeString(Paths.get(s"$dir/chunk.sdf"), sdf)
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  batch_size: 10
+         |  compress_output: false
+         |  sources:
+         |    - type: pubchem
+         |      name: pubchem
+         |      options: {paths: $dir/chunk.sdf}
+         |""".stripMargin)
+    val summaries = Main.runIngestion(spark, job)
+    assert(summaries.head.recordsWritten === 3)
+    val back = spark.read.json(s"$dir/out/pubchem/*.jsonl")
+    assert(back.selectExpr("identifier").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("CID1", "CID2", "CID3"))
+  }
+
   test("NDJSON rows round-trip through spark.read.json") {
     val dir = tmpDir("ndjson")
     import spark.implicits._
