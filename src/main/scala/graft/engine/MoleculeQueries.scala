@@ -94,6 +94,26 @@ object MoleculeQueries {
           .orderBy(col("p_partkey"))
     },
 
+    // Integration: molecule near-dup via normalized-SMILES fingerprint
+    // groups + Morgan-bit overlap inside each group — the chemistry
+    // functions feeding the dedup machinery (rows-only: md5 grouping is
+    // oracle-able but Morgan bits are engine-internal).
+    rowsOnly("q65_molecule_neardup") { (s, d) =>
+      import graft.functions.Chemistry
+      val mols = part(s, d)
+        .withColumn("smiles", smilesCol)
+        .filter(Chemistry.is_valid_smiles(col("smiles")))
+        .select(col("p_partkey"),
+          Chemistry.normalize_smiles(col("smiles")).as("norm"),
+          Chemistry.morgan_fp(col("smiles")).as("fp"))
+      mols.groupBy(col("norm"))
+        .agg(count(lit(1)).as("n_members"), min("p_partkey").as("keeper"),
+          graft.functions.FingerprintAgg.fingerprint_or(col("fp")).as("profile"))
+        .select(col("norm"), col("n_members"), col("keeper"),
+          size(col("profile")).cast("long").as("profile_bits"))
+        .orderBy(col("norm"))
+    },
+
     // SDF property-block parse round-trip (S2): SDF text is synthesized
     // from part columns, parsed by sdfProps, and the extracted tags must
     // equal the original columns.
