@@ -42,14 +42,14 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.2
         |ORDER BY id1, id2""".stripMargin) {
       (s, d) =>
-        import graft.functions.VectorFunctions.cosine
+        import graft.functions.VectorFunctions.{dot, norm}
         val a = embeddings(s, d).select(col("vec_id").as("id1"),
-          col("label"), col("embedding").as("va"))
+          col("label"), col("embedding").as("va"), norm(col("embedding")).as("na"))
         val b = embeddings(s, d).select(col("vec_id").as("id2"),
-          col("label"), col("embedding").as("vb"))
+          col("label"), col("embedding").as("vb"), norm(col("embedding")).as("nb"))
         a.join(b, Seq("label"))
           .filter(col("id1") < col("id2"))
-          .withColumn("sim0", cosine(col("va"), col("vb")))
+          .withColumn("sim0", dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(col("sim0") > 0.2)
           .select(col("id1"), col("id2"), round(col("sim0"), 4).as("sim"))
           .orderBy(col("id1"), col("id2"))

@@ -28,11 +28,16 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // norms are precomputed once per row — per-pair work drops to one
+    // dot product instead of dot + two norms (3× fewer multiplies)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.join(broadcast(q), col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -44,13 +49,14 @@ object Similarity {
   def annSignLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm(col(vecCol)).as("qn"), signBucket(col(vecCol), bits).as("bucket"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm(col(vecCol)).as("cn"), signBucket(col(vecCol), bits).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
@@ -82,11 +88,12 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("qv"), col("list_id"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      col(labelCol).as("list_id"))
+      norm(col(vecCol)).as("cn"), col(labelCol).as("list_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(probes), Seq("list_id"))
+    c.join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("list_id"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
