@@ -205,7 +205,7 @@ object Chemistry {
   def stripSalt(smiles: String): String = {
     val frags = smiles.split("\\.").filter(_.nonEmpty)
     if (frags.length <= 1) smiles
-    else frags.maxBy(f => (parse(f).map(_.atoms.length).getOrElse(0), f.length, -f.hashCode))
+    else frags.sortBy(f => (-parse(f).map(_.atoms.length).getOrElse(0), f)).head
   }
 
   /** Deterministic normalization for dedup keys: salt strip + drop

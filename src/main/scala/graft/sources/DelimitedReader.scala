@@ -30,7 +30,10 @@ object DelimitedReader {
         raw.select(split(col("value"),
           java.util.regex.Pattern.quote(sep)).as("parts"), col("source_file"))
       case None =>
-        raw.select(split(trim(col("value")), "\\s+").as("parts"), col("source_file"))
+        // trim() strips spaces only — a tab-led line would otherwise
+        // split into a leading empty token and shift the column indices
+        raw.select(split(regexp_replace(col("value"), "^\\s+|\\s+$", ""), "\\s+")
+          .as("parts"), col("source_file"))
     }
     val needed = math.max(smilesColumn, identifierColumn) + 1
     // guarded access: ANSI mode turns out-of-bounds array indexing into

@@ -105,6 +105,17 @@ class IngestionSpec extends SparkSpec {
       === Seq("CID1", "CID2", "CID3"))
   }
 
+  test("whitespace-mode delimited read tolerates leading tabs/spaces") {
+    val dir = tmpDir("ws")
+    Files.writeString(Paths.get(s"$dir/d.smi"),
+      "\tC   ZINC1\n  CC\tZINC2\nCCC ZINC3\n")
+    val df = graft.sources.DelimitedReader.read(spark, s"$dir/d.smi", "z",
+      delimiter = None)
+    val got = df.select("identifier", "smiles").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq === Seq(("ZINC1", "C"), ("ZINC2", "CC"), ("ZINC3", "CCC")))
+  }
+
   test("NDJSON rows round-trip through spark.read.json") {
     val dir = tmpDir("ndjson")
     import spark.implicits._
