@@ -87,10 +87,12 @@ object SdfReader {
       metadataTags: Option[Seq[String]] = None): DataFrame = {
     val props = sdfProps(col("record"))
     val withProps = readRecords(spark, paths).select(props.as("props"))
+    // id/smiles tags never leak into metadata, even when explicitly
+    // listed in metadata_tags (reference: pubchem.py:228-238)
     val keep: Column = metadataTags match {
       case Some(tags) =>
         map_filter(col("props"), (k, v) =>
-          k.isInCollection(tags) && v =!= "")
+          k.isInCollection(tags) && !k.isin(identifierTag, smilesTag) && v =!= "")
       case None =>
         map_filter(col("props"), (k, v) =>
           !k.isin(identifierTag, smilesTag) && v =!= "")
