@@ -127,6 +127,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file sink + checkpoint: restart does not duplicate output (exactly-once)") {
+    val batch = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "event_type", "value")
+    val in = tmpDir("eo_in")
+    batch.write.mode("overwrite").parquet(in)
+    val out = tmpDir("eo_out")
+    val cp = tmpDir("eo_cp")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(batch.schema).parquet(in)
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val n1 = spark.read.json(out).count()
+    assert(n1 === batch.count())
+    runOnce() // restart with same checkpoint: no new input → no new rows
+    val n2 = spark.read.json(out).count()
+    assert(n2 === n1, "restart from the commit log must not re-emit batches")
+  }
+
   test("file-stream AvailableNow over parquet events matches batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.engine.Tables.events(spark, dir)
