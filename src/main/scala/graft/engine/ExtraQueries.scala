@@ -73,14 +73,18 @@ object ExtraQueries {
     sql("q55_array_funcs",
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         | embedding[1:3] AS first3, list_reverse(embedding[1:3]) AS rev3,
-        | embedding[3] AS third
+        | embedding[3] AS third,
+        | flatten([embedding[1:2], embedding[3:4]]) AS flat4,
+        | list_contains(embedding[1:3], embedding[3]) AS has3
         |FROM embeddings ORDER BY vec_id""".stripMargin) {
       (s, d) =>
         embeddings(s, d).select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           slice(col("embedding"), 1, 3).as("first3"),
           reverse(slice(col("embedding"), 1, 3)).as("rev3"),
-          element_at(col("embedding"), 3).as("third"))
+          element_at(col("embedding"), 3).as("third"),
+          flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))).as("flat4"),
+          array_contains(slice(col("embedding"), 1, 3), element_at(col("embedding"), 3)).as("has3"))
           .orderBy(col("vec_id"))
     },
 
