@@ -68,6 +68,9 @@ object Main {
     try {
     val futures = job.sources.map { spec =>
       Future {
+        // fair-scheduler pool per source: one slow source cannot starve
+        // the others' task slots (S23 on Spark's scheduler)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.name)
         if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
           val cp = JobManifest.load(checkpointRoot, spec.name, hconf).get
           SourceSummary(spec.name, spec.sourceType, completed = true,

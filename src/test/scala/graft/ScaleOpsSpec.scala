@@ -42,6 +42,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces oversized shuffle partitioning at runtime") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64") // absurd for 1k rows
+    try {
+      val agg = skewed.groupBy("k").count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"adaptive plan should coalesce the 64-way shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("observe metrics report record counts without a second scan") {
     import spark.implicits._
     val collector = Metrics.install(spark)
