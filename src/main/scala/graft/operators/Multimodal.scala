@@ -35,6 +35,22 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true))), nullable = true)))
 
+  /** Real binary-file ingestion: `spark.read.format("binaryFile")`
+    * mapped into the media schema. Path/length come from the source
+    * metadata; width/height stay null until decode.
+    */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, pathGlob: String,
+      mime: String = "application/octet-stream"): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        struct(
+          lit(mime).as("mime"),
+          col("length").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height")).as("meta"))
+
   /** Wrap any (id, string) DataFrame into the media schema with a
     * deterministic fake payload — the test-data generator for the
     * multimodal path.

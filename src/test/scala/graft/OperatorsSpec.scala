@@ -112,6 +112,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(1) === 4L)
   }
 
+  test("textops: tfidf/topTerms/sessionize library forms") {
+    import spark.implicits._
+    val top = graft.operators.TextOps.topTerms(docs, "doc_id", "text", 1)
+      .select("id", "term").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top.size === 5)
+    assert(top.values.forall(_.nonEmpty))
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))).toDF("uid", "ts")
+    val sess = graft.operators.TextOps.sessionize(ev, "uid", "ts", gapSeconds = 1800)
+      .select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(sess === Seq(1L, 1L, 2L))
+  }
+
+  test("binaryFile source maps into the media schema") {
+    val dir = tmpDir("binfiles")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.bin"), Array[Byte](4, 5))
+    val media = Multimodal.readBinaryFiles(spark, s"$dir/*.bin")
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    val rows = media.orderBy(col("meta.n_bytes")).collect()
+    assert(rows.map(_.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes")).toSeq === Seq(2L, 3L))
+    assert(rows(1).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3))
+    // stub decode runs over real file payloads too
+    assert(Multimodal.decodeStub(media).count() === 2)
+  }
+
   test("multimodal: schema, stub decode batch shape, resize, frames") {
     val media = Multimodal.synthesize(
       docs.withColumnRenamed("doc_id", "id"), "id", "text")
