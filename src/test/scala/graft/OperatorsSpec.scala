@@ -71,6 +71,14 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
   }
 
+  test("nearDupes pipeline drops verified near-duplicates, keeps distinct docs") {
+    val out = Dedup.nearDupes(docs, "doc_id", "text", threshold = 0.8)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(4L), "exact dup of doc 1 must be dropped")
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L))
+    assert(!kept.contains(2L), "near-dup (1 token differs of 13) above 0.8 jaccard")
+  }
+
   test("token jaccard verifier") {
     import spark.implicits._
     val j = Seq(("a b c", "a b d")).toDF("t1", "t2")
