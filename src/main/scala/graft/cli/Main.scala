@@ -13,7 +13,7 @@ import graft.config.JobConfig.{JobSpec, SourceSpec}
 import graft.report.Report
 import graft.report.Report.SourceSummary
 import graft.sinks.NdjsonSink
-import graft.sources.{DelimitedReader, SdfReader}
+import graft.sources.{Aria2Mirror, DelimitedReader, SdfReader}
 
 /** CLI entry points mirroring the reference's `smiles download` /
   * `smiles ingest` commands (/root/reference/src/open_molecule_data_
@@ -58,6 +58,39 @@ object Main {
       smilesColumn = spec.options.getOrElse("smiles_column", "0").toInt,
       identifierColumn = spec.options.getOrElse("identifier_column", "1").toInt)))
 
+  /** Download phase (S10–S13): mirror each source's manifest into its
+    * download_dir via the aria2 seam, with per-source checkpoint
+    * completion and a Markdown report. The process runner is injectable
+    * (tests use a fake; the CLI wires a real subprocess).
+    */
+  def runDownload(job: JobSpec,
+      runner: Seq[String] => Int = Aria2Mirror.realRunner): Seq[SourceSummary] = {
+    val checkpointRoot = s"${job.checkpointDir}/ingestion-download"
+    val summaries = job.sources.map { spec =>
+      if (JobManifest.isCompleted(checkpointRoot, spec.name)) {
+        SourceSummary(spec.name, spec.sourceType, completed = true, 0, 0, 0, None,
+          spec.options.get("download_dir").map(d => Report.summarizeDirectory(d)))
+      } else {
+        val linkFile = spec.options.getOrElse("link_file",
+          throw new IllegalArgumentException(s"source '${spec.name}' missing link_file"))
+        val entries = spec.sourceType match {
+          case "pubchem" => graft.sources.Manifests.parsePubChem(linkFile)
+          case "zinc" => graft.sources.Manifests.parseZinc(linkFile)
+          case _ => graft.sources.Manifests.parseChembl(linkFile)
+        }
+        val dir = spec.options.getOrElse("download_dir", s"${job.outputDir}/raw/${spec.name}")
+        val got = Aria2Mirror.mirrorAll(entries, dir, runner)
+        JobManifest.markCompleted(checkpointRoot, spec.name, got.size)
+        SourceSummary(spec.name, spec.sourceType, completed = true,
+          got.size, got.size, 0, None, Some(Report.summarizeDirectory(dir)))
+      }
+    }
+    Files.createDirectories(Paths.get(job.outputDir))
+    Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"),
+      Report.render(summaries))
+    summaries
+  }
+
   def runIngestion(spark: SparkSession, job: JobSpec): Seq[SourceSummary] = {
     val checkpointRoot = s"${job.checkpointDir}/ingestion-parse"
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -100,7 +133,7 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.cli.Main <ingest|report> <config.yaml>")
+    require(args.length >= 2, "usage: graft.cli.Main <download|ingest> <config.yaml>")
     val job = JobConfig.load(args(1))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
@@ -116,6 +149,10 @@ object Main {
           val summaries = runIngestion(spark, job)
           summaries.sortBy(_.name).foreach(s =>
             println(s"${s.name}: ${s.recordsWritten} records in ${s.batchesWritten} batches"))
+        case "download" =>
+          val summaries = runDownload(job)
+          summaries.sortBy(_.name).foreach(s =>
+            println(s"${s.name}: ${s.batchesWritten} archives mirrored"))
         case other =>
           throw new IllegalArgumentException(s"unknown command '$other'")
       }

@@ -18,6 +18,12 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Aria2Mirror {
 
+  /** Real subprocess runner (production path; zero-egress tests inject
+    * fakes instead).
+    */
+  val realRunner: Seq[String] => Int = argv =>
+    new ProcessBuilder(argv: _*).inheritIO().start().waitFor()
+
   final case class Options(
       connections: Int = 16,
       splits: Int = 16,

@@ -189,6 +189,38 @@ class IngestionSpec extends SparkSpec {
     assert(r3.completed && fetches === before)
   }
 
+  test("download phase: manifest mirror with fake runner, checkpoint skip on rerun") {
+    val dir = tmpDir("dl")
+    Files.writeString(Paths.get(s"$dir/links.txt"),
+      "https://example.org/a.sdf.gz\nhttps://example.org/b.sdf.gz\n")
+    var calls = 0
+    val runner: Seq[String] => Int = { argv =>
+      calls += 1
+      // fake aria2c: create the target file
+      val outDir = argv.find(_.startsWith("--dir=")).get.drop(6)
+      val outName = argv.find(_.startsWith("--out=")).get.drop(6)
+      Files.createDirectories(Paths.get(outDir))
+      Files.write(Paths.get(outDir, outName), Array[Byte](1))
+      0
+    }
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  sources:
+         |    - type: chembl
+         |      name: chembl
+         |      options: {link_file: $dir/links.txt, download_dir: $dir/raw}
+         |""".stripMargin)
+    val s1 = Main.runDownload(job, runner)
+    assert(s1.head.batchesWritten === 2 && calls === 2)
+    assert(Files.exists(Paths.get(s"$dir/raw/a.sdf.gz")))
+    assert(Files.readString(Paths.get(s"$dir/out/raw-data-report.md")).contains("| chembl |"))
+    val s2 = Main.runDownload(job, runner)
+    assert(calls === 2, "completed download phase must be skipped on rerun")
+    assert(s2.head.completed)
+  }
+
   test("report: byte humanization and empty-run message") {
     assert(Report.formatBytes(512) === "512 B")
     assert(Report.formatBytes(2048) === "2.00 KB")
