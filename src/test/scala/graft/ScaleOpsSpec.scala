@@ -54,6 +54,17 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("approx_count_distinct stays within HLL++ error bounds of exact") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).collect()(0)
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact (default rsd 0.05)")
+  }
+
   test("observe metrics report record counts without a second scan") {
     import spark.implicits._
     val collector = Metrics.install(spark)
