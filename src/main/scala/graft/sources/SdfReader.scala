@@ -78,6 +78,17 @@ object SdfReader {
     udf(parseProps).apply(record)
   }
 
+  /** Typed boundary form (SURVEY.md §1.3): compile-time field safety
+    * for library consumers composing molecule pipelines.
+    */
+  def readTyped(spark: SparkSession, paths: String, sourceName: String,
+      identifierTag: String, smilesTag: String,
+      metadataTags: Option[Seq[String]] = None): org.apache.spark.sql.Dataset[graft.model.MoleculeRecord] = {
+    import spark.implicits._
+    read(spark, paths, sourceName, identifierTag, smilesTag, metadataTags)
+      .as[graft.model.MoleculeRecord]
+  }
+
   /** Full SDF scan → canonical molecule records (S1+S2+S14):
     * identifier/smiles pulled from configured tags, remaining tags
     * (optionally restricted) minus empties become metadata.

@@ -43,6 +43,17 @@ class SdfReaderSpec extends SparkSpec {
     assert(!meta1.contains("PUBCHEM_COMPOUND_CID"), "id/smiles tags excluded from metadata")
   }
 
+  test("typed Dataset[MoleculeRecord] boundary preserves fields") {
+    val dir = tmpDir("sdf_typed")
+    Files.writeString(Paths.get(s"$dir/t.sdf"),
+      sdfEntry("CID9", "CCO", "X" -> "y") + "\n$$$$\n")
+    val ds = SdfReader.readTyped(spark, s"$dir/t.sdf", "pc",
+      "PUBCHEM_COMPOUND_CID", "PUBCHEM_OPENEYE_ISO_SMILES")
+    val rec = ds.collect()(0)
+    assert(rec.source === "pc" && rec.identifier === "CID9"
+      && rec.smiles === "CCO" && rec.metadata === Map("X" -> "y"))
+  }
+
   test("trailing record without sentinel is still parsed") {
     val dir = tmpDir("sdf")
     val content = sdfEntry("CID1", "C") + "\n$$$$\n" + sdfEntry("CID2", "CC")
