@@ -103,7 +103,7 @@ object EventQueries {
     // function (get_json_object); the oracle reads the same digits via
     // regex so it stays runnable without DuckDB's JSON extension.
     sql("q33_json_props",
-      """SELECT event_type, sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, d) =>

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coverage for the remaining SURVEY.md §2C rows: collect_list/set,
@@ -16,14 +16,21 @@ object ExtraQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // collect_list / collect_set under test; outputs are serialized to
+    // comma-joined strings because the driver's compare (pandas sort +
+    // hash) cannot handle array-typed columns.
     sql("q51_collect_list_set",
-      """SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) AS nations,
-        | list_sort(list(c_custkey)) AS custkeys
+      """SELECT c_mktsegment,
+        | array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+        | array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, d) =>
         customer(s, d).groupBy(col("c_mktsegment"))
-          .agg(sort_array(collect_set(col("c_nationkey"))).as("nations"),
-            sort_array(collect_list(col("c_custkey"))).as("custkeys"))
+          .agg(
+            array_join(sort_array(collect_set(col("c_nationkey"))).cast("array<string>"), ",")
+              .as("nations"),
+            array_join(sort_array(collect_list(col("c_custkey"))).cast("array<string>"), ",")
+              .as("custkeys"))
           .orderBy(col("c_mktsegment"))
     },
 
@@ -70,34 +77,46 @@ object ExtraQueries {
             |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Array family under test (slice/reverse/element_at/flatten/contains);
+    // float elements are serialized as floor(x*1e6) BIGINTs joined to a
+    // string — float32→double is exact and floor is deterministic in both
+    // engines, so the rendering is hash-stable, unlike raw float repr.
     sql("q55_array_funcs",
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        | embedding[1:3] AS first3, list_reverse(embedding[1:3]) AS rev3,
-        | embedding[3] AS third,
-        | flatten([embedding[1:2], embedding[3:4]]) AS flat4,
+        | array_to_string(list_transform(embedding[1:3],
+        |   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)), ',') AS first3,
+        | array_to_string(list_reverse(list_transform(embedding[1:3],
+        |   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT))), ',') AS rev3,
+        | CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000.0) AS BIGINT) AS third,
+        | array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+        |   e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)), ',') AS flat4,
         | list_contains(embedding[1:3], embedding[3]) AS has3
         |FROM embeddings ORDER BY vec_id""".stripMargin) {
       (s, d) =>
+        def scaledJoin(c: Column): Column =
+          array_join(transform(c, e => floor(e.cast("double") * lit(1000000.0)).cast("string")), ",")
         embeddings(s, d).select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          slice(col("embedding"), 1, 3).as("first3"),
-          reverse(slice(col("embedding"), 1, 3)).as("rev3"),
-          element_at(col("embedding"), 3).as("third"),
-          flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))).as("flat4"),
+          scaledJoin(slice(col("embedding"), 1, 3)).as("first3"),
+          scaledJoin(reverse(slice(col("embedding"), 1, 3))).as("rev3"),
+          floor(element_at(col("embedding"), 3).cast("double") * lit(1000000.0)).as("third"),
+          scaledJoin(flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))))
+            .as("flat4"),
           array_contains(slice(col("embedding"), 1, 3), element_at(col("embedding"), 3)).as("has3"))
           .orderBy(col("vec_id"))
     },
 
     sql("q56_map_funcs",
       """SELECT doc_id, lang AS lang_val, CAST(2 AS BIGINT) AS n_keys,
-        | ['lang', 'source', 'x'] AS all_keys
+        | array_to_string(['lang', 'source', 'x'], ',') AS all_keys
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
         documents(s, d).select(col("doc_id"),
           element_at(m, "lang").as("lang_val"),
           size(map_filter(m, (k, _) => k.isin("lang", "source"))).cast("long").as("n_keys"),
-          sort_array(map_keys(map_concat(m, map(lit("x"), lit("y"))))).as("all_keys"))
+          array_join(sort_array(map_keys(map_concat(m, map(lit("x"), lit("y"))))), ",")
+            .as("all_keys"))
           .orderBy(col("doc_id"))
     },
 
@@ -183,7 +202,7 @@ object ExtraQueries {
     // go out as gzip NDJSON and come back through the schema'd json
     // reader; per-language stats must match the parquet oracle.
     sql("q64_json_roundtrip",
-      """SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
       (s, d) =>
         val out = java.nio.file.Files.createTempDirectory("graft_json").toString

@@ -51,6 +51,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # The driver hash-compares the *typed* arrow values, so a DuckDB
+        # HUGEINT (decimal128) sum vs a Spark int64 fails even when the
+        # Python values match. Mirror that: arrow types must be identical.
+        tdiff = [(c, want.schema.field(c).type, got.schema.field(c).type)
+                 for c in wcols
+                 if want.schema.field(c).type != got.schema.field(c).type]
+        if tdiff:
+            print(f"FAIL {name}: arrow types differ (driver hash would mismatch):")
+            for c, wt, gt in tdiff:
+                print(f"  {c}: oracle={wt} spark={gt}")
+            n_fail += 1
+            continue
         wrows = [tuple(canon(r[c]) for c in wcols) for r in want.to_pylist()]
         grows = [tuple(canon(r[c]) for c in gcols) for r in got.to_pylist()]
         if len(wrows) != len(grows):
