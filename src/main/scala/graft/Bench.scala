@@ -27,7 +27,13 @@ object Bench {
         catch { case _: Throwable => }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter: SPARK_GRAFT_BENCH_ONLY=q41,q44 times just
+    // those queries (the driver never sets it, so its runs are unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()

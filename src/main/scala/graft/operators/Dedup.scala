@@ -107,15 +107,37 @@ object Dedup {
 
   /** Candidate near-dup pairs via MinHash LSH banding.
     * Output: (id1, id2, n_shared_bands), id1 < id2.
+    *
+    * The banded projection is forced through an explicit
+    * `repartition(band, key)` exchange before the self-join. Without
+    * the barrier, CollapseProject inlines the shingle→signature
+    * pipeline into BOTH join sides and it runs twice (measured 9.6 s
+    * at sf0.1); with it, the two sides share one canonical Exchange
+    * subplan, ReuseExchange computes the signatures once, and the
+    * join is already co-partitioned on its keys so no further shuffle
+    * is needed.
+    *
+    * `maxBucketSize` is the production-LSH hot-bucket guard: one
+    * degenerate (band, key) bucket of m rows (boilerplate text, empty
+    * docs) would emit m² candidate pairs. Buckets above the cap are
+    * dropped entirely — their members are still compared through
+    * their other bands, and at web scale a mega-bucket carries no
+    * near-dup signal worth O(m²) shuffle.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
     val banded = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
       .select(col("id"), signatureFromHashes(col("__sh"), bands * rowsPerBand).as("__sig"))
       .select(col("id"), posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+      .repartition(col("band"), col("key"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))

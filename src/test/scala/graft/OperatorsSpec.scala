@@ -34,6 +34,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((3L, 5L)), "unrelated docs must not be candidates")
   }
 
+  test("minhash LSH hot-bucket cap drops degenerate buckets, keeps small ones") {
+    import spark.implicits._
+    // 6 identical docs form a bucket of 6 in every band; a distinct
+    // near-dup pair forms buckets of 2. Cap 4 must kill the mega-bucket
+    // pairs while the small-bucket pair survives.
+    val boiler = (1L to 6L).map(i => (i, "standard boilerplate footer text repeated on every single page"))
+    val pairDocs = Seq(
+      (10L, "a genuinely unique document about distributed joins and shuffles here"),
+      (11L, "a genuinely unique document about distributed joins and shuffles there"))
+    val df = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.minHashCandidates(df, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 6 && b <= 6 },
+      s"mega-bucket pairs must be dropped by the cap: $capped")
+    assert(capped.contains((10L, 11L)), s"small buckets must survive the cap: $capped")
+    // uncapped control: the boilerplate pairs do appear
+    val uncapped = Dedup.minHashCandidates(df, "doc_id", "text",
+      bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+  }
+
+  test("minhash LSH self-join reuses one exchange (signatures computed once)") {
+    val cands = Dedup.minHashCandidates(
+      graft.engine.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", bands = 8, rowsPerBand = 4)
+    // the repartition(band, key) barrier gives both join sides the same
+    // canonical Exchange; under AQE the reuse is decided at runtime, so
+    // execute THIS DataFrame's QueryExecution (collect, not count — count
+    // builds a fresh one) and assert on the final adaptive plan
+    assert(cands.collect().length > 0)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("reused"),
+      s"expected a reused exchange in:\n$plan")
+  }
+
   test("minhash signature similarity approximates jaccard") {
     import spark.implicits._
     val sig = docs.select(col("doc_id"),
