@@ -13,7 +13,7 @@ import graft.config.JobConfig.{JobSpec, SourceSpec}
 import graft.report.Report
 import graft.report.Report.SourceSummary
 import graft.sinks.NdjsonSink
-import graft.sources.{Aria2Mirror, DelimitedReader, SdfReader}
+import graft.sources.{Aria2Mirror, DelimitedReader, HttpJsonSource, HttpPaginatedSource, RetryingHttp, SdfReader}
 
 /** CLI entry points mirroring the reference's `smiles download` /
   * `smiles ingest` commands (/root/reference/src/open_molecule_data_
@@ -91,7 +91,28 @@ object Main {
     summaries
   }
 
-  def runIngestion(spark: SparkSession, job: JobSpec): Seq[SourceSummary] = {
+  /** Paginated-HTTP source types (S31 registry, reference runner.py:
+    * 45-50 `CONNECTOR_REGISTRY`): these don't fit the DataFrame reader
+    * table — they run the checkpointed fetch loop with per-page resume.
+    */
+  private val HttpSourceTypes = Set("http", "chemspider")
+
+  private def runHttpSource(spark: SparkSession, job: JobSpec, spec: SourceSpec,
+      checkpointRoot: String, transport: RetryingHttp.Transport): SourceSummary = {
+    val config = HttpJsonSource.fromOptions(spec.name, spec.sourceType,
+      spec.options, job.batchSize)
+    val res = HttpPaginatedSource.run(spark, spec.name,
+      HttpJsonSource.fetcher(config, transport),
+      config.startCursor, job.outputDir, checkpointRoot,
+      compress = job.compressOutput)
+    SourceSummary(spec.name, spec.sourceType, completed = res.completed,
+      res.pagesFetched, res.pagesFetched, res.recordsWritten,
+      Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
+        Seq(".jsonl", ".jsonl.gz"), spark.sparkContext.hadoopConfiguration)), None)
+  }
+
+  def runIngestion(spark: SparkSession, job: JobSpec,
+      transport: RetryingHttp.Transport = RetryingHttp.realTransport): Seq[SourceSummary] = {
     val checkpointRoot = s"${job.checkpointDir}/ingestion-parse"
     val hconf = spark.sparkContext.hadoopConfiguration
     // pool must be shut down or the non-daemon workers keep the JVM alive
@@ -104,7 +125,11 @@ object Main {
         // fair-scheduler pool per source: one slow source cannot starve
         // the others' task slots (S23 on Spark's scheduler)
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.name)
-        if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
+        if (HttpSourceTypes(spec.sourceType)) {
+          // per-page checkpointed fetch loop; handles its own
+          // skip-completed short-circuit and mid-source cursor resume
+          runHttpSource(spark, job, spec, checkpointRoot, transport)
+        } else if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
           val cp = JobManifest.load(checkpointRoot, spec.name, hconf).get
           SourceSummary(spec.name, spec.sourceType, completed = true,
             cp.batchIndex, 0, 0,

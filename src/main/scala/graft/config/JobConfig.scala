@@ -34,7 +34,7 @@ object JobConfig {
 
   /** Source types the engine can build a reader for (S31 registry). */
   val KnownSourceTypes: Set[String] =
-    Set("pubchem", "chembl", "zinc", "chemspider", "delimited", "sdf")
+    Set("pubchem", "chembl", "zinc", "chemspider", "http", "delimited", "sdf")
 
   def load(path: String): JobSpec =
     parse(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))

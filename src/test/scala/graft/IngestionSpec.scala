@@ -6,7 +6,7 @@ import graft.checkpoint.JobManifest
 import graft.cli.Main
 import graft.config.JobConfig
 import graft.report.Report
-import graft.sources.{Aria2Mirror, HttpPaginatedSource, Manifests}
+import graft.sources.{Aria2Mirror, HttpJsonSource, HttpPaginatedSource, Manifests, RetryingHttp}
 import graft.model.MoleculeRecord
 
 /** End-to-end ingestion contracts mirrored from the reference's test
@@ -219,6 +219,119 @@ class IngestionSpec extends SparkSpec {
     val s2 = Main.runDownload(job, runner)
     assert(calls === 2, "completed download phase must be skipped on rerun")
     assert(s2.head.completed)
+  }
+
+  test("retrying http: transport failures back off exponentially; non-2xx is terminal") {
+    var calls = 0
+    val flaky: RetryingHttp.Transport = (_, _) => {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("connection reset")
+      (200, "ok")
+    }
+    var waits = List.empty[Long]
+    val policy = RetryingHttp.Policy(sleep = w => waits ::= w)
+    assert(RetryingHttp.execute(flaky, "http://x", policy = policy) === "ok")
+    assert(calls === 3)
+    assert(waits.reverse === List(500L, 1000L), "0.5s doubling backoff")
+
+    // non-2xx: terminal error, no retry (reference re-wraps status
+    // errors outside the retried exception type)
+    calls = 0
+    val denied: RetryingHttp.Transport = (_, _) => { calls += 1; (503, "unavailable") }
+    assertThrows[RetryingHttp.HttpError](
+      RetryingHttp.execute(denied, "http://x", policy = policy))
+    assert(calls === 1)
+
+    // exhausted attempts rethrow the last transport failure
+    calls = 0
+    val dead: RetryingHttp.Transport = (_, _) => { calls += 1; throw new java.io.IOException("down") }
+    assertThrows[java.io.IOException](
+      RetryingHttp.execute(dead, "http://x", policy = policy))
+    assert(calls === 5)
+  }
+
+  test("http json codec: records_path, metadata modes, cursor shapes, url params") {
+    val cfg = HttpJsonSource.chemspider("cs", batchSize = 2)
+    val url = HttpJsonSource.buildUrl(cfg, Map("token" -> "t1"))
+    assert(url.startsWith("https://api.rsc.org/compounds/v1/filter/smiles?"))
+    assert(url.contains("count=2") && url.contains("token=t1"))
+
+    // scalar next cursor wraps under cursor_param; declared metadata
+    // fields only, minus absent ones
+    val p1 = HttpJsonSource.parsePage(cfg,
+      """{"results":[{"csid":7,"smiles":"C","inchi_key":"IK","formula":"CH4","noise":1}],"next":"t2"}""")
+    assert(p1.records === Seq(MoleculeRecord("cs", "7", "C",
+      Map("inchi_key" -> "IK", "formula" -> "CH4"))))
+    assert(p1.nextCursor.contains(Map("token" -> "t2")))
+
+    // object next cursor is taken verbatim; empty metadata_fields →
+    // every key except id/smiles; null next → exhausted
+    val gen = HttpJsonSource.HttpConfig("g", "http://api", "v1/recs")
+    val p2 = HttpJsonSource.parsePage(gen,
+      """{"records":[{"id":"a","smiles":"CC","extra":42}],"next":{"page":"2","seen":"10"}}""")
+    assert(p2.records.head.metadata === Map("extra" -> "42"))
+    assert(p2.nextCursor.contains(Map("page" -> "2", "seen" -> "10")))
+    val p3 = HttpJsonSource.parsePage(gen, """{"records":[],"next":null}""")
+    assert(p3.records.isEmpty && p3.nextCursor.isEmpty)
+  }
+
+  test("http fetch loop: retry inside a page fetch interplays with checkpoint resume") {
+    val dir = tmpDir("httpretry")
+    var calls = 0
+    val transport: RetryingHttp.Transport = (url, _) => {
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("flaky once")
+      else if (url.contains("cursor=c1"))
+        (200, """{"records":[{"id":"3","smiles":"CCC"}],"next":null}""")
+      else
+        (200, """{"records":[{"id":"1","smiles":"C"},{"id":"2","smiles":"CC"}],"next":"c1"}""")
+    }
+    val cfg = HttpJsonSource.HttpConfig("api", "http://api.example", "recs")
+    val fetch = HttpJsonSource.fetcher(cfg, transport,
+      RetryingHttp.Policy(sleep = _ => ()))
+    // crash after page 1, then resume: only the c1 page is re-fetched
+    val r1 = HttpPaginatedSource.run(spark, "api", fetch, Map.empty,
+      s"$dir/out", s"$dir/cp", compress = false, maxPages = 1)
+    assert(r1.recordsWritten === 2 && !r1.completed)
+    val r2 = HttpPaginatedSource.run(spark, "api", fetch, Map.empty,
+      s"$dir/out", s"$dir/cp", compress = false)
+    assert(r2.completed && r2.recordsWritten === 1)
+  }
+
+  test("cli e2e: chemspider source ingests via fake transport, resumes, reports") {
+    val dir = tmpDir("cs_e2e")
+    var fetches = 0
+    val transport: RetryingHttp.Transport = (url, _) => {
+      fetches += 1
+      assert(url.contains("count=1000"), url)
+      if (url.contains("token=t1"))
+        (200, """{"results":[{"csid":3,"smiles":"CCC","formula":"C3H8"}],"next":null}""")
+      else
+        (200, """{"results":[{"csid":1,"smiles":"C","inchi_key":"IK1"},{"csid":2,"smiles":"CC"}],"next":"t1"}""")
+    }
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  compress_output: false
+         |  sources:
+         |    - type: chemspider
+         |      name: chemspider
+         |      options: {}
+         |""".stripMargin)
+    val summaries = Main.runIngestion(spark, job, transport)
+    assert(summaries.head.recordsWritten === 3 && summaries.head.completed)
+    val back = spark.read.json(s"$dir/out/chemspider/*.jsonl")
+    assert(back.selectExpr("identifier").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("1", "2", "3"))
+    assert(back.selectExpr("metadata.inchi_key").collect()
+      .map(r => Option(r.getString(0))).toSet === Set(Some("IK1"), None))
+    val report = Files.readString(Paths.get(s"$dir/out/raw-data-report.md"))
+    assert(report.contains("| chemspider | chemspider |"), report)
+    // rerun: completed checkpoint short-circuits, zero fetches
+    val before = fetches
+    val again = Main.runIngestion(spark, job, transport)
+    assert(again.head.completed && fetches === before)
   }
 
   test("report: byte humanization and empty-run message") {
