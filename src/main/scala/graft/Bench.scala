@@ -43,10 +43,15 @@ object Bench {
       System.err.println(f"[bench] done  $name rows=$n $dt%.2fs")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms resolution and a numeric sf keep the whole line under the
+    // driver's 2000-char stdout tail window, so it stays machine-parseable
+    def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ms(results.map(_._2).sum)
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }
