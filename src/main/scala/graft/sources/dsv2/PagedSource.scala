@@ -73,12 +73,50 @@ private class PagedTable(pagerName: String, maxPagesPerBatch: Int)
     }
 }
 
-/** Offset = number of pages fully fetched (monotonic page index). */
-private case class PageOffset(pageIndex: Long) extends Offset {
-  override def json(): String = pageIndex.toString
+/** Offset = (pages consumed, cursor that fetches the next page,
+  * exhausted flag). Carrying the cursor makes the offset
+  * self-describing: after a query restart the stream can replay an
+  * uncommitted batch by re-walking the pager from the start offset's
+  * cursor (cursor APIs are replayable by contract — the same property
+  * the reference's JSON checkpoint resume relies on,
+  * common.py:217-229), and a fresh instance fast-forwards its fetch
+  * position to the recovered offset instead of re-ingesting from the
+  * start cursor.
+  */
+private[graft] case class PageOffset(pageIndex: Long, cursor: Cursor, exhausted: Boolean)
+    extends Offset {
+  override def json(): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val cur = cursor.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    s"""{"page": $pageIndex, "cursor": $cur, "exhausted": $exhausted}"""
+  }
 }
 
-private class PagedMicroBatchStream(pagerName: String, maxPagesPerBatch: Int)
+private[graft] object PageOffset {
+  def fromJson(json: String): PageOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cur = Option(node.get("cursor")).map { c =>
+      val it = c.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    PageOffset(
+      Option(node.get("page")).map(_.asLong()).getOrElse(
+        throw new IllegalArgumentException(s"bad PagedSource offset: $json")),
+      cur,
+      Option(node.get("exhausted")).exists(_.asBoolean()))
+  }
+}
+
+private[graft] class PagedMicroBatchStream(pagerName: String, maxPagesPerBatch: Int)
     extends MicroBatchStream {
 
   private val pager = PagedStreamRegistry.pager(pagerName)
@@ -88,9 +126,26 @@ private class PagedMicroBatchStream(pagerName: String, maxPagesPerBatch: Int)
   private var exhausted = false
   private var nextPage = 0L
 
-  override def initialOffset(): Offset = PageOffset(0L)
+  override def initialOffset(): Offset = PageOffset(0L, Map.empty, exhausted = false)
 
-  override def deserializeOffset(json: String): Offset = PageOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val off = PageOffset.fromJson(json)
+    synchronized {
+      // Restart fast-forward: an offset recovered from the log that is
+      // ahead of everything this (fresh) instance has fetched moves the
+      // live fetch position, so new batches continue from the recovered
+      // cursor instead of duplicating from the start. During normal
+      // operation every deserialized offset originated from this
+      // instance's latestOffset, so pageIndex <= nextPage and this is a
+      // no-op.
+      if (off.pageIndex > nextPage && buffer.isEmpty) {
+        nextPage = off.pageIndex
+        cursor = off.cursor
+        exhausted = off.exhausted
+      }
+    }
+    off
+  }
 
   override def latestOffset(): Offset = synchronized {
     var fetched = 0
@@ -106,16 +161,47 @@ private class PagedMicroBatchStream(pagerName: String, maxPagesPerBatch: Int)
         case None => exhausted = true
       }
     }
-    PageOffset(nextPage)
+    PageOffset(nextPage, cursor, exhausted)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
-      val s = start.asInstanceOf[PageOffset].pageIndex
-      val e = end.asInstanceOf[PageOffset].pageIndex
-      (s until e).flatMap(i => buffer.get(i).map(PageInputPartition(i, _)))
-        .toArray[InputPartition]
+      val s = start.asInstanceOf[PageOffset]
+      val e = end.asInstanceOf[PageOffset]
+      if ((s.pageIndex until e.pageIndex).exists(i => !buffer.contains(i)))
+        replay(s, e) // restart: the uncommitted batch's pages are gone
+      (s.pageIndex until e.pageIndex).map { i =>
+        val recs = buffer.getOrElse(i, throw new IllegalStateException(
+          s"page $i of [$s, $e) missing after cursor replay — refusing to " +
+            "commit a silently-empty batch"))
+        PageInputPartition(i, recs)
+      }.toArray[InputPartition]
     }
+
+  /** Rebuild pages [start.pageIndex, end.pageIndex) by re-walking the
+    * pager from the start offset's cursor. Throws rather than planning
+    * an empty batch if the pager cannot reproduce the range.
+    */
+  private def replay(start: PageOffset, end: PageOffset): Unit = {
+    var c = start.cursor
+    var idx = start.pageIndex
+    var done = false
+    while (idx < end.pageIndex && !done) {
+      val page = pager(c)
+      if (page.records.nonEmpty) {
+        buffer(idx) = page.records
+        idx += 1
+      }
+      page.nextCursor match {
+        case Some(n) => c = n
+        case None => done = true
+      }
+    }
+    if (idx < end.pageIndex)
+      throw new IllegalStateException(
+        s"pager exhausted at page $idx while replaying to ${end.pageIndex} " +
+          s"from cursor ${start.cursor} — source is not replayable")
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = PagedReaderFactory
 
