@@ -19,14 +19,18 @@ object DocQueries {
   val all: Seq[QueryDef] = Seq(
 
     sql("q34_text_stats",
-      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         | CAST(length(text) AS BIGINT) AS n_char,
-        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |       / len(string_split(trim(text), ' ')), 4) AS avg_word_len,
-        | round(CAST(len(list_filter(string_split(trim(text), ' '),
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |       / len(toks), 4) AS avg_word_len,
+        | round(CAST(len(list_filter(toks,
         |       x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |       / len(string_split(trim(text), ' ')), 4) AS stopword_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin) {
+        |       / len(toks), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         documents(s, d).select(col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
@@ -37,15 +41,19 @@ object DocQueries {
     },
 
     sql("q35_quality_score",
-      """SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM (
+      """WITH t AS (
+        | SELECT lang, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents)
+        |SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM (
         | SELECT lang, round(
-        |   least(1.0, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100) * 0.4 +
-        |   (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+        |   least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+        |   (1.0 - CAST(len(list_filter(toks,
         |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |        / len(string_split(trim(text), ' '))) * 0.3 +
-        |   least(1.0, CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |        / len(string_split(trim(text), ' ')) / 8) * 0.3, 4) AS q
-        | FROM documents) t
+        |        / len(toks)) * 0.3 +
+        |   least(1.0, CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |        / len(toks) / 8) * 0.3, 4) AS q
+        | FROM t) s
         |GROUP BY lang ORDER BY lang""".stripMargin) {
       (s, d) =>
         documents(s, d).select(col("lang"), qualityScore(col("text")).as("q"))
@@ -55,13 +63,17 @@ object DocQueries {
     },
 
     sql("q36_lang_id",
-      """WITH scored AS (
+      """WITH t AS (
         | SELECT doc_id,
-        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
-        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('el','la','los','que','es'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
-        | FROM documents)
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
+        | FROM t)
         |SELECT doc_id, CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
         |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
         |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
@@ -92,7 +104,8 @@ object DocQueries {
     // O(n²) pair space outside the blocking buckets.
     sql("q38_ngram_jaccard",
       """WITH toks AS (
-        | SELECT doc_id, lang, n_chars, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+        | SELECT doc_id, lang, n_chars, unnest(list_distinct(
+        |   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS tok
         | FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         |inter AS (
@@ -130,7 +143,9 @@ object DocQueries {
     // top-scoring term per document via a ranking window.
     sql("q39_tfidf_top_term",
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        | SELECT doc_id, unnest(
+        |   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        | FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),

@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer (single-space delimited corpora). */
-  def tokens(text: Column): Column = split(trim(text), " ")
+  /** Whitespace tokenizer: any run of spaces/tabs/newlines delimits,
+    * and empty tokens are dropped (so an empty or all-whitespace
+    * document tokenizes to [] — not [""], which would inflate
+    * tokenCount and skew every downstream ratio, shingle, and MinHash
+    * signature on real-world corpora).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** Distinct token set, for Jaccard/shingling. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
@@ -31,14 +37,21 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text).cast("long")
 
-  /** Mean token length (characters of non-space text / token count). */
+  /** Divide with NULL on a zero denominator — an empty document must
+    * yield NULL ratios (DuckDB's x/0 semantics), not an ANSI-mode
+    * DIVIDE_BY_ZERO error that kills the whole stage at scale.
+    */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den === 0, lit(null)).otherwise(num / den)
+
+  /** Mean token length (characters of non-whitespace text / token count). */
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+    safeDiv(length(regexp_replace(text, "\\s", "")).cast("double"), tokenCount(text))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
-      length(text)
+    safeDiv((length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double"),
+      length(text))
 
   /** English-ish stopwords present in the synthetic corpus. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -48,7 +61,7 @@ object TextFunctions {
 
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column): Column =
-    hitCount(text, Stopwords).cast("double") / tokenCount(text)
+    safeDiv(hitCount(text, Stopwords).cast("double"), tokenCount(text))
 
   /** Composite document quality score in [0, 1]: rewards length (up to
     * 100 tokens), non-stopword density, and word length (up to 8 chars).

@@ -7,6 +7,23 @@ import graft.functions.{TextFunctions, VectorFunctions}
 /** Direct tests for text/vector Column functions and SQL registration. */
 class FunctionsSpec extends SparkSpec {
 
+  test("tokenizer: runs of whitespace collapse, empty docs yield zero tokens") {
+    import spark.implicits._
+    val df = Seq(
+      "the  cat\tsat\non the mat",  // double space, tab, newline
+      "  padded  ",
+      "",
+      "   ").toDF("text")
+    val got = df.select(TextFunctions.tokenCount($"text"),
+      round(TextFunctions.avgWordLen($"text"), 2)).collect()
+    assert(got(0).getLong(0) === 6, "no empty tokens from whitespace runs")
+    assert(got(0).getDouble(1) === 2.83, "17 non-ws chars / 6 tokens")
+    assert(got(1).getLong(0) === 1, "leading/trailing whitespace trimmed")
+    assert(got(2).getLong(0) === 0, "empty doc has zero tokens, not one")
+    assert(got(2).isNullAt(1), "ratios are NULL on empty docs, not DIVIDE_BY_ZERO")
+    assert(got(3).getLong(0) === 0)
+  }
+
   test("text functions: tokens, counts, ratios, quality, langid, fingerprints") {
     import spark.implicits._
     val df = Seq(
