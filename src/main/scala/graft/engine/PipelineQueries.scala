@@ -55,6 +55,15 @@ object PipelineQueries {
           .orderBy(col("id1"), col("id2"))
     },
 
+    // The 100-TB routing of q41: sign-LSH buckets generate candidates,
+    // exact cosine verifies. Rows-only (bucket hashing is engine-
+    // internal); OperatorsSpec pins precision/recall against the exact
+    // all-pairs set on planted near-dups.
+    rowsOnly("q66_embedding_neardup_ann") { (s, d) =>
+      Similarity.nearDupesAnn(embeddings(s, d), threshold = 0.2, bits = 6)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     rowsOnly("q42_ann_sign_lsh") { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.annSignLsh(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 6)

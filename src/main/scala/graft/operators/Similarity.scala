@@ -61,6 +61,41 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Embedding near-dup at 100-TB scale: sign-LSH bucketing generates
+    * candidate pairs, exact cosine verifies them at `threshold`.
+    * Output: (id1, id2, sim), id1 < id2 — the same shape as the exact
+    * label-blocked formulation (q41), which stays the small-scale
+    * oracle truth while this is the scale path: pair volume is
+    * O(Σ bucket²) over ~2^bits buckets instead of O(n²/|labels|), and
+    * the bucketed projection is forced through one repartition
+    * exchange so both self-join sides reuse it (the q44 lesson).
+    *
+    * `maxBucketSize` drops degenerate buckets (zero vectors, repeated
+    * boilerplate embeddings) that would emit m² pairs; recall for
+    * near-identical vectors is governed by `bits` — antipodal-ish
+    * pairs land in different buckets, which is the intended trade
+    * (near-dups have cosine ≈ 1, i.e. matching sign patterns).
+    */
+  def nearDupesAnn(corpus: DataFrame, threshold: Double, bits: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 4096): DataFrame = {
+    val bucketed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"), signBucket(col(vecCol), bits).as("bucket"))
+      .repartition(col("bucket"))
+    val capped = bucketed
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim0", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(col("sim0") > threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("sim0"), 4).as("sim"))
+  }
+
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
     * (coarse quantizer); each query probes the `nprobe` nearest
     * centroids' inverted lists only. With a corpus pre-partitioned by

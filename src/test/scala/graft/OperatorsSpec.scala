@@ -151,6 +151,47 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.nonEmpty && ann(0).getLong(1) === brute)
   }
 
+  test("nearDupesAnn: planted near-dups found, every pair verified exact, hot buckets capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(dim: Int) = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 40L).map(i => (i, vec(16)))
+    // five planted near-dup pairs: tiny same-sign perturbation keeps the
+    // sign pattern (and cosine ~ 1)
+    val planted = (0 until 5).flatMap { p =>
+      val v = vec(16)
+      Seq((100L + p * 2, v), (101L + p * 2, v.map(x => x * 1.001f + math.signum(x) * 1e-4f)))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+
+    val ann = Similarity.nearDupesAnn(corpus, threshold = 0.95, bits = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // recall on planted pairs: identical sign patterns guarantee co-bucketing
+    (0 until 5).foreach { p =>
+      assert(ann.contains((100L + p * 2, 101L + p * 2)),
+        s"planted pair $p missing: ${ann.keys.toSeq.sorted}")
+    }
+    // precision: every returned pair is in the exact all-pairs set with
+    // the same rounded similarity
+    import graft.functions.VectorFunctions.{dot, norm}
+    val exact = corpus.alias("a").join(corpus.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("s", dot(col("a.embedding"), col("b.embedding")) /
+        (norm(col("a.embedding")) * norm(col("b.embedding"))))
+      .filter(col("s") > 0.95)
+      .select(col("a.vec_id"), col("b.vec_id"), round(col("s"), 4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ann.foreach { case (pair, sim) =>
+      assert(exact.get(pair).contains(sim), s"pair $pair sim $sim not in exact set")
+    }
+
+    // hot-bucket cap: 10 identical vectors over the cap emit no pairs
+    val boiler = (200L until 210L).map(i => (i, Array.fill(16)(0.5f)))
+    val capped = Similarity.nearDupesAnn(boiler.toDF("vec_id", "embedding"),
+      threshold = 0.95, bits = 6, maxBucketSize = 8)
+    assert(capped.count() === 0)
+  }
+
   test("IVF ANN probes matching lists and finds in-list neighbors") {
     val out = Similarity.annIvf(vectors, vectors.filter(col("vec_id") === 3), k = 1,
       nprobe = 1).collect()
