@@ -70,8 +70,37 @@ object Aria2Mirror {
     runner(args(url, outputPath, checksum, auth, options)) == 0
   }
 
+  /** Fetch and parse a manifest entry's checksum companion (S11,
+    * reference pubchem.py `_load_checksum`): download it when missing
+    * or empty (never skip-existing an empty stub), take the first
+    * whitespace token as the digest. Returns None when the entry has
+    * no checksum URL; throws when the companion can't be fetched or is
+    * empty — the caller dead-letters the entry.
+    */
+  def loadChecksum(entry: Manifests.ManifestEntry, targetDir: String,
+      runner: Seq[String] => Int,
+      algorithm: String = "md5",
+      options: Options = Options()): Option[(String, String)] =
+    entry.checksumUrl.map { cu =>
+      val rel = entry.relativePath.getOrElse(entry.fileName)
+      val path = Paths.get(targetDir, rel + "." + algorithm)
+      if (!Files.exists(path) || Files.size(path) == 0) {
+        Files.createDirectories(path.getParent)
+        if (runner(args(cu, path, options = options)) != 0)
+          throw new java.io.IOException(s"checksum fetch failed: $cu")
+      }
+      val content = Files.readString(path).trim
+      if (content.isEmpty)
+        throw new IllegalStateException(s"checksum file is empty: $path")
+      (algorithm, content.split("\\s+")(0))
+    }
+
   /** Bulk mirror (S13): failures are logged-and-skipped (dead-letter
-    * style, like PubChem/ChEMBL), successes returned.
+    * style, like PubChem/ChEMBL), successes returned. A cached
+    * non-empty archive short-circuits before any checksum work
+    * (reference pubchem.py `_ensure_archive`); fresh downloads of
+    * checksum-bearing entries fetch the companion digest and run
+    * aria2c with `--checksum`/`--check-integrity`.
     */
   def mirrorAll(entries: Seq[Manifests.ManifestEntry], targetDir: String,
       runner: Seq[String] => Int,
@@ -79,10 +108,21 @@ object Aria2Mirror {
     entries.flatMap { e =>
       val rel = e.relativePath.getOrElse(e.fileName)
       val target = Paths.get(targetDir, rel)
-      if (download(e.url, target, runner, options = options)) Some(target)
-      else {
-        System.err.println(s"[mirror] failed, skipping: ${e.url}")
-        None
+      try {
+        if (Files.exists(target) && Files.size(target) > 0) Some(target)
+        else {
+          val checksum = loadChecksum(e, targetDir, runner, options = options)
+          if (download(e.url, target, runner, checksum = checksum,
+              options = options)) Some(target)
+          else {
+            System.err.println(s"[mirror] failed, skipping: ${e.url}")
+            None
+          }
+        }
+      } catch {
+        case ex: Exception =>
+          System.err.println(s"[mirror] ${ex.getMessage}, skipping: ${e.url}")
+          None
       }
     }
 }
