@@ -53,9 +53,14 @@ object JobManifest {
     val tmp = new Path(p.getParent, s".${source}.json.tmp")
     val out = f.create(tmp, true)
     try out.write(render(cp).getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"atomic checkpoint rename failed: $tmp -> $p")
+    // FileContext.rename(OVERWRITE) is the atomic commit: plain
+    // FileSystem.rename refuses an existing destination, and a
+    // delete-then-rename pair leaves a crash window with NO checkpoint
+    // at all (failure would degrade to re-ingestion from startCursor)
+    val qTmp = f.makeQualified(tmp)
+    val qP = f.makeQualified(p)
+    org.apache.hadoop.fs.FileContext.getFileContext(qP.toUri, conf)
+      .rename(qTmp, qP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def isCompleted(root: String, source: String,
