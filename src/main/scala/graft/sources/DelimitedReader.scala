@@ -22,7 +22,9 @@ object DelimitedReader {
   def read(spark: SparkSession, paths: String, sourceName: String,
       delimiter: Option[String] = Some("\t"),
       smilesColumn: Int = 0, identifierColumn: Int = 1): DataFrame = {
-    val raw = spark.read.text(paths)
+    // comma-separated path lists accepted, matching the SDF reader's
+    // Hadoop-input behavior (the CLI's resumable waves pass them)
+    val raw = spark.read.text(paths.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
       .select(col("value"), input_file_name().as("source_file"))
       .filter(length(trim(col("value"))) > 0)                     // S16: blank lines
     val parts = delimiter match {

@@ -221,6 +221,87 @@ class IngestionSpec extends SparkSpec {
     assert(s2.head.completed)
   }
 
+  test("file ingest resumes mid-source: crashed wave redone, completed waves skipped") {
+    val dir = tmpDir("waves")
+    (1 to 5).foreach { i =>
+      Files.writeString(Paths.get(s"$dir/part$i.tsv"), s"${"C" * i}\tZINC$i\n")
+    }
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  batch_size: 10
+         |  compress_output: false
+         |  sources:
+         |    - type: delimited
+         |      name: zinc
+         |      options: {paths: "$dir/part*.tsv", delimiter: "\\t", resume_wave_files: "2"}
+         |""".stripMargin)
+    val spec = job.sources.head
+    val cpRoot = s"${job.checkpointDir}/ingestion-parse"
+    // crash after the first wave (2 of 5 files)
+    val (b1, r1) = Main.ingestFilesResumable(spark, job, spec, cpRoot,
+      Main.readers("delimited"), maxWaves = 1)
+    assert(r1 === 2 && b1 === 1)
+    val cp = JobManifest.load(cpRoot, "zinc").get
+    assert(cp.cursor("files_done") === "2" && !cp.completed)
+
+    // full CLI re-run picks up at file 3: only the remaining 3 records
+    val summaries = Main.runIngestion(spark, job)
+    assert(summaries.head.recordsWritten === 3, "completed wave not re-ingested")
+    assert(JobManifest.isCompleted(cpRoot, "zinc"))
+    // all five records present exactly once across the numbered batches
+    val back = spark.read.json(s"$dir/out/zinc/*.jsonl")
+    assert(back.select("identifier").collect().map(_.getString(0)).sorted.toSeq
+      === (1 to 5).map(i => s"ZINC$i"))
+  }
+
+  test("pubchem mirror verifies md5 companions; cached archives short-circuit; empty checksum dead-letters") {
+    val dir = tmpDir("md5")
+    var argvs = List.empty[Seq[String]]
+    val runner: Seq[String] => Int = { argv =>
+      argvs ::= argv
+      val out = Paths.get(argv.find(_.startsWith("--dir=")).get.drop(6),
+        argv.find(_.startsWith("--out=")).get.drop(6))
+      Files.createDirectories(out.getParent)
+      val url = argv.last
+      if (url.endsWith(".md5"))
+        // pubchem md5 files are "<digest>  <filename>"
+        Files.writeString(out, s"d41d8cd98f00b204e9800998ecf8427e  ${out.getFileName}\n")
+      else Files.write(out, Array[Byte](1, 2, 3))
+      0
+    }
+    val entries = Manifests.parsePubChem({
+      val f = s"$dir/links.txt"
+      Files.writeString(Paths.get(f), "https://example.org/pub/C_001.sdf.gz\n")
+      f
+    })
+    val got = Aria2Mirror.mirrorAll(entries, s"$dir/raw", runner)
+    assert(got.size === 1)
+    // checksum companion fetched first, then the archive with integrity flags
+    val Seq(md5Call, sdfCall) = argvs.reverse
+    assert(md5Call.last === "https://example.org/pub/C_001.sdf.gz.md5")
+    assert(sdfCall.last === "https://example.org/pub/C_001.sdf.gz")
+    assert(sdfCall.contains("--checksum=md5=d41d8cd98f00b204e9800998ecf8427e"))
+    assert(sdfCall.contains("--check-integrity=true"))
+
+    // cached non-empty archive: no checksum fetch, no download
+    argvs = Nil
+    assert(Aria2Mirror.mirrorAll(entries, s"$dir/raw", runner).size === 1)
+    assert(argvs.isEmpty, "existing archive short-circuits before checksum work")
+
+    // empty checksum file → entry dead-lettered, not mirrored
+    val dir2 = s"$dir/raw2"
+    val emptyMd5Runner: Seq[String] => Int = { argv =>
+      val out = Paths.get(argv.find(_.startsWith("--dir=")).get.drop(6),
+        argv.find(_.startsWith("--out=")).get.drop(6))
+      Files.createDirectories(out.getParent)
+      Files.writeString(out, if (argv.last.endsWith(".md5")) "" else "x")
+      0
+    }
+    assert(Aria2Mirror.mirrorAll(entries, dir2, emptyMd5Runner).isEmpty)
+  }
+
   test("retrying http: transport failures back off exponentially; non-2xx is terminal") {
     var calls = 0
     val flaky: RetryingHttp.Transport = (_, _) => {
