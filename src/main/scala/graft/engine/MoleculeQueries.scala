@@ -28,9 +28,19 @@ object MoleculeQueries {
       |  WHEN 4 THEN '[Na+].[Cl-]'
       |  ELSE repeat('C', (p_size % 10) + 1) END""".stripMargin
 
-  private def smilesCol = expr(
-    smilesSql.replaceAll("\\s+", " ") // Spark SQL parser accepts the same CASE
-  )
+  // Native Column construction mirroring smilesSql (the raw string is
+  // DuckDB-dialect oracle text; parsing it with Spark's parser coupled
+  // the two dialects on incidental syntax overlap)
+  private def smilesCol = {
+    val m = col("p_partkey") % 6
+    val alkane = repeat(lit("C"), (col("p_size") % 10 + 1).cast("int"))
+    when(m === 0, concat(alkane, lit("(")))
+      .when(m === 1, lit("C1CCCCC1"))
+      .when(m === 2, lit("CC(=O)O"))
+      .when(m === 3, lit("C1CC"))
+      .when(m === 4, lit("[Na+].[Cl-]"))
+      .otherwise(alkane)
+  }
 
   val all: Seq[QueryDef] = Seq(
 

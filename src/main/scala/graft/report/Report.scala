@@ -8,10 +8,13 @@ import org.apache.hadoop.fs.Path
 
 /** Ingestion report rendering (S24–S28): per-source summary table +
   * sections, directory statistics, byte humanization, UTC ISO
-  * timestamp, and the empty-run message. Golden-line layout matches
-  * the reference (/root/reference/src/open_molecule_data_pipeline/
-  * ingestion/runner.py:317-385; asserted literally in its
-  * tests/unit/ingestion/test_runner.py:115-118).
+  * timestamp, and the empty-run message. Same report *contract* as the
+  * reference (/root/reference/src/open_molecule_data_pipeline/
+  * ingestion/runner.py:317-385) — Markdown, one summary row per source
+  * sorted by name, per-source detail sections, humanized byte sizes —
+  * but the layout is graft-specific (different header, 6-column table,
+  * no comma-grouped numbers): parsers of the reference's exact format
+  * need adjusting. Golden lines are pinned in IngestionSpec.
   */
 object Report {
 
