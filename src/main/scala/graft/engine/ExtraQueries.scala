@@ -93,8 +93,7 @@ object ExtraQueries {
         | list_contains(embedding[1:3], embedding[3]) AS has3
         |FROM embeddings ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-        def scaledJoin(c: Column): Column =
-          array_join(transform(c, e => floor(e.cast("double") * lit(1000000.0)).cast("string")), ",")
+        import graft.functions.VectorFunctions.scaledJoin
         embeddings(s, d).select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           scaledJoin(slice(col("embedding"), 1, 3)).as("first3"),

@@ -35,6 +35,18 @@ object VectorFunctions {
     * bucket. At 100 TB the embedding table is pre-partitioned by this
     * bucket, turning an ANN query into a single-partition probe.
     */
+  /** Hash-stable string rendering of a float array for cross-engine
+    * compares: each element as floor(x·10⁶) (float32→double is exact;
+    * floor is deterministic in any engine), comma-joined. Used by the
+    * array-typed oracle entries (q51/q55) — pandas can't sort raw list
+    * columns and raw float repr isn't hash-stable across engines.
+    * DuckDB mirror: `array_to_string(list_transform(a, e ->
+    * CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)), ',')`.
+    */
+  def scaledJoin(c: Column): Column =
+    array_join(transform(c, e =>
+      floor(e.cast("double") * lit(1000000.0)).cast("string")), ",")
+
   def signBucket(a: Column, bits: Int): Column =
     aggregate(
       zip_with(slice(d(a), 1, bits), sequence(lit(0), lit(bits - 1)),

@@ -29,6 +29,29 @@ class PropertySpec extends SparkSpec {
   private val valueGen: Gen[String] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, valueLineGen)).map(_.mkString("\n"))
 
+  test("property: scaledJoin renders any float array as the documented floor(x·1e6) form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the oracle contract for array-typed outputs (q51/q55): element-wise
+    // floor(x·10⁶) after an exact float32→double widening, comma-joined.
+    // DuckDB renders the identical string from the same closed form, so
+    // any drift on the Spark side breaks hash parity — pin it.
+    val edge = Seq(0f, -0f, 1e-7f, -1e-7f, 0.5f, -0.5f, 1.5f, Float.MinPositiveValue,
+      123.456f, -123.456f, 1e6f, -1e6f)
+    val rnd = new scala.util.Random(7)
+    val arrays = (edge.grouped(4).toSeq ++
+      (0 until 40).map(_ => Seq.fill(8)(rnd.nextFloat() * 2000 - 1000)))
+      .map(_.toArray)
+    val got = arrays.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("i", "arr")
+      .select(col("i"), graft.functions.VectorFunctions.scaledJoin(col("arr")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val want = a.map(x => math.floor(x.toDouble * 1000000.0).toLong.toString).mkString(",")
+      assert(got(i) === want, s"array ${a.mkString("[", ",", "]")}")
+    }
+  }
+
   test("property: SDF render → parse round-trips any tag map") {
     val propsGen = Gen.mapOfN(5, Gen.zip(tagGen, valueGen))
     check(Prop.forAll(propsGen) { props =>
