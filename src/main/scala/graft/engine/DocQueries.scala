@@ -139,6 +139,28 @@ object DocQueries {
           .orderBy(col("id1"), col("id2"))
     },
 
+    // BPE-ish pre-tokenization (LLM token-count proxy): the SQL mirror
+    // interpolates the SAME pattern constant (quote-escaped), so Spark
+    // and DuckDB split on identical regex text.
+    sql("q67_bpe_token_count", {
+      val pat = "'" + graft.functions.TextFunctions.BpePattern.replace("'", "''") + "'"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, $pat)) AS BIGINT) AS n_bpe,
+         | CASE WHEN len(regexp_extract_all(text, $pat)) > 0
+         |      THEN regexp_extract_all(text, $pat)[1] END AS first_tok,
+         | CAST(len(list_filter(regexp_extract_all(text, $pat),
+         |      t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_num
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) {
+      (s, d) =>
+        val toks = bpeTokens(col("text"))
+        documents(s, d).select(col("doc_id"),
+          bpeTokenCount(col("text")).as("n_bpe"),
+          when(size(toks) > 0, element_at(toks, 1)).as("first_tok"),
+          size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("n_num"))
+          .orderBy(col("doc_id"))
+    },
+
     // Relational TF-IDF: tf = in-doc term count, idf = ln(N/df);
     // top-scoring term per document via a ranking window.
     sql("q39_tfidf_top_term",

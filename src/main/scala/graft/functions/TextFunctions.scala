@@ -97,6 +97,24 @@ object TextFunctions {
     when(total === 0, lit("und")).otherwise(pick)
   }
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 family's shape,
+    * without lookaheads so it runs identically under Java regex and
+    * RE2-based engines): common contractions, letter runs, digit runs,
+    * and non-alphanumeric punctuation runs. LLM token-count estimation
+    * splits on this before byte-pair merging; the pre-token count is
+    * the standard cheap proxy for BPE token count at corpus scale.
+    */
+  val BpePattern: String = "'(?:t|s|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s']+"
+
+  /** BPE-ish pre-tokens as an array column (regexp_extract_all — stays
+    * in codegen, no UDF).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Pre-token count — the cheap LLM-token-count proxy. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Stable content fingerprint (md5 of lowercased text) for exact
     * dedup; reproducible in any engine with md5.
     */

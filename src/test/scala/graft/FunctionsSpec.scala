@@ -24,6 +24,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3).getLong(0) === 0)
   }
 
+  test("bpe pre-tokenizer: contractions, letter/digit runs, punctuation runs") {
+    import spark.implicits._
+    val df = Seq("don't stop-me now, it's 2026!!", "").toDF("text")
+    val got = df.select(TextFunctions.bpeTokens($"text"),
+      TextFunctions.bpeTokenCount($"text")).collect()
+    assert(got(0).getSeq[String](0) ===
+      Seq("don", "'t", "stop", "-", "me", "now", ",", "it", "'s", "2026", "!!"))
+    assert(got(0).getLong(1) === 11)
+    assert(got(1).getLong(1) === 0, "empty text has zero pre-tokens")
+  }
+
   test("text functions: tokens, counts, ratios, quality, langid, fingerprints") {
     import spark.implicits._
     val df = Seq(
