@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally routes through sbt's logger, which
+// prefixes every line with "[info] " — that breaks machine parsing of
+// Bench's single JSON stdout line (BENCH_r02 parsed:null). StdoutOutput
+// passes the child JVM's stdout/stderr through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

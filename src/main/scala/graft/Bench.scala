@@ -49,7 +49,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
-    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+    val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()

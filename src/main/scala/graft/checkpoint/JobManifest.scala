@@ -56,11 +56,23 @@ object JobManifest {
     // FileContext.rename(OVERWRITE) is the atomic commit: plain
     // FileSystem.rename refuses an existing destination, and a
     // delete-then-rename pair leaves a crash window with NO checkpoint
-    // at all (failure would degrade to re-ingestion from startCursor)
+    // at all (failure would degrade to re-ingestion from startCursor).
+    // Object stores (s3a, …) ship no AbstractFileSystem binding, so
+    // FileContext is unavailable there — fall back to delete+rename,
+    // which loses nothing on those stores (their rename is a
+    // copy+delete, not atomic, with or without FileContext). Same
+    // fallback Spark's CheckpointFileManager uses.
     val qTmp = f.makeQualified(tmp)
     val qP = f.makeQualified(p)
-    org.apache.hadoop.fs.FileContext.getFileContext(qP.toUri, conf)
-      .rename(qTmp, qP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(qP.toUri, conf)
+        .rename(qTmp, qP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(qP)) f.delete(qP, false)
+        if (!f.rename(qTmp, qP))
+          throw new java.io.IOException(s"checkpoint commit failed: $qTmp -> $qP")
+    }
   }
 
   def isCompleted(root: String, source: String,

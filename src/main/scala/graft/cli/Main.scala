@@ -117,7 +117,7 @@ object Main {
     */
   private[graft] def expandPaths(paths: String,
       hconf: org.apache.hadoop.conf.Configuration): Seq[String] =
-    paths.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { pat =>
+    graft.sources.PathPatterns.split(paths).flatMap { pat =>
       val p = new org.apache.hadoop.fs.Path(pat)
       Option(p.getFileSystem(hconf).globStatus(p))
         .filter(_.nonEmpty)
@@ -144,6 +144,19 @@ object Main {
     val files = expandPaths(spec.options("paths"), hconf)
     val prior = JobManifest.load(checkpointRoot, spec.name, hconf)
     var done = prior.flatMap(_.cursor.get("files_done")).map(_.toInt).getOrElse(0)
+    // the resume index is positional over a re-globbed, re-sorted list;
+    // if files appeared or vanished between the crash and the re-run the
+    // index would silently skip or re-ingest the wrong files — verify
+    // the recorded last-completed file still sits at position done-1 and
+    // fail loudly on drift (the operator must reconcile, not us guess)
+    prior.flatMap(_.cursor.get("last_file")).foreach { last =>
+      val at = if (done > 0 && done <= files.size) files(done - 1) else ""
+      if (at != last)
+        throw new IllegalStateException(
+          s"resume drift for source '${spec.name}': checkpoint says file #$done " +
+            s"was '$last' but the current listing has '$at' there — the input " +
+            "set changed since the checkpoint; clear the checkpoint or restore the files")
+    }
     var batchIdx = prior.map(_.batchIndex).getOrElse(0)
     var records = 0L
     var waves = 0
@@ -158,8 +171,9 @@ object Main {
       done += wave.size
       waves += 1
       JobManifest.store(checkpointRoot, spec.name,
-        JobManifest.Checkpoint(Map("files_done" -> done.toString), batchIdx,
-          completed = false), hconf)
+        JobManifest.Checkpoint(
+          Map("files_done" -> done.toString, "last_file" -> wave.last),
+          batchIdx, completed = false), hconf)
     }
     if (!it.hasNext)
       JobManifest.markCompleted(checkpointRoot, spec.name, batchIdx, hconf)

@@ -104,7 +104,7 @@ object TextFunctions {
     * splits on this before byte-pair merging; the pre-token count is
     * the standard cheap proxy for BPE token count at corpus scale.
     */
-  val BpePattern: String = "'(?:t|s|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s']+"
+  val BpePattern: String = "'(?:t|s|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s']+|'"
 
   /** BPE-ish pre-tokens as an array column (regexp_extract_all — stays
     * in codegen, no UDF).

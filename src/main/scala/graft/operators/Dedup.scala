@@ -99,23 +99,50 @@ object Dedup {
     * `rowsPerBand` and each slice is folded to one key with a modular
     * polynomial hash (mod 2^31−1, overflow-safe under ANSI mode).
     * Documents sharing any (band, key) become candidate pairs.
+    *
+    * CAUTION (the q44 16.8 s lesson, BENCH_r02): `sig` appears ONLY in
+    * argument position of the top-level `aggregate`, so it is evaluated
+    * once per row even after CollapseProject inlines the full
+    * signature pipeline into this expression. The earlier shape —
+    * `transform(0..bands, b => aggregate(slice(sig, …), …))` — put
+    * `sig` inside the lambda body, and higher-order lambdas re-evaluate
+    * their body per element: the whole 64-hash signature ran once PER
+    * BAND (8× per row). Hot paths should use the fused native
+    * `MinHashBandKeysExpr` instead; this HOF form is its differential
+    * oracle.
     */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-        lit(0L), (acc, h) => pmod(acc * lit(1000003L) + h, lit(P31))))
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val folded = aggregate(
+      sig,
+      struct(lit(0).as("i"),
+        array_repeat(lit(0L), bands).as("ks")),
+      (acc, h) => struct(
+        (acc.getField("i") + 1).as("i"),
+        transform(acc.getField("ks"), (k, j) =>
+          when(j === floor(acc.getField("i") / lit(rowsPerBand)).cast("int"),
+            pmod(k * lit(1000003L) + h, lit(P31))).otherwise(k)).as("ks")))
+    folded.getField("ks")
+  }
 
   /** Candidate near-dup pairs via MinHash LSH banding.
     * Output: (id1, id2, n_shared_bands), id1 < id2.
     *
-    * The banded projection is forced through an explicit
-    * `repartition(band, key)` exchange before the self-join. Without
-    * the barrier, CollapseProject inlines the shingle→signature
-    * pipeline into BOTH join sides and it runs twice (measured 9.6 s
-    * at sf0.1); with it, the two sides share one canonical Exchange
-    * subplan, ReuseExchange computes the signatures once, and the
-    * join is already co-partitioned on its keys so no further shuffle
-    * is needed.
+    * Banding runs through the fully-fused native
+    * `ShingleMinHashBandKeysExpr` (raw text → tokens → shingles →
+    * hashes → signature minima → band keys in ONE compiled kernel per
+    * row). Two Column-level shapes both lost to Catalyst rewrites:
+    * aliasing the signature recomputed it once per band after
+    * CollapseProject inlined it into the banding lambda (8×/row,
+    * BENCH_r02's 16.8 s), and even banding natively over a
+    * `shingleHashes` alias left the HOF shingling interpreted
+    * (CodegenFallback, no CSE — split/filter ran 4×/row, ~6 s of the
+    * remaining 7 s).
+    *
+    * The banded projection is still forced through an explicit
+    * `repartition(band, key)` exchange before the self-join: the two
+    * join sides share one canonical Exchange subplan, ReuseExchange
+    * computes the band keys once, and the join is already
+    * co-partitioned on its keys so no further shuffle is needed.
     *
     * `maxBucketSize` is the production-LSH hot-bucket guard: one
     * degenerate (band, key) bucket of m rows (boilerplate text, empty
@@ -128,9 +155,10 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
     val banded = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("__sh"))
-      .select(col("id"), signatureFromHashes(col("__sh"), bands * rowsPerBand).as("__sig"))
-      .select(col("id"), posexplode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .select(col(idCol).as("id"), posexplode(
+        graft.plans.ShingleMinHashBandKeysExpr.shingle_minhash_band_keys(
+          col(textCol), bands, rowsPerBand, shingleSize))
+        .as(Seq("band", "key")))
       .repartition(col("band"), col("key"))
     val capped = banded
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))

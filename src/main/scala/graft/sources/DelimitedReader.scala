@@ -23,8 +23,9 @@ object DelimitedReader {
       delimiter: Option[String] = Some("\t"),
       smilesColumn: Int = 0, identifierColumn: Int = 1): DataFrame = {
     // comma-separated path lists accepted, matching the SDF reader's
-    // Hadoop-input behavior (the CLI's resumable waves pass them)
-    val raw = spark.read.text(paths.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+    // Hadoop-input behavior (the CLI's resumable waves pass them);
+    // brace-glob patterns pass through unsplit (PathPatterns)
+    val raw = spark.read.text(PathPatterns.split(paths): _*)
       .select(col("value"), input_file_name().as("source_file"))
       .filter(length(trim(col("value"))) > 0)                     // S16: blank lines
     val parts = delimiter match {

@@ -26,13 +26,17 @@ class FunctionsSpec extends SparkSpec {
 
   test("bpe pre-tokenizer: contractions, letter/digit runs, punctuation runs") {
     import spark.implicits._
-    val df = Seq("don't stop-me now, it's 2026!!", "").toDF("text")
+    val df = Seq("don't stop-me now, it's 2026!!", "", "the dogs' 'toy").toDF("text")
     val got = df.select(TextFunctions.bpeTokens($"text"),
       TextFunctions.bpeTokenCount($"text")).collect()
     assert(got(0).getSeq[String](0) ===
       Seq("don", "'t", "stop", "-", "me", "now", ",", "it", "'s", "2026", "!!"))
     assert(got(0).getLong(1) === 11)
     assert(got(1).getLong(1) === 0, "empty text has zero pre-tokens")
+    // standalone apostrophes (possessives, quotes) are tokens, not
+    // dropped; a quote before a 't…' word splits as a contraction —
+    // the GPT-2 pattern's own lookahead-free behavior, kept for parity
+    assert(got(2).getSeq[String](0) === Seq("the", "dogs", "'", "'t", "oy"))
   }
 
   test("text functions: tokens, counts, ratios, quality, langid, fingerprints") {

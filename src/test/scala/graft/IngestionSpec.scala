@@ -256,6 +256,51 @@ class IngestionSpec extends SparkSpec {
       === (1 to 5).map(i => s"ZINC$i"))
   }
 
+  test("file ingest resume fails loudly when the input listing drifted") {
+    val dir = tmpDir("drift")
+    (1 to 4).foreach { i =>
+      Files.writeString(Paths.get(s"$dir/part$i.tsv"), s"${"C" * i}\tZINC$i\n")
+    }
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  batch_size: 10
+         |  compress_output: false
+         |  sources:
+         |    - type: delimited
+         |      name: zinc
+         |      options: {paths: "$dir/part*.tsv", delimiter: "\\t", resume_wave_files: "2"}
+         |""".stripMargin)
+    val spec = job.sources.head
+    val cpRoot = s"${job.checkpointDir}/ingestion-parse"
+    Main.ingestFilesResumable(spark, job, spec, cpRoot,
+      Main.readers("delimited"), maxWaves = 1)
+    // a new file sorts BETWEEN the completed ones: positional resume
+    // would silently skip part2 — the drift check must refuse instead
+    Files.writeString(Paths.get(s"$dir/part1a.tsv"), "CCC\tZINCX\n")
+    val e = intercept[IllegalStateException] {
+      Main.ingestFilesResumable(spark, job, spec, cpRoot, Main.readers("delimited"))
+    }
+    assert(e.getMessage.contains("resume drift"))
+  }
+
+  test("path splitting: comma lists split, brace globs pass through intact") {
+    assert(graft.sources.PathPatterns.split("/a/x.tsv, /b/y.tsv")
+      === Seq("/a/x.tsv", "/b/y.tsv"))
+    assert(graft.sources.PathPatterns.split("/data/{a,b}/z.tsv")
+      === Seq("/data/{a,b}/z.tsv"))
+    // brace glob resolves through expandPaths end-to-end
+    val dir = tmpDir("braceglob")
+    Files.createDirectories(Paths.get(s"$dir/a"))
+    Files.createDirectories(Paths.get(s"$dir/b"))
+    Files.writeString(Paths.get(s"$dir/a/z.tsv"), "x\n")
+    Files.writeString(Paths.get(s"$dir/b/z.tsv"), "y\n")
+    val got = Main.expandPaths(s"$dir/{a,b}/z.tsv",
+      spark.sparkContext.hadoopConfiguration)
+    assert(got.map(p => p.substring(p.length - 7)).sorted === Seq("a/z.tsv", "b/z.tsv"))
+  }
+
   test("pubchem mirror verifies md5 companions; cached archives short-circuit; empty checksum dead-letters") {
     val dir = tmpDir("md5")
     var argvs = List.empty[Seq[String]]

@@ -100,6 +100,42 @@ class OperatorsSpec extends SparkSpec {
     assert(scan.count() === 500)
   }
 
+  test("native fused band-keys expressions match the HOF band keys over HOF signature") {
+    val hashes = Dedup.shingleHashes(col("text"))
+    val both = docs.select(
+      graft.plans.MinHashBandKeysExpr.minhash_band_keys(hashes, 8, 4).as("native"),
+      graft.plans.ShingleMinHashBandKeysExpr
+        .shingle_minhash_band_keys(col("text"), 8, 4).as("fused"),
+      Dedup.lshBandKeys(Dedup.signatureFromHashesHof(hashes, 32), 8, 4).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](2))
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2))
+    }
+    // tokenizer-parity edge cases: tab-led, multi-space, short (< shingle
+    // size), empty, and all-whitespace docs
+    import spark.implicits._
+    val edge = Seq("\tleading tab  and   runs", "one two", "solo", "", "   \t ")
+      .toDF("text")
+    edge.select(
+      graft.plans.ShingleMinHashBandKeysExpr
+        .shingle_minhash_band_keys(col("text"), 8, 4).as("fused"),
+      Dedup.lshBandKeys(Dedup.signatureFromHashesHof(
+        Dedup.shingleHashes(col("text")), 32), 8, 4).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+    // and differential over the full real corpus, on a real scan (so the
+    // fused expr runs its codegen path)
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = corpus.select(
+      graft.plans.ShingleMinHashBandKeysExpr
+        .shingle_minhash_band_keys(col("text"), 8, 8).as("fused"),
+      Dedup.lshBandKeys(Dedup.signatureFromHashesHof(
+        Dedup.shingleHashes(col("text")), 64), 8, 8).as("hof"))
+      .filter(not(col("fused") === col("hof")))
+    assert(diff.count() === 0)
+  }
+
   test("simhash: identical texts equal, near-dups closer than unrelated") {
     val h = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
