@@ -4,21 +4,32 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `ArrayType(FloatType)` embedding
-  * columns, composed from higher-order array functions (`zip_with`,
-  * `aggregate`, `transform`) so they compile into whole-stage codegen
-  * rather than crossing a UDF boundary.
+  * columns. The hot kernel (`dot`, and `norm`/`cosine` on top of it)
+  * is a native Catalyst expression with codegen — higher-order array
+  * functions are CodegenFallback (interpreted, one intermediate array
+  * per evaluation), which is too slow for the O(pairs) similarity
+  * joins. The remaining combinators stay HOF-composed: they run once
+  * per row, not once per pair.
   *
   * All arithmetic is promoted to Double before accumulating: the
   * float32 source values are exact in float64, so elementwise products
   * and left-to-right sums are bit-identical across engines computing in
   * double — which is what makes cosine similarity DuckDB-oracle
   * comparable (`list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`).
+  * The native kernel pins the same accumulation order (differential
+  * spec vs `dotHof`).
   */
 object VectorFunctions {
 
   private def d(c: Column): Column = transform(c, _.cast("double"))
 
   def dot(a: Column, b: Column): Column =
+    graft.plans.DotProductExpr.dot_product(a, b)
+
+  /** Higher-order-function dot — the differential oracle for the
+    * native kernel (see FunctionsSpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

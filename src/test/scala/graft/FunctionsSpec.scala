@@ -87,6 +87,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(4) === 3L) // both dims positive → bits 0+1 set
   }
 
+  test("native dot product: bit-identical to HOF form, null semantics, real corpus") {
+    import spark.implicits._
+    // length mismatch and null elements both poison to NULL, like the HOF form
+    val edge = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot($"a", $"b").as("native"),
+        VectorFunctions.dotHof($"a", $"b").as("hof"))
+      .collect()
+    edge.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    // bit-identical accumulation over the full embeddings corpus, on a
+    // real parquet scan so the codegen path runs (cross pairs included:
+    // first 20 x first 20 via self-join)
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 20)
+    val pairs = emb.alias("x").crossJoin(emb.alias("y"))
+      .select(
+        VectorFunctions.dot(col("x.embedding"), col("y.embedding")).as("native"),
+        VectorFunctions.dotHof(col("x.embedding"), col("y.embedding")).as("hof"))
+    // === on doubles is exact equality — the accumulation order is pinned
+    assert(pairs.filter(not(col("native") === col("hof"))).count() === 0)
+    assert(pairs.count() === 400)
+  }
+
   test("fingerprint OR-fold aggregator unions bit sets per group") {
     import spark.implicits._
     import graft.functions.{Chemistry, FingerprintAgg}
@@ -128,5 +153,19 @@ class FunctionsSpec extends SparkSpec {
       "SELECT minhash_signature(array(7L, 99L, 12345L), 8) AS sig")
       .collect()(0).getSeq[Long](0)
     assert(sig === sig2)
+  }
+
+  test("native minhash_band_keys is callable from SQL text and matches the Column API") {
+    graft.engine.Functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_band_keys('the quick brown fox jumps over the dog', 8, 4) AS ks")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql.length === 8)
+    import spark.implicits._
+    val viaCol = Seq("the quick brown fox jumps over the dog").toDF("t")
+      .select(graft.plans.ShingleMinHashBandKeysExpr
+        .shingle_minhash_band_keys(org.apache.spark.sql.functions.col("t"), 8, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql === viaCol)
   }
 }
