@@ -14,7 +14,8 @@ object SparkEntry {
   /** Every declared capability (SURVEY.md §2C + pipeline extensions). */
   def catalog: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ DocQueries.all ++
-      PipelineQueries.all ++ MoleculeQueries.all ++ ExtraQueries.all
+      PipelineQueries.all ++ MoleculeQueries.all ++ ExtraQueries.all ++
+      TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Training-data curation operators beyond dedup/similarity: benchmark
+  * decontamination, deterministic stratified sampling (data mixing),
+  * and n-gram frequency statistics. All three are ANSI-SQL-expressible
+  * and carry full DuckDB oracles.
+  *
+  * Scale shapes:
+  *  - Decontamination joins the corpus's shingle explosion against the
+  *    benchmark shingle set — the benchmark side is tiny by definition
+  *    (an eval set), so it is `broadcast()`: the corpus is scanned once
+  *    with no shuffle of corpus shingles. At 100 TB this is the only
+  *    viable formulation; shuffling the corpus's exploded shingles
+  *    (O(tokens) rows) would dwarf the data itself.
+  *  - Sampling is a stateless per-row filter on a cryptographic hash of
+  *    the id — deterministic across engines and retries (no RNG state),
+  *    trivially parallel, and stratified by routing the per-stratum
+  *    rate through the threshold expression.
+  *  - N-gram stats are one explode + partial-aggregated count, then a
+  *    top-k window over the (small) per-language aggregate.
+  */
+object TrainingQueries {
+  import QueryDef._
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Benchmark decontamination: corpus documents sharing any token
+    // 4-gram with the held-out eval slice (doc_id % 50 == 0 stands in
+    // for the benchmark set). Output: contaminated doc -> how many of
+    // its distinct shingles hit the benchmark.
+    sql("q68_decontaminate",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT corp.doc_id AS doc_id, count(DISTINCT corp.shingle) AS n_overlap
+        |FROM corp JOIN ev ON corp.shingle = ev.shingle
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val sh = documents(s, d).select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 4))).as("shingle"))
+        val ev = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+        sh.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(ev), "shingle")
+          .groupBy("doc_id")
+          .agg(countDistinct("shingle").as("n_overlap"))
+          .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling for data mixing: md5(id) is a
+    // uniform hash, its first hex digit a 16-bucket stratifier; the
+    // per-language threshold encodes the mixing weights (en at 8/16,
+    // everything else at 2/16). Reproducible on any engine, any retry.
+    sql("q69_hash_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < CASE WHEN lang = 'en' THEN '8' ELSE '2' END
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
+            when(col("lang") === "en", lit("8")).otherwise(lit("2")))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+    },
+
+    // Corpus n-gram statistics: top-5 token bigrams per language.
+    sql("q70_ngram_topk",
+      """WITH t AS (SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |bg AS (SELECT lang, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+1), ' ') FOR i IN range(1, len(toks))] END) AS bigram FROM t),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT lang, bigram, n, rn FROM (
+        |  SELECT lang, bigram, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn FROM c) x
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) {
+      (s, d) =>
+        val bg = documents(s, d).select(col("lang"),
+          explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        val c = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+        c.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("lang", "rn")
+    }
+  )
+}

@@ -80,4 +80,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m("n_records") === 2L)
     assert(m("smiles_chars") === 4L)
   }
+
+  test("decontamination joins the corpus against a BROADCAST benchmark shingle set") {
+    // the benchmark side is small by definition; broadcasting it means
+    // the corpus's exploded shingles are never shuffled — the only
+    // formulation that survives a 100 TB corpus
+    val q = graft.SparkEntry.queries("q68_decontaminate")(spark, "/root/testdata/sf0.001")
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    // deterministic sampling is a pure filter — no shuffle at all before the sort
+    val s = graft.SparkEntry.queries("q69_hash_sample")(spark, "/root/testdata/sf0.001")
+    assert(s.count() > 0)
+  }
 }
