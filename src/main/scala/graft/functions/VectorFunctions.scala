@@ -59,6 +59,12 @@ object VectorFunctions {
       floor(e.cast("double") * lit(1000000.0)).cast("string")), ",")
 
   def signBucket(a: Column, bits: Int): Column =
+    graft.plans.SignBucketExpr.sign_bucket(a, bits)
+
+  /** Higher-order-function sign bucket — the differential oracle for
+    * the native kernel (see FunctionsSpec).
+    */
+  def signBucketHof(a: Column, bits: Int): Column =
     aggregate(
       zip_with(slice(d(a), 1, bits), sequence(lit(0), lit(bits - 1)),
         (x, i) => when(x >= 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),

@@ -174,10 +174,18 @@ object Dedup {
 
   /** 32-bit SimHash over tokens: each token hash votes ±1 per bit
     * position; the final code sets bits with a positive vote sum.
-    * 32 bits (not 64) so bit extraction stays exact in the double
-    * arithmetic available to higher-order expressions.
+    * Runs in the native `SimHash32Expr` kernel (the HOF form below is
+    * its differential oracle — CodegenFallback allocates a 32-element
+    * vote array per token, too slow for a full-corpus linear pass).
     */
-  def simHash32(text: Column): Column = {
+  def simHash32(text: Column): Column =
+    graft.plans.SimHash32Expr.simhash32(text)
+
+  /** Higher-order-function SimHash — the differential oracle for the
+    * native kernel. 32 bits (not 64) so bit extraction stays exact in
+    * the double arithmetic available to higher-order expressions.
+    */
+  def simHash32Hof(text: Column): Column = {
     val powers = array((0 until 32).map(i => lit(1L << i)): _*)
     val toks = TextFunctions.tokens(text)
     val votes = aggregate(

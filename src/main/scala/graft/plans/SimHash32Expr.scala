@@ -1,0 +1,76 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 32-bit SimHash over whitespace tokens: each token's
+  * xxhash64(seed 42) low 32 bits vote ±1 per bit position; the code
+  * sets bits with a positive vote sum. Semantics pinned to
+  * `Dedup.simHash32Hof` by a differential spec (tokenizer parity with
+  * `ShingleMinHashBandKeysExpr`: split on whitespace runs, empty
+  * tokens dropped).
+  *
+  * Native for the same reason as the MinHash kernel: the HOF
+  * formulation is CodegenFallback and allocates a 32-element vote
+  * array per token — this is a linear pass over the whole corpus, so
+  * at 100 TB the interpreted overhead is the dominant cost of the
+  * stage.
+  */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  /** Per-row kernel; public so generated code can call it. */
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split("\\s+")
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val bytes = toks(i).getBytes(StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+        // low 32 bits, as a non-negative value — matches
+        // pmod(xxhash64(tok), 2^32) in the HOF form
+        val low = h & 0xffffffffL
+        var b = 0
+        while (b < 32) {
+          if ((low & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) code |= 1L << b
+      b += 1
+    }
+    code
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash32Expr].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+}
+
+object SimHash32Expr {
+  /** Column API: native 32-bit SimHash over a text column. */
+  def simhash32(text: Column): Column =
+    GraftColumnBridge.column(SimHash32Expr(GraftColumnBridge.expression(text)))
+}

@@ -112,6 +112,24 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.count() === 400)
   }
 
+  test("native sign bucket matches the HOF formulation, incl. short and negative vectors") {
+    import spark.implicits._
+    val edge = Seq(
+      Array(1.0f, -2.0f, 3.0f, -4.0f, 5.0f, -6.0f, 7.0f, -8.0f),
+      Array(-1.0f, 1.0f),   // shorter than bits → missing dims contribute 0
+      Array(0.0f, -0.0f))   // zero is non-negative in both forms
+      .toDF("a")
+    val corpus = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").as("a"))
+    Seq(edge, corpus).foreach { df =>
+      val diff = df.select(
+        VectorFunctions.signBucket(col("a"), 6).as("native"),
+        VectorFunctions.signBucketHof(col("a"), 6).as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(diff.count() === 0)
+    }
+  }
+
   test("fingerprint OR-fold aggregator unions bit sets per group") {
     import spark.implicits._
     import graft.functions.{Chemistry, FingerprintAgg}

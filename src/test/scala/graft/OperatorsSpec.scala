@@ -144,6 +144,18 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
   }
 
+  test("native simhash matches the HOF formulation over the real corpus and edge cases") {
+    import spark.implicits._
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("\tleading tab  and runs", "solo", "", "   \t ").toDF("text"))
+    val diff = corpus.select(
+      Dedup.simHash32(col("text")).as("native"),
+      Dedup.simHash32Hof(col("text")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() === 0)
+  }
+
   test("nearDupes pipeline drops verified near-duplicates, keeps distinct docs") {
     val out = Dedup.nearDupes(docs, "doc_id", "text", threshold = 0.8)
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
