@@ -33,8 +33,18 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Token `n`-gram shingles as an array column. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Token `n`-gram shingles as an array column — the native
+    * `TokenShinglesExpr` kernel (tokenize once, one string build per
+    * shingle).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.TokenShinglesExpr.token_shingles(text, n)
+
+  /** Higher-order-function shingles — the differential oracle for the
+    * native kernel. The CASE references `toks` four times; HOFs are
+    * CodegenFallback with no CSE, so split/filter run 4× per row here.
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),

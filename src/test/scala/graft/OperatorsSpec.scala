@@ -144,6 +144,20 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
   }
 
+  test("native shingles match the HOF formulation over the real corpus and edge cases") {
+    import spark.implicits._
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("\tleading tab  and   runs", "one two", "solo", "", "   \t ").toDF("text"))
+    Seq(1, 2, 4).foreach { n =>
+      val diff = corpus.select(
+        Dedup.shingles(col("text"), n).as("native"),
+        Dedup.shinglesHof(col("text"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(diff.count() === 0, s"shingle size $n diverged")
+    }
+  }
+
   test("native simhash matches the HOF formulation over the real corpus and edge cases") {
     import spark.implicits._
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
