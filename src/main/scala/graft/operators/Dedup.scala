@@ -222,11 +222,14 @@ object Dedup {
   def nearDupes(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, bands, rowsPerBand)
-    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    // token sets are computed ONCE per document before the pair join —
+    // a doc appearing in k candidate pairs must not tokenize k times
+    val sets = df.select(col(idCol).as("__id"),
+      TextFunctions.tokenSet(col(textCol)).as("__ts"))
     val verified = cands
-      .join(texts.withColumnRenamed("__id", "id1").withColumnRenamed("__text", "__t1"), "id1")
-      .join(texts.withColumnRenamed("__id", "id2").withColumnRenamed("__text", "__t2"), "id2")
-      .filter(tokenJaccard(col("__t1"), col("__t2")) >= threshold)
+      .join(sets.withColumnRenamed("__id", "id1").withColumnRenamed("__ts", "__ts1"), "id1")
+      .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__ts", "__ts2"), "id2")
+      .filter(tokenSetJaccard(col("__ts1"), col("__ts2")) >= threshold)
       .select(col("id1"), col("id2"))
     // every id2 in a verified pair is dropped in favor of min(id1)
     val losers = verified.groupBy(col("id2").as("__loser")).agg(min("id1"))
@@ -237,9 +240,14 @@ object Dedup {
   /** Jaccard similarity of distinct token sets — the exact verifier
     * applied to candidate pairs (never to the full cross product).
     */
-  def tokenJaccard(textA: Column, textB: Column): Column = {
-    val sa = TextFunctions.tokenSet(textA)
-    val sb = TextFunctions.tokenSet(textB)
+  def tokenJaccard(textA: Column, textB: Column): Column =
+    tokenSetJaccard(TextFunctions.tokenSet(textA), TextFunctions.tokenSet(textB))
+
+  /** Jaccard over precomputed distinct-token-set columns — use this
+    * form in pair joins so each document tokenizes once, not once per
+    * candidate pair.
+    */
+  def tokenSetJaccard(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - size(array_intersect(sa, sb))).cast("double")
   }
