@@ -69,6 +69,36 @@ object TrainingQueries {
           .orderBy("doc_id")
     },
 
+    // PII handling: mask digit runs in a name field and derive a
+    // stable pseudonym key (md5 prefix) — masking scrubs, the
+    // pseudonym keeps records joinable after scrubbing. Stateless
+    // per-row expressions; identical semantics in any engine.
+    sql("q71_pii_mask",
+      """SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |       substr(md5(c_name), 1, 12) AS pseudonym
+        |FROM customer ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+            substring(md5(col("c_name")), 1, 12).as("pseudonym"))
+          .orderBy("c_custkey")
+    },
+
+    // Fixed-size token chunking (50-token chunks): the one-shuffle
+    // relational shape — explode tokens with position, group by
+    // (doc, pos / 50), reassemble order-stable.
+    sql("q72_chunk_tokens",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest([{'p': p, 'tok': toks[p]} FOR p IN range(1, len(toks)+1)], recursive := true) FROM t)
+        |SELECT doc_id, (p-1)//50 AS chunk_id, string_agg(tok, ' ' ORDER BY p) AS chunk_text, count(*) AS n_tokens
+        |FROM tok GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.TextOps.chunkTokens(documents(s, d), "doc_id", "text", 50)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // Corpus n-gram statistics: top-5 token bigrams per language.
     sql("q70_ngram_topk",
       """WITH t AS (SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),

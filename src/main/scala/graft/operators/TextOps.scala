@@ -39,6 +39,26 @@ object TextOps {
       .filter(col("rn") <= k)
   }
 
+  /** Fixed-size token chunking for training-data preparation: each
+    * document becomes ceil(n_tokens / chunkSize) chunks of up to
+    * `chunkSize` tokens, id'd 0-based in token order. Fully relational
+    * — explode tokens with position, group by (doc, pos / chunkSize) —
+    * so a 100 TB corpus chunks in one shuffle with no per-document
+    * driver logic; chunk text is reassembled order-stable via
+    * array_sort over (pos, token) structs. Empty documents yield no
+    * chunks.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    tok.groupBy(col("id"), floor(col("pos") / chunkSize).cast("long").as("chunk_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Gaps-and-islands sessionization over any keyed, timestamped
     * DataFrame: a new session starts after `gapSeconds` of inactivity.
     * Returns the input plus a per-key `session_id` (1-based).

@@ -260,6 +260,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(1) === 4L)
   }
 
+  test("textops: chunkTokens splits on exact boundaries, keeps order, drops empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 tokens, size 3 → 3+3+1
+      (2L, ""),                                      // empty → no chunks
+      (3L, "only three tokens")                      // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunkTokens(df, "doc_id", "text", 3)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "t1 t2 t3", 3L),
+      (1L, 1L, "t4 t5 t6", 3L),
+      (1L, 2L, "t7", 1L),
+      (3L, 0L, "only three tokens", 3L)))
+  }
+
   test("textops: tfidf/topTerms/sessionize library forms") {
     import spark.implicits._
     val top = graft.operators.TextOps.topTerms(docs, "doc_id", "text", 1)
