@@ -25,9 +25,18 @@ object TextFunctions {
     * and empty tokens are dropped (so an empty or all-whitespace
     * document tokenizes to [] — not [""], which would inflate
     * tokenCount and skew every downstream ratio, shingle, and MinHash
-    * signature on real-world corpora).
+    * signature on real-world corpora). Runs in the native `TokensExpr`
+    * kernel — deterministic and codegen'd, so repeated references in
+    * one projection (quality score, language ID) tokenize once via
+    * subexpression elimination.
     */
   def tokens(text: Column): Column =
+    graft.plans.TokensExpr.ws_tokens(text)
+
+  /** Higher-order-function tokenizer — the differential oracle for the
+    * native kernel (see FunctionsSpec).
+    */
+  def tokensHof(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** Distinct token set, for Jaccard/shingling. */

@@ -24,6 +24,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3).getLong(0) === 0)
   }
 
+  test("native tokenizer matches the HOF formulation over the real corpus and edge cases") {
+    import spark.implicits._
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("\tleading tab  and   runs", "one", "", "   \t ").toDF("text"))
+    val diff = corpus.select(
+      TextFunctions.tokens($"text").as("native"),
+      TextFunctions.tokensHof($"text").as("hof"))
+      .filter(not(col("native") === col("hof")))
+    assert(diff.count() === 0)
+    // empty and all-whitespace docs tokenize to [], not [""]
+    val empties = Seq("", "  \t ").toDF("text")
+      .select(size(TextFunctions.tokens($"text"))).collect().map(_.getInt(0))
+    assert(empties.toSeq === Seq(0, 0))
+  }
+
   test("bpe pre-tokenizer: contractions, letter/digit runs, punctuation runs") {
     import spark.implicits._
     val df = Seq("don't stop-me now, it's 2026!!", "", "the dogs' 'toy").toDF("text")
