@@ -52,6 +52,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native text kernels match their HOF oracles on arbitrary text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, not}
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    // adversarial text: random words joined by random whitespace runs
+    // (spaces/tabs/newlines), unicode letters included, plus leading/
+    // trailing whitespace — one batch through Spark, all kernels at once
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '\'', '-')))).map(_.mkString)
+    val wsGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(' ', '\t', '\n'))).map(_.mkString)
+    val textGen = for {
+      k <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(k + 1, wsGen)
+      words <- Gen.listOfN(k, wordGen)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + words.zip(ws).map { case (w, s) => w + s }.mkString
+    val texts = Gen.listOfN(300, textGen).sample.get
+    val df = texts.toDF("text")
+    val diff = df.select(
+        TextFunctions.tokens($"text").as("t_n"),
+        TextFunctions.tokensHof($"text").as("t_h"),
+        Dedup.shingles($"text", 3).as("s_n"),
+        Dedup.shinglesHof($"text", 3).as("s_h"),
+        Dedup.simHash32($"text").as("sh_n"),
+        Dedup.simHash32Hof($"text").as("sh_h"),
+        graft.plans.ShingleMinHashBandKeysExpr
+          .shingle_minhash_band_keys($"text", 4, 4).as("bk_n"),
+        Dedup.lshBandKeys(Dedup.signatureFromHashesHof(
+          Dedup.shingleHashes($"text"), 16), 4, 4).as("bk_h"))
+      .filter(not(col("t_n") === col("t_h")) || not(col("s_n") === col("s_h"))
+        || not(col("sh_n") === col("sh_h")) || not(col("bk_n") === col("bk_h")))
+    assert(diff.count() === 0)
+  }
+
   test("property: SDF render → parse round-trips any tag map") {
     val propsGen = Gen.mapOfN(5, Gen.zip(tagGen, valueGen))
     check(Prop.forAll(propsGen) { props =>

@@ -92,5 +92,11 @@ class ScaleOpsSpec extends SparkSpec {
     // deterministic sampling is a pure filter — no shuffle at all before the sort
     val s = graft.SparkEntry.queries("q69_hash_sample")(spark, "/root/testdata/sf0.001")
     assert(s.count() > 0)
+    // and its scan is pruned to the two output columns: the text payload
+    // (the bulk of the bytes at 100 TB) is never read
+    val scan = s.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("doc_id") && scan.contains("lang") && !scan.contains("text"),
+      s"expected text-free pruned scan, got: $scan")
   }
 }
