@@ -182,7 +182,10 @@ object DocQueries {
         val docs = documents(s, d)
         val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        // df derives from tf (one row per (doc, tok)), not from the raw
+        // token stream: a plain count replaces a countDistinct over the
+        // full O(tokens) explosion — one less token-volume shuffle
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
         tf.join(broadcast(df), "tok")

@@ -21,7 +21,9 @@ object TextOps {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct("id").as("df"))
+    // df from the already-distinct tf rows, not the raw token stream —
+    // a plain count, and one less O(tokens) shuffle
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
