@@ -179,6 +179,25 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Count-min-sketch heavy hitters: one CMS built over the token
+    // stream in a single aggregation (mergeable partial sketches —
+    // the constant-memory shape for 100 TB frequency estimation),
+    // probed for the exact top-10 tokens. Rows-only (the sketch binary
+    // is engine-internal); the CMS ≥ exact one-sided error bound is
+    // spec'd in ScaleOpsSpec.
+    rowsOnly("q73_cms_heavy_hitters") { (s, d) =>
+      val toks = documents(s, d).select(
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+      val sketchBytes = toks
+        .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+      top.crossJoin(broadcast(sketchBytes))
+        .withColumn("cms_n", graft.plans.CmsEstimateExpr.cms_estimate(col("cms"), col("tok")))
+        .select(col("tok"), col("exact_n"), col("cms_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    },
+
     // CSV sink + scan round-trip: a projection of orders goes out as
     // headered CSV and comes back through the schema'd csv reader; the
     // aggregate must match the oracle computed on the original parquet.

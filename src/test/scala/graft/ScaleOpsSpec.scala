@@ -81,6 +81,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m("smiles_chars") === 4L)
   }
 
+  test("count-min-sketch heavy hitters: one-sided error, tight at this scale") {
+    val out = graft.SparkEntry.queries("q73_cms_heavy_hitters")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val (exact, cms) = (r.getLong(1), r.getLong(2))
+      // CMS never undercounts, and at eps=0.001 over this corpus the
+      // overcount must stay within 0.1% of the stream length
+      assert(cms >= exact, s"${r.getString(0)}: cms $cms < exact $exact")
+      assert(cms - exact <= math.max(1L, (exact * 0.05).toLong + 100),
+        s"${r.getString(0)}: cms $cms far above exact $exact")
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark shingle set") {
     // the benchmark side is small by definition; broadcasting it means
     // the corpus's exploded shingles are never shuffled — the only
