@@ -14,10 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * for this engine (Catalyst covers §4), so none is injected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.minhashSignatureDescriptor)
-    e.injectFunction(GraftExtensions.minhashBandKeysDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
@@ -41,21 +39,35 @@ object GraftExtensions {
       if (args.size == 4) intLit(args(3), "shingleSize") else 3)
   }
 
-  val minhashSignatureDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("minhash_signature"),
-    new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
-    buildMinhash _)
+  /** The full native-kernel SQL surface: name → builder. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_signature", classOf[MinHashSignatureExpr].getName, buildMinhash _),
+    ("minhash_band_keys", classOf[ShingleMinHashBandKeysExpr].getName, buildBandKeys _),
+    ("ws_tokens", classOf[TokensExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "ws_tokens(text)"); TokensExpr(args.head) }),
+    ("token_shingles", classOf[TokenShinglesExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "token_shingles(text, n)")
+      TokenShinglesExpr(args.head, intLit(args(1), "n")) }),
+    ("simhash32", classOf[SimHash32Expr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "simhash32(text)"); SimHash32Expr(args.head) }),
+    ("sign_bucket", classOf[SignBucketExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "sign_bucket(vec, bits)")
+      SignBucketExpr(args.head, intLit(args(1), "bits")) }),
+    ("dot_product", classOf[DotProductExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "dot_product(a, b)")
+      DotProductExpr(args.head, args(1)) }),
+    ("cms_estimate", classOf[CmsEstimateExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "cms_estimate(sketch, item)")
+      CmsEstimateExpr(args.head, args(1)) }))
 
-  val minhashBandKeysDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("minhash_band_keys"),
-    new ExpressionInfo(classOf[ShingleMinHashBandKeysExpr].getName, "minhash_band_keys"),
-    buildBandKeys _)
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, cls, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls, name), b)
+    }
 
   /** Direct registration into an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", buildMinhash _, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_band_keys", buildBandKeys _, "scala_udf")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 }

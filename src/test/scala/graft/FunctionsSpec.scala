@@ -189,6 +189,23 @@ class FunctionsSpec extends SparkSpec {
     assert(sig === sig2)
   }
 
+  test("the full native-kernel SQL surface is callable from SQL text") {
+    graft.engine.Functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(ws_tokens(' a  b\tc ')) AS n_toks,
+        |       token_shingles('a b c', 2) AS sh,
+        |       simhash32('hello world') = simhash32('hello world') AS sh_det,
+        |       sign_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 2) AS sb,
+        |       dot_product(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                   array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dp
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 3)
+    assert(r.getSeq[String](1) === Seq("a b", "b c"))
+    assert(r.getBoolean(2))
+    assert(r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 24.0)
+  }
+
   test("native minhash_band_keys is callable from SQL text and matches the Column API") {
     graft.engine.Functions.registerAll(spark)
     val viaSql = spark.sql(
