@@ -188,7 +188,9 @@ object DocQueries {
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-        tf.join(broadcast(df), "tok")
+        // no broadcast hint on df: AQE sizes the vocabulary at runtime
+        // and broadcasts only when it fits (see TextOps.tfidf)
+        tf.join(df, "tok")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))

@@ -14,8 +14,12 @@ import graft.functions.TextFunctions
 object TextOps {
 
   /** (id, term, tf, df, score) for every term occurrence.
-    * One explode + two aggregations; the document-frequency side is
-    * broadcast (vocabulary ≪ corpus at any scale).
+    * One explode + two aggregations. The document-frequency side is
+    * deliberately NOT broadcast-hinted: the vocabulary is usually tiny
+    * relative to the corpus, but at web scale a distinct-token table
+    * can exceed broadcast limits — AQE sees the df aggregate's real
+    * shuffle size at runtime and picks broadcast when it fits, sort-
+    * merge when it doesn't (the size guard a static hint cannot give).
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
@@ -25,7 +29,7 @@ object TextOps {
     // a plain count, and one less O(tokens) shuffle
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
         (col("tf") * log(col("n_docs") / col("df"))).as("score"))

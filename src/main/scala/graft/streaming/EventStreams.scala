@@ -59,6 +59,25 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup suppression for a document stream: each doc is
+    * reduced to its 32-bit SimHash (the native kernel — computed at
+    * ingest speed inside the micro-batch's codegen stage) and the
+    * stream keeps the first document per SimHash code within the
+    * watermark horizon. Near-identical boilerplate collapses to one
+    * representative at ingest time, with state bounded by the
+    * watermark — the streaming complement of the batch `Dedup` family
+    * (exact-dup streaming = `dedupWithinWatermark` on a fingerprint).
+    *
+    * `tsCol`/`textCol` name the event-time and text columns; the
+    * SimHash is exposed as `simhash` in the output for downstream
+    * bucketing.
+    */
+  def nearDupSuppress(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "30 minutes"): DataFrame =
+    docs.withColumn("simhash", graft.plans.SimHash32Expr.simhash32(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

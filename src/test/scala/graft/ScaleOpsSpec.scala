@@ -81,6 +81,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m("smiles_chars") === 4L)
   }
 
+  test("tfidf df join: no static hint, AQE broadcasts the small vocabulary at runtime") {
+    val q = graft.SparkEntry.queries("q39_tfidf_top_term")(spark, "/root/testdata/sf0.001")
+    assert(q.count() === 500)
+    // the vocabulary fits here, so the adaptive plan must have picked a
+    // broadcast join for the df side — at scale the same code degrades
+    // to sort-merge instead of failing a forced broadcast
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast in:\n$plan")
+  }
+
   test("count-min-sketch heavy hitters: one-sided error, tight at this scale") {
     val out = graft.SparkEntry.queries("q73_cms_heavy_hitters")(
       spark, "/root/testdata/sf0.001").collect()

@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("streaming near-dup suppression keeps one doc per simhash within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[StreamingSpec.Doc]
+    import StreamingSpec.Doc
+    val q = EventStreams.nearDupSuppress(src.toDF(), "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    val boiler = "standard footer text repeated on every single page of this site"
+    src.addData(
+      Doc(1, ts(0), boiler),
+      Doc(2, ts(1), "a genuinely different document about joins and shuffles"))
+    q.processAllAvailable()
+    // identical boilerplate re-arrives in a later batch → suppressed by state
+    src.addData(Doc(3, ts(2), boiler))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), s"boilerplate re-arrival must be suppressed: $kept")
+  }
+
   test("cursor machine keeps per-user monotonic state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -171,4 +193,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
     assert(got === expected)
   }
+}
+
+object StreamingSpec {
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 }
