@@ -216,6 +216,24 @@ object ExtraQueries {
           .orderBy(col("o_orderstatus"))
     },
 
+    // ORC sink + scan round-trip: the third columnar format Spark
+    // ships natively (after parquet and CSV here). The lineitem slice
+    // goes out as snappy ORC and comes back through the orc reader;
+    // the aggregate must match the oracle computed on the original
+    // parquet.
+    sql("q74_orc_roundtrip",
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy(col("l_returnflag"))
+    },
+
     // NDJSON sink + scan round-trip (S22 parity read-back): documents
     // go out as gzip NDJSON and come back through the schema'd json
     // reader; per-language stats must match the parquet oracle.
