@@ -11,10 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Probe a serialized `count_min_sketch(...)` aggregate result for an
-  * item's estimated frequency. The deserialized sketch is cached per
-  * byte-array reference: the usual shape broadcasts ONE sketch across
-  * the probe rows (heavy-hitter verification, federated frequency
-  * lookups), so deserialization happens once per task, not per row.
+  * item's estimated frequency. The deserialized sketch is cached by
+  * CONTENT (reference check first, then length + byte equality): row
+  * readers hand back a fresh byte[] copy per evaluation, so a pure
+  * reference cache would never hit — the memcmp costs microseconds
+  * where re-parsing the sketch costs its full size per row. The usual
+  * shape broadcasts ONE sketch across the probe rows, so after the
+  * first row every probe is a cache hit.
   */
 case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,7 +36,8 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   @transient private var cachedSketch: CountMinSketch = _
 
   private def sketchFor(bytes: Array[Byte]): CountMinSketch = {
-    if (!(bytes eq cachedBytes)) {
+    if (!(bytes eq cachedBytes) &&
+        (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes))) {
       cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
       cachedBytes = bytes
     }

@@ -50,6 +50,8 @@ object GraftExtensions {
       TokenShinglesExpr(args.head, intLit(args(1), "n")) }),
     ("simhash32", classOf[SimHash32Expr].getName, { args: Seq[Expression] =>
       require(args.size == 1, "simhash32(text)"); SimHash32Expr(args.head) }),
+    ("simhash64", classOf[SimHash64Expr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "simhash64(text)"); SimHash64Expr(args.head) }),
     ("sign_bucket", classOf[SignBucketExpr].getName, { args: Seq[Expression] =>
       require(args.size == 2, "sign_bucket(vec, bits)")
       SignBucketExpr(args.head, intLit(args(1), "bits")) }),

@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_keys(hashes) needs an array<bigint> input, got ${other.simpleString}")
+    }
+
   private val P31 = 2147483647L
   private def numHashes = bands * rowsPerBand
 

@@ -39,6 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleMinHashBandKeysExpr(child: Expression, bands: Int,
     rowsPerBand: Int, shingleSize: Int) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_band_keys needs a string input, got ${child.dataType.simpleString}")
+
   private val P31 = 2147483647L
   private def numHashes = bands * rowsPerBand
 

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 /** Native sign-bit LSH bucket over the first `bits` dimensions of a
   * numeric array: bit i is set iff element i is present, non-null and
   * >= 0 — matching the HOF formulation (zip_with pads a short array
-  * with nulls, and null/negative both contribute 0). Pinned by a
-  * differential spec.
+  * with nulls, and null/negative both contribute 0; Spark SQL's `>=`
+  * is NaN-safe with NaN ordered ABOVE every number, so a NaN element
+  * sets its bit here too). Pinned by a differential spec.
   *
   * Native because bucketing is a linear pass over the whole embedding
   * corpus in the ANN/near-dup tier; the HOF form is CodegenFallback
@@ -43,7 +44,8 @@ case class SignBucketExpr(child: Expression, bits: Int) extends UnaryExpression 
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        if (v >= 0) code |= 1L << i
+        // NaN sets the bit: SQL's >= orders NaN above all numbers
+        if (v >= 0 || java.lang.Double.isNaN(v)) code |= 1L << i
       }
       i += 1
     }

@@ -25,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash32Expr(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash needs a string input, got ${child.dataType.simpleString}")
+
   override def dataType: DataType = LongType
 
   /** Per-row kernel; public so generated code can call it. */
@@ -73,4 +80,69 @@ object SimHash32Expr {
   /** Column API: native 32-bit SimHash over a text column. */
   def simhash32(text: Column): Column =
     GraftColumnBridge.column(SimHash32Expr(GraftColumnBridge.expression(text)))
+}
+
+/** 64-bit SimHash — the full token-hash width, for code spaces where
+  * 32 bits invite birthday collisions (streaming dedup state over
+  * ~10^5+ docs per watermark horizon: 2^32 gives >50 % collision odds
+  * at ~77 k distinct docs; 2^64 is negligible below ~10^9). No HOF
+  * differential exists at this width — 64-bit bit extraction is not
+  * exact in the double arithmetic available to higher-order
+  * expressions, which is why the 32-bit variant (whose HOF oracle is
+  * exact) remains the batch/spec surface.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash needs a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  /** Per-row kernel; public so generated code can call it. */
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val bytes = toks(i).getBytes(StandardCharsets.UTF_8)
+        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+        var b = 0
+        while (b < 64) {
+          if ((h & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) code |= 1L << b
+      b += 1
+    }
+    code
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64", this, classOf[SimHash64Expr].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $self.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  /** Column API: native 64-bit SimHash over a text column. */
+  def simhash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(text)))
 }

@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_shingles needs a string input, got ${child.dataType.simpleString}")
+
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

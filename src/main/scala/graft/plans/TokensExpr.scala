@@ -25,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TokensExpr(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ws_tokens needs a string input, got ${child.dataType.simpleString}")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   /** Per-row kernel; public so generated code can call it. */

@@ -60,7 +60,7 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming NEAR-dup suppression for a document stream: each doc is
-    * reduced to its 32-bit SimHash (the native kernel — computed at
+    * reduced to its 64-bit SimHash (the native kernel — computed at
     * ingest speed inside the micro-batch's codegen stage) and the
     * stream keeps the first document per SimHash code within the
     * watermark horizon. Near-identical boilerplate collapses to one
@@ -68,13 +68,21 @@ object EventStreams {
     * watermark — the streaming complement of the batch `Dedup` family
     * (exact-dup streaming = `dedupWithinWatermark` on a fingerprint).
     *
+    * 64 bits, not 32: suppression is one-sided (a code collision
+    * DELETES a genuinely different document, with no verification
+    * stage like the batch pipeline's Jaccard pass), so the code space
+    * must make collisions negligible at the watermark horizon's
+    * cardinality — 2^32 passes 50 % collision odds at ~77 k distinct
+    * docs, 2^64 stays negligible below ~10^9. For lossless near-dup
+    * removal run the batch `Dedup.nearDupes` pipeline instead.
+    *
     * `tsCol`/`textCol` name the event-time and text columns; the
     * SimHash is exposed as `simhash` in the output for downstream
     * bucketing.
     */
   def nearDupSuppress(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "30 minutes"): DataFrame =
-    docs.withColumn("simhash", graft.plans.SimHash32Expr.simhash32(col(textCol)))
+    docs.withColumn("simhash", graft.plans.SimHash64Expr.simhash64(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 

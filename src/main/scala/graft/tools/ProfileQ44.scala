@@ -22,11 +22,17 @@ object ProfileQ44 {
       val n = f
       System.err.println(f"[prof] $tag rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // every stage collects the aggregated value — a count() over an
+    // aggregate lets column pruning delete the kernel under test and
+    // time only the scan
     time("scan-only")(docs.count())
-    time("shingleHashes")(docs.select(size(Dedup.shingleHashes(col("text"))).as("n")).agg(sum("n")).count())
+    time("shingleHashes")(docs.select(size(Dedup.shingleHashes(col("text"))).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0))
     time("fused-bandkeys")(docs.select(
       graft.plans.MinHashBandKeysExpr.minhash_band_keys(
-        Dedup.shingleHashes(col("text")), 8, 8).as("k")).select(size(col("k"))).agg(sum("size(k)")).count())
+        Dedup.shingleHashes(col("text")), 8, 8).as("k"))
+      .select(aggregate(col("k"), lit(0L), _ + _).as("s"))
+      .agg(sum("s")).collect()(0).getLong(0))
     // sum of keys defeats column pruning, so the kernel really runs
     val keyed = docs
       .select(col("doc_id").as("id"),

@@ -133,7 +133,8 @@ class FunctionsSpec extends SparkSpec {
     val edge = Seq(
       Array(1.0f, -2.0f, 3.0f, -4.0f, 5.0f, -6.0f, 7.0f, -8.0f),
       Array(-1.0f, 1.0f),   // shorter than bits → missing dims contribute 0
-      Array(0.0f, -0.0f))   // zero is non-negative in both forms
+      Array(0.0f, -0.0f),   // zero is non-negative in both forms
+      Array(Float.NaN, -1.0f, Float.NaN)) // SQL >= is NaN-safe: NaN sets the bit
       .toDF("a")
     val corpus = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").as("a"))
@@ -204,6 +205,15 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getBoolean(2))
     assert(r.getLong(3) === 1L)
     assert(r.getDouble(4) === 24.0)
+    // wrong-typed arguments are rejected at analysis, not as an opaque
+    // executor ClassCastException at runtime
+    Seq("ws_tokens(42)", "simhash32(42)", "token_shingles(7, 2)",
+      "minhash_band_keys(9, 4, 4)", "minhash_signature(array('a'), 8)")
+      .foreach { bad =>
+        intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql(s"SELECT $bad").collect()
+        }
+      }
   }
 
   test("native minhash_band_keys is callable from SQL text and matches the Column API") {

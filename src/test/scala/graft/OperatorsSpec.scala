@@ -158,6 +158,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64: deterministic, near-dups closer than unrelated, distinct codes") {
+    val h = docs.select(col("doc_id"),
+      graft.plans.SimHash64Expr.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) === h(4L), "identical docs share the code")
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(h.values.toSet.size === 4, "distinct docs get distinct 64-bit codes")
+  }
+
   test("native simhash matches the HOF formulation over the real corpus and edge cases") {
     import spark.implicits._
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
