@@ -231,9 +231,9 @@ object Dedup {
       .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__ts", "__ts2"), "id2")
       .filter(tokenSetJaccard(col("__ts1"), col("__ts2")) >= threshold)
       .select(col("id1"), col("id2"))
-    // every id2 in a verified pair is dropped in favor of min(id1)
-    val losers = verified.groupBy(col("id2").as("__loser")).agg(min("id1"))
-      .select(col("__loser"))
+    // every id2 in a verified pair is dropped (its pair's id1 is
+    // smaller by construction, so the smallest id always survives)
+    val losers = verified.select(col("id2").as("__loser")).distinct()
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
