@@ -24,7 +24,7 @@ object Functions {
     r.register("lipinski_ok", (s: String) => Chemistry.descriptors(s).exists(_.lipinskiOk))
     r.register("morgan_fp", (s: String) => Chemistry.morganBits(s))
     r.register("structural_keys", (s: String) => Chemistry.structuralKeys(s))
-    r.register("sdf_props", SdfReader.parseProps)
+    // sdf_props is registered natively via GraftExtensions below
     r.register("format_bytes", (n: Long) => graft.report.Report.formatBytes(n))
     // native Catalyst expressions (codegen'd, not UDFs)
     graft.plans.GraftExtensions.register(spark)

@@ -60,7 +60,9 @@ object GraftExtensions {
       DotProductExpr(args.head, args(1)) }),
     ("cms_estimate", classOf[CmsEstimateExpr].getName, { args: Seq[Expression] =>
       require(args.size == 2, "cms_estimate(sketch, item)")
-      CmsEstimateExpr(args.head, args(1)) }))
+      CmsEstimateExpr(args.head, args(1)) }),
+    ("sdf_props", classOf[SdfPropsExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "sdf_props(record)"); SdfPropsExpr(args.head) }))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

@@ -41,9 +41,11 @@ object SdfReader {
   }
 
   /** `> <TAG>` property blocks of one SDF record as Map[String,String].
-    * Plain Scala UDF: the parse runs once per record at ingestion — the
-    * boundary the reference also pays — and everything downstream is
-    * columnar.
+    * Scala-function form — the differential oracle for the native
+    * `SdfPropsExpr` kernel (and the round-trip property-test surface);
+    * the DataFrame path goes through the native expression, which
+    * builds catalyst MapData directly instead of paying the UDF
+    * converter boundary per record.
     */
   val parseProps: String => Map[String, String] = { record =>
     val lines = record.split("\n", -1)
@@ -74,9 +76,8 @@ object SdfReader {
     out.toMap
   }
 
-  def sdfProps(record: Column): Column = {
-    udf(parseProps).apply(record)
-  }
+  def sdfProps(record: Column): Column =
+    graft.plans.SdfPropsExpr.sdf_props(record)
 
   /** Typed boundary form (SURVEY.md §1.3): compile-time field safety
     * for library consumers composing molecule pipelines.

@@ -270,6 +270,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getLong(1) === 4L)
   }
 
+  test("native sdf_props matches the Scala parser on edge-case records") {
+    import spark.implicits._
+    val records = Seq(
+      "mol\n  comment\n\nM  END\n> <ID>\nMOL1\n\n> <SMILES>\nCCO\n",
+      "mol\nM  END\n> <Multi>\nline one\nline two\n\n> malformed no tag\n> <Empty>\n\n> <Dup>\na\n\n> <Dup>\nb\n",
+      "no properties at all\nM  END\n",
+      "")
+    val df = records.toDF("record")
+    val parse = org.apache.spark.sql.functions.udf(graft.sources.SdfReader.parseProps)
+    val rows = df.select(
+      graft.sources.SdfReader.sdfProps(col("record")).as("native"),
+      parse(col("record")).as("udf")).collect()
+    rows.foreach { r =>
+      assert(r.getMap[String, String](0).toMap === r.getMap[String, String](1).toMap)
+    }
+    // ordering parity too (map iteration order feeds downstream hashing)
+    rows.foreach { r =>
+      assert(r.getMap[String, String](0).keys.toSeq === r.getMap[String, String](1).keys.toSeq)
+    }
+  }
+
+  test("textops: chunkTokens reassembles to the original token stream over the corpus") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reassembled = graft.operators.TextOps.chunkTokens(docs, "doc_id", "text", 50)
+      .groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        _.getField("chunk_text")), " ").as("joined"))
+    val original = docs.select(col("doc_id").as("id"),
+      array_join(graft.functions.TextFunctions.tokens(col("text")), " ").as("orig"))
+      .filter(length(col("orig")) > 0)
+    val diff = original.join(reassembled, Seq("id"), "full")
+      .filter(col("joined").isNull || col("orig").isNull || col("joined") =!= col("orig"))
+    assert(diff.count() === 0)
+  }
+
   test("textops: chunkTokens splits on exact boundaries, keeps order, drops empty docs") {
     import spark.implicits._
     val df = Seq(
