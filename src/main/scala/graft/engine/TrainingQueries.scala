@@ -99,6 +99,31 @@ object TrainingQueries {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // Intra-document repetition filter (the Gopher-rules shape): the
+    // fraction of a document's token trigrams that are duplicates of
+    // an earlier trigram in the SAME document. High-repetition docs
+    // (boilerplate, listicles, generator loops) get filtered before
+    // training. Stateless per row — shingle, distinct, ratio.
+    sql("q75_repetition_filter",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+2), ' ') FOR i IN range(1, len(toks)-1)] END AS grams FROM t)
+        |SELECT doc_id, len(grams) AS n_grams,
+        |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS dup_frac,
+        |       (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) <= 0.2 AS keep
+        |FROM sh ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val grams = Dedup.shingles(col("text"), 3)
+        val dupFrac = lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams).cast("double")
+        documents(s, d).select(
+          col("doc_id"),
+          size(grams).cast("long").as("n_grams"),
+          round(dupFrac, 4).as("dup_frac"),
+          (dupFrac <= 0.2).as("keep"))
+          .orderBy("doc_id")
+    },
+
     // Corpus n-gram statistics: top-5 token bigrams per language.
     sql("q70_ngram_topk",
       """WITH t AS (SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
