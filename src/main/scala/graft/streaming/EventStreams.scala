@@ -86,6 +86,30 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming benchmark decontamination: flags incoming documents
+    * that share any token `shingleSize`-gram with a STATIC benchmark
+    * corpus (the eval set). The benchmark's shingle set is a static
+    * DataFrame — Spark broadcasts it into every micro-batch
+    * (stream-static join), so the document stream is never shuffled;
+    * per-doc dedup of the flag is watermark-bounded. Output: one row
+    * per contaminated (id, ts) within the horizon.
+    */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", shingleSize: Int = 4,
+      watermark: String = "30 minutes"): DataFrame = {
+    val benchShingles = benchmark.select(
+      explode(array_distinct(graft.plans.TokenShinglesExpr
+        .token_shingles(col(textCol), shingleSize))).as("shingle")).distinct()
+    docs.select(col(idCol), col(tsCol),
+        explode(array_distinct(graft.plans.TokenShinglesExpr
+          .token_shingles(col(textCol), shingleSize))).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

@@ -105,6 +105,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 2L), s"boilerplate re-arrival must be suppressed: $kept")
   }
 
+  test("streaming contamination flags docs sharing shingles with the static benchmark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val benchmark = Seq((100L, "the held out benchmark question about spark shuffles appears here"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[Doc]
+    val q = EventStreams.contaminationFlags(src.toDF(), benchmark, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("contam_out").start()
+    src.addData(
+      // contains the benchmark 4-gram "benchmark question about spark"
+      Doc(1, ts(0), "prefix words then the held out benchmark question about spark shuffles leaked"),
+      Doc(2, ts(1), "a clean document with entirely different content and no overlap"))
+    q.processAllAvailable()
+    // the same contaminated doc re-delivered → still one flag
+    src.addData(Doc(1, ts(2), "prefix words then the held out benchmark question about spark shuffles leaked"))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("contam_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged === Seq(1L), s"only the leaked doc is flagged, once: $flagged")
+  }
+
   test("cursor machine keeps per-user monotonic state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
