@@ -66,7 +66,13 @@ object TextFunctions {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   private def hitCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+    graft.plans.TokenSetHitsExpr.token_set_hits(text, Seq(words)).getItem(0)
+
+  /** Higher-order-function hit count — the differential oracle for
+    * `TokenSetHitsExpr` (see FunctionsSpec).
+    */
+  private[graft] def hitCountHof(text: Column, words: Seq[String]): Column =
+    size(filter(tokensHof(text), t => t.isInCollection(words))).cast("long")
 
   /** Fraction of tokens that are stopwords. */
   def stopwordRatio(text: Column): Column =
@@ -95,9 +101,16 @@ object TextFunctions {
   /** Language ID by marker-word scoring: the language with the highest
     * marker hit count wins; ties break alphabetically (declaration
     * order); zero hits overall → "und". Deterministic, SQL-mirrorable.
+    * All four marker sets are counted in ONE kernel pass
+    * (`TokenSetHitsExpr`), then the argmax is plain codegen'd
+    * arithmetic over the counts array.
     */
   def langIdMarkers(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ws) => l -> hitCount(text, ws) }
+    val hits = graft.plans.TokenSetHitsExpr.token_set_hits(
+      text, LangMarkers.map(_._2))
+    val scores = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+      l -> hits.getItem(i)
+    }
     val total = scores.map(_._2).reduce(_ + _)
     val top = scores.map(_._2).reduce(greatest(_, _))
     val pick = scores.foldRight(lit("und")) { case ((l, sc), els) =>

@@ -24,6 +24,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3).getLong(0) === 0)
   }
 
+  test("native token-set hits match the HOF hit counts over the real corpus") {
+    import spark.implicits._
+    val sets = Seq(TextFunctions.Stopwords) ++ TextFunctions.LangMarkers.map(_._2)
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("the der el le und", "", "   ", "no markers here at all").toDF("text"))
+    val native = graft.plans.TokenSetHitsExpr.token_set_hits(col("text"), sets)
+    val diffs = sets.zipWithIndex.map { case (s, i) =>
+      not(native.getItem(i) === TextFunctions.hitCountHof(col("text"), s))
+    }.reduce(_ || _)
+    assert(corpus.filter(diffs).count() === 0)
+  }
+
   test("native tokenizer matches the HOF formulation over the real corpus and edge cases") {
     import spark.implicits._
     val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
