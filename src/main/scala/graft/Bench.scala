@@ -40,16 +40,20 @@ object Bench {
       selected.map { case (name, fn) =>
         System.err.println(s"[bench] start $name (pass $pass)")
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
+        // a failed pass is not a measurement: its time-to-exception
+        // must never win the min, so it scores +Infinity
+        val (n, ok) = try (fn(spark, sfDir).count(), true)
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1L, false) }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
         System.err.println(f"[bench] done  $name rows=$n $dt%.2fs")
         name -> dt
       }
     }
     val results = selected.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val best = passes.map(_.toMap.apply(name)).min
+      // every pass failed → -1 sentinel (keeps the JSON numeric)
+      name -> (if (best.isInfinity) -1.0 else best)
     }
     // ms resolution and a numeric sf keep the whole line under the
     // driver's 2000-char stdout tail window, so it stays machine-parseable

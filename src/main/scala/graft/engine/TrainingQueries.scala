@@ -104,12 +104,16 @@ object TrainingQueries {
     // an earlier trigram in the SAME document. High-repetition docs
     // (boilerplate, listicles, generator loops) get filtered before
     // training. Stateless per row — shingle, distinct, ratio.
+    // dup_frac is reported integer-scaled (basis points, floored):
+    // round(double, n) on a row-level ratio is the known Spark-HALF_UP
+    // vs DuckDB-binary-round divergence (oracle-parity rule #1); the
+    // floor of x·10⁴ is computed identically on identical doubles.
     sql("q75_repetition_filter",
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |   ELSE [array_to_string(list_slice(toks, i, i+2), ' ') FOR i IN range(1, len(toks)-1)] END AS grams FROM t)
         |SELECT doc_id, len(grams) AS n_grams,
-        |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS dup_frac,
+        |       CAST(floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000.0) AS BIGINT) AS dup_bp,
         |       (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) <= 0.2 AS keep
         |FROM sh ORDER BY doc_id""".stripMargin) {
       (s, d) =>
@@ -119,7 +123,7 @@ object TrainingQueries {
         documents(s, d).select(
           col("doc_id"),
           size(grams).cast("long").as("n_grams"),
-          round(dupFrac, 4).as("dup_frac"),
+          floor(dupFrac * 10000.0).cast("long").as("dup_bp"),
           (dupFrac <= 0.2).as("keep"))
           .orderBy("doc_id")
     },

@@ -73,7 +73,10 @@ object SdfReader {
         }
       } else i += 1
     }
-    out.toMap
+    // insertion-ordered result: plain .toMap degrades to a HashMap at
+    // 5+ entries, silently changing iteration order vs the native
+    // SdfPropsExpr (real SDF records routinely carry 5+ tags)
+    scala.collection.immutable.ListMap.from(out)
   }
 
   def sdfProps(record: Column): Column =

@@ -88,11 +88,20 @@ object EventStreams {
 
   /** Streaming benchmark decontamination: flags incoming documents
     * that share any token `shingleSize`-gram with a STATIC benchmark
-    * corpus (the eval set). The benchmark's shingle set is a static
-    * DataFrame — Spark broadcasts it into every micro-batch
-    * (stream-static join), so the document stream is never shuffled;
-    * per-doc dedup of the flag is watermark-bounded. Output: one row
-    * per contaminated (id, ts) within the horizon.
+    * corpus (the eval set). The benchmark's shingle set is computed
+    * ONCE and persisted (a stream-static join re-evaluates the static
+    * side every micro-batch otherwise), then broadcast into each
+    * batch, so the document stream is never shuffled; per-doc dedup of
+    * the flag is watermark-bounded. Output: one row per contaminated
+    * (id, ts) within the horizon.
+    *
+    * Degenerate shingles are dropped on both sides: a doc shorter
+    * than `shingleSize` yields one whole-doc shingle (an empty doc
+    * yields ""), and an empty-ish benchmark entry would otherwise
+    * flag every empty streaming doc. Benchmark items shorter than
+    * `shingleSize` therefore only match a streaming doc that IS that
+    * short text verbatim — pick a smaller `shingleSize` when the
+    * benchmark carries very short items.
     */
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -100,10 +109,14 @@ object EventStreams {
       watermark: String = "30 minutes"): DataFrame = {
     val benchShingles = benchmark.select(
       explode(array_distinct(graft.plans.TokenShinglesExpr
-        .token_shingles(col(textCol), shingleSize))).as("shingle")).distinct()
+        .token_shingles(col(textCol), shingleSize))).as("shingle"))
+      .filter(col("shingle") =!= "")
+      .distinct()
+      .persist()
     docs.select(col(idCol), col(tsCol),
         explode(array_distinct(graft.plans.TokenShinglesExpr
           .token_shingles(col(textCol), shingleSize))).as("shingle"))
+      .filter(col("shingle") =!= "")
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)

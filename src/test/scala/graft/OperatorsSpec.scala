@@ -276,7 +276,11 @@ class OperatorsSpec extends SparkSpec {
       "mol\n  comment\n\nM  END\n> <ID>\nMOL1\n\n> <SMILES>\nCCO\n",
       "mol\nM  END\n> <Multi>\nline one\nline two\n\n> malformed no tag\n> <Empty>\n\n> <Dup>\na\n\n> <Dup>\nb\n",
       "no properties at all\nM  END\n",
-      "")
+      "",
+      // 6 tags: beyond Scala's Map4, where a plain .toMap would lose
+      // insertion order — the ordering-parity case that matters for
+      // real PubChem records
+      (1 to 6).map(i => s"> <TAG_$i>\nv$i\n").mkString("mol\nM  END\n", "\n", ""))
     val df = records.toDF("record")
     val parse = org.apache.spark.sql.functions.udf(graft.sources.SdfReader.parseProps)
     val rows = df.select(
