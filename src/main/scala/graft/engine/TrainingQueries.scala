@@ -37,14 +37,17 @@ object TrainingQueries {
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
         |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS shingle FROM t),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-        |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0 AND shingle <> ''),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0 AND shingle <> '')
         |SELECT corp.doc_id AS doc_id, count(DISTINCT corp.shingle) AS n_overlap
         |FROM corp JOIN ev ON corp.shingle = ev.shingle
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, d) =>
+        // empty docs produce one "" shingle — dropped on both sides so
+        // an empty eval doc can never flag every empty corpus doc
         val sh = documents(s, d).select(col("doc_id"),
           explode(array_distinct(Dedup.shingles(col("text"), 4))).as("shingle"))
+          .filter(col("shingle") =!= "")
         val ev = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
         sh.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(ev), "shingle")
