@@ -211,6 +211,11 @@ object RelationalQueries {
         |  ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
         | FROM supplier) t ORDER BY s_suppkey""".stripMargin) {
       (s, d) =>
+        // deliberately UNPARTITIONED windows: global rank/ntile is the
+        // declared operator, and it runs over `supplier` — a dimension
+        // table, small at every scale factor. Spark's single-partition
+        // WindowExec warning is the expected cost of a total order;
+        // fact-table windows elsewhere (q07/q08/q62) all partition.
         val wBal = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
         val wNat = Window.orderBy(col("s_nationkey"))
         supplier(s, d).select(
