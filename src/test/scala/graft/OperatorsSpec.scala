@@ -136,6 +136,34 @@ class OperatorsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("kernels agree with their HOF oracles in interpreted mode (codegen off)") {
+    // production falls back to nullSafeEval when codegen fails to
+    // compile — that path must match the oracles too
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      val diff = corpus.select(
+        graft.functions.TextFunctions.tokens(col("text")).as("t_n"),
+        graft.functions.TextFunctions.tokensHof(col("text")).as("t_h"),
+        Dedup.simHash32(col("text")).as("sh_n"),
+        Dedup.simHash32Hof(col("text")).as("sh_h"),
+        graft.plans.ShingleMinHashBandKeysExpr
+          .shingle_minhash_band_keys(col("text"), 4, 4).as("bk_n"),
+        Dedup.lshBandKeys(Dedup.signatureFromHashesHof(
+          Dedup.shingleHashes(col("text")), 16), 4, 4).as("bk_h"))
+        .filter(not(col("t_n") === col("t_h")) || not(col("sh_n") === col("sh_h"))
+          || not(col("bk_n") === col("bk_h")))
+      assert(diff.count() === 0)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("simhash: identical texts equal, near-dups closer than unrelated") {
     val h = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
