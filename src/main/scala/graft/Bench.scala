@@ -60,7 +60,9 @@ object Bench {
     def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = ms(results.map(_._2).sum)
+    // failed queries carry the -1 sentinel — excluded from the total so
+    // a failure can't subtract from the headline number
+    val total = ms(results.map(_._2).filter(_ >= 0).sum)
     val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")

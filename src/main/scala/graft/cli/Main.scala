@@ -125,6 +125,13 @@ object Main {
         .getOrElse(Seq(pat))
     }.sorted
 
+  /** MD5 fingerprint of an ordered file listing (resume-drift check). */
+  private def prefixMd5(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update((f + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** File-source ingest with mid-source resume (S19 upgrade, reference
     * pubchem.py:253-269 file_index resume): input files are processed
     * in waves of `resume_wave_files`, the per-source checkpoint records
@@ -146,9 +153,20 @@ object Main {
     var done = prior.flatMap(_.cursor.get("files_done")).map(_.toInt).getOrElse(0)
     // the resume index is positional over a re-globbed, re-sorted list;
     // if files appeared or vanished between the crash and the re-run the
-    // index would silently skip or re-ingest the wrong files — verify
-    // the recorded last-completed file still sits at position done-1 and
-    // fail loudly on drift (the operator must reconcile, not us guess)
+    // index would silently skip or re-ingest the wrong files — verify a
+    // fingerprint of the WHOLE completed prefix (a last-file-only check
+    // misses balanced add+remove drift earlier in the listing) and fail
+    // loudly on drift (the operator must reconcile, not us guess)
+    prior.flatMap(_.cursor.get("prefix_md5")).foreach { want =>
+      val got = prefixMd5(files.take(done))
+      if (got != want)
+        throw new IllegalStateException(
+          s"resume drift for source '${spec.name}': the first $done files of the " +
+            "current listing differ from the checkpointed completed prefix — the " +
+            "input set changed since the checkpoint; clear the checkpoint or " +
+            "restore the files")
+    }
+    // secondary (and legacy-checkpoint) check on the last completed file
     prior.flatMap(_.cursor.get("last_file")).foreach { last =>
       val at = if (done > 0 && done <= files.size) files(done - 1) else ""
       if (at != last)
@@ -172,7 +190,8 @@ object Main {
       waves += 1
       JobManifest.store(checkpointRoot, spec.name,
         JobManifest.Checkpoint(
-          Map("files_done" -> done.toString, "last_file" -> wave.last),
+          Map("files_done" -> done.toString, "last_file" -> wave.last,
+            "prefix_md5" -> prefixMd5(files.take(done))),
           batchIdx, completed = false), hconf)
     }
     if (!it.hasNext)

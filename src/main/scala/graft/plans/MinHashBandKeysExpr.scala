@@ -41,8 +41,7 @@ case class MinHashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
   private val P31 = 2147483647L
   private def numHashes = bands * rowsPerBand
 
-  @transient private lazy val bConsts: Array[Long] =
-    Array.tabulate(numHashes)(k => ((k.toLong * 2654435761L) + 1) % P31)
+  @transient private lazy val bConsts: Array[Long] = Kernels.minhashBConsts(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -52,30 +51,10 @@ case class MinHashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var k = 0
-      while (k < numHashes) {
-        var v = ((2L * k + 1) * h + bConsts(k)) % P31
-        if (v < 0) v += P31
-        if (v < mins(k)) mins(k) = v
-        k += 1
-      }
+      Kernels.updateMinima(mins, bConsts, arr.getLong(i))
       i += 1
     }
-    val keys = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = 0L
-      var r = 0
-      while (r < rowsPerBand) {
-        acc = (acc * 1000003L + mins(b * rowsPerBand + r)) % P31
-        if (acc < 0) acc += P31
-        r += 1
-      }
-      keys(b) = acc
-      b += 1
-    }
-    new GenericArrayData(keys)
+    new GenericArrayData(Kernels.bandKeys(mins, bands, rowsPerBand))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -121,9 +100,12 @@ case class MinHashBandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
 
 object MinHashBandKeysExpr {
   /** Column API: native fused signature+banding over an array<long>
-    * shingle-hash column.
+    * shingle-hash column. Named `_from_hashes` to keep it distinct
+    * from the SQL function `minhash_band_keys`, which takes raw TEXT
+    * (the fully-fused `ShingleMinHashBandKeysExpr`) — one name bound
+    * to two input contracts confused users porting between APIs.
     */
-  def minhash_band_keys(hashes: Column, bands: Int, rowsPerBand: Int): Column =
+  def minhash_band_keys_from_hashes(hashes: Column, bands: Int, rowsPerBand: Int): Column =
     GraftColumnBridge.column(
       MinHashBandKeysExpr(GraftColumnBridge.expression(hashes), bands, rowsPerBand))
 }

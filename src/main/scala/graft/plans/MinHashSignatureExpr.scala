@@ -34,8 +34,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 
   private val P31 = 2147483647L
 
-  @transient private lazy val bConsts: Array[Long] =
-    Array.tabulate(numHashes)(k => ((k.toLong * 2654435761L) + 1) % P31)
+  @transient private lazy val bConsts: Array[Long] = Kernels.minhashBConsts(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -45,14 +44,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var k = 0
-      while (k < numHashes) {
-        var v = ((2L * k + 1) * h + bConsts(k)) % P31
-        if (v < 0) v += P31
-        if (v < mins(k)) mins(k) = v
-        k += 1
-      }
+      Kernels.updateMinima(mins, bConsts, arr.getLong(i))
       i += 1
     }
     new GenericArrayData(mins)

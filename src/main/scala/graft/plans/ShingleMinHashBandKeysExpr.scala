@@ -49,42 +49,22 @@ case class ShingleMinHashBandKeysExpr(child: Expression, bands: Int,
   private val P31 = 2147483647L
   private def numHashes = bands * rowsPerBand
 
-  @transient private lazy val bConsts: Array[Long] =
-    Array.tabulate(numHashes)(k => ((k.toLong * 2654435761L) + 1) % P31)
+  @transient private lazy val bConsts: Array[Long] = Kernels.minhashBConsts(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   /** The per-row kernel; public so generated code can call it. */
   def compute(text: UTF8String): ArrayData = {
-    val toks0 = text.toString.split("\\s+")
-    var nTok = 0
-    var i = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
-    val toks = new Array[String](nTok)
-    i = 0; var j = 0
-    while (i < toks0.length) {
-      if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }
-      i += 1
-    }
+    val toks = Kernels.wsTokens(text)
+    val nTok = toks.length
     val mins = Array.fill(numHashes)(P31)
-    def addShingle(s: String): Unit = {
-      val bytes = s.getBytes(StandardCharsets.UTF_8)
-      var h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42L) % P31
-      if (h < 0) h += P31
-      var k = 0
-      while (k < numHashes) {
-        var v = ((2L * k + 1) * h + bConsts(k)) % P31
-        if (v < 0) v += P31
-        if (v < mins(k)) mins(k) = v
-        k += 1
-      }
-    }
+    def addShingle(s: String): Unit =
+      Kernels.updateMinima(mins, bConsts, Kernels.stringHashP31(s))
     if (nTok < shingleSize) {
       addShingle(toks.mkString(" "))
     } else {
       val sb = new java.lang.StringBuilder
-      i = 0
+      var i = 0
       while (i + shingleSize <= nTok) {
         sb.setLength(0)
         var k = 0
@@ -97,20 +77,7 @@ case class ShingleMinHashBandKeysExpr(child: Expression, bands: Int,
         i += 1
       }
     }
-    val keys = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = 0L
-      var r = 0
-      while (r < rowsPerBand) {
-        acc = (acc * 1000003L + mins(b * rowsPerBand + r)) % P31
-        if (acc < 0) acc += P31
-        r += 1
-      }
-      keys(b) = acc
-      b += 1
-    }
-    new GenericArrayData(keys)
+    new GenericArrayData(Kernels.bandKeys(mins, bands, rowsPerBand))
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -35,34 +35,7 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   /** Per-row kernel; public so generated code can call it. */
-  def compute(text: UTF8String): Long = {
-    val toks = text.toString.split("\\s+")
-    val votes = new Array[Int](32)
-    var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        val bytes = toks(i).getBytes(StandardCharsets.UTF_8)
-        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
-        // low 32 bits, as a non-negative value — matches
-        // pmod(xxhash64(tok), 2^32) in the HOF form
-        val low = h & 0xffffffffL
-        var b = 0
-        while (b < 32) {
-          if ((low & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var code = 0L
-    var b = 0
-    while (b < 32) {
-      if (votes(b) > 0) code |= 1L << b
-      b += 1
-    }
-    code
-  }
+  def compute(text: UTF8String): Long = Kernels.simhash(text, 32)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -103,31 +76,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   /** Per-row kernel; public so generated code can call it. */
-  def compute(text: UTF8String): Long = {
-    val toks = text.toString.split("\\s+")
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        val bytes = toks(i).getBytes(StandardCharsets.UTF_8)
-        val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
-        var b = 0
-        while (b < 64) {
-          if ((h & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var code = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) code |= 1L << b
-      b += 1
-    }
-    code
-  }
+  def compute(text: UTF8String): Long = Kernels.simhash(text, 64)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])

@@ -44,17 +44,14 @@ case class TokenSetHitsExpr(child: Expression, sets: Seq[Seq[String]])
 
   /** Per-row kernel; public so generated code can call it. */
   def compute(text: UTF8String): GenericArrayData = {
-    val toks = text.toString.split("\\s+")
+    val toks = Kernels.wsTokens(text)
     val counts = new Array[Long](hashSets.length)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      if (t.nonEmpty) {
-        var s = 0
-        while (s < hashSets.length) {
-          if (hashSets(s).contains(t)) counts(s) += 1
-          s += 1
-        }
+      var s = 0
+      while (s < hashSets.length) {
+        if (hashSets(s).contains(toks(i))) counts(s) += 1
+        s += 1
       }
       i += 1
     }

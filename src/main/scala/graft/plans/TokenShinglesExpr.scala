@@ -34,16 +34,9 @@ case class TokenShinglesExpr(child: Expression, n: Int) extends UnaryExpression 
 
   /** Per-row kernel; public so generated code can call it. */
   def compute(text: UTF8String): ArrayData = {
-    val toks0 = text.toString.split("\\s+")
-    var nTok = 0
+    val toks = Kernels.wsTokens(text)
+    val nTok = toks.length
     var i = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) nTok += 1; i += 1 }
-    val toks = new Array[String](nTok)
-    i = 0; var j = 0
-    while (i < toks0.length) {
-      if (toks0(i).nonEmpty) { toks(j) = toks0(i); j += 1 }
-      i += 1
-    }
     if (nTok < n) {
       new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
     } else {

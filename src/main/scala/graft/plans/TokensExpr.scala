@@ -36,16 +36,10 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
 
   /** Per-row kernel; public so generated code can call it. */
   def compute(text: UTF8String): ArrayData = {
-    val toks0 = text.toString.split("\\s+")
-    var n = 0
+    val toks = Kernels.wsTokens(text)
+    val out = new Array[Any](toks.length)
     var i = 0
-    while (i < toks0.length) { if (toks0(i).nonEmpty) n += 1; i += 1 }
-    val out = new Array[Any](n)
-    i = 0; var j = 0
-    while (i < toks0.length) {
-      if (toks0(i).nonEmpty) { out(j) = UTF8String.fromString(toks0(i)); j += 1 }
-      i += 1
-    }
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
 

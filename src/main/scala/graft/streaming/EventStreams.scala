@@ -106,13 +106,34 @@ object EventStreams {
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts", shingleSize: Int = 4,
-      watermark: String = "30 minutes"): DataFrame = {
-    val benchShingles = benchmark.select(
+      watermark: String = "30 minutes"): DataFrame =
+    // convenience form: builds and persists the shingle set; the cache
+    // lives until the session ends. Long-lived services constructing
+    // several streams (or refreshing the benchmark) should build the
+    // set once with `benchmarkShingles`, persist/unpersist it
+    // themselves, and use `contaminationFlagsAgainst`.
+    contaminationFlagsAgainst(docs,
+      benchmarkShingles(benchmark, textCol, shingleSize).persist(),
+      idCol, textCol, tsCol, shingleSize, watermark)
+
+  /** The distinct non-degenerate shingle set of a benchmark corpus —
+    * NOT persisted; the caller owns the lifecycle.
+    */
+  def benchmarkShingles(benchmark: DataFrame, textCol: String = "text",
+      shingleSize: Int = 4): DataFrame =
+    benchmark.select(
       explode(array_distinct(graft.plans.TokenShinglesExpr
         .token_shingles(col(textCol), shingleSize))).as("shingle"))
       .filter(col("shingle") =!= "")
       .distinct()
-      .persist()
+
+  /** [[contaminationFlags]] against a prepared (ideally persisted)
+    * one-column `shingle` DataFrame from [[benchmarkShingles]].
+    */
+  def contaminationFlagsAgainst(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", shingleSize: Int = 4,
+      watermark: String = "30 minutes"): DataFrame =
     docs.select(col(idCol), col(tsCol),
         explode(array_distinct(graft.plans.TokenShinglesExpr
           .token_shingles(col(textCol), shingleSize))).as("shingle"))
@@ -121,7 +142,6 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))
-  }
 
   // ---- arbitrary state: per-user cursor machine ------------------------
 

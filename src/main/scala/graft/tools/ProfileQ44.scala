@@ -29,7 +29,7 @@ object ProfileQ44 {
     time("shingleHashes")(docs.select(size(Dedup.shingleHashes(col("text"))).as("n"))
       .agg(sum("n")).collect()(0).getLong(0))
     time("fused-bandkeys")(docs.select(
-      graft.plans.MinHashBandKeysExpr.minhash_band_keys(
+      graft.plans.MinHashBandKeysExpr.minhash_band_keys_from_hashes(
         Dedup.shingleHashes(col("text")), 8, 8).as("k"))
       .select(aggregate(col("k"), lit(0L), _ + _).as("s"))
       .agg(sum("s")).collect()(0).getLong(0))

@@ -290,6 +290,11 @@ class IngestionSpec extends SparkSpec {
       === Seq("/a/x.tsv", "/b/y.tsv"))
     assert(graft.sources.PathPatterns.split("/data/{a,b}/z.tsv")
       === Seq("/data/{a,b}/z.tsv"))
+    // mixed: a comma LIST where one entry contains braces — only
+    // depth-zero commas split (a brace-named file must not collapse a
+    // resumable wave's comma-joined path list into one bogus path)
+    assert(graft.sources.PathPatterns.split("/a/x.tsv,/b/snap{1}.tsv,/c/{d,e}/y.tsv")
+      === Seq("/a/x.tsv", "/b/snap{1}.tsv", "/c/{d,e}/y.tsv"))
     // brace glob resolves through expandPaths end-to-end
     val dir = tmpDir("braceglob")
     Files.createDirectories(Paths.get(s"$dir/a"))

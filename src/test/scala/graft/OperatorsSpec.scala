@@ -103,7 +103,7 @@ class OperatorsSpec extends SparkSpec {
   test("native fused band-keys expressions match the HOF band keys over HOF signature") {
     val hashes = Dedup.shingleHashes(col("text"))
     val both = docs.select(
-      graft.plans.MinHashBandKeysExpr.minhash_band_keys(hashes, 8, 4).as("native"),
+      graft.plans.MinHashBandKeysExpr.minhash_band_keys_from_hashes(hashes, 8, 4).as("native"),
       graft.plans.ShingleMinHashBandKeysExpr
         .shingle_minhash_band_keys(col("text"), 8, 4).as("fused"),
       Dedup.lshBandKeys(Dedup.signatureFromHashesHof(hashes, 32), 8, 4).as("hof"))
