@@ -55,9 +55,11 @@ object Bench {
       // every pass failed → -1 sentinel (keeps the JSON numeric)
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    // ms resolution and a numeric sf keep the whole line under the
-    // driver's 2000-char stdout tail window, so it stays machine-parseable
-    def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // centisecond resolution and a numeric sf keep the whole line under
+    // the driver's 2000-char stdout tail window with headroom (74
+    // queries at 3 decimals measured 1991 chars — one digit of growth
+    // from a truncated, unparseable line)
+    def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel — excluded from the total so
