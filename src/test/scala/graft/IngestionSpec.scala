@@ -283,6 +283,16 @@ class IngestionSpec extends SparkSpec {
       Main.ingestFilesResumable(spark, job, spec, cpRoot, Main.readers("delimited"))
     }
     assert(e.getMessage.contains("resume drift"))
+    // balanced add+remove drift: delete part1 and add part0b so the
+    // listing LENGTH and the file at position done-1 both still match —
+    // only the whole-prefix fingerprint can catch this
+    Files.delete(Paths.get(s"$dir/part1a.tsv"))
+    Files.delete(Paths.get(s"$dir/part1.tsv"))
+    Files.writeString(Paths.get(s"$dir/part0b.tsv"), "CC\tZINCY\n")
+    val e2 = intercept[IllegalStateException] {
+      Main.ingestFilesResumable(spark, job, spec, cpRoot, Main.readers("delimited"))
+    }
+    assert(e2.getMessage.contains("resume drift"))
   }
 
   test("path splitting: comma lists split, brace globs pass through intact") {
