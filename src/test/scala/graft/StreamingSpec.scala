@@ -173,6 +173,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup suppression state survives a query restart (checkpoint recovery)") {
+    import spark.implicits._
+    val in = tmpDir("nd_in")
+    val out = tmpDir("nd_out")
+    val cp = tmpDir("nd_cp")
+    val boiler = "standard footer boilerplate repeated on every page of the site"
+    val schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+    def write(rows: (Long, Int, String)*): Unit =
+      rows.map { case (id, m, t) => (id, ts(m), t) }.toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = EventStreams.nearDupSuppress(
+          spark.readStream.schema(schema).parquet(in), "text", "ts", "2 hours")
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    write((1L, 0, boiler), (2L, 1, "a different document about joins"))
+    runOnce()
+    // the boiler re-arrives AFTER a full stop/restart: only the
+    // checkpoint-restored dedup state can suppress it
+    write((3L, 2, boiler), (4L, 3, "a third genuinely new document"))
+    runOnce()
+    val kept = spark.read.json(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L),
+      s"restored state must suppress the re-arrived boilerplate: $kept")
+  }
+
   test("file sink + checkpoint: restart does not duplicate output (exactly-once)") {
     val batch = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "event_type", "value")
