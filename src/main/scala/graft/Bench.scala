@@ -63,11 +63,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel — excluded from the total so
-    // a failure can't subtract from the headline number
+    // a failure can't subtract from the headline number. When any query
+    // failed, a "failed" count is emitted so a parser comparing totals
+    // can tell the runs are incomparable (the key is absent on clean
+    // runs to preserve the stdout-tail char budget).
     val total = ms(results.map(_._2).filter(_ >= 0).sum)
+    val nFailed = results.count(_._2 < 0)
+    val failed = if (nFailed > 0) s""","failed":$nFailed""" else ""
     val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf$failed}""")
     spark.stop()
   }
 }

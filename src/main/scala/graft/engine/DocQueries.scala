@@ -16,6 +16,13 @@ object DocQueries {
   import QueryDef._
   import Tables._
 
+  /** q38 drops tokens whose document frequency exceeds this fraction
+    * of the corpus before the token self-join (high-df tokens carry
+    * ~no Jaccard signal and form quadratic join groups). The same cap
+    * is interpolated into the DuckDB oracle.
+    */
+  val MaxDfFraction: Double = 0.5
+
   val all: Seq[QueryDef] = Seq(
 
     sql("q34_text_stats",
@@ -102,15 +109,32 @@ object DocQueries {
     // derive |A∪B| = |A|+|B|−|A∩B| — is exactly the shape that scales:
     // the token join shuffles on the token key, never materializing the
     // O(n²) pair space outside the blocking buckets.
+    //
+    // High-df pruning: tokens appearing in more than MaxDfFraction of
+    // documents are dropped BEFORE the self-join (from both the
+    // intersection and the set sizes — i.e. Jaccard is computed over
+    // the pruned vocabulary, consistently, and the oracle applies the
+    // identical cap). A corpus-wide stopword ("the") otherwise forms a
+    // join group of ~all docs in its block, and hot-token groups grow
+    // QUADRATICALLY with corpus size even though blocking bounds the
+    // total; high-df tokens carry ~no Jaccard signal, so pruning them
+    // is the standard approximation that bounds every join group at
+    // MaxDfFraction × docs.
     sql("q38_ngram_jaccard",
-      """WITH toks AS (
+      s"""WITH toks AS (
         | SELECT doc_id, lang, n_chars, unnest(list_distinct(
-        |   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS tok
+        |   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS tok
         | FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |pruned AS (
+        | SELECT t.doc_id, t.lang, t.n_chars, t.tok
+        | FROM toks t JOIN dfreq USING (tok) CROSS JOIN n
+        | WHERE dfreq.df <= $MaxDfFraction * n.n_docs),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
         |inter AS (
         | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_both
-        | FROM toks a JOIN toks b
+        | FROM pruned a JOIN pruned b
         |   ON a.tok = b.tok AND a.lang = b.lang AND a.n_chars = b.n_chars
         |  AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
@@ -119,23 +143,9 @@ object DocQueries {
         |FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
         |ORDER BY id1, id2""".stripMargin) {
       (s, d) =>
-        val docs = documents(s, d)
-        val toks = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(tokenSet(col("text"))).as("tok"))
-        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = toks.alias("a")
-        val b = toks.alias("b")
-        val inter = a.join(b,
-            col("a.tok") === col("b.tok") && col("a.lang") === col("b.lang")
-              && col("a.n_chars") === col("b.n_chars")
-              && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .agg(count(lit(1)).as("n_both"))
-        inter
-          .join(sizes.select(col("doc_id"), col("n").as("na")), col("id1") === col("doc_id")).drop("doc_id")
-          .join(sizes.select(col("doc_id"), col("n").as("nb")), col("id2") === col("doc_id")).drop("doc_id")
-          .select(col("id1"), col("id2"),
-            round(col("n_both").cast("double") / (col("na") + col("nb") - col("n_both")), 4).as("jaccard"))
+        graft.operators.TextOps.ngramJaccardPairs(documents(s, d),
+            "doc_id", "text", Seq("lang", "n_chars"), MaxDfFraction)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy(col("id1"), col("id2"))
     },
 

@@ -21,16 +21,28 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Exact dedup keeping the smallest id per identical content.
-    * One hash-partition shuffle on the fingerprint; at 100 TB this is
-    * the cheapest possible formulation (no sort, partial agg on the
-    * map side reduces each partition to unique fps first).
+  /** Exact dedup keeping the smallest-id row per identical content,
+    * with NO sort anywhere in the plan: `groupBy(fingerprint)
+    * .agg(min(id))` finds the keeper ids in a pure HashAggregate
+    * (primitive buffer — partial aggregation collapses duplicates
+    * map-side, so only unique fingerprints cross the wire), then a
+    * shuffled-hash LEFT SEMI join keeps the keeper rows. (Two
+    * formulations that LOOK cheaper both sort the corpus:
+    * `row_number().over(Window.partitionBy(fp).orderBy(id))` shuffles
+    * AND per-group-sorts all rows, and `agg(min_by(struct(*), id))` —
+    * one shuffle on paper — plans as SortAggregate because a struct
+    * aggregation buffer is not hash-supported. The `shuffle_hash`
+    * hint on the keeper side matters for the same reason: the default
+    * sort-merge semi-join would re-sort both sides; hashing the
+    * keeper-id build side is strictly cheaper and skew-free, since
+    * ids are unique.)
     */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val keepers = df
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select("__keep_id")
+    df.join(keepers.hint("shuffle_hash"), col(idCol) === col("__keep_id"), "left_semi")
   }
 
   /** Token `n`-gram shingles as an array column — the native
@@ -41,11 +53,14 @@ object Dedup {
     graft.plans.TokenShinglesExpr.token_shingles(text, n)
 
   /** Higher-order-function shingles — the differential oracle for the
-    * native kernel. The CASE references `toks` four times; HOFs are
-    * CodegenFallback with no CSE, so split/filter run 4× per row here.
+    * native kernel, built on `tokensHof` (NOT the native `TokensExpr`)
+    * so the oracle is fully independent of the kernels it checks: a
+    * tokenization bug cannot cancel out of both sides. The CASE
+    * references `toks` four times; HOFs are CodegenFallback with no
+    * CSE, so split/filter run 4× per row here.
     */
   def shinglesHof(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
+    val toks = TextFunctions.tokensHof(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -192,12 +207,14 @@ object Dedup {
     graft.plans.SimHash32Expr.simhash32(text)
 
   /** Higher-order-function SimHash — the differential oracle for the
-    * native kernel. 32 bits (not 64) so bit extraction stays exact in
-    * the double arithmetic available to higher-order expressions.
+    * native kernel, tokenized via `tokensHof` so the oracle shares NO
+    * native kernel with the expression it checks. 32 bits (not 64) so
+    * bit extraction stays exact in the double arithmetic available to
+    * higher-order expressions.
     */
   def simHash32Hof(text: Column): Column = {
     val powers = array((0 until 32).map(i => lit(1L << i)): _*)
-    val toks = TextFunctions.tokens(text)
+    val toks = TextFunctions.tokensHof(text)
     val votes = aggregate(
       toks,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
@@ -212,29 +229,88 @@ object Dedup {
   }
 
   /** Full near-dup removal pipeline: MinHash-LSH candidates → exact
-    * token-Jaccard verification at `threshold` → connected rows
-    * collapse to the smallest id (union-find degenerates to min-id
-    * because verified pairs are re-joined transitively through the
-    * keeper map in one pass — adequate for near-dup clusters, which
-    * are overwhelmingly pairs/stars at realistic thresholds).
+    * token-Jaccard verification at `threshold` → collapse to keepers.
+    *
+    * Two keeper policies, selected by `transitive`:
+    *  - `false` (default): single-pass — every id2 of a verified pair
+    *    is dropped (its pair's id1 is smaller by construction, so the
+    *    smallest id of every pair survives). A doc is KEPT iff it has
+    *    no verified near-dup with a smaller id — adequate for near-dup
+    *    clusters, which are overwhelmingly pairs/stars at realistic
+    *    thresholds, and it never chains: in a 1–3–2 path (1~3, 3~2,
+    *    1≁2) both 1 and 2 survive.
+    *  - `true`: connected-components — iterative min-id label
+    *    propagation over the verified-pair graph to a fixpoint
+    *    (`nearDupKeeperLabels`); exactly one doc (the component's
+    *    minimum id) survives per transitively-connected cluster, so
+    *    the 1–3–2 chain above keeps only 1.
+    *
     * Returns the deduplicated DataFrame.
     */
   def nearDupes(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+      transitive: Boolean = false): DataFrame = {
+    val verified = verifiedPairs(df, idCol, textCol, threshold, bands, rowsPerBand)
+    val losers =
+      if (transitive)
+        nearDupKeeperLabels(verified)
+          .filter(col("lab") < col("id")).select(col("id").as("__loser"))
+      else
+        verified.select(col("id2").as("__loser")).distinct()
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Verified near-dup pairs (id1 < id2): LSH candidates filtered by
+    * exact token-set Jaccard at `threshold`.
+    */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, bands, rowsPerBand)
     // token sets are computed ONCE per document before the pair join —
     // a doc appearing in k candidate pairs must not tokenize k times
     val sets = df.select(col(idCol).as("__id"),
       TextFunctions.tokenSet(col(textCol)).as("__ts"))
-    val verified = cands
+    cands
       .join(sets.withColumnRenamed("__id", "id1").withColumnRenamed("__ts", "__ts1"), "id1")
       .join(sets.withColumnRenamed("__id", "id2").withColumnRenamed("__ts", "__ts2"), "id2")
       .filter(tokenSetJaccard(col("__ts1"), col("__ts2")) >= threshold)
       .select(col("id1"), col("id2"))
-    // every id2 in a verified pair is dropped (its pair's id1 is
-    // smaller by construction, so the smallest id always survives)
-    val losers = verified.select(col("id2").as("__loser")).distinct()
-    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Min-id connected-component labels over a verified-pair graph
+    * (`(id1, id2)` rows): returns `(id, lab)` where `lab` is the
+    * smallest id transitively reachable from `id` (including itself).
+    *
+    * Iterative label propagation — each round joins current labels
+    * across the edge list and keeps the minimum, stopping at a
+    * fixpoint or after `maxRounds`. The driver-side loop is over the
+    * PAIR graph, which is orders of magnitude smaller than the corpus
+    * (only verified near-dup pairs appear), and each round
+    * `localCheckpoint`s to keep lineage flat; convergence needs
+    * O(diameter) rounds and near-dup clusters are shallow.
+    */
+  def nearDupKeeperLabels(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.groupBy("a").agg(min("b").as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("lab"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("lab").as("nlab")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlab")).as("nlab"))
+      val next = labels.join(nbr, "id")
+        .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lab", "prev"), "id")
+        .filter(col("lab") < col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
   }
 
   /** Jaccard similarity of distinct token sets — the exact verifier
@@ -245,10 +321,22 @@ object Dedup {
 
   /** Jaccard over precomputed distinct-token-set columns — use this
     * form in pair joins so each document tokenizes once, not once per
-    * candidate pair.
+    * candidate pair. Runs in the native one-pass `ArrayJaccardExpr`
+    * kernel: the Column-level `array_intersect` form names the
+    * intersection twice and a join-filter predicate gets no
+    * common-subexpression elimination, so the most expensive per-pair
+    * operation ran twice per candidate. Empty/empty pairs yield NULL
+    * (drops out of a `>= threshold` filter).
     */
-  def tokenSetJaccard(sa: Column, sb: Column): Column = {
+  def tokenSetJaccard(sa: Column, sb: Column): Column =
+    graft.plans.ArrayJaccardExpr.array_jaccard(sa, sb)
+
+  /** Column-level Jaccard — the differential oracle for the native
+    * kernel (zero denominator guarded to NULL to match).
+    */
+  private[graft] def tokenSetJaccardHof(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
-    inter / (size(sa) + size(sb) - size(array_intersect(sa, sb))).cast("double")
+    val den = (size(sa) + size(sb)).cast("double") - inter
+    when(den === 0, lit(null)).otherwise(inter / den)
   }
 }

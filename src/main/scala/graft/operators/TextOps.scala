@@ -45,6 +45,54 @@ object TextOps {
       .filter(col("rn") <= k)
   }
 
+  /** Token-set (1-gram) Jaccard near-dup pairs within blocking
+    * buckets — the library form of catalog query q38. Explode distinct
+    * tokens, self-join on token within the blocking columns, count
+    * intersections, derive |A∪B| = |A|+|B|−|A∩B|: the token join
+    * shuffles on the token key and never materializes the O(n²) pair
+    * space outside the blocks.
+    *
+    * `maxDfFraction` is the skew guard: tokens whose document
+    * frequency exceeds this fraction of the corpus are dropped BEFORE
+    * the self-join (from both the intersection counts and the set
+    * sizes, so the Jaccard is consistently over the pruned
+    * vocabulary). Without it a corpus-wide stopword forms one join
+    * group of ~all documents in its block, and hot-token groups grow
+    * quadratically with corpus size even though blocking bounds the
+    * total; high-df tokens carry ~no Jaccard signal, so the standard
+    * fix is to prune them, which bounds every join group at
+    * `maxDfFraction × docs`. Returns (id1, id2, jaccard), id1 < id2,
+    * for pairs sharing at least one surviving token.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil, maxDfFraction: Double = 0.5): DataFrame = {
+    val blocks = blockCols.map(col)
+    val allToks = docs.select(col(idCol).as("id") +: blocks :+
+      explode(TextFunctions.tokenSet(col(textCol))).as("tok"): _*)
+    // document frequency from the distinct (doc, tok) stream; the
+    // vocabulary-sized df side is AQE-broadcast into the pruning join
+    val dfreq = allToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = allToks.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFraction)
+      .select(col("id") +: blocks :+ col("tok"): _*)
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = toks.alias("a")
+    val b = toks.alias("b")
+    val cond = blockCols.foldLeft(
+      col("a.tok") === col("b.tok") && col("a.id") < col("b.id")) {
+      (acc, c) => acc && col(s"a.$c") === col(s"b.$c")
+    }
+    a.join(b, cond)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("na")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("n_both").cast("double") / (col("na") + col("nb") - col("n_both")))
+          .as("jaccard"))
+  }
+
   /** Fixed-size token chunking for training-data preparation: each
     * document becomes ceil(n_tokens / chunkSize) chunks of up to
     * `chunkSize` tokens, id'd 0-based in token order. Fully relational

@@ -58,6 +58,9 @@ object GraftExtensions {
     ("dot_product", classOf[DotProductExpr].getName, { args: Seq[Expression] =>
       require(args.size == 2, "dot_product(a, b)")
       DotProductExpr(args.head, args(1)) }),
+    ("array_jaccard", classOf[ArrayJaccardExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "array_jaccard(a, b)")
+      ArrayJaccardExpr(args.head, args(1)) }),
     ("cms_estimate", classOf[CmsEstimateExpr].getName, { args: Seq[Expression] =>
       require(args.size == 2, "cms_estimate(sketch, item)")
       CmsEstimateExpr(args.head, args(1)) }),

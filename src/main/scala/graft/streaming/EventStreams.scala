@@ -68,6 +68,17 @@ object EventStreams {
     * watermark — the streaming complement of the batch `Dedup` family
     * (exact-dup streaming = `dedupWithinWatermark` on a fingerprint).
     *
+    * SCOPE — what "near" means here: suppression keys on SimHash
+    * EQUALITY, i.e. this is `dropDuplicates` on a fuzzy 64-bit
+    * fingerprint. Documents whose token multisets differ at all
+    * usually differ in at least one SimHash bit and are NOT
+    * suppressed; what collapses is near-verbatim content whose
+    * differences vanish under whitespace tokenization (re-serialized
+    * boilerplate, reordered whitespace, duplicate crawls). Small-
+    * hamming-distance matching in a stream needs banded state plus an
+    * in-bucket verification stage; for that (lossless) semantics run
+    * the batch `Dedup.nearDupes` pipeline over the landed data.
+    *
     * 64 bits, not 32: suppression is one-sided (a code collision
     * DELETES a genuinely different document, with no verification
     * stage like the batch pipeline's Jaccard pass), so the code space
@@ -106,15 +117,22 @@ object EventStreams {
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts", shingleSize: Int = 4,
-      watermark: String = "30 minutes"): DataFrame =
-    // convenience form: builds and persists the shingle set; the cache
-    // lives until the session ends. Long-lived services constructing
-    // several streams (or refreshing the benchmark) should build the
-    // set once with `benchmarkShingles`, persist/unpersist it
-    // themselves, and use `contaminationFlagsAgainst`.
-    contaminationFlagsAgainst(docs,
-      benchmarkShingles(benchmark, textCol, shingleSize).persist(),
+      watermark: String = "30 minutes"): DataFrame = {
+    // convenience form: the shingle set is materialized EAGERLY to a
+    // local relation — by construction it must fit in memory anyway
+    // (it is broadcast into every micro-batch), and a local relation
+    // neither re-evaluates per batch nor leaks a session-lifetime
+    // cache the way a .persist() with no unpersist path did. Services
+    // whose benchmark shingle set is too big to hold on the driver
+    // should build it with `benchmarkShingles`, own its
+    // persist/unpersist lifecycle, and use `contaminationFlagsAgainst`.
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val shingles = benchmarkShingles(benchmark, textCol, shingleSize)
+      .as[String].collect().toSeq.toDF("shingle")
+    contaminationFlagsAgainst(docs, shingles,
       idCol, textCol, tsCol, shingleSize, watermark)
+  }
 
   /** The distinct non-degenerate shingle set of a benchmark corpus —
     * NOT persisted; the caller owns the lifecycle.

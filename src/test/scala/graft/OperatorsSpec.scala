@@ -22,6 +22,24 @@ class OperatorsSpec extends SparkSpec {
     val out = Dedup.exactByContent(docs, "doc_id", "text")
     assert(out.count() === 4)
     assert(!out.collect().map(_.getLong(0)).contains(4L))
+    assert(out.columns.toSeq === Seq("doc_id", "text"), "full row schema preserved")
+    // the kept row is the doc-1 ORIGINAL row, not a synthetic one
+    val kept1 = out.filter(col("doc_id") === 1L).collect()(0).getString(1)
+    assert(kept1.endsWith("today"))
+  }
+
+  test("exactByContent aggregates without sorting the corpus") {
+    // the scale contract: one hash shuffle on the fingerprint, partial
+    // agg map-side, and NO Sort operator anywhere — the window
+    // formulation (row_number over partitionBy(fp) orderBy(id)) would
+    // shuffle AND per-group sort all 100 TB
+    val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.exactByContent(corpus, "doc_id", "text")
+    assert(out.count() === 500)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"no Sort may appear in:\n$plan")
+    assert(!plan.contains("Window"), s"no Window may appear in:\n$plan")
+    assert(plan.contains("Aggregate"), plan)
   }
 
   test("minhash LSH surfaces the near-dup pair without cross product") {
@@ -221,6 +239,92 @@ class OperatorsSpec extends SparkSpec {
     val j = Seq(("a b c", "a b d")).toDF("t1", "t2")
       .select(Dedup.tokenJaccard(col("t1"), col("t2"))).collect()(0).getDouble(0)
     assert(math.abs(j - 0.5) < 1e-12) // |{a,b}| / |{a,b,c,d}|
+  }
+
+  test("native array_jaccard matches the Column-level oracle on corpus pairs and edge cases") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // all pairs over 40 real docs (1 600 pairs), plus degenerate docs
+    val sample = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).limit(40)
+      .union(Seq("", "   \t ", "solo", "a a a repeated repeated").toDF("text"))
+      .select(TextFunctions.tokenSet(col("text")).as("ts"))
+    val diff = sample.alias("x").crossJoin(sample.alias("y"))
+      .select(Dedup.tokenSetJaccard(col("x.ts"), col("y.ts")).as("native"),
+        Dedup.tokenSetJaccardHof(col("x.ts"), col("y.ts")).as("oracle"))
+      .filter(
+        (col("native").isNull =!= col("oracle").isNull) ||
+          (col("native").isNotNull && abs(col("native") - col("oracle")) > 1e-15))
+    assert(diff.count() === 0)
+    // empty/empty → NULL (no similarity signal), and raw-size semantics
+    // with duplicate elements match array_intersect's distinct counting
+    val edge = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "a", "b"), Seq("a", "c"))).toDF("sa", "sb")
+      .select(Dedup.tokenSetJaccard(col("sa"), col("sb")).as("j")).collect()
+    assert(edge(0).isNullAt(0))
+    // inter={a}=1 distinct, denom = 3 + 2 - 1 = 4
+    assert(math.abs(edge(1).getDouble(0) - 0.25) < 1e-15)
+  }
+
+  test("nearDupes transitive: connected-components keeper differs from single-pass on a chain") {
+    import spark.implicits._
+    // chain with NON-monotONE ids: doc 1 ~ doc 3 ~ doc 2, but 1 ≁ 2.
+    // 20 base tokens; B swaps 2, C swaps 2 more → J(1,3)=J(3,2)=18/22≈0.818,
+    // J(1,2)=16/24≈0.667 < 0.7 threshold.
+    val base = (1 to 20).map(i => s"tok$i")
+    val mkDoc = (s: Seq[String]) => s.mkString(" ")
+    val a = base
+    val bDoc = base.updated(0, "swapA1").updated(1, "swapA2")
+    val cDoc = bDoc.updated(2, "swapB1").updated(3, "swapB2")
+    val chain = Seq((1L, mkDoc(a)), (2L, mkDoc(cDoc)), (3L, mkDoc(bDoc)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.verifiedPairs(chain, "doc_id", "text", threshold = 0.7,
+      bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L), (2L, 3L)),
+      s"planted chain must verify exactly its two edges: $pairs")
+    // single-pass: a doc is kept iff it has no verified near-dup with a
+    // smaller id → 2 survives (its only verified partner is 3 > 2)
+    val single = Dedup.nearDupes(chain, "doc_id", "text", threshold = 0.7,
+      bands = 16, rowsPerBand = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(single === Set(1L, 2L))
+    // transitive: {1,2,3} is one component, min id 1 survives alone
+    val trans = Dedup.nearDupes(chain, "doc_id", "text", threshold = 0.7,
+      bands = 16, rowsPerBand = 2, transitive = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trans === Set(1L))
+  }
+
+  test("nearDupKeeperLabels: min-id label propagation reaches fixpoint on a long chain") {
+    import spark.implicits._
+    // path graph 9-8-7-...-1 written as pairs (i, i+1): diameter 8 —
+    // needs multiple propagation rounds, converges to label 1 for all
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.nearDupKeeperLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (1L to 9L).toSet)
+    assert(labels.values.toSet === Set(1L), s"all nodes label to component min: $labels")
+  }
+
+  test("ngramJaccardPairs: high-df tokens pruned before the self-join, rare-token pairs survive") {
+    import spark.implicits._
+    // 30 docs ALL sharing token "common" (df = 100 % > 50 % cap); docs
+    // 1/2 also share rare token pair; everything else disjoint
+    val docs30 = (1L to 30L).map { i =>
+      val rare = if (i <= 2) "shared_rare pairkey" else s"only_$i alone_$i"
+      (i, s"common $rare uniq_${i}_a uniq_${i}_b")
+    }.toSeq.toDF("doc_id", "text")
+    val out = graft.operators.TextOps.ngramJaccardPairs(
+      docs30, "doc_id", "text", maxDfFraction = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // ONLY the rare-token pair appears: the universal token would have
+    // joined all 435 pairs, but it is pruned
+    assert(out.keySet === Set((1L, 2L)), s"only rare-token pair may survive: ${out.keySet}")
+    // jaccard over the PRUNED sets: each doc keeps 4 of 5 tokens
+    // ({shared_rare, pairkey, uniq_a, uniq_b}); inter = 2 → 2/6
+    assert(math.abs(out((1L, 2L)) - 2.0 / 6) < 1e-12)
   }
 
   private lazy val vectors = {
