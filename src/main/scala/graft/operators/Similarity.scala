@@ -96,6 +96,33 @@ object Similarity {
         round(col("sim0"), 4).as("sim"))
   }
 
+  /** Bucket-count sizing for [[nearDupesAnnAuto]]: the smallest `bits`
+    * with expected per-bucket population ≤ `targetBucketSize`, i.e.
+    * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].
+    */
+  def autoBits(n: Long, targetBucketSize: Int, maxBits: Int): Int =
+    math.max(1, math.min(maxBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize))
+        / math.log(2.0)).toInt))
+
+  /** [[nearDupesAnn]] with `bits` derived from the corpus size
+    * (`autoBits`): holds the EXPECTED per-bucket population — and so
+    * the per-bucket pair volume — constant as the corpus grows. A
+    * fixed bucket count is quadratic under growth (10× corpus → 100×
+    * pairs per bucket, then mass bucket drops once `maxBucketSize`
+    * trips); sizing buckets from n keeps total pair volume ~linear at
+    * the cost of one up-front count() job. `maxBits` must stay within
+    * the vector dimensionality (the bucket key uses the leading
+    * `bits` dims' signs).
+    */
+  def nearDupesAnnAuto(corpus: DataFrame, threshold: Double,
+      targetBucketSize: Int = 1024, maxBits: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 4096): DataFrame =
+    nearDupesAnn(corpus, threshold,
+      autoBits(corpus.count(), targetBucketSize, maxBits), idCol, vecCol,
+      maxBucketSize)
+
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
     * (coarse quantizer); each query probes the `nprobe` nearest
     * centroids' inverted lists only. With a corpus pre-partitioned by

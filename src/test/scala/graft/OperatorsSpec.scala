@@ -396,6 +396,33 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("autoBits sizes the bucket count to hold per-bucket population constant") {
+    // ceil(log2(n / target)), clamped [1, maxBits]
+    assert(Similarity.autoBits(1000, 1024, 16) === 1)
+    assert(Similarity.autoBits(20000, 1024, 16) === 5)   // 20000/1024≈19.5 → 2^5
+    assert(Similarity.autoBits(200000, 1024, 16) === 8)  // 10× corpus → ~10× buckets
+    assert(Similarity.autoBits(1L << 40, 1024, 16) === 16, "clamped to maxBits")
+    // invariant: expected bucket size n / 2^bits stays ≤ target (until the clamp)
+    Seq(10000L, 100000L, 1000000L, 10000000L).foreach { n =>
+      val bits = Similarity.autoBits(n, 1024, 30)
+      assert(n.toDouble / (1L << bits) <= 1024.0, s"n=$n bits=$bits")
+    }
+  }
+
+  test("nearDupesAnnAuto matches nearDupesAnn at the derived bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.nearDupesAnnAuto(corpus, threshold = 0.8,
+      targetBucketSize = 16, maxBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Similarity.nearDupesAnn(corpus, threshold = 0.8,
+      bits = Similarity.autoBits(100, 16, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === expected)
+  }
+
   test("IVF ANN probes matching lists and finds in-list neighbors") {
     val out = Similarity.annIvf(vectors, vectors.filter(col("vec_id") === 3), k = 1,
       nprobe = 1).collect()
