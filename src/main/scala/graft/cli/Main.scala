@@ -64,10 +64,15 @@ object Main {
     * (tests use a fake; the CLI wires a real subprocess).
     */
   def runDownload(job: JobSpec,
-      runner: Seq[String] => Int = Aria2Mirror.realRunner): Seq[SourceSummary] = {
+      runner: Seq[String] => Int = Aria2Mirror.realRunner,
+      log: Option[graft.report.RunLog] = None): Seq[SourceSummary] = {
+    val rl = log.getOrElse(new graft.report.RunLog(s"${job.outputDir}/run-log.jsonl"))
+    rl.log("job_start", "phase" -> "download", "n_sources" -> job.sources.size)
     val checkpointRoot = s"${job.checkpointDir}/ingestion-download"
     val summaries = job.sources.map { spec =>
       if (JobManifest.isCompleted(checkpointRoot, spec.name)) {
+        rl.log("source_skipped", "phase" -> "download",
+          "source" -> spec.name, "type" -> spec.sourceType)
         SourceSummary(spec.name, spec.sourceType, completed = true, 0, 0, 0, None,
           spec.options.get("download_dir").map(d => Report.summarizeDirectory(d)))
       } else {
@@ -79,12 +84,17 @@ object Main {
           case _ => graft.sources.Manifests.parseChembl(linkFile)
         }
         val dir = spec.options.getOrElse("download_dir", s"${job.outputDir}/raw/${spec.name}")
+        rl.log("source_start", "phase" -> "download",
+          "source" -> spec.name, "type" -> spec.sourceType, "n_archives" -> entries.size)
         val got = Aria2Mirror.mirrorAll(entries, dir, runner)
         JobManifest.markCompleted(checkpointRoot, spec.name, got.size)
+        rl.log("source_complete", "phase" -> "download",
+          "source" -> spec.name, "type" -> spec.sourceType, "n_mirrored" -> got.size)
         SourceSummary(spec.name, spec.sourceType, completed = true,
           got.size, got.size, 0, None, Some(Report.summarizeDirectory(dir)))
       }
     }
+    rl.log("job_complete", "phase" -> "download", "n_sources" -> summaries.size)
     Files.createDirectories(Paths.get(job.outputDir))
     Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"),
       Report.render(summaries))
@@ -200,42 +210,72 @@ object Main {
   }
 
   def runIngestion(spark: SparkSession, job: JobSpec,
-      transport: RetryingHttp.Transport = RetryingHttp.realTransport): Seq[SourceSummary] = {
+      transport: RetryingHttp.Transport = RetryingHttp.realTransport,
+      log: Option[graft.report.RunLog] = None): Seq[SourceSummary] = {
+    val rl = log.getOrElse(new graft.report.RunLog(s"${job.outputDir}/run-log.jsonl"))
     val checkpointRoot = s"${job.checkpointDir}/ingestion-parse"
     val hconf = spark.sparkContext.hadoopConfiguration
     // pool must be shut down or the non-daemon workers keep the JVM alive
     val pool = java.util.concurrent.Executors.newFixedThreadPool(job.concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
+    rl.log("job_start", "phase" -> "ingest",
+      "n_sources" -> job.sources.size, "concurrency" -> job.concurrency)
     try {
     val futures = job.sources.map { spec =>
       Future {
         // fair-scheduler pool per source: one slow source cannot starve
         // the others' task slots (S23 on Spark's scheduler)
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", spec.name)
-        if (HttpSourceTypes(spec.sourceType)) {
-          // per-page checkpointed fetch loop; handles its own
-          // skip-completed short-circuit and mid-source cursor resume
-          runHttpSource(spark, job, spec, checkpointRoot, transport)
-        } else if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
-          val cp = JobManifest.load(checkpointRoot, spec.name, hconf).get
-          SourceSummary(spec.name, spec.sourceType, completed = true,
-            cp.batchIndex, 0, 0,
-            Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
-              Seq(".jsonl", ".jsonl.gz"), hconf)), None)
-        } else {
-          val reader = readers.getOrElse(spec.sourceType,
-            throw new IllegalArgumentException(s"no reader for '${spec.sourceType}'"))
-          val (batches, records) = ingestFilesResumable(spark, job, spec,
-            checkpointRoot, reader)
-          SourceSummary(spec.name, spec.sourceType, completed = true,
-            batches, batches, records,
-            Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
-              Seq(".jsonl", ".jsonl.gz"), hconf)), None)
+        val t0 = System.nanoTime()
+        def done(s: SourceSummary): SourceSummary = {
+          rl.log("source_complete", "phase" -> "ingest",
+            "source" -> spec.name, "type" -> spec.sourceType,
+            "records" -> s.recordsWritten, "batches" -> s.batchesWritten,
+            "completed" -> s.completed,
+            "duration_ms" -> (System.nanoTime() - t0) / 1000000L)
+          s
+        }
+        try {
+          if (HttpSourceTypes(spec.sourceType)) {
+            // per-page checkpointed fetch loop; handles its own
+            // skip-completed short-circuit and mid-source cursor resume
+            rl.log("source_start", "phase" -> "ingest",
+              "source" -> spec.name, "type" -> spec.sourceType)
+            done(runHttpSource(spark, job, spec, checkpointRoot, transport))
+          } else if (JobManifest.isCompleted(checkpointRoot, spec.name, hconf)) {
+            val cp = JobManifest.load(checkpointRoot, spec.name, hconf).get
+            rl.log("source_skipped", "phase" -> "ingest",
+              "source" -> spec.name, "type" -> spec.sourceType)
+            SourceSummary(spec.name, spec.sourceType, completed = true,
+              cp.batchIndex, 0, 0,
+              Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
+                Seq(".jsonl", ".jsonl.gz"), hconf)), None)
+          } else {
+            val reader = readers.getOrElse(spec.sourceType,
+              throw new IllegalArgumentException(s"no reader for '${spec.sourceType}'"))
+            rl.log("source_start", "phase" -> "ingest",
+              "source" -> spec.name, "type" -> spec.sourceType)
+            val (batches, records) = ingestFilesResumable(spark, job, spec,
+              checkpointRoot, reader)
+            done(SourceSummary(spec.name, spec.sourceType, completed = true,
+              batches, batches, records,
+              Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
+                Seq(".jsonl", ".jsonl.gz"), hconf)), None))
+          }
+        } catch {
+          case e: Throwable =>
+            rl.log("source_failed", "phase" -> "ingest",
+              "source" -> spec.name, "type" -> spec.sourceType,
+              "error" -> String.valueOf(e.getMessage))
+            throw e
         }
       }
     }
     val summaries = Await.result(Future.sequence(futures), Duration.Inf)
+    rl.log("job_complete", "phase" -> "ingest",
+      "n_sources" -> summaries.size,
+      "total_records" -> summaries.map(_.recordsWritten).sum)
     val report = Report.render(summaries)
     Files.createDirectories(Paths.get(job.outputDir))
     Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)

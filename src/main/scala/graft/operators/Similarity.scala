@@ -96,6 +96,54 @@ object Similarity {
         round(col("sim0"), 4).as("sim"))
   }
 
+  /** Write a corpus PARTITIONED BY sign bucket — the 100 TB ANN
+    * layout (SCALE.md "Similarity search"): a probe filters on the
+    * query's bucket literal, which becomes a PartitionFilter on the
+    * parquet scan, so the query reads ONE bucket directory instead of
+    * scanning the table. Pinned by the plan spec in BucketingSpec.
+    */
+  def writeBucketedCorpus(corpus: DataFrame, path: String, bits: Int,
+      vecCol: String = "embedding"): Unit =
+    corpus.withColumn("bucket", signBucket(col(vecCol), bits))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Driver-side sign bucket of a single probe vector — the same
+    * semantics as the native `SignBucketExpr` kernel (bit i set iff
+    * element i present and >= 0, NaN above all numbers), pinned by a
+    * differential spec. Driver-side so the probe's bucket is a plan
+    * LITERAL: only a literal (or DPP) predicate prunes partitions at
+    * planning time.
+    */
+  def bucketOf(vec: Array[Float], bits: Int): Long = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val n = math.min(bits, vec.length)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (vec(i) >= 0 || java.lang.Float.isNaN(vec(i))) code |= 1L << i
+      i += 1
+    }
+    code
+  }
+
+  /** Top-k cosine probe of a [[writeBucketedCorpus]] layout: scans
+    * only the query's bucket partition. Returns (cid, sim) ordered by
+    * similarity; the global `orderBy().limit(k)` over one bucket plans
+    * as TakeOrderedAndProject (per-partition top-k, no full sort).
+    */
+  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Float], k: Int, bits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val qLit = typedlit(queryVec)
+    spark.read.parquet(path)
+      .filter(col("bucket") === lit(bucketOf(queryVec, bits)))
+      .select(col(idCol).as("cid"),
+        (dot(qLit, col(vecCol)) / (norm(col(vecCol)) * qn)).as("sim"))
+      .orderBy(col("sim").desc, col("cid"))
+      .limit(k)
+  }
+
   /** Bucket-count sizing for [[nearDupesAnnAuto]]: the smallest `bits`
     * with expected per-bucket population ≤ `targetBucketSize`, i.e.
     * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].

@@ -475,6 +475,56 @@ class IngestionSpec extends SparkSpec {
     assert(again.head.completed && fetches === before)
   }
 
+  test("run log: structured JSON-lines events for the golden e2e job") {
+    val dir = tmpDir("runlog_e2e")
+    val transport: RetryingHttp.Transport = (url, _) => {
+      if (url.contains("token=t1"))
+        (200, """{"results":[{"csid":3,"smiles":"CCC"}],"next":null}""")
+      else
+        (200, """{"results":[{"csid":1,"smiles":"C"},{"csid":2,"smiles":"CC"}],"next":"t1"}""")
+    }
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  compress_output: false
+         |  sources:
+         |    - type: chemspider
+         |      name: chemspider
+         |      options: {}
+         |""".stripMargin)
+    // injected deterministic clock → pinnable ts_ms values
+    var tick = 0L
+    val rl = new graft.report.RunLog(s"$dir/out/run-log.jsonl", () => { tick += 1; tick })
+    Main.runIngestion(spark, job, transport, Some(rl))
+    Main.runIngestion(spark, job, transport, Some(rl)) // rerun → skip short-circuit
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = Files.readAllLines(Paths.get(s"$dir/out/run-log.jsonl"))
+    val events = new scala.collection.mutable.ArrayBuffer[Map[String, String]]
+    lines.forEach { l =>
+      val n = mapper.readTree(l)
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      events += b.result()
+    }
+    // the http rerun re-enters its per-page checkpoint loop (start +
+    // complete with zero fetches) rather than the file-source skip path
+    assert(events.map(_("event")).toSeq === Seq(
+      "job_start", "source_start", "source_complete", "job_complete",
+      "job_start", "source_start", "source_complete", "job_complete"))
+    // one line per event, monotone injected timestamps
+    assert(events.map(_("ts_ms").toLong).toSeq === (1L to 8L))
+    val complete = events(2)
+    assert(complete("source") === "chemspider" && complete("type") === "chemspider")
+    assert(complete("records") === "3" && complete("completed") === "true")
+    assert(complete("phase") === "ingest" && complete("duration_ms").toLong >= 0)
+    assert(events(3)("total_records") === "3")
+    // the rerun's http short-circuit reports zero new records
+    assert(events(6)("records") === "0" && events(6)("completed") === "true")
+  }
+
   test("report: byte humanization and empty-run message") {
     assert(Report.formatBytes(512) === "512 B")
     assert(Report.formatBytes(2048) === "2.00 KB")
