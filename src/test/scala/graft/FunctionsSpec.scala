@@ -211,17 +211,23 @@ class FunctionsSpec extends SparkSpec {
         |       simhash32('hello world') = simhash32('hello world') AS sh_det,
         |       sign_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 2) AS sb,
         |       dot_product(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
-        |                   array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dp
+        |                   array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dp,
+        |       array_jaccard(array('a','b','c'), array('a','b','d')) AS aj,
+        |       array_jaccard(CAST(array() AS ARRAY<STRING>),
+        |                     CAST(array() AS ARRAY<STRING>)) AS aj_null
         |""".stripMargin).collect()(0)
     assert(r.getInt(0) === 3)
     assert(r.getSeq[String](1) === Seq("a b", "b c"))
     assert(r.getBoolean(2))
     assert(r.getLong(3) === 1L)
     assert(r.getDouble(4) === 24.0)
+    assert(r.getDouble(5) === 0.5)
+    assert(r.isNullAt(6), "empty/empty jaccard is NULL")
     // wrong-typed arguments are rejected at analysis, not as an opaque
     // executor ClassCastException at runtime
     Seq("ws_tokens(42)", "simhash32(42)", "token_shingles(7, 2)",
-      "minhash_band_keys(9, 4, 4)", "minhash_signature(array('a'), 8)")
+      "minhash_band_keys(9, 4, 4)", "minhash_signature(array('a'), 8)",
+      "array_jaccard(array(1), array(2))")
       .foreach { bad =>
         intercept[org.apache.spark.sql.AnalysisException] {
           spark.sql(s"SELECT $bad").collect()

@@ -164,6 +164,8 @@ class OperatorsSpec extends SparkSpec {
     conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val corpus = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      val ts = graft.functions.TextFunctions.tokenSet(col("text"))
+      val tsRev = graft.functions.TextFunctions.tokenSet(reverse(col("text")))
       val diff = corpus.select(
         graft.functions.TextFunctions.tokens(col("text")).as("t_n"),
         graft.functions.TextFunctions.tokensHof(col("text")).as("t_h"),
@@ -172,9 +174,13 @@ class OperatorsSpec extends SparkSpec {
         graft.plans.ShingleMinHashBandKeysExpr
           .shingle_minhash_band_keys(col("text"), 4, 4).as("bk_n"),
         Dedup.lshBandKeys(Dedup.signatureFromHashesHof(
-          Dedup.shingleHashes(col("text")), 16), 4, 4).as("bk_h"))
+          Dedup.shingleHashes(col("text")), 16), 4, 4).as("bk_h"),
+        Dedup.tokenSetJaccard(ts, tsRev).as("aj_n"),
+        Dedup.tokenSetJaccardHof(ts, tsRev).as("aj_h"))
         .filter(not(col("t_n") === col("t_h")) || not(col("sh_n") === col("sh_h"))
-          || not(col("bk_n") === col("bk_h")))
+          || not(col("bk_n") === col("bk_h"))
+          || (col("aj_n").isNull =!= col("aj_h").isNull)
+          || (col("aj_n").isNotNull && abs(col("aj_n") - col("aj_h")) > 1e-15))
       assert(diff.count() === 0)
     } finally {
       conf.set("spark.sql.codegen.wholeStage", prevWhole)
