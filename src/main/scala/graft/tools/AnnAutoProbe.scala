@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** Measurement probe for the `nearDupesAnnAuto` scale claim: on the
+  * same corpus, compare the fixed-bucket-count formulation against
+  * the corpus-sized one at a real near-dup threshold. Prints one JSON
+  * line: candidate volume (pre-verification pair count), result rows,
+  * and wall time for each. Used to produce the numbers in SCALE.md's
+  * "Measured scale evidence"; not part of the driver contract.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.AnnAutoProbe
+  * [threshold] [fixedBits]`.
+  */
+object AnnAutoProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val threshold = args.lift(0).map(_.toDouble).getOrElse(0.95)
+    val fixedBits = args.lift(1).map(_.toInt).getOrElse(6)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val autoBits = Similarity.autoBits(n, 1024, 16)
+
+    def run(bits: Int): (Long, Long, Double) = {
+      import org.apache.spark.sql.functions._
+      // candidate volume = bucket-collision pairs BEFORE the similarity
+      // filter — the quantity the bucket count controls
+      val bucketed = emb.select(
+        graft.functions.VectorFunctions.signBucket(col("embedding"), bits).as("b"))
+        .groupBy("b").count()
+      val cands = bucketed.agg(sum(col("count") * (col("count") - 1) / 2))
+        .collect()(0).getDouble(0).toLong
+      val t0 = System.nanoTime()
+      val rows = Similarity.nearDupesAnn(emb, threshold, bits).count()
+      (cands, rows, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (cFixed, rFixed, tFixed) = run(fixedBits)
+    val (cAuto, rAuto, tAuto) = run(autoBits)
+    println(
+      s"""{"n":$n,"threshold":$threshold,"fixed_bits":$fixedBits,""" +
+        s""""fixed_candidates":$cFixed,"fixed_rows":$rFixed,"fixed_sec":${tFixed.formatted("%.2f")},""" +
+        s""""auto_bits":$autoBits,"auto_candidates":$cAuto,"auto_rows":$rAuto,"auto_sec":${tAuto.formatted("%.2f")}}""")
+    spark.stop()
+  }
+}
