@@ -36,6 +36,11 @@ object Dedup {
     * sort-merge semi-join would re-sort both sides; hashing the
     * keeper-id build side is strictly cheaper and skew-free, since
     * ids are unique.)
+    *
+    * PRECONDITION: `idCol` must be unique — it is the keeper key. With
+    * duplicate ids the semi-join keeps EVERY row carrying a keeper id
+    * (including content-duplicate rows that share the keeper's id),
+    * where the old windowed form kept one arbitrary row per content.
     */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = df
@@ -281,15 +286,19 @@ object Dedup {
     * (`(id1, id2)` rows): returns `(id, lab)` where `lab` is the
     * smallest id transitively reachable from `id` (including itself).
     *
-    * Iterative label propagation — each round joins current labels
-    * across the edge list and keeps the minimum, stopping at a
-    * fixpoint or after `maxRounds`. The driver-side loop is over the
-    * PAIR graph, which is orders of magnitude smaller than the corpus
-    * (only verified near-dup pairs appear), and each round
-    * `localCheckpoint`s to keep lineage flat; convergence needs
-    * O(diameter) rounds and near-dup clusters are shallow.
+    * Iterative label propagation with POINTER JUMPING: each round
+    * first takes the minimum label across the edge list, then follows
+    * each node's label to THAT node's label (`lab := lab(lab)`), so
+    * label information travels exponentially — convergence in
+    * O(log diameter) rounds, and the default `maxRounds = 16` covers
+    * any component a near-dup pipeline can produce (diameter 2^16).
+    * The driver-side loop is over the PAIR graph, which is orders of
+    * magnitude smaller than the corpus, and each round
+    * `localCheckpoint`s to keep lineage flat. A non-converged exit
+    * throws rather than silently returning labels that would keep
+    * extra documents per cluster.
     */
-  def nearDupKeeperLabels(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+  def nearDupKeeperLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
@@ -297,19 +306,28 @@ object Dedup {
       .select(col("a").as("id"), least(col("a"), col("mb")).as("lab"))
       .localCheckpoint()
     var round = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (round < maxRounds && !converged) {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlab")).as("nlab"))
-      val next = labels.join(nbr, "id")
+      val stepped = labels.join(nbr, "id")
         .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+      // pointer jump: every label value is itself a node id, so it has
+      // a row in `stepped`; adopt that node's (smaller-or-equal) label
+      val jumped = stepped
+        .join(stepped.select(col("id").as("lab"), col("lab").as("lab2")), "lab")
+        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lab", "prev"), "id")
+      converged = jumped.join(labels.withColumnRenamed("lab", "prev"), "id")
         .filter(col("lab") < col("prev")).isEmpty
-      labels = next
+      labels = jumped
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupKeeperLabels did not converge in $maxRounds rounds — " +
+          "component diameter exceeds 2^maxRounds; raise maxRounds")
     labels
   }
 

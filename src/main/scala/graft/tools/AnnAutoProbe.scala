@@ -39,7 +39,8 @@ object AnnAutoProbe {
       val bucketed = emb.select(
         graft.functions.VectorFunctions.signBucket(col("embedding"), bits).as("b"))
         .groupBy("b").count()
-      val cands = bucketed.agg(sum(col("count") * (col("count") - 1) / 2))
+      val cands = bucketed
+        .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
         .collect()(0).getDouble(0).toLong
       val t0 = System.nanoTime()
       val rows = Similarity.nearDupesAnn(emb, threshold, bits).count()
@@ -48,10 +49,13 @@ object AnnAutoProbe {
 
     val (cFixed, rFixed, tFixed) = run(fixedBits)
     val (cAuto, rAuto, tAuto) = run(autoBits)
+    // Locale.ROOT: default-locale %.2f prints comma decimals in many
+    // locales, which is unparseable JSON
+    def sec(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
     println(
       s"""{"n":$n,"threshold":$threshold,"fixed_bits":$fixedBits,""" +
-        s""""fixed_candidates":$cFixed,"fixed_rows":$rFixed,"fixed_sec":${tFixed.formatted("%.2f")},""" +
-        s""""auto_bits":$autoBits,"auto_candidates":$cAuto,"auto_rows":$rAuto,"auto_sec":${tAuto.formatted("%.2f")}}""")
+        s""""fixed_candidates":$cFixed,"fixed_rows":$rFixed,"fixed_sec":${sec(tFixed)},""" +
+        s""""auto_bits":$autoBits,"auto_candidates":$cAuto,"auto_rows":$rAuto,"auto_sec":${sec(tAuto)}}""")
     spark.stop()
   }
 }

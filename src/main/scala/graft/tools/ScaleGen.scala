@@ -34,9 +34,18 @@ object ScaleGen {
   private val IdOffset = 10000000L   // doc_id / vec_id / user_id stride
   private val KeyOffset = 1000000000L // event_id / orderkey stride
 
-  /** +1/−1 by a tiny deterministic integer hash of (copy, dim). */
-  private def sign(j: Int, k: Int): Float =
-    if (((j * 1000003 + k * 7919) & 1) == 0) 1.0f else -1.0f
+  /** +1/−1 by a deterministic avalanche hash of (copy, dim). A weak
+    * mixer is a trap here: the earlier `(j*1000003 + k*7919) & 1`
+    * collapses to parity of j+k (both multipliers odd), which made
+    * every odd copy's sign vector IDENTICAL — cross-copy exact-dup
+    * vectors, precisely the measurement artifact the sign flips are
+    * supposed to prevent. ScaleGenSpec pins cross-copy distinctness.
+    */
+  private[graft] def sign(j: Int, k: Int): Float = {
+    var h = j * 0x9E3779B1 ^ (k * 0x85EBCA77)
+    h ^= h >>> 16; h *= 0xC2B2AE35; h ^= h >>> 13
+    if (((h >>> 8) & 1) == 0) 1.0f else -1.0f
+  }
 
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { j =>
@@ -55,21 +64,25 @@ object ScaleGen {
       }
     }.reduce(_ union _)
 
-  def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame =
+  def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    // sign vector length = the corpus's actual dimensionality (a
+    // hard-coded bound would silently NULL elements past it)
+    val dim = df.select(max(size(col("embedding")))).collect()(0).getInt(0)
     (0 until factor).map { j =>
       if (j == 0) df
       else {
-        // per-(copy, dim) sign flips; dims are bounded (64 here), so the
-        // sign vector folds into the plan as literals
+        // per-(copy, dim) sign flips; the per-copy sign vector folds
+        // into the plan as literals
         df.select(
           (col("vec_id") + lit(j * IdOffset)).as("vec_id"),
           transform(col("embedding"),
             (x, k) => x * element_at(
-              array((0 until 64).map(d => lit(sign(j, d))): _*), k + 1))
+              array((0 until dim).map(d => lit(sign(j, d))): _*), k + 1))
             .as("embedding"),
           col("label"))
       }
     }.reduce(_ union _)
+  }
 
   def scaleEvents(df: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { j =>

@@ -301,16 +301,21 @@ class OperatorsSpec extends SparkSpec {
       bands = 16, rowsPerBand = 2, transitive = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(trans === Set(1L))
+    // degenerate input: no verified pairs → empty label graph → no drops
+    val none = Dedup.nearDupes(docs.filter(col("doc_id").isin(3L, 5L)),
+      "doc_id", "text", threshold = 0.9, transitive = true)
+    assert(none.count() === 2)
   }
 
   test("nearDupKeeperLabels: min-id label propagation reaches fixpoint on a long chain") {
     import spark.implicits._
-    // path graph 9-8-7-...-1 written as pairs (i, i+1): diameter 8 —
-    // needs multiple propagation rounds, converges to label 1 for all
-    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // path graph 1-2-...-40 written as pairs (i, i+1): diameter 39,
+    // far beyond the 16-round cap for one-hop propagation — pointer
+    // jumping must carry the min label exponentially
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
     val labels = Dedup.nearDupKeeperLabels(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.keySet === (1L to 9L).toSet)
+    assert(labels.keySet === (1L to 40L).toSet)
     assert(labels.values.toSet === Set(1L), s"all nodes label to component min: $labels")
   }
 
@@ -402,12 +407,53 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("nearDupesAnnBanded: multi-band recall beats single-table at equal total bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit(64)))
+    // ten planted high-cosine pairs (~0.98): tight gaussian perturbation
+    val planted = (0 until 10).flatMap { p =>
+      val v = unit(64)
+      val w = v.map(x => x + rnd.nextGaussian().toFloat * 0.04f)
+      Seq((200L + p * 2, v), (201L + p * 2, w))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val bandedPairs = Similarity.nearDupesAnnBanded(corpus, threshold = 0.9,
+        bits = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singlePairs = Similarity.nearDupesAnn(corpus, threshold = 0.9, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedPairs = (0 until 10).map(p => (200L + p * 2, 201L + p * 2)).toSet
+    // banding's whole point: with the same 16 leading-dims budget the
+    // single table misses planted pairs that any-band collision keeps
+    assert((plantedPairs -- bandedPairs).isEmpty,
+      s"banded must find every planted pair, missed ${plantedPairs -- bandedPairs}")
+    assert(singlePairs.intersect(plantedPairs).size < plantedPairs.size,
+      "fixture must make the single 16-bit table lossy (else it proves nothing)")
+    // precision: every banded pair is a true >0.9 pair (exact check)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    bandedPairs.foreach { case (i, j) =>
+      val (a, b) = (vecs(i), vecs(j))
+      val cos = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(cos > 0.9, s"pair ($i,$j) cos=$cos")
+    }
+  }
+
   test("autoBits sizes the bucket count to hold per-bucket population constant") {
     // ceil(log2(n / target)), clamped [1, maxBits]
     assert(Similarity.autoBits(1000, 1024, 16) === 1)
     assert(Similarity.autoBits(20000, 1024, 16) === 5)   // 20000/1024≈19.5 → 2^5
     assert(Similarity.autoBits(200000, 1024, 16) === 8)  // 10× corpus → ~10× buckets
     assert(Similarity.autoBits(1L << 40, 1024, 16) === 16, "clamped to maxBits")
+    // exact power-of-two ratio must NOT overshoot (float log2 gave
+    // 29.000000000000004 → 30 here)
+    assert(Similarity.autoBits(1024L << 29, 1024, 30) === 29)
     // invariant: expected bucket size n / 2^bits stays ≤ target (until the clamp)
     Seq(10000L, 100000L, 1000000L, 10000000L).foreach { n =>
       val bits = Similarity.autoBits(n, 1024, 30)

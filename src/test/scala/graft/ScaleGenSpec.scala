@@ -63,6 +63,29 @@ class ScaleGenSpec extends SparkSpec {
       s"per-copy dot products must be identical: ${dots.toSeq}")
   }
 
+  test("embeddings: copies of one vector are pairwise distinct and non-antipodal (decorrelated)") {
+    import spark.implicits._
+    // the regression this pins: a parity-degenerate sign hash made all
+    // odd copies IDENTICAL and even copies exact negations — cross-copy
+    // artifact duplicates that poison scale measurements
+    val one = Seq((1L, Array.tabulate(64)(k => (k + 1).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val copies = ScaleGen.scaleEmbeddings(one, 10)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toArray)
+    assert(copies.length === 10)
+    for (i <- copies.indices; j <- copies.indices if i < j) {
+      val same = copies(i).zip(copies(j)).forall { case (a, b) => a == b }
+      val anti = copies(i).zip(copies(j)).forall { case (a, b) => a == -b }
+      assert(!same, s"copies $i and $j identical — sign hash degenerate")
+      assert(!anti, s"copies $i and $j antipodal — sign hash degenerate")
+    }
+    // sign vectors are balanced-ish per copy (not all-plus / all-minus)
+    (1 until 10).foreach { j =>
+      val plus = (0 until 64).count(k => ScaleGen.sign(j, k) > 0)
+      assert(plus >= 16 && plus <= 48, s"copy $j sign vector too skewed: $plus/64")
+    }
+  }
+
   test("orders/lineitem: FK joins stay exactly consistent under scaling") {
     import spark.implicits._
     val orders = Seq((1L, 10L, "O", 5.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
