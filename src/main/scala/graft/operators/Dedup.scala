@@ -311,8 +311,11 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlab")).as("nlab"))
+      // checkpointed before the self-join below, or both join sides
+      // re-plan the edges⋈labels aggregation lineage
       val stepped = labels.join(nbr, "id")
         .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+        .localCheckpoint()
       // pointer jump: every label value is itself a node id, so it has
       // a row in `stepped`; adopt that node's (smaller-or-equal) label
       val jumped = stepped

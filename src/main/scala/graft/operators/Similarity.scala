@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -78,23 +78,12 @@ object Similarity {
     */
   def nearDupesAnn(corpus: DataFrame, threshold: Double, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 4096): DataFrame = {
-    val bucketed = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("n"), signBucket(col(vecCol), bits).as("bucket"))
-      .repartition(col("bucket"))
-    val capped = bucketed
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim0", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
-      .filter(col("sim0") > threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(col("sim0"), 4).as("sim"))
-  }
+      maxBucketSize: Int = 4096): DataFrame =
+    // exactly the bands=1 case of the banded formulation (band 0
+    // slices the leading `bits` dims, which is the whole-vector sign
+    // bucket; pair-dedup is a no-op with one band)
+    nearDupesAnnBanded(corpus, threshold, bits, bands = 1, idCol, vecCol,
+      maxBucketSize)
 
   /** Banded sign-LSH near-dup: `bands` INDEPENDENT bucket tables,
     * band b keyed on the sign pattern of dimensions
@@ -110,40 +99,86 @@ object Similarity {
     * per band cut candidates, and candidate volume stays
     * O(bands × Σ bucket²).
     *
-    * Requires `bits × bands ≤ dim` (a band sliced past the vector
-    * would bucket every row to one degenerate key). Pairs colliding
-    * in several bands are deduplicated after verification — the
-    * per-pair sim is deterministic, so `distinct` collapses them
-    * exactly.
+    * Requires `bits × bands ≤ dim`, enforced against a sampled row —
+    * a band sliced past the vector would bucket every row to one
+    * degenerate key (silently capped away or, worse, O(n²)
+    * self-joined).
+    *
+    * Two physical shapes, chosen by `bands` — they win in DIFFERENT
+    * cost regimes and the wrong one is catastrophic:
+    *  - `bands == 1`: vectors ride INLINE through the single
+    *    co-partitioned self-join and the dot product pipelines with
+    *    no post-join shuffle. (Deduping ids first and joining vectors
+    *    back re-attaches a ~256-byte vector to EVERY candidate pair
+    *    through sort-merge joins — measured at 312 M candidates: a
+    *    disk-filling ~90 GB spill where the inline form streams.)
+    *  - `bands > 1`: candidate (id1, id2) pairs are DEDUPLICATED
+    *    before verification and vectors joined back once per side
+    *    (the `Dedup.verifiedPairs` shape) — a pair colliding in k
+    *    bands must not shuffle vectors or pay the dot product k
+    *    times, and the deduped pair set is what the join-back
+    *    shuffles.
     */
   def nearDupesAnnBanded(corpus: DataFrame, threshold: Double, bits: Int = 8,
       bands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 4096): DataFrame = {
     require(bits >= 1 && bands >= 1, "bits and bands must be positive")
-    val bandKeys = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        signBucket(slice(col(vecCol), b * bits + 1, bits), bits).as("key"))
-    }: _*)
-    val banded = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("n"), explode(bandKeys).as("bk"))
-      .select(col("id"), col("v"), col("n"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-      .repartition(col("band"), col("key"))
-    val capped = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
-      .withColumn("sim0", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
-      .filter(col("sim0") > threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        round(col("sim0"), 4).as("sim"))
-      .distinct()
+    corpus.select(size(col(vecCol))).head(1).foreach { r =>
+      require(bits * bands <= r.getInt(0),
+        s"bits*bands = ${bits * bands} exceeds embedding dim ${r.getInt(0)} — " +
+          "a band past the vector degenerates to one bucket")
+    }
+    def simCol(v1: Column, n1: Column, v2: Column, n2: Column): Column =
+      dot(v1, v2) / (n1 * n2)
+    if (bands == 1) {
+      val bucketed = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("n"), signBucket(col(vecCol), bits).as("bucket"))
+        .repartition(col("bucket"))
+      val capped = bucketed
+        .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+      val a = capped.alias("a")
+      val b = capped.alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .withColumn("sim0",
+          simCol(col("a.v"), col("a.n"), col("b.v"), col("b.n")))
+        .filter(col("sim0") > threshold)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          round(col("sim0"), 4).as("sim"))
+    } else {
+      val bandKeys = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signBucket(slice(col(vecCol), b * bits + 1, bits), bits).as("key"))
+      }: _*)
+      // candidate generation carries ONLY ids through the banded shuffle
+      val banded = corpus
+        .select(col(idCol).as("id"), explode(bandKeys).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .repartition(col("band"), col("key"))
+      val capped = banded
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+      val a = capped.alias("a")
+      val b = capped.alias("b")
+      val cands = a.join(b,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      // vectors and norms computed once per row, joined once per side
+      val sides = corpus.select(col(idCol).as("__sid"),
+        col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      cands
+        .join(sides.toDF("id1", "__v1", "__n1"), "id1")
+        .join(sides.toDF("id2", "__v2", "__n2"), "id2")
+        .withColumn("sim0", simCol(col("__v1"), col("__n1"), col("__v2"), col("__n2")))
+        .filter(col("sim0") > threshold)
+        .select(col("id1"), col("id2"), round(col("sim0"), 4).as("sim"))
+    }
   }
 
   /** Write a corpus PARTITIONED BY sign bucket — the 100 TB ANN

@@ -35,16 +35,25 @@ object AnnAutoProbe {
     def run(bits: Int): (Long, Long, Double) = {
       import org.apache.spark.sql.functions._
       // candidate volume = bucket-collision pairs BEFORE the similarity
-      // filter — the quantity the bucket count controls
+      // filter, under the SAME maxBucketSize cap the timed run applies
+      // (an uncapped sum would count pairs the run never scores)
       val bucketed = emb.select(
         graft.functions.VectorFunctions.signBucket(col("embedding"), bits).as("b"))
         .groupBy("b").count()
+        .filter(col("count") <= 4096)
       val cands = bucketed
         .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
         .collect()(0).getDouble(0).toLong
-      val t0 = System.nanoTime()
-      val rows = Similarity.nearDupesAnn(emb, threshold, bits).count()
-      (cands, rows, (System.nanoTime() - t0) / 1e9)
+      // min of two passes: pass 1 absorbs one-time codegen/JIT, the
+      // same steady-state methodology as graft.Bench (else whichever
+      // configuration runs first looks slower)
+      var rows = 0L
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = Similarity.nearDupesAnn(emb, threshold, bits).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (cands, rows, times.min)
     }
 
     val (cFixed, rFixed, tFixed) = run(fixedBits)

@@ -65,9 +65,13 @@ object ScaleGen {
     }.reduce(_ union _)
 
   def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    if (factor <= 1) return df
     // sign vector length = the corpus's actual dimensionality (a
-    // hard-coded bound would silently NULL elements past it)
-    val dim = df.select(max(size(col("embedding")))).collect()(0).getInt(0)
+    // hard-coded bound would silently NULL elements past it); empty
+    // corpus → null aggregate → nothing to scale
+    val dimRow = df.select(max(size(col("embedding")))).collect()(0)
+    if (dimRow.isNullAt(0)) return df
+    val dim = dimRow.getInt(0)
     (0 until factor).map { j =>
       if (j == 0) df
       else {
