@@ -64,6 +64,15 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Banded sign-LSH near-dup (MinHash-banding recall curve over
+    // disjoint dimension slices): the high-recall scale formulation.
+    // Rows-only; the banded-vs-single recall spec pins behavior.
+    rowsOnly("q76_embedding_neardup_banded") { (s, d) =>
+      Similarity.nearDupesAnnBanded(embeddings(s, d), threshold = 0.2,
+          bits = 8, bands = 8)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     rowsOnly("q42_ann_sign_lsh") { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.annSignLsh(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 6)
