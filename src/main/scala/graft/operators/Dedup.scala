@@ -311,17 +311,21 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlab")).as("nlab"))
-      // checkpointed before the self-join below, or both join sides
-      // re-plan the edges⋈labels aggregation lineage
+      // cached (and released below) before the self-join, or both join
+      // sides re-plan the edges⋈labels aggregation lineage; only
+      // `jumped` is localCheckpoint'd — per-round checkpoint blocks are
+      // reclaimed by the ContextCleaner once unreferenced, and caching
+      // `stepped` too would pin a second label-table copy per round
       val stepped = labels.join(nbr, "id")
         .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
-        .localCheckpoint()
+        .persist()
       // pointer jump: every label value is itself a node id, so it has
       // a row in `stepped`; adopt that node's (smaller-or-equal) label
       val jumped = stepped
         .join(stepped.select(col("id").as("lab"), col("lab").as("lab2")), "lab")
         .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materializes before the unpersist
+      stepped.unpersist()
       converged = jumped.join(labels.withColumnRenamed("lab", "prev"), "id")
         .filter(col("lab") < col("prev")).isEmpty
       labels = jumped

@@ -22,6 +22,11 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Hot-bucket cap default, shared with the probe tooling so measured
+    * candidate counts can never drift from what the operators score.
+    */
+  val DefaultMaxBucketSize: Int = 4096
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * rows of `corpus` (excluding identical ids).
     * Output: (qid, cid, sim, rn).
@@ -78,7 +83,7 @@ object Similarity {
     */
   def nearDupesAnn(corpus: DataFrame, threshold: Double, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 4096): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     // exactly the bands=1 case of the banded formulation (band 0
     // slices the leading `bits` dims, which is the whole-vector sign
     // bucket; pair-dedup is a no-op with one band)
@@ -99,10 +104,11 @@ object Similarity {
     * per band cut candidates, and candidate volume stays
     * O(bands × Σ bucket²).
     *
-    * Requires `bits × bands ≤ dim`, enforced against a sampled row —
-    * a band sliced past the vector would bucket every row to one
-    * degenerate key (silently capped away or, worse, O(n²)
-    * self-joined).
+    * For `bands > 1`, requires `bits × bands ≤ dim`, enforced against
+    * a sampled row — a band sliced past the vector would bucket every
+    * row to one degenerate key (silently capped away or, worse, O(n²)
+    * self-joined). With one band no check (and no eager job) is
+    * needed: `SignBucketExpr` caps bits at the vector length.
     *
     * Two physical shapes, chosen by `bands` — they win in DIFFERENT
     * cost regimes and the wrong one is catastrophic:
@@ -121,12 +127,20 @@ object Similarity {
     */
   def nearDupesAnnBanded(corpus: DataFrame, threshold: Double, bits: Int = 8,
       bands: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(bits >= 1 && bands >= 1, "bits and bands must be positive")
-    corpus.select(size(col(vecCol))).head(1).foreach { r =>
-      require(bits * bands <= r.getInt(0),
-        s"bits*bands = ${bits * bands} exceeds embedding dim ${r.getInt(0)} — " +
-          "a band past the vector degenerates to one bucket")
+    if (bands > 1) {
+      // the slice path degenerates when a band lies past the vector;
+      // fail fast against a sampled non-null row (mixed-dimension
+      // corpora remain the caller's responsibility). bands == 1 needs
+      // no check — SignBucketExpr caps bits at the vector length and
+      // keeps the whole API lazy on that path.
+      corpus.select(size(col(vecCol)).as("__d")).filter(col("__d").isNotNull)
+        .head(1).foreach { r =>
+          require(bits * bands <= r.getInt(0),
+            s"bits*bands = ${bits * bands} exceeds embedding dim ${r.getInt(0)} — " +
+              "a band past the vector degenerates to one bucket")
+        }
     }
     def simCol(v1: Column, n1: Column, v2: Column, n2: Column): Column =
       dot(v1, v2) / (n1 * n2)
@@ -254,7 +268,7 @@ object Similarity {
   def nearDupesAnnAuto(corpus: DataFrame, threshold: Double,
       targetBucketSize: Int = 1024, maxBits: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 4096): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     nearDupesAnn(corpus, threshold,
       autoBits(corpus.count(), targetBucketSize, maxBits), idCol, vecCol,
       maxBucketSize)

@@ -40,7 +40,7 @@ object AnnAutoProbe {
       val bucketed = emb.select(
         graft.functions.VectorFunctions.signBucket(col("embedding"), bits).as("b"))
         .groupBy("b").count()
-        .filter(col("count") <= 4096)
+        .filter(col("count") <= Similarity.DefaultMaxBucketSize)
       val cands = bucketed
         .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
         .collect()(0).getDouble(0).toLong

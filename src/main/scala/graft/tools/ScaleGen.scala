@@ -47,8 +47,16 @@ object ScaleGen {
     if (((h >>> 8) & 1) == 0) 1.0f else -1.0f
   }
 
+  /** Union of `factor` transformed copies; uniform input contract for
+    * every scale function.
+    */
+  private def copies(factor: Int)(mk: Int => DataFrame): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    (0 until factor).map(mk).reduce(_ union _)
+  }
+
   def scaleDocuments(df: DataFrame, factor: Int): DataFrame =
-    (0 until factor).map { j =>
+    copies(factor) { j =>
       if (j == 0) df
       else {
         val sfx = lit(s"·$j")
@@ -62,10 +70,11 @@ object ScaleGen {
           col("source"),
           length(remapped).cast("long").as("n_chars"))
       }
-    }.reduce(_ union _)
+    }
 
   def scaleEmbeddings(df: DataFrame, factor: Int): DataFrame = {
-    if (factor <= 1) return df
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    if (factor == 1) return df
     // sign vector length = the corpus's actual dimensionality (a
     // hard-coded bound would silently NULL elements past it); empty
     // corpus → null aggregate → nothing to scale
@@ -89,26 +98,26 @@ object ScaleGen {
   }
 
   def scaleEvents(df: DataFrame, factor: Int): DataFrame =
-    (0 until factor).map { j =>
+    copies(factor) { j =>
       df.select(
         (col("event_id") + lit(j * KeyOffset)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(j * IdOffset)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }.reduce(_ union _)
+    }
 
   def scaleOrders(df: DataFrame, factor: Int): DataFrame =
-    (0 until factor).map { j =>
+    copies(factor) { j =>
       df.select(
         (col("o_orderkey") + lit(j * KeyOffset)).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
-    }.reduce(_ union _)
+    }
 
   def scaleLineitem(df: DataFrame, factor: Int): DataFrame =
-    (0 until factor).map { j =>
+    copies(factor) { j =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(j * KeyOffset))
-    }.reduce(_ union _)
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
