@@ -4,14 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
-/** Embedding-similarity and probabilistic-dedup surface. The exact
-  * formulations (brute-force cosine top-k, threshold near-dup) carry
-  * DuckDB oracles via `list_cosine_similarity` over DOUBLE[]-cast
-  * vectors; the approximate family (sign-LSH ANN, IVF ANN, MinHash
-  * LSH, SimHash) is engine-internal (hash seeds / centroid layout are
-  * not ANSI-SQL-expressible), so those entries take the driver's
-  * rows-only check and are pinned by ScalaTest specs instead
-  * (recall vs the exact baseline, banding behavior).
+/** Embedding-similarity and probabilistic-dedup surface. Everything
+  * whose math is deterministic arithmetic carries a full DuckDB
+  * oracle: the exact formulations (brute-force cosine top-k,
+  * threshold near-dup) via `list_cosine_similarity` over
+  * DOUBLE[]-cast vectors, AND the sign-LSH family (q42 ANN, q66
+  * near-dup, q76 banded near-dup — a sign bucket is plain
+  * bit-arithmetic over element signs, no hash seed) and IVF (q43 —
+  * centroids are elementwise label means). Only the genuinely
+  * hash-seeded family (MinHash LSH q44, SimHash q45 — xxhash64
+  * seeds are engine-internal) takes the driver's rows-only check,
+  * pinned by ScalaTest specs instead (recall vs the exact baseline,
+  * banding behavior).
   */
 object PipelineQueries {
   import QueryDef._
@@ -56,31 +60,107 @@ object PipelineQueries {
     },
 
     // The 100-TB routing of q41: sign-LSH buckets generate candidates,
-    // exact cosine verifies. Rows-only (bucket hashing is engine-
-    // internal); OperatorsSpec pins precision/recall against the exact
-    // all-pairs set on planted near-dups.
-    rowsOnly("q66_embedding_neardup_ann") { (s, d) =>
+    // exact cosine verifies. The sign bucket is NOT hash-seeded — bit i
+    // is simply sign(embedding[i]) over the leading `bits` dims — so
+    // the whole pipeline is ANSI-SQL-expressible and carries a full
+    // DuckDB oracle (hot-bucket cap omitted SQL-side: at sf0.01 no
+    // bucket approaches 4096). OperatorsSpec additionally pins
+    // precision/recall against the exact all-pairs set.
+    sql("q66_embedding_neardup_ann",
+      """WITH kb AS (
+        | SELECT vec_id, embedding,
+        |  list_sum(list_transform(range(6),
+        |    i -> CASE WHEN embedding[CAST(i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
+        | FROM embeddings),
+        |cand AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
+        | FROM kb a JOIN kb b ON a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT id1, id2,
+        | round(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 4) AS sim
+        |FROM cand WHERE list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) > 0.2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       Similarity.nearDupesAnn(embeddings(s, d), threshold = 0.2, bits = 6)
         .orderBy(col("id1"), col("id2"))
     },
 
     // Banded sign-LSH near-dup (MinHash-banding recall curve over
     // disjoint dimension slices): the high-recall scale formulation.
-    // Rows-only; the banded-vs-single recall spec pins behavior.
-    rowsOnly("q76_embedding_neardup_banded") { (s, d) =>
+    // Sign-bucket band keys are plain sign arithmetic → full DuckDB
+    // oracle; the banded-vs-single recall spec pins behavior.
+    sql("q76_embedding_neardup_banded",
+      """WITH kb AS (
+        | SELECT vec_id, embedding, t.b AS band,
+        |  list_sum(list_transform(range(8),
+        |    i -> CASE WHEN embedding[CAST(t.b*8+i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
+        | FROM embeddings, range(8) AS t(b)),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        | FROM kb a JOIN kb b
+        |   ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT id1, id2,
+        | round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS sim
+        |FROM cand
+        |JOIN embeddings e1 ON e1.vec_id = id1
+        |JOIN embeddings e2 ON e2.vec_id = id2
+        |WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) > 0.2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       Similarity.nearDupesAnnBanded(embeddings(s, d), threshold = 0.2,
           bits = 8, bands = 8)
         .orderBy(col("id1"), col("id2"))
     },
 
-    rowsOnly("q42_ann_sign_lsh") { (s, d) =>
+    sql("q42_ann_sign_lsh",
+      """WITH kb AS (
+        | SELECT vec_id, embedding,
+        |  list_sum(list_transform(range(6),
+        |    i -> CASE WHEN embedding[CAST(i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
+        | FROM embeddings),
+        |s AS (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        | FROM kb q JOIN kb c ON q.key = c.key AND c.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10)
+        |SELECT qid, cid, round(sim, 4) AS sim, rn FROM (
+        | SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        | FROM s) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.annSignLsh(emb, emb.filter(col("vec_id") < 10), k = 5, bits = 6)
         .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     },
 
-    rowsOnly("q43_ann_ivf") { (s, d) =>
+    // IVF is SQL-expressible too: centroids are elementwise per-label
+    // means (parallel unnest zips value with position), probes the
+    // nprobe nearest centroids, exact cosine within probed lists.
+    sql("q43_ann_ivf",
+      """WITH cent AS (
+        | SELECT label AS list_id, list(m ORDER BY pos) AS centroid FROM (
+        |  SELECT label, pos, avg(x) AS m FROM (
+        |   SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |          unnest(range(1, len(embedding)+1)) AS pos
+        |   FROM embeddings) u
+        |  GROUP BY label, pos) g
+        | GROUP BY label),
+        |probes AS (
+        | SELECT qid, list_id FROM (
+        |  SELECT q.vec_id AS qid, c.list_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
+        |              c.list_id) AS crn
+        |  FROM embeddings q, cent c WHERE q.vec_id < 10) p
+        | WHERE crn <= 3)
+        |SELECT qid, cid, round(sim, 4) AS sim, rn FROM (
+        | SELECT p.qid, e.vec_id AS cid,
+        |  list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim,
+        |  row_number() OVER (PARTITION BY p.qid
+        |    ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+        |             e.vec_id) AS rn
+        | FROM probes p
+        | JOIN embeddings e ON e.label = p.list_id AND e.vec_id <> p.qid
+        | JOIN embeddings qe ON qe.vec_id = p.qid) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
       val emb = embeddings(s, d)
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 3)
         .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"), col("rn"))
