@@ -63,15 +63,19 @@ object PipelineQueries {
     // exact cosine verifies. The sign bucket is NOT hash-seeded — bit i
     // is simply sign(embedding[i]) over the leading `bits` dims — so
     // the whole pipeline is ANSI-SQL-expressible and carries a full
-    // DuckDB oracle (hot-bucket cap omitted SQL-side: at sf0.01 no
-    // bucket approaches 4096). OperatorsSpec additionally pins
+    // DuckDB oracle, INCLUDING the 4096 hot-bucket cap (QUALIFY
+    // window count — an unmirrored cap would diverge the moment any
+    // bucket trips it). OperatorsSpec additionally pins
     // precision/recall against the exact all-pairs set.
     sql("q66_embedding_neardup_ann",
-      """WITH kb AS (
+      """WITH kb0 AS (
         | SELECT vec_id, embedding,
         |  list_sum(list_transform(range(6),
         |    i -> CASE WHEN embedding[CAST(i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
         | FROM embeddings),
+        |kb AS (
+        | SELECT * FROM kb0
+        | QUALIFY count(*) OVER (PARTITION BY key) <= 4096),
         |cand AS (
         | SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
         | FROM kb a JOIN kb b ON a.key = b.key AND a.vec_id < b.vec_id)
@@ -88,11 +92,14 @@ object PipelineQueries {
     // Sign-bucket band keys are plain sign arithmetic → full DuckDB
     // oracle; the banded-vs-single recall spec pins behavior.
     sql("q76_embedding_neardup_banded",
-      """WITH kb AS (
+      """WITH kb0 AS (
         | SELECT vec_id, embedding, t.b AS band,
         |  list_sum(list_transform(range(8),
         |    i -> CASE WHEN embedding[CAST(t.b*8+i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
         | FROM embeddings, range(8) AS t(b)),
+        |kb AS (
+        | SELECT * FROM kb0
+        | QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096),
         |cand AS (
         | SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         | FROM kb a JOIN kb b
@@ -134,6 +141,14 @@ object PipelineQueries {
     // IVF is SQL-expressible too: centroids are elementwise per-label
     // means (parallel unnest zips value with position), probes the
     // nprobe nearest centroids, exact cosine within probed lists.
+    //
+    // FP-determinism note: centroid avg() summation order is unpinned
+    // on both engines, so only the PROBE SELECTION could in principle
+    // diverge; measured on the gate dataset the crn=3/crn=4 cosine
+    // gap is >= 2.4e-4 against ~1e-13 summation noise (9 orders of
+    // margin), and the output sims come from raw embeddings via
+    // pinned-order dot products (q40/q41 precedent). The final rows
+    // are therefore engine-stable.
     sql("q43_ann_ivf",
       """WITH cent AS (
         | SELECT label AS list_id, list(m ORDER BY pos) AS centroid FROM (

@@ -34,8 +34,13 @@ object StreamProbe {
     // stage the corpus with an event-time column, split into enough
     // files that maxFilesPerTrigger yields a multi-batch stream
     val stage = java.nio.file.Files.createTempDirectory("streamprobe").toString
+    // ts = doc_id seconds, UNWRAPPED: the ScaleGen copy stride is a
+    // multiple of any small modulus, so a `% k` here would reset event
+    // time at every copy boundary and the watermark would silently
+    // drop ~all of each later copy's early rows as late — the probe
+    // would then measure a stream that lost a quarter of its input
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("ts", timestamp_micros(col("doc_id") % 1000000L * 1000000L))
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
       .select("doc_id", "ts", "text")
     docs.repartitionByRange(16, col("doc_id"))
       .write.mode("overwrite").parquet(s"$stage/in")
