@@ -55,11 +55,13 @@ object Bench {
       // every pass failed → -1 sentinel (keeps the JSON numeric)
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    // centisecond resolution and a numeric sf keep the whole line under
-    // the driver's 2000-char stdout tail window with headroom (74
-    // queries at 3 decimals measured 1991 chars — one digit of growth
-    // from a truncated, unparseable line)
+    // centisecond resolution, trailing zeros stripped, numeric sf: the
+    // whole line must stay under the driver's 2000-char stdout tail
+    // window (75 queries at fixed 2 decimals measured 1951 chars —
+    // stripping "x.50"→"x.5" / "x.00"→"x" buys ~50 chars of headroom
+    // so one more catalog entry cannot truncate the line)
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros().toPlainString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failed queries carry the -1 sentinel — excluded from the total so
