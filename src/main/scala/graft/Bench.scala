@@ -55,26 +55,27 @@ object Bench {
       // every pass failed → -1 sentinel (keeps the JSON numeric)
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    // centisecond resolution, trailing zeros stripped, numeric sf: the
-    // whole line must stay under the driver's 2000-char stdout tail
-    // window (75 queries at fixed 2 decimals measured 1951 chars —
-    // stripping "x.50"→"x.5" / "x.00"→"x" buys ~50 chars of headroom
-    // so one more catalog entry cannot truncate the line)
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros().toPlainString
+    // The per-query breakdown goes to a FILE, not the stdout line: the
+    // driver captures only a 2000-char stdout tail, and a 75-query map
+    // outgrew it (BENCH_r04 "parsed": null). The printed line carries
+    // just the headline fields and the absolute path of the breakdown.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-queries.json")).getAbsoluteFile
     // failed queries carry the -1 sentinel — excluded from the total so
-    // a failure can't subtract from the headline number. When any query
-    // failed, a "failed" count is emitted so a parser comparing totals
-    // can tell the runs are incomparable (the key is absent on clean
-    // runs to preserve the stdout-tail char budget).
+    // a failure can't subtract from the headline number
     val total = ms(results.map(_._2).filter(_ >= 0).sum)
     val nFailed = results.count(_._2 < 0)
-    val failed = if (nFailed > 0) s""","failed":$nFailed""" else ""
     val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf$failed}""")
+    val perQuery =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"queries":$qs}"""
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(perQuery) finally w.close()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"n_queries":${results.size},"queries_file":"${outFile.getPath}"}""")
     spark.stop()
   }
 }

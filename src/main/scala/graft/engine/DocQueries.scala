@@ -20,8 +20,18 @@ object DocQueries {
     * of the corpus before the token self-join (high-df tokens carry
     * ~no Jaccard signal and form quadratic join groups). The same cap
     * is interpolated into the DuckDB oracle.
+    *
+    * 0.9, not 0.5: the gate corpus's near-dup pairs share tokens with
+    * df fractions 0.75–0.83 (measured at sf0.001/0.01/0.1), so a 0.5
+    * cap pruned EVERY shared token and the oracle comparison went
+    * vacuous (0 = 0 rows, ADVICE r4). At 0.9 the gate yields 62/72/
+    * 6313 non-empty pairs across the three SFs while the cap still
+    * removes the corpus-wide stopwords (df → ~1.0 at web scale) that
+    * create the quadratic join groups pruning exists for. Verify
+    * additionally flags empty results on queries expected non-empty,
+    * so a future retune cannot go silently vacuous again.
     */
-  val MaxDfFraction: Double = 0.5
+  val MaxDfFraction: Double = 0.9
 
   val all: Seq[QueryDef] = Seq(
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -179,7 +178,8 @@ object Dedup {
     * docs) would emit m² candidate pairs. Buckets above the cap are
     * dropped entirely — their members are still compared through
     * their other bands, and at web scale a mega-bucket carries no
-    * near-dup signal worth O(m²) shuffle.
+    * near-dup signal worth O(m²) shuffle. Enforced sort-free via
+    * [[HotBuckets.dropOversized]].
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
@@ -190,10 +190,7 @@ object Dedup {
           col(textCol), bands, rowsPerBand, shingleSize))
         .as(Seq("band", "key")))
       .repartition(col("band"), col("key"))
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    val capped = HotBuckets.dropOversized(banded, maxBucketSize, "band", "key")
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")

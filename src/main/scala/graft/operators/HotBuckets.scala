@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sort-free hot-bucket guard shared by the LSH candidate generators
+  * ([[Dedup.minHashCandidates]], [[Similarity.nearDupesAnnBanded]]).
+  *
+  * The previous formulation — `count(1).over(Window.partitionBy(keys))`
+  * — was semantically right but planned a partition-local Sort on the
+  * bucket keys under the window, and on the similarity bands=1 path the
+  * sorted rows carried the full embedding vectors: an avoidable
+  * O(corpus log corpus) term in exactly the paths built for 100 TB.
+  * This form aggregates bucket sizes instead (output is one row per
+  * HOT bucket — degenerate buckets are rare by construction, so the
+  * set is tiny) and drops their members with a broadcast left-anti
+  * join: no Sort node anywhere, one hash aggregation that reuses the
+  * (keys) exchange the caller already forced for the self-join, and
+  * the anti-join build side is bounded by the hot-bucket count, never
+  * the corpus.
+  *
+  * Row-level semantics match the window form for every joinable row:
+  * both drop exactly the members of groups larger than `cap`. (The one
+  * divergence is null-keyed rows — an anti-join can never match them,
+  * so they survive here where an oversized null "group" was dropped
+  * before. Null keys also never match in the downstream equi-self-join,
+  * so no candidate pair is affected; they are dead rows either way.)
+  * The oracle SQL keeps the `QUALIFY count(*) OVER (...) <= cap`
+  * formulation — same surviving pairs, independently expressed.
+  */
+private[graft] object HotBuckets {
+
+  /** Remove every member of a `keys`-group with more than `cap` rows. */
+  def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+}

@@ -149,10 +149,7 @@ object Similarity {
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("n"), signBucket(col(vecCol), bits).as("bucket"))
         .repartition(col("bucket"))
-      val capped = bucketed
-        .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
+      val capped = HotBuckets.dropOversized(bucketed, maxBucketSize, "bucket")
       val a = capped.alias("a")
       val b = capped.alias("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -171,11 +168,7 @@ object Similarity {
         .select(col(idCol).as("id"), explode(bandKeys).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
         .repartition(col("band"), col("key"))
-      val capped = banded
-        .withColumn("__bsz",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .filter(col("__bsz") <= maxBucketSize)
-        .drop("__bsz")
+      val capped = HotBuckets.dropOversized(banded, maxBucketSize, "band", "key")
       val a = capped.alias("a")
       val b = capped.alias("b")
       val cands = a.join(b,

@@ -23,4 +23,26 @@ class EntryContractSpec extends SparkSpec {
   test("flagship entry returns rows at the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** Queries whose EMPTY result at the smoke SF is the correct answer
+    * (both engines agree on zero rows), so an empty oracle compare is
+    * still meaningful for them: anti-join/except of sets that fully
+    * overlap at this scale.
+    */
+  private val allowEmpty = Set("q05_join_anti", "q15_except")
+
+  test("oracle-checked queries are non-empty at the smoke scale factor") {
+    // the vacuity gate (ADVICE r4): a 0-row Spark result matching a
+    // 0-row oracle result exercises nothing — q38's df cap silently
+    // emptied it in round 4 and the hash compare stayed green. Any
+    // parameter retune that empties an oracle-checked query must fail
+    // HERE, not pass vacuously at the driver gate. `isEmpty` plans
+    // with a limit, so this stays cheap across the catalog.
+    val dir = "/root/testdata/sf0.001"
+    val vacuous = SparkEntry.oracleSql.keySet.toSeq.sorted
+      .filterNot(allowEmpty)
+      .filter(name => SparkEntry.queries(name)(spark, dir).isEmpty)
+    assert(vacuous.isEmpty,
+      s"oracle-checked queries with empty (vacuous) results at sf0.001: $vacuous")
+  }
 }

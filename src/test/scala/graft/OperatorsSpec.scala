@@ -89,6 +89,38 @@ class OperatorsSpec extends SparkSpec {
       s"expected a reused exchange in:\n$plan")
   }
 
+  test("hot-bucket caps are sort-free: no Sort or Window in capped candidate plans") {
+    // the cap was count(1).over(Window.partitionBy(keys)) — right
+    // semantics, but a partition-only Window still plans a
+    // partition-local Sort on its keys, and on the similarity bands=1
+    // path the sorted rows carry full embedding vectors: an avoidable
+    // O(corpus log corpus) term at 100 TB. HotBuckets.dropOversized
+    // (agg sizes → broadcast anti-join) must leave NO Sort and NO
+    // Window anywhere between the repartition and the self-join; these
+    // run collect() first so the assertion reads the final AQE plan.
+    val docs001 = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cands = Dedup.minHashCandidates(docs001, "doc_id", "text",
+      bands = 8, rowsPerBand = 4)
+    assert(cands.collect().nonEmpty)
+    val p1 = cands.queryExecution.executedPlan.toString
+    assert(!p1.contains("Sort"), s"no Sort may appear in minHashCandidates:\n$p1")
+    assert(!p1.contains("Window"), s"no Window may appear in minHashCandidates:\n$p1")
+
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ann = Similarity.nearDupesAnn(emb, threshold = 0.8, bits = 4)
+    ann.collect()
+    val p2 = ann.queryExecution.executedPlan.toString
+    assert(!p2.contains("Sort"), s"no Sort may appear in nearDupesAnn:\n$p2")
+    assert(!p2.contains("Window"), s"no Window may appear in nearDupesAnn:\n$p2")
+
+    val banded = Similarity.nearDupesAnnBanded(emb, threshold = 0.8,
+      bits = 4, bands = 4)
+    banded.collect()
+    val p3 = banded.queryExecution.executedPlan.toString
+    assert(!p3.contains("Window"), s"no Window may appear in nearDupesAnnBanded:\n$p3")
+    assert(!p3.contains("Sort"), s"no Sort may appear in nearDupesAnnBanded:\n$p3")
+  }
+
   test("minhash signature similarity approximates jaccard") {
     import spark.implicits._
     val sig = docs.select(col("doc_id"),
