@@ -182,19 +182,37 @@ object ExtraQueries {
     // Count-min-sketch heavy hitters: one CMS built over the token
     // stream in a single aggregation (mergeable partial sketches —
     // the constant-memory shape for 100 TB frequency estimation),
-    // probed for the exact top-10 tokens. Rows-only (the sketch binary
-    // is engine-internal); the CMS ≥ exact one-sided error bound is
-    // spec'd in ScaleOpsSpec.
-    rowsOnly("q73_cms_heavy_hitters") { (s, d) =>
+    // probed for the exact top-10 tokens. The raw estimate is
+    // engine-internal (xxhash seeds), but the CMS CONTRACT is not:
+    // estimate ≥ true always, and estimate ≤ true + ε·N (ε = 0.001,
+    // N = total token stream length) with confidence 0.99 per probe.
+    // The checked column is that contract as a boolean; the oracle
+    // recomputes the exact top-10 and asserts TRUE. Deterministic —
+    // fixed seed + fixed data give a fixed sketch, so the probabilistic
+    // clause either holds on the gate corpus (verified at sf0.001/
+    // 0.01/0.1) or fails loudly, never flakes. The tighter estimate-vs-
+    // exact accuracy numbers stay spec'd in ScaleOpsSpec.
+    sql("q73_cms_heavy_hitters",
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |               x -> x <> '')) AS tok
+        | FROM documents)
+        |SELECT tok, count(*) AS exact_n, TRUE AS within_bound
+        |FROM toks GROUP BY tok
+        |ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
       val toks = documents(s, d).select(
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok")).limit(10)
       val sketchBytes = toks
-        .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+        .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+          count(lit(1)).as("__n_stream"))
       top.crossJoin(broadcast(sketchBytes))
         .withColumn("cms_n", graft.plans.CmsEstimateExpr.cms_estimate(col("cms"), col("tok")))
-        .select(col("tok"), col("exact_n"), col("cms_n"))
+        .select(col("tok"), col("exact_n"),
+          (col("cms_n") >= col("exact_n") &&
+            col("cms_n") <= col("exact_n") + ceil(col("__n_stream") * 0.001))
+            .as("within_bound"))
         .orderBy(col("exact_n").desc, col("tok"))
     },
 

@@ -194,18 +194,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Multimodal plumbing (rows-only): documents → binary payload +
-    // typed metadata → partition-batched stub decode → per-mime feature
-    // aggregate. The decode itself is a documented deterministic fake
-    // (no codecs in this environment); schema/partitioning/batch shape
-    // are the real contract, pinned further in OperatorsSpec.
-    rowsOnly("q50_multimodal_features") { (s, d) =>
+    // Multimodal plumbing: documents → binary payload + typed metadata
+    // → partition-batched stub decode → checked feature column. The
+    // decode is a documented deterministic fake (no codecs in this
+    // environment), but it is PURE BYTE ARITHMETIC — a histogram of
+    // payload bytes mod 8 — so it has a full DuckDB oracle: the corpus
+    // is ASCII (verified 0 non-ASCII chars at every SF), hence payload
+    // byte i == character code at i, and the bucket-0 count is the
+    // number of chars whose code ≡ 0 (mod 8). The checked column is
+    // that INTEGER count, recovered from the normalized float feature
+    // by f0 × n_bytes (float c/n carries ~6e-8 relative error, so
+    // round() recovers c exactly for any document < 10^6 bytes) —
+    // integer-exact compares, immune to the float-vs-double round()
+    // divergence that rules out comparing f0 itself. Normalization and
+    // batch shape stay pinned in OperatorsSpec.
+    sql("q50_multimodal_features",
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS mime,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(len(list_filter(range(1, length(text)+1),
+        |      i -> ascii(text[i:i]) % 8 = 0)) AS BIGINT) AS b0
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = graft.operators.Multimodal.synthesize(
         documents(s, d), "doc_id", "text")
       val feats = graft.operators.Multimodal.decodeStub(media, dim = 8)
       feats.select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          round(element_at(col("features"), 1).cast("double") *
+            greatest(length(col("payload")), lit(1))).cast("long").as("b0"))
         .orderBy(col("media_id"))
     }
   )
