@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -207,16 +206,33 @@ object DocQueries {
         // full O(tokens) explosion — one less token-volume shuffle
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
         // no broadcast hint on df: AQE sizes the vocabulary at runtime
         // and broadcasts only when it fits (see TextOps.tfidf)
-        tf.join(df, "tok")
+        val scored = tf.join(df, "tok")
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+        // Top term per doc WITHOUT sorting the (doc, term) table. The
+        // obvious forms all smuggle a sort back in: row_number().over(
+        // partitionBy(doc_id)) plans a token-scale Window sort (the old
+        // shape — the single most expensive stage in the catalog at
+        // 100×), and both max_by(tok, score) and min(tok)-after-filter
+        // plan as SortAggregate because string/struct aggregation
+        // buffers are not HashAggregate-mutable. Instead: (1) pure hash
+        // agg for the per-doc max score (primitive double buffer), (2)
+        // shuffled-hash equi-join back on (doc_id, score) — the rounded
+        // score is byte-identical on both sides, and the hint avoids a
+        // sort-merge join's sorts; build side is one row per doc — then
+        // (3) break the rare exact-score ties with array_min over
+        // collect_list(tok): a TypedImperativeAggregate, so it plans as
+        // ObjectHashAggregate (hash grouping, no sort) over ties-only
+        // rows. The only remaining Sort is the doc-scale presentation
+        // orderBy every catalog query carries.
+        val best = scored.groupBy("doc_id").agg(max("score").as("score"))
+        scored.join(best.hint("shuffle_hash"), Seq("doc_id", "score"))
+          .groupBy(col("doc_id"), col("score"))
+          .agg(array_min(collect_list(col("tok"))).as("top_term"))
+          .select(col("doc_id"), col("top_term"), col("score"))
           .orderBy(col("doc_id"))
     }
   )

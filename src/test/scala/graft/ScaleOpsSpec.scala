@@ -91,18 +91,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast in:\n$plan")
   }
 
+  test("tfidf top term: no Window and no token-scale sort in the plan") {
+    // the old shape ranked every (doc, term) row through a
+    // row_number() window — a sort of the full term table, the most
+    // expensive stage in the catalog at 100×. The hash-agg + shuffle-
+    // hash-join + ObjectHashAggregate(collect_list) rewrite must leave
+    // no Window, no SortAggregate (the min(string)/max_by trap), and
+    // no sort-merge join; the only Sort allowed is the single doc-scale
+    // presentation orderBy.
+    val q = graft.SparkEntry.queries("q39_tfidf_top_term")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // the adaptive toString appends the pre-AQE "Initial Plan" — assert
+    // on the executed Final Plan section only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"no Window may appear in q39:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"no SortAggregate may appear in q39:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SortMergeJoin may appear in q39:\n$plan")
+    val sorts = plan.linesIterator.count(l => l.contains("Sort ") && !l.contains("SortAgg"))
+    assert(sorts <= 1, s"only the presentation orderBy may sort, found $sorts:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"tie-break agg must hash, not sort:\n$plan")
+  }
+
   test("count-min-sketch heavy hitters: one-sided error within the eps bound") {
     val sfDir = "/root/testdata/sf0.001"
     val out = graft.SparkEntry.queries("q73_cms_heavy_hitters")(spark, sfDir).collect()
     assert(out.length === 10)
-    // the CMS contract: estimate >= exact always, and with probability
-    // `confidence` the overcount is <= eps * stream length. Assert the
-    // actual eps=0.001 bound against the real token-stream length.
-    val streamLen = graft.engine.Tables.documents(spark, sfDir)
-      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      .count()
+    // the query now carries the CMS contract as its checked column
+    // (estimate >= exact AND overcount <= ceil(eps*N)); every heavy
+    // hitter must satisfy it on the gate corpus
     out.foreach { r =>
-      val (exact, cms) = (r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(2), s"${r.getString(0)}: CMS eps-bound contract violated")
+    }
+    // independent re-derivation of the raw estimates: rebuild the
+    // sketch and probe it directly, asserting the one-sided bound with
+    // the real token-stream length (keeps the accuracy check alive now
+    // that the query output is the boolean contract)
+    val toks = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val streamLen = toks.count()
+    val sketch = toks.agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+    val probed = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(10)
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_n", graft.plans.CmsEstimateExpr.cms_estimate(col("cms"), col("tok")))
+      .collect()
+    probed.foreach { r =>
+      val (exact, cms) = (r.getLong(1), r.getLong(3))
       assert(cms >= exact, s"${r.getString(0)}: cms $cms < exact $exact")
       assert(cms - exact <= (0.001 * streamLen).toLong,
         s"${r.getString(0)}: overcount ${cms - exact} above eps*N = ${(0.001 * streamLen).toLong}")
