@@ -272,13 +272,30 @@ object Main {
         }
       }
     }
-    val summaries = Await.result(Future.sequence(futures), Duration.Inf)
+    // settle EVERY source before concluding (dead-letter semantics,
+    // mirroring the bulk mirror's skip-and-continue): fail-fast
+    // Future.sequence would abandon the await on the first failure
+    // while sibling sources keep running and logging — losing their
+    // completed work from the report and leaving the run log's tail
+    // racy. Instead each future is settled to a Try, the job completes
+    // deterministically (every source has logged source_complete or
+    // source_failed before job_complete), successful sources keep
+    // their report, and the first failure still fails the job.
+    val settled = Await.result(
+      Future.sequence(futures.map(_.transform(scala.util.Success(_)))),
+      Duration.Inf)
+    val failures = settled.collect { case scala.util.Failure(e) => e }
+    val summaries = settled.collect { case scala.util.Success(s) => s }
     rl.log("job_complete", "phase" -> "ingest",
-      "n_sources" -> summaries.size,
+      "n_sources" -> job.sources.size, "n_failed" -> failures.size,
       "total_records" -> summaries.map(_.recordsWritten).sum)
     val report = Report.render(summaries)
     Files.createDirectories(Paths.get(job.outputDir))
     Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
     summaries
     } finally pool.shutdown()
   }

@@ -36,10 +36,15 @@ object Dedup {
     * keeper-id build side is strictly cheaper and skew-free, since
     * ids are unique.)
     *
-    * PRECONDITION: `idCol` must be unique — it is the keeper key. With
-    * duplicate ids the semi-join keeps EVERY row carrying a keeper id
-    * (including content-duplicate rows that share the keeper's id),
-    * where the old windowed form kept one arbitrary row per content.
+    * PRECONDITION: `idCol` must be unique AND non-null — it is the
+    * keeper key. With duplicate ids the semi-join keeps EVERY row
+    * carrying a keeper id (including content-duplicate rows that share
+    * the keeper's id), where the old windowed form kept one arbitrary
+    * row per content. Null-id rows are EXCLUDED from the output: an
+    * equality semi-join never matches null, and min() ignores nulls,
+    * so a fingerprint group whose ids are all null keeps nothing
+    * (the windowed form kept one arbitrary row). Filter or synthesize
+    * ids (e.g. `monotonically_increasing_id`) before calling.
     */
   def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = df

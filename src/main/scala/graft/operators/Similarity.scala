@@ -257,14 +257,22 @@ object Similarity {
     * the cost of one up-front count() job. `maxBits` must stay within
     * the vector dimensionality (the bucket key uses the leading
     * `bits` dims' signs).
+    *
+    * `knownCount` skips that count() job: a caller who already
+    * materialized (or exactly knows) the corpus size passes it and the
+    * whole construction stays lazy — no Spark job runs until the
+    * result is acted on (pinned by a listener spec). An approximate
+    * count works too: `autoBits` only reads ceil(log2(n/target)), so a
+    * count off by <2× shifts the sizing by at most one bit.
     */
   def nearDupesAnnAuto(corpus: DataFrame, threshold: Double,
       targetBucketSize: Int = 1024, maxBits: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      knownCount: Option[Long] = None): DataFrame =
     nearDupesAnn(corpus, threshold,
-      autoBits(corpus.count(), targetBucketSize, maxBits), idCol, vecCol,
-      maxBucketSize)
+      autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits),
+      idCol, vecCol, maxBucketSize)
 
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
     * (coarse quantizer); each query probes the `nprobe` nearest

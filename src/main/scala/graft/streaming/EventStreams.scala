@@ -117,7 +117,8 @@ object EventStreams {
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts", shingleSize: Int = 4,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      maxDriverShingles: Int = 1 << 20): DataFrame = {
     // convenience form: the shingle set is materialized EAGERLY to a
     // local relation — by construction it must fit in memory anyway
     // (it is broadcast into every micro-batch), and a local relation
@@ -126,11 +127,22 @@ object EventStreams {
     // whose benchmark shingle set is too big to hold on the driver
     // should build it with `benchmarkShingles`, own its
     // persist/unpersist lifecycle, and use `contaminationFlagsAgainst`.
+    //
+    // Guarded: collecting limit(max+1) bounds driver memory — if the
+    // cap row comes back, the set exceeds `maxDriverShingles` and this
+    // fails with a pointer to the escape hatch INSTEAD of stalling or
+    // OOMing the driver mid-collect (ADVICE r4); when it doesn't, the
+    // limited collect already IS the complete set, so the guard costs
+    // no extra job.
     val spark = benchmark.sparkSession
     import spark.implicits._
-    val shingles = benchmarkShingles(benchmark, textCol, shingleSize)
-      .as[String].collect().toSeq.toDF("shingle")
-    contaminationFlagsAgainst(docs, shingles,
+    val collected = benchmarkShingles(benchmark, textCol, shingleSize)
+      .limit(maxDriverShingles + 1).as[String].collect()
+    require(collected.length <= maxDriverShingles,
+      s"benchmark shingle set exceeds maxDriverShingles=$maxDriverShingles; " +
+        "build it with benchmarkShingles + persist and use " +
+        "contaminationFlagsAgainst instead of the driver-local convenience form")
+    contaminationFlagsAgainst(docs, collected.toSeq.toDF("shingle"),
       idCol, textCol, tsCol, shingleSize, watermark)
   }
 

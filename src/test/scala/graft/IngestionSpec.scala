@@ -525,6 +525,69 @@ class IngestionSpec extends SparkSpec {
     assert(events(6)("records") === "0" && events(6)("completed") === "true")
   }
 
+  test("run log stays valid JSON-lines under concurrent sources with a failure") {
+    // three sources on a concurrency-3 pool, one dead on arrival (its
+    // HTTP endpoint answers terminal 503): every source must settle
+    // before job_complete, the failed one must log source_failed, the
+    // healthy ones must keep their completed work and report line, and
+    // the interleaved appends must all stay parseable JSON objects.
+    val dir = tmpDir("runlog_conc")
+    Files.writeString(Paths.get(s"$dir/a.tsv"), "C\tZINC1\nCC\tZINC2\n")
+    Files.writeString(Paths.get(s"$dir/b.tsv"), "CCC\tZINC3\n")
+    val job = JobConfig.parse(
+      s"""job:
+         |  output_dir: $dir/out
+         |  checkpoint_dir: $dir/cp
+         |  concurrency: 3
+         |  compress_output: false
+         |  sources:
+         |    - type: delimited
+         |      name: zincA
+         |      options: {paths: $dir/a.tsv, delimiter: "\\t"}
+         |    - type: delimited
+         |      name: zincB
+         |      options: {paths: $dir/b.tsv, delimiter: "\\t"}
+         |    - type: chemspider
+         |      name: deadsource
+         |      options: {}
+         |""".stripMargin)
+    val transport: RetryingHttp.Transport = (_, _) => (503, "unavailable")
+    val rl = new graft.report.RunLog(s"$dir/out/run-log.jsonl")
+    val failure = intercept[Exception](
+      Main.runIngestion(spark, job, transport, Some(rl)))
+    def rootCause(t: Throwable): Throwable =
+      Option(t.getCause).filter(_ ne t).map(rootCause).getOrElse(t)
+    assert(rootCause(failure).getMessage.contains("HTTP 503"), failure)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = Files.readAllLines(Paths.get(s"$dir/out/run-log.jsonl"))
+    val events = new scala.collection.mutable.ArrayBuffer[Map[String, String]]
+    lines.forEach { l =>
+      val n = mapper.readTree(l) // throws on a torn/interleaved line
+      assert(n.isObject, s"non-object log line: $l")
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      events += b.result()
+    }
+    val names = events.map(_("event")).toSeq
+    assert(names.head === "job_start" && names.last === "job_complete",
+      s"job events must bracket the run: $names")
+    val failed = events.filter(_("event") == "source_failed")
+    assert(failed.map(_("source")).toSeq === Seq("deadsource"))
+    assert(failed.head("error").contains("HTTP 503"))
+    Seq("zincA", "zincB").foreach { src =>
+      assert(events.exists(e => e("event") == "source_complete" && e("source") == src),
+        s"$src must settle with source_complete before job_complete: $names")
+    }
+    val complete = events.last
+    assert(complete("n_failed") === "1" && complete("n_sources") === "3")
+    assert(complete("total_records") === "3", "healthy sources' records survive the failure")
+    // the report still carries the two healthy sources
+    val report = Files.readString(Paths.get(s"$dir/out/raw-data-report.md"))
+    assert(report.contains("zincA") && report.contains("zincB"), report)
+  }
+
   test("report: byte humanization and empty-run message") {
     assert(Report.formatBytes(512) === "512 B")
     assert(Report.formatBytes(2048) === "2.00 KB")

@@ -507,6 +507,33 @@ class OperatorsSpec extends SparkSpec {
     assert(auto === expected)
   }
 
+  test("nearDupesAnnAuto with knownCount runs no job at construction time") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // a caller that already counted the corpus must not pay a rescan:
+    // with knownCount supplied, building the DataFrame is fully lazy
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.nearDupesAnnAuto(corpus, threshold = 0.8,
+        targetBucketSize = 16, maxBits = 8, knownCount = Some(100L))
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() === 0,
+        s"construction with knownCount must be lazy, ran ${jobs.get()} job(s)")
+      // and the derived sizing matches the counted form exactly
+      val viaCount = Similarity.nearDupesAnnAuto(corpus, threshold = 0.8,
+        targetBucketSize = 16, maxBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === viaCount)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF ANN probes matching lists and finds in-list neighbors") {
     val out = Similarity.annIvf(vectors, vectors.filter(col("vec_id") === 3), k = 1,
       nprobe = 1).collect()

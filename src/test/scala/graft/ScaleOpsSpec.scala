@@ -143,6 +143,43 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q43 IVF probe boundary keeps a safe FP margin on the gate data") {
+    // the q43 oracle's engine-stability rests on the crn=3/crn=4
+    // centroid-cosine gap dwarfing avg() summation noise (~1e-13,
+    // unpinned order on both engines). That margin is a DATA property:
+    // regenerated or rescaled gate corpora could erode it and flake
+    // the hash compare with no code change. Enforce it here so a data
+    // change fails loudly as a data problem (ADVICE r4). Driver-side
+    // replica of the centroid/probe math; measured gap ≥ 2.4e-4, gate
+    // epsilon 1e-5 leaves 8 orders above the noise floor.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = graft.engine.Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long"), col("label").cast("long"),
+          col("embedding")).collect()
+      val byLabel = rows.groupBy(_.getLong(1))
+      val centroids = byLabel.map { case (lab, rs) =>
+        val vecs = rs.map(_.getSeq[Float](2).map(_.toDouble).toArray)
+        lab -> vecs.transpose.map(xs => xs.sum / xs.length)
+      }
+      assume(centroids.size > 3, s"need >3 lists for an nprobe=3 boundary in $dir")
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val minGap = rows.filter(_.getLong(0) < 10).map { q =>
+        val qv = q.getSeq[Float](2).map(_.toDouble).toArray
+        val ranked = centroids.toSeq
+          .map { case (lab, c) => (cos(qv, c), lab) }
+          .sortBy { case (s, lab) => (-s, lab) }
+        ranked(2)._1 - ranked(3)._1
+      }.min
+      assert(minGap >= 1e-5,
+        s"$dir: probe-boundary centroid-cosine gap $minGap below safe epsilon " +
+          "1e-5 — the q43 oracle is no longer engine-stable on this data; " +
+          "fix the DATA (or retune nprobe), not the query")
+    }
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark shingle set") {
     // the benchmark side is small by definition; broadcasting it means
     // the corpus's exploded shingles are never shuffled — the only
