@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -212,27 +213,24 @@ object DocQueries {
           .crossJoin(broadcast(n))
           .select(col("doc_id"), col("tok"),
             round(col("tf") * log(col("n_docs") / col("df")), 6).as("score"))
-        // Top term per doc WITHOUT sorting the (doc, term) table. The
-        // obvious forms all smuggle a sort back in: row_number().over(
-        // partitionBy(doc_id)) plans a token-scale Window sort (the old
-        // shape — the single most expensive stage in the catalog at
-        // 100×), and both max_by(tok, score) and min(tok)-after-filter
-        // plan as SortAggregate because string/struct aggregation
-        // buffers are not HashAggregate-mutable. Instead: (1) pure hash
-        // agg for the per-doc max score (primitive double buffer), (2)
-        // shuffled-hash equi-join back on (doc_id, score) — the rounded
-        // score is byte-identical on both sides, and the hint avoids a
-        // sort-merge join's sorts; build side is one row per doc — then
-        // (3) break the rare exact-score ties with array_min over
-        // collect_list(tok): a TypedImperativeAggregate, so it plans as
-        // ObjectHashAggregate (hash grouping, no sort) over ties-only
-        // rows. The only remaining Sort is the doc-scale presentation
-        // orderBy every catalog query carries.
-        val best = scored.groupBy("doc_id").agg(max("score").as("score"))
-        scored.join(best.hint("shuffle_hash"), Seq("doc_id", "score"))
-          .groupBy(col("doc_id"), col("score"))
-          .agg(array_min(collect_list(col("tok"))).as("top_term"))
-          .select(col("doc_id"), col("top_term"), col("score"))
+        // Top term per doc: ranking window over the scored table. A
+        // sort-free rewrite was BUILT AND MEASURED in round 5 — hash-agg
+        // max(score) per doc, shuffled-hash join back on (doc_id,
+        // rounded score), ties via array_min(collect_list) (the only
+        // hash-planning tie-break: min(string)/max_by/min_by all plan
+        // as SortAggregate) — and it LOST at every scale: 1.22→1.33 s
+        // at sf0.1, 2.25→3.99 s at 10×, 10.98→13.17 s at 100×,
+        // same-session pairs. The window is NOT a global sort: it is
+        // one exchange on doc_id plus a partition-local sort, while the
+        // rewrite pays the same full-table exchange for its join PLUS a
+        // second tf⋈df pass (two-consumer DAGs recompute their common
+        // subplan; only the tf/df exchanges are reused). Keeping the
+        // measured winner.
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_term"), col("score"))
           .orderBy(col("doc_id"))
     }
   )

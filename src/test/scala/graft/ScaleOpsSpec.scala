@@ -91,25 +91,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected AQE broadcast in:\n$plan")
   }
 
-  test("tfidf top term: no Window and no token-scale sort in the plan") {
-    // the old shape ranked every (doc, term) row through a
-    // row_number() window — a sort of the full term table, the most
-    // expensive stage in the catalog at 100×. The hash-agg + shuffle-
-    // hash-join + ObjectHashAggregate(collect_list) rewrite must leave
-    // no Window, no SortAggregate (the min(string)/max_by trap), and
-    // no sort-merge join; the only Sort allowed is the single doc-scale
-    // presentation orderBy.
+  test("tfidf top term: one window pass, no sort-merge join, scored table computed once") {
+    // the measured-winner shape (see DocQueries q39 comment): the
+    // ranking window is one exchange + partition-local sort over a
+    // SINGLE tf⋈df evaluation. The sort-free two-agg rewrite was
+    // measured slower at sf0.1/10×/100× because it recomputes the
+    // scored table; this spec pins the winner's plan properties so a
+    // refactor can't silently reintroduce either a second Window pass
+    // or a sort-merge join.
     val q = graft.SparkEntry.queries("q39_tfidf_top_term")(spark, "/root/testdata/sf0.001")
     q.collect()
-    // the adaptive toString appends the pre-AQE "Initial Plan" — assert
-    // on the executed Final Plan section only
+    // assert on the executed Final Plan section only (the adaptive
+    // toString appends the pre-AQE Initial Plan)
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!plan.contains("Window"), s"no Window may appear in q39:\n$plan")
-    assert(!plan.contains("SortAggregate"), s"no SortAggregate may appear in q39:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) === 1,
+      s"exactly one window pass expected in q39:\n$plan")
+    // rank-limit pushdown is a load-bearing part of why this shape
+    // wins: WindowGroupLimit drops every non-top row map-side (Partial)
+    // before the shuffle, so the exchanged and sorted volume is ~one
+    // row per (partition, doc), not the full term table
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown must be active in q39:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no SortMergeJoin may appear in q39:\n$plan")
-    val sorts = plan.linesIterator.count(l => l.contains("Sort ") && !l.contains("SortAgg"))
-    assert(sorts <= 1, s"only the presentation orderBy may sort, found $sorts:\n$plan")
-    assert(plan.contains("ObjectHashAggregate"), s"tie-break agg must hash, not sort:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"no SortAggregate may appear in q39:\n$plan")
   }
 
   test("count-min-sketch heavy hitters: one-sided error within the eps bound") {
