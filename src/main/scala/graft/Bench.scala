@@ -57,6 +57,16 @@ object Bench {
     }
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros().toPlainString
+    // minimal JSON string escape (backslash, quote, control chars) —
+    // builder-controlled strings like paths must never be able to
+    // corrupt the headline line; an unparseable line is the exact
+    // BENCH_r04 failure this layout exists to prevent
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // The per-query breakdown goes to a FILE, not the stdout line: the
     // driver captures only a 2000-char stdout tail, and a 75-query map
     // outgrew it (BENCH_r04 "parsed": null). The printed line carries
@@ -70,12 +80,27 @@ object Bench {
     val total = ms(results.map(_._2).filter(_ >= 0).sum)
     val nFailed = results.count(_._2 < 0)
     val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).getOrElse(jstr(sfDir))
     val perQuery =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"queries":$qs}"""
-    val w = new java.io.PrintWriter(outFile, "UTF-8")
-    try w.println(perQuery) finally w.close()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"n_queries":${results.size},"queries_file":"${outFile.getPath}"}""")
+    // the breakdown write must not be able to lose the headline: 25s+
+    // of measurements are in hand at this point, and a bad
+    // SPARK_GRAFT_BENCH_OUT (missing parent, unwritable mount) should
+    // cost the breakdown, not the run — the line reports the file it
+    // actually managed to write, or null
+    val written: Option[String] =
+      try {
+        Option(outFile.getParentFile).foreach(_.mkdirs())
+        val w = new java.io.PrintWriter(outFile, "UTF-8")
+        try w.println(perQuery) finally w.close()
+        Some(outFile.getPath)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] breakdown write failed: $e")
+          None
+      }
+    val fileField = written.map(jstr).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"n_queries":${results.size},"queries_file":$fileField}""")
     spark.stop()
   }
 }

@@ -289,12 +289,23 @@ object Main {
     rl.log("job_complete", "phase" -> "ingest",
       "n_sources" -> job.sources.size, "n_failed" -> failures.size,
       "total_records" -> summaries.map(_.recordsWritten).sum)
-    val report = Report.render(summaries)
-    Files.createDirectories(Paths.get(job.outputDir))
-    Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)
-    failures.headOption.foreach { first =>
-      failures.drop(1).foreach(first.addSuppressed)
-      throw first
+    // a report render/write failure must never MASK a source failure
+    // (the actual root cause): capture it and rethrow it only when no
+    // source failed, otherwise attach it as suppressed
+    val reportError =
+      try {
+        val report = Report.render(summaries)
+        Files.createDirectories(Paths.get(job.outputDir))
+        Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)
+        None
+      } catch { case scala.util.control.NonFatal(e) => Some(e) }
+    failures.headOption match {
+      case Some(first) =>
+        failures.drop(1).foreach(first.addSuppressed)
+        reportError.foreach(first.addSuppressed)
+        throw first
+      case None =>
+        reportError.foreach(e => throw e)
     }
     summaries
     } finally pool.shutdown()

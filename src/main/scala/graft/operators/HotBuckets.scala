@@ -30,12 +30,23 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object HotBuckets {
 
-  /** Remove every member of a `keys`-group with more than `cap` rows. */
+  /** Remove every member of a `keys`-group with more than `cap` rows.
+    *
+    * No static `broadcast()` hint on the hot set: a hint bypasses the
+    * size check and collects the build side to the driver REGARDLESS
+    * of size, and the hot set is only "tiny" on well-behaved data —
+    * on exactly the degenerate corpus this cap exists for (worst case
+    * ~n/cap keys), a forced broadcast is a driver OOM. Under AQE the
+    * runtime size decides: a normal hot set broadcasts anyway (the
+    * no-Sort plan spec pins this), a pathological one degrades to a
+    * shuffled join that completes — the same graceful-degradation
+    * contract the old window form had, minus its guaranteed sort.
+    */
   def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > cap)
       .select(keys.map(col): _*)
-    df.join(broadcast(hot), keys, "left_anti")
+    df.join(hot, keys, "left_anti")
   }
 }

@@ -31,6 +31,25 @@ class EntryContractSpec extends SparkSpec {
     */
   private val allowEmpty = Set("q05_join_anti", "q15_except")
 
+  test("q50 oracle data preconditions hold: ASCII corpus, float-recoverable doc sizes") {
+    // the q50 oracle equates payload BYTES with character CODES
+    // (DuckDB has no blob-byte access) and recovers the bucket count
+    // from a normalized float via f0 × n_bytes. Both are DATA
+    // properties: one multi-byte character or a ≥10^6-byte document
+    // breaks the compare looking like an engine bug. Enforce them per
+    // SF so a regenerated corpus fails loudly as a data problem (the
+    // q43-margin-gate pattern).
+    import org.apache.spark.sql.functions._
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val docs = graft.engine.Tables.documents(spark, s"/root/testdata/$sf")
+      val bad = docs.filter(octet_length(col("text")) =!= length(col("text")) ||
+        length(col("text")) >= 1000000 || col("text").isNull)
+      assert(bad.isEmpty,
+        s"$sf: documents corpus violates the q50 oracle preconditions " +
+          "(non-ASCII, >=1e6-byte, or null text) — fix the DATA or drop the q50 oracle")
+    }
+  }
+
   test("oracle-checked queries are non-empty at the smoke scale factor") {
     // the vacuity gate (ADVICE r4): a 0-row Spark result matching a
     // 0-row oracle result exercises nothing — q38's df cap silently
