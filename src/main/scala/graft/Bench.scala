@@ -55,52 +55,68 @@ object Bench {
       // every pass failed → -1 sentinel (keeps the JSON numeric)
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .bigDecimal.stripTrailingZeros().toPlainString
-    // minimal JSON string escape (backslash, quote, control chars) —
-    // builder-controlled strings like paths must never be able to
-    // corrupt the headline line; an unparseable line is the exact
-    // BENCH_r04 failure this layout exists to prevent
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Both JSON payloads are built with Jackson (already the
+    // codebase's JSON writer — see report/RunLog), not string
+    // interpolation: a malformed line is the exact BENCH_r04 failure
+    // this layout exists to prevent, so escaping must be structural,
+    // not convention. WRITE_BIGDECIMAL_AS_PLAIN keeps stripped values
+    // like 20.00→2E+1 from serializing in scientific notation.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(com.fasterxml.jackson.core.JsonGenerator.Feature.WRITE_BIGDECIMAL_AS_PLAIN)
+    def dec(v: Double): java.math.BigDecimal =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros()
+    // failed queries carry the -1 sentinel — excluded from the total so
+    // a failure can't subtract from the headline number
+    val total = dec(results.map(_._2).filter(_ >= 0).sum)
+    val nFailed = results.count(_._2 < 0)
+    val sfNum = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
+    def baseNode() = {
+      val n = mapper.createObjectNode()
+      n.put("metric", "total")
+      n.put("value", total)
+      n.put("unit", "sec")
+      sfNum match {
+        case Some(s) => n.put("sf", new java.math.BigDecimal(s))
+        case None => n.put("sf", sfDir)
+      }
+      n.put("failed", nFailed)
+      n
+    }
     // The per-query breakdown goes to a FILE, not the stdout line: the
     // driver captures only a 2000-char stdout tail, and a 75-query map
     // outgrew it (BENCH_r04 "parsed": null). The printed line carries
     // just the headline fields and the absolute path of the breakdown.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    val perQuery = baseNode()
+    val qs = perQuery.putObject("queries")
+    results.foreach { case (k, v) => qs.put(k, dec(v)) }
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench-queries.json")).getAbsoluteFile
-    // failed queries carry the -1 sentinel — excluded from the total so
-    // a failure can't subtract from the headline number
-    val total = ms(results.map(_._2).filter(_ >= 0).sum)
-    val nFailed = results.count(_._2 < 0)
-    val sf = raw"sf([0-9]+(?:\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse(jstr(sfDir))
-    val perQuery =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"queries":$qs}"""
     // the breakdown write must not be able to lose the headline: 25s+
     // of measurements are in hand at this point, and a bad
-    // SPARK_GRAFT_BENCH_OUT (missing parent, unwritable mount) should
-    // cost the breakdown, not the run — the line reports the file it
-    // actually managed to write, or null
+    // SPARK_GRAFT_BENCH_OUT (missing parent, full/unwritable mount)
+    // should cost the breakdown, not the run. Files.writeString throws
+    // on ANY write error (unlike PrintWriter, which swallows them into
+    // an error flag), so the headline reports the file it actually
+    // wrote, or null.
     val written: Option[String] =
       try {
         Option(outFile.getParentFile).foreach(_.mkdirs())
-        val w = new java.io.PrintWriter(outFile, "UTF-8")
-        try w.println(perQuery) finally w.close()
+        java.nio.file.Files.writeString(outFile.toPath,
+          mapper.writeValueAsString(perQuery) + "\n")
         Some(outFile.getPath)
       } catch {
-        case e: Exception =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] breakdown write failed: $e")
           None
       }
-    val fileField = written.map(jstr).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"failed":$nFailed,"n_queries":${results.size},"queries_file":$fileField}""")
+    val head = baseNode()
+    head.put("n_queries", results.size)
+    written match {
+      case Some(p) => head.put("queries_file", p)
+      case None => head.putNull("queries_file")
+    }
+    println(mapper.writeValueAsString(head))
     spark.stop()
   }
 }

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * sorted rows carried the full embedding vectors: an avoidable
   * O(corpus log corpus) term in exactly the paths built for 100 TB.
   * This form aggregates bucket sizes instead (output is one row per
-  * HOT bucket — degenerate buckets are rare by construction, so the
-  * set is tiny) and drops their members with a broadcast left-anti
-  * join: no Sort node anywhere, one hash aggregation that reuses the
-  * (keys) exchange the caller already forced for the self-join, and
-  * the anti-join build side is bounded by the hot-bucket count, never
-  * the corpus.
+  * HOT bucket) and drops their members with a left-anti join whose
+  * build side AQE sizes at runtime — on normal data the hot set is
+  * tiny and broadcasts (the no-Sort plan spec pins this); on a
+  * pathological corpus it degrades to a shuffled anti-join that
+  * completes (see the method doc for why there is deliberately NO
+  * static broadcast hint). Either way: no Sort node, and one hash
+  * aggregation that reuses the (keys) exchange the caller already
+  * forced for the self-join.
   *
   * Row-level semantics match the window form for every joinable row:
   * both drop exactly the members of groups larger than `cap`. (The one
