@@ -169,13 +169,42 @@ object ExtraQueries {
           .orderBy(col("c_custkey"))
     },
 
-    // HLL sketches differ across engines: rows-only, spec-checked for
-    // accuracy bounds instead.
-    rowsOnly("q61_approx_count_distinct") { (s, d) =>
-      lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+    // HLL and t-digest-style sketches differ across engines, but their
+    // CONTRACTS do not (the q73 pattern): the checked columns are the
+    // exact distinct count plus two booleans the oracle asserts TRUE —
+    // the HLL++ estimate within 3× its default rsd (0.05), and the
+    // approximate median valid as an ε-approximate quantile, ε = 2×
+    // (1/accuracy). The quantile check uses the two-sided RANK
+    // characterization (count(< v) ≤ ⌈(p+ε)n⌉ ∧ count(≤ v) ≥
+    // ⌊(p−ε)n⌋), which stays correct under ties where a naive
+    // count(≤ v) window check fails. Both sketches are deterministic
+    // on fixed data, so the booleans are stable — verified at
+    // sf0.001/0.01/0.1. The tighter numeric accuracy stays spec'd in
+    // ScaleOpsSpec.
+    sql("q61_approx_count_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS acd_within_bound, TRUE AS p50_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("acd"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+        count(lit(1)).as("n"))
+      // rank join-back: the per-group aggregate is a handful of rows,
+      // so AQE broadcasts it and the corpus is scanned, never shuffled
+      val ranks = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(agg.select(col("l_returnflag"), col("ap50")), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("l_extendedprice") <= col("ap50"), 1L).otherwise(0L)).as("n_le"))
+      agg.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd") - col("exact_parts")) <= col("exact_parts") * 0.15)
+            .as("acd_within_bound"),
+          (col("n_lt") <= ceil(col("n") * 0.502) &&
+            col("n_le") >= floor(col("n") * 0.498)).as("p50_within_bound"))
         .orderBy(col("l_returnflag"))
     },
 
