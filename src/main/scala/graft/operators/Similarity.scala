@@ -274,6 +274,46 @@ object Similarity {
       autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits),
       idCol, vecCol, maxBucketSize)
 
+  /** [[nearDupesAnnBanded]] with per-band `bits` sized from the corpus
+    * count — the banded counterpart of [[nearDupesAnnAuto]], closing
+    * the same quadratic-growth trap for the multi-band path: fixed
+    * per-band bits hold the bucket COUNT constant, so a 10× corpus
+    * puts 10× rows in every bucket and 100× pairs through every band
+    * (the measured q76 super-linear growth). Sizing bits from n holds
+    * the expected per-bucket population — and so per-band pair
+    * volume — ~constant instead.
+    *
+    * Recall under auto-growth is the documented trade: per-band
+    * collision probability is p^bits (p = 1 − θ/π per dimension), so a
+    * pair survives with 1 − (1 − p^bits)^bands. Growing bits lowers
+    * p^bits; callers holding a recall target under corpus growth
+    * should grow `bands` accordingly (each +1 bit at cosine 0.98
+    * costs ~2% per-band collision; doubling bands roughly recovers
+    * it). The derived bits are clamped to dim/bands so a band can
+    * never slice past the vector (which would degenerate to one
+    * bucket); `knownCount` skips the sizing count() job exactly as in
+    * [[nearDupesAnnAuto]], and `dim` is read from one sampled row —
+    * the same eager O(1) lookup the banded form already performs.
+    */
+  def nearDupesAnnBandedAuto(corpus: DataFrame, threshold: Double,
+      bands: Int = 8, targetBucketSize: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(bands >= 1, "bands must be positive")
+    val dim = corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull).head(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot size bands: no non-null '$vecCol' row to read the dimension from"))
+    require(dim / bands >= 1,
+      s"bands = $bands exceeds embedding dim $dim — every band needs >= 1 dimension")
+    val bits = math.min(
+      autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits = 24),
+      dim / bands)
+    nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
+  }
+
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
     * (coarse quantizer); each query probes the `nprobe` nearest
     * centroids' inverted lists only. With a corpus pre-partitioned by

@@ -534,6 +534,36 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("nearDupesAnnBandedAuto sizes per-band bits from the corpus and clamps to dim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(dim: Int) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0L until 120L).map(i => (i, unit(64))).toDF("vec_id", "embedding")
+    // derived bits: autoBits(120, 8, 24) = 4, well under dim/bands = 16
+    val auto = Similarity.nearDupesAnnBandedAuto(corpus, threshold = 0.9,
+        bands = 4, targetBucketSize = 8, knownCount = Some(120L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.nearDupesAnnBanded(corpus, threshold = 0.9,
+        bits = Similarity.autoBits(120, 8, 24), bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
+    // clamping: a huge corpus count would derive bits > dim/bands; the
+    // clamp keeps every band inside the vector instead of throwing the
+    // banded form's bits*bands <= dim requirement
+    val clamped = Similarity.nearDupesAnnBandedAuto(corpus, threshold = 0.9,
+      bands = 16, targetBucketSize = 1, knownCount = Some(1L << 40))
+    assert(clamped.columns.toSeq === Seq("id1", "id2", "sim")) // constructed fine
+    // bands > dim is a caller error, reported as such
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupesAnnBandedAuto(corpus, threshold = 0.9, bands = 65)
+    }
+    assert(e.getMessage.contains("exceeds embedding dim"))
+  }
+
   test("IVF ANN probes matching lists and finds in-list neighbors") {
     val out = Similarity.annIvf(vectors, vectors.filter(col("vec_id") === 3), k = 1,
       nprobe = 1).collect()
