@@ -292,8 +292,10 @@ object Similarity {
     * it). The derived bits are clamped to dim/bands so a band can
     * never slice past the vector (which would degenerate to one
     * bucket); `knownCount` skips the sizing count() job exactly as in
-    * [[nearDupesAnnAuto]], and `dim` is read from one sampled row —
-    * the same eager O(1) lookup the banded form already performs.
+    * [[nearDupesAnnAuto]]. For `bands > 1`, `dim` is read from one
+    * sampled row — the same eager O(1) lookup the banded form already
+    * performs; for `bands == 1` no dim lookup runs at all (the kernel
+    * self-caps), so knownCount keeps that path fully lazy.
     */
   def nearDupesAnnBandedAuto(corpus: DataFrame, threshold: Double,
       bands: Int = 8, targetBucketSize: Int = 1024,
@@ -301,17 +303,29 @@ object Similarity {
       maxBucketSize: Int = DefaultMaxBucketSize,
       knownCount: Option[Long] = None): DataFrame = {
     require(bands >= 1, "bands must be positive")
-    val dim = corpus.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d").isNotNull).head(1).headOption
-      .map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot size bands: no non-null '$vecCol' row to read the dimension from"))
-    require(dim / bands >= 1,
-      s"bands = $bands exceeds embedding dim $dim — every band needs >= 1 dimension")
-    val bits = math.min(
-      autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits = 24),
-      dim / bands)
-    nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
+    if (bands == 1) {
+      // no dim clamp needed — SignBucketExpr self-caps bits at the
+      // vector length, and [[nearDupesAnnBanded]] skips its own dim
+      // check for one band; so with `knownCount` supplied this path
+      // stays fully lazy (no eager job), matching nearDupesAnnAuto
+      // (ADVICE r5)
+      val bits = autoBits(knownCount.getOrElse(corpus.count()),
+        targetBucketSize, maxBits = 24)
+      nearDupesAnnBanded(corpus, threshold, bits, bands = 1,
+        idCol, vecCol, maxBucketSize)
+    } else {
+      val dim = corpus.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d").isNotNull).head(1).headOption
+        .map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot size bands: no non-null '$vecCol' row to read the dimension from"))
+      require(dim / bands >= 1,
+        s"bands = $bands exceeds embedding dim $dim — every band needs >= 1 dimension")
+      val bits = math.min(
+        autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits = 24),
+        dim / bands)
+      nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
+    }
   }
 
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors

@@ -136,8 +136,12 @@ object EventStreams {
     // no extra job.
     val spark = benchmark.sparkSession
     import spark.implicits._
+    // saturating +1: maxDriverShingles = Int.MaxValue means "no cap",
+    // and a bare +1 would overflow to a negative limit (AnalysisException)
+    val probeLimit =
+      if (maxDriverShingles == Int.MaxValue) Int.MaxValue else maxDriverShingles + 1
     val collected = benchmarkShingles(benchmark, textCol, shingleSize)
-      .limit(maxDriverShingles + 1).as[String].collect()
+      .limit(probeLimit).as[String].collect()
     require(collected.length <= maxDriverShingles,
       s"benchmark shingle set exceeds maxDriverShingles=$maxDriverShingles; " +
         "build it with benchmarkShingles + persist and use " +

@@ -97,26 +97,31 @@ class OperatorsSpec extends SparkSpec {
     // O(corpus log corpus) term at 100 TB. HotBuckets.dropOversized
     // (agg sizes → broadcast anti-join) must leave NO Sort and NO
     // Window anywhere between the repartition and the self-join; these
-    // run collect() first so the assertion reads the final AQE plan.
+    // run collect() first so the assertion reads the final AQE plan;
+    // split off the pre-AQE "== Initial Plan ==" section (as the q39
+    // plan spec does) so an initial SortMergeJoin the runtime replans
+    // to broadcast can't fail the assertion spuriously (ADVICE r5)
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val docs001 = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val cands = Dedup.minHashCandidates(docs001, "doc_id", "text",
       bands = 8, rowsPerBand = 4)
     assert(cands.collect().nonEmpty)
-    val p1 = cands.queryExecution.executedPlan.toString
+    val p1 = finalPlan(cands)
     assert(!p1.contains("Sort"), s"no Sort may appear in minHashCandidates:\n$p1")
     assert(!p1.contains("Window"), s"no Window may appear in minHashCandidates:\n$p1")
 
     val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ann = Similarity.nearDupesAnn(emb, threshold = 0.8, bits = 4)
     ann.collect()
-    val p2 = ann.queryExecution.executedPlan.toString
+    val p2 = finalPlan(ann)
     assert(!p2.contains("Sort"), s"no Sort may appear in nearDupesAnn:\n$p2")
     assert(!p2.contains("Window"), s"no Window may appear in nearDupesAnn:\n$p2")
 
     val banded = Similarity.nearDupesAnnBanded(emb, threshold = 0.8,
       bits = 4, bands = 4)
     banded.collect()
-    val p3 = banded.queryExecution.executedPlan.toString
+    val p3 = finalPlan(banded)
     assert(!p3.contains("Window"), s"no Window may appear in nearDupesAnnBanded:\n$p3")
     assert(!p3.contains("Sort"), s"no Sort may appear in nearDupesAnnBanded:\n$p3")
   }
@@ -562,6 +567,34 @@ class OperatorsSpec extends SparkSpec {
       Similarity.nearDupesAnnBandedAuto(corpus, threshold = 0.9, bands = 65)
     }
     assert(e.getMessage.contains("exceeds embedding dim"))
+  }
+
+  test("nearDupesAnnBandedAuto bands=1 with knownCount runs no job at construction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val corpus = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // bands == 1 needs no dim clamp (SignBucketExpr self-caps), so the
+    // knownCount laziness contract of nearDupesAnnAuto must carry over
+    // to the banded-auto form too (ADVICE r5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.nearDupesAnnBandedAuto(corpus, threshold = 0.8,
+        bands = 1, targetBucketSize = 16, knownCount = Some(100L))
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs.get() === 0,
+        s"banded-auto bands=1 with knownCount must be lazy, ran ${jobs.get()} job(s)")
+      // and matches the explicit-bits banded form
+      val explicit = Similarity.nearDupesAnnBanded(corpus, threshold = 0.8,
+          bits = Similarity.autoBits(100L, 16, 24), bands = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === explicit)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("IVF ANN probes matching lists and finds in-list neighbors") {

@@ -127,6 +127,13 @@ class StreamingSpec extends SparkSpec {
     val flagged = spark.table("contam_out").select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(flagged === Seq(1L), s"only the leaked doc is flagged, once: $flagged")
+
+    // maxDriverShingles = Int.MaxValue means "no cap": the probe limit
+    // must saturate instead of overflowing to a negative limit
+    // (AnalysisException at construction) — ADVICE r5
+    val uncapped = EventStreams.contaminationFlags(src.toDF(), benchmark,
+      watermark = "1 hour", maxDriverShingles = Int.MaxValue)
+    assert(uncapped.isStreaming)
   }
 
   test("cursor machine keeps per-user monotonic state across batches") {
