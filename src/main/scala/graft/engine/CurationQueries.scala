@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Decontaminate, Mixing, Packing}
+
+/** Round-6 training-data curation additions: Bloom-filter
+  * decontamination, the Gopher-rules quality gate, concat-and-split
+  * sequence packing, measured-distribution data-mixing rebalance, and
+  * int8 embedding quantization. All five are DuckDB-oracle-checked —
+  * including the Bloom path, whose exact-verify stage makes the
+  * probabilistic prefilter output-exact.
+  *
+  * Scale shapes (details in each operator's Scaladoc):
+  *  - q77: Bloom bytes broadcast as a plan literal; corpus shingles
+  *    filtered at scan speed by a codegen'd `might_contain`; only the
+  *    fpp-bounded sliver reaches the exact join.
+  *  - q78: stateless per-row gate, integer arithmetic only.
+  *  - q79: distributed prefix sum — bucket aggregate, tiny cross-bucket
+  *    window, bounded within-bucket windows. No global sort/window.
+  *  - q80: two tiny broadcast aggregates + a stateless hash gate.
+  *  - q81: stateless per-row array math; floor-based rounding only.
+  */
+object CurationQueries {
+  import QueryDef._
+  import Tables._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Bloom-prefiltered benchmark decontamination (eval slice =
+    // doc_id % 37 == 0). Output identical to the exact formulation —
+    // the oracle IS the exact overlap query; the Bloom stage only
+    // prunes the join input (no false negatives by construction).
+    sql("q77_bloom_decontaminate",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS shingle FROM t),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0 AND shingle <> ''),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 37 <> 0 AND shingle <> '')
+        |SELECT corp.doc_id AS doc_id, count(DISTINCT corp.shingle) AS n_overlap
+        |FROM corp JOIN ev ON corp.shingle = ev.shingle
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        Decontaminate.contaminatedDocs(
+          corpus = docs.filter(col("doc_id") % 37 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 37 === 0))
+    },
+
+    // Gopher-rules quality gate: word-count window, mean-word-length
+    // window as integer cross-multiplication, stopword presence.
+    sql("q78_quality_gopher",
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        | CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS wchars,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
+        | (len(toks) BETWEEN 5 AND 100000
+        |   AND length(regexp_replace(text, '\s', '', 'g')) >= 2 * len(toks)
+        |   AND length(regexp_replace(text, '\s', '', 'g')) <= 12 * len(toks)
+        |   AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >= 1) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.nonWsChars(col("text")).as("wchars"),
+          TextFunctions.stopwordHits(col("text")).as("stop_hits"),
+          TextFunctions.gopherKeep(col("text")).as("keep"))
+          .orderBy("doc_id")
+    },
+
+    // Concat-and-split sequence packing into 512-token context
+    // windows. The oracle is the NAIVE global running window — the
+    // Spark side must reproduce it bit-for-bit from the distributed
+    // two-level prefix sum (bucketSize 100 exercises many buckets at
+    // every SF).
+    sql("q79_pack_sequences",
+      """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks, CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM t)
+        |SELECT doc_id, n_toks, start, CAST(start // 512 AS BIGINT) AS pack_id, CAST(start % 512 AS BIGINT) AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Packing.packSequences(documents(s, d), "doc_id", "text",
+          ctxLen = 512, bucketSize = 100)
+    },
+
+    // Data-mixing rebalance toward uniform language shares, derived
+    // from the measured distribution (en is ~44% of the synthetic
+    // corpus and gets downsampled; the rest keep all rows).
+    sql("q80_mix_rebalance",
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT sum(cnt) AS total, count(*) AS n FROM c)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN t
+        |WHERE c.cnt * t.n <= t.total
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST((65536 * t.total) // (t.n * c.cnt) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Mixing.rebalanceUniform(documents(s, d), "lang", "doc_id")
+    },
+
+    // Symmetric int8 embedding quantization: scale basis, quantized
+    // vector (comma-joined rendering — the q51/q55 array-compare
+    // convention), and max reconstruction error, all floor-scaled to
+    // integers for hash-stable cross-engine compares.
+    sql("q81_embedding_quantize",
+      """WITH a AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax FROM embeddings)
+        |SELECT vec_id,
+        | CAST(floor(amax * 10000.0) AS BIGINT) AS amax_e4,
+        | CASE WHEN amax = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |  ELSE array_to_string(list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)), ',') END AS qvec,
+        | CASE WHEN amax = 0 THEN 0
+        |  ELSE CAST(floor(list_max([abs(CAST(embedding[i] AS DOUBLE)
+        |    - floor(CAST(embedding[i] AS DOUBLE) * 127.0 / amax + 0.5) * amax / 127.0)
+        |    FOR i IN range(1, len(embedding)+1)]) * 10000000.0) AS BIGINT) END AS err_e7
+        |FROM a ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val v = col("embedding")
+        val amax = VectorFunctions.absMax(v)
+        embeddings(s, d).select(col("vec_id"),
+          floor(amax * lit(10000.0)).cast("long").as("amax_e4"),
+          when(amax === 0, array_join(transform(v, _ => lit("0")), ","))
+            .otherwise(array_join(
+              transform(VectorFunctions.int8Quantize(v), _.cast("string")), ","))
+            .as("qvec"),
+          when(amax === 0, lit(0L))
+            .otherwise(floor(VectorFunctions.int8Error(v) * lit(10000000.0)).cast("long"))
+            .as("err_e7"))
+          .orderBy("vec_id")
+    }
+  )
+}

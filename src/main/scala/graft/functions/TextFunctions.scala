@@ -78,6 +78,38 @@ object TextFunctions {
   def stopwordRatio(text: Column): Column =
     safeDiv(hitCount(text, Stopwords).cast("double"), tokenCount(text))
 
+  /** Non-whitespace character count — total token characters without
+    * re-tokenizing (the tokens partition the non-whitespace text).
+    */
+  def nonWsChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
+  /** Stopword occurrence count (with multiplicity) — public form of
+    * the marker-hit kernel over [[Stopwords]].
+    */
+  def stopwordHits(text: Column): Column = hitCount(text, Stopwords)
+
+  /** Gopher-style quality GATE (Rae et al. 2021's rule family, the
+    * thresholds parameterized): word count inside [minWords, maxWords],
+    * mean word length inside [minAvgLen, maxAvgLen], and at least
+    * `minStopHits` stopword occurrences. The mean-word-length rule is
+    * evaluated as INTEGER cross-multiplication
+    * (`minAvgLen·words ≤ chars ≤ maxAvgLen·words`) — no division, no
+    * float rounding, so the gate is bit-identical in any engine (the
+    * q78 oracle property). Composes with the repetition rule (q75) and
+    * the composite score ([[qualityScore]]) for a full curation gate.
+    */
+  def gopherKeep(text: Column,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minAvgLen: Int = 2, maxAvgLen: Int = 12,
+      minStopHits: Int = 1): Column = {
+    val w = tokenCount(text)
+    val c = nonWsChars(text)
+    w >= minWords && w <= maxWords &&
+      c >= w * minAvgLen && c <= w * maxAvgLen &&
+      stopwordHits(text) >= minStopHits
+  }
+
   /** Composite document quality score in [0, 1]: rewards length (up to
     * 100 tokens), non-stopword density, and word length (up to 8 chars).
     * Deterministic and SQL-expressible for oracle parity.

@@ -46,6 +46,45 @@ object VectorFunctions {
     * bucket. At 100 TB the embedding table is pre-partitioned by this
     * bucket, turning an ANN query into a single-partition probe.
     */
+  /** Largest |element| as a double — the symmetric-quantization scale
+    * basis. NULL on an empty array.
+    */
+  def absMax(v: Column): Column = array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Per-vector symmetric int8 quantization: q_i = ⌊x_i·127/amax + ½⌋
+    * with amax = max|x| — the storage layout that shrinks an embedding
+    * table 4× (int8 vs float32) with a bounded reconstruction error of
+    * amax/254 per element. At 100 TB that is the difference between
+    * scanning 25 TB and 100 TB for every ANN sweep; candidates are
+    * generated on the quantized vectors and only the top-k re-scored
+    * on the full-precision column. All-zero (amax = 0) vectors
+    * quantize to zeros. The ⌊·+½⌋ form (not `round`) keeps the
+    * arithmetic floor-based: identical IEEE-double results in any
+    * engine, which is what the q81 oracle checks.
+    */
+  def int8Quantize(v: Column): Column = {
+    val amax = absMax(v)
+    when(amax.isNull || amax === 0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        floor(x.cast("double") * lit(127.0) / amax + lit(0.5))))
+  }
+
+  /** Reconstruction x'_i = q_i·amax/127 from [[int8Quantize]] output. */
+  def int8Dequantize(q: Column, amax: Column): Column =
+    transform(q, i => i.cast("double") * amax / lit(127.0))
+
+  /** Max per-element reconstruction error of [[int8Quantize]]:
+    * max_i |x_i − q_i·amax/127| ≤ amax/254 (half a quantization step).
+    */
+  def int8Error(v: Column): Column = {
+    val amax = absMax(v)
+    when(amax.isNull || amax === 0, lit(0.0))
+      .otherwise(array_max(transform(v, x => {
+        val xd = x.cast("double")
+        abs(xd - floor(xd * lit(127.0) / amax + lit(0.5)) * amax / lit(127.0))
+      })))
+  }
+
   /** Hash-stable string rendering of a float array for cross-engine
     * compares: each element as floor(x·10⁶) (float32→double is exact;
     * floor is deterministic in any engine), comma-joined. Used by the

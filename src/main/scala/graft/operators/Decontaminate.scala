@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter benchmark decontamination — the 100 TB formulation of
+  * the eval-overlap check (reference commits to QA/dedup stages:
+  * /root/reference/docs/system-plan.md:23-27; the exact-join form is
+  * catalog query q68 / `streaming.EventStreams.contaminationFlags`).
+  *
+  * Why a Bloom filter: the exact formulation ships the benchmark
+  * shingle SET to every executor (broadcast hash join). A large eval
+  * suite is millions of distinct shingles — gigabytes as a hash
+  * relation. The Bloom filter compresses membership to ~1.2 bytes per
+  * item at 1% false-positive rate (one to two orders of magnitude
+  * smaller), and `might_contain` is a codegen'd per-row predicate with
+  * NO join: the corpus's exploded shingle stream is filtered at scan
+  * speed, and only the ~contaminated sliver (true hits + fpp-bounded
+  * noise) reaches the exact verification join. False negatives are
+  * impossible by Bloom construction, so prefilter + exact verify is
+  * EXACTLY the semantics of the exact join — which is what makes the
+  * operator DuckDB-oracle-checkable (q77) despite the probabilistic
+  * middle stage.
+  *
+  * Built on Spark's own runtime-filter machinery
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`, the expressions
+  * `InjectRuntimeFilter` plants for shuffle pruning), not a custom
+  * sketch: both sides hash with the same `xxhash64`, the aggregate
+  * merges per-partition sketches (map-side combine), and the predicate
+  * participates in whole-stage codegen.
+  */
+object Decontaminate {
+
+  /** Serialized Bloom filter over one string column, built
+    * distributed (per-partition sketches merged by the aggregate) and
+    * collected as a single binary value. `expectedItems` sizes the
+    * filter for the target false-positive rate: numBits =
+    * ceil(-n·ln(fpp)/ln²2), the standard optimum. Spark caps numBits
+    * at `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 8 MB ≈ 7 M items at 1%); raise that conf for larger eval suites.
+    *
+    * Returns None on an empty input (the aggregate yields NULL): no
+    * shingles → nothing can be contaminated.
+    */
+  def buildBloom(values: DataFrame, valueCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Option[Array[Byte]] = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val hashed = new XxHash64(Seq(GraftColumnBridge.expression(col(valueCol))))
+    val agg = GraftColumnBridge.column(
+      new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+    values.agg(agg.as("bloom")).head.get(0) match {
+      case b: Array[Byte] => Some(b)
+      case _              => None
+    }
+  }
+
+  /** `might_contain(bloom, xxhash64(c))` as a Column — the codegen'd
+    * membership predicate over a driver-collected Bloom filter. The
+    * filter bytes ride as a plan literal, deserialized once per task.
+    */
+  def mightContain(bloom: Array[Byte], c: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(GraftColumnBridge.expression(c)))))
+
+  /** Documents sharing at least one token `shingleSize`-gram with the
+    * benchmark corpus, with the distinct-overlap count — identical
+    * output to the exact broadcast-join formulation, computed as Bloom
+    * prefilter → exact verify. Returns (idCol, n_overlap) sorted by id.
+    *
+    * `expectedItems` pre-sizes the filter; pass the (approximate)
+    * distinct shingle count of the benchmark if known, otherwise the
+    * default sizes from a cheap upper bound (benchmark token count).
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 4, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val evalShingles = benchmark
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+        .as("shingle"))
+      .filter(col("shingle") =!= "")
+      .distinct()
+    val items = expectedItems.getOrElse(
+      // cheap upper bound: total benchmark tokens ≥ distinct shingles
+      // (coalesced: an empty benchmark sums to NULL)
+      math.max(1L, benchmark.select(coalesce(
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))), lit(0L)))
+        .head.getLong(0)))
+    val corpusShingles = corpus
+      .select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+          .as("shingle"))
+      .filter(col("shingle") =!= "")
+    buildBloom(evalShingles, "shingle", items, fpp) match {
+      case None => // empty benchmark: no contamination, empty result
+        corpusShingles.select(col(idCol), lit(0L).as("n_overlap")).limit(0)
+      case Some(bloom) =>
+        corpusShingles
+          .filter(mightContain(bloom, col("shingle")))
+          // exact verify: the join input is the fpp-bounded sliver, so
+          // the broadcast side only has to beat the SLIVER's size now
+          .join(broadcast(evalShingles), "shingle")
+          .groupBy(idCol)
+          .agg(countDistinct("shingle").as("n_overlap"))
+          .orderBy(idCol)
+    }
+  }
+}

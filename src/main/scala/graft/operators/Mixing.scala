@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-mixing rebalance: downsample over-represented strata toward a
+  * target distribution with a DETERMINISTIC hash gate — no RNG state,
+  * so the sample is identical on any engine, any partitioning, any
+  * retry (the property that makes it DuckDB-oracle-checkable, q80, and
+  * reproducible across pipeline re-runs, which training-data lineage
+  * requires).
+  *
+  * Mechanics: each stratum's keep-fraction is
+  * `f = target_share · total / count(stratum)` (capped at 1 — this
+  * operator only downsamples; upsampling is a repeat-join concern).
+  * A document survives iff the first 4 hex chars of `md5(id)` — a
+  * uniform 16-bit value — fall below `f · 16^4`. The threshold is
+  * computed in INTEGER arithmetic and compared lexically against the
+  * zero-padded hex (`%04x`) rendering, so there is no float rounding
+  * to diverge between engines. 16-bit gate resolution means the
+  * realized fraction is exact to 1/65536 — ample for mixing (and
+  * strata needing >65536× downsampling are out of scope for a gate);
+  * the integer products stay within long for corpora past 10^11 rows
+  * (uniform: 10^14), i.e. beyond 100 TB of documents.
+  *
+  * Scale shape: two tiny aggregates (stratum counts; their sum), both
+  * broadcast back, then a stateless per-row filter — no window, no
+  * sort, one pass over the corpus. The same shape as the q69 mixing
+  * gate, but with the per-stratum rates DERIVED from the measured
+  * distribution instead of fixed in config.
+  */
+object Mixing {
+
+  /** Rebalance toward UNIFORM shares across strata: every stratum's
+    * target share is `1/n_strata`. Over-represented strata are
+    * hash-downsampled to it; strata at or under their share keep all
+    * rows. Returns (idCol, strataCol) of surviving rows, ordered by id.
+    */
+  def rebalanceUniform(docs: DataFrame, strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val totals = counts.agg(sum("__cnt").as("__total"),
+      count(lit(1)).as("__nstrata"))
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(totals))
+      .filter(
+        // f >= 1: the stratum is at/under its share — keep everything
+        col("__cnt") * col("__nstrata") <= col("__total") ||
+          substring(md5(col(idCol).cast("string")), 1, 4) <
+            format_string("%04x",
+              expr("(65536 * __total) div (__nstrata * __cnt)")))
+      .select(col(idCol), col(strataCol))
+      .orderBy(idCol)
+  }
+
+  /** Rebalance toward explicit per-stratum target shares, in
+    * per-mille (`shareMille` values in [0, 1000]; strata absent from
+    * the map keep all rows). `f = share/1000 · total / count`.
+    */
+  def rebalanceWeighted(docs: DataFrame, strataCol: String,
+      shareMille: Map[String, Int], idCol: String = "doc_id"): DataFrame = {
+    require(shareMille.values.forall(s => s >= 0 && s <= 1000),
+      "shares are per-mille in [0, 1000]")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val totals = counts.agg(sum("__cnt").as("__total"))
+    val share = shareMille.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("__share", share)
+      .filter(col("__share").isNull ||
+        col("__cnt") * lit(1000L) <= col("__share") * col("__total") ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          format_string("%04x",
+            expr("(65536 * __share * __total) div (1000 * __cnt)")))
+      .select(col(idCol), col(strataCol))
+      .orderBy(idCol)
+  }
+}
