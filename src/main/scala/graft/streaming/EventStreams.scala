@@ -150,6 +150,54 @@ object EventStreams {
       idCol, textCol, tsCol, shingleSize, watermark)
   }
 
+  /** Streaming decontamination through a Bloom prefilter — the form
+    * that scales past a driver-collectable benchmark shingle set. The
+    * benchmark is sketched ONCE at query construction
+    * (`Decontaminate.buildBloom`, ~1.2 bytes per shingle at 1 % fpp);
+    * the filter bytes ride the streaming plan as a LITERAL, so every
+    * micro-batch evaluates a codegen'd stateless `might_contain`
+    * predicate — no broadcast relation, no static-side re-evaluation,
+    * no state.
+    *
+    * `verifyAgainst = Some(shingles)` (a persisted one-column frame
+    * from [[benchmarkShingles]]) re-checks Bloom survivors against the
+    * real set, making flags EXACT — the broadcast join then only sees
+    * the fpp-bounded sliver of the stream. With `None` the flags are
+    * Bloom-only: no false negatives ever; per distinct shingle a
+    * ≤ fpp chance of a spurious hit, so a doc with s distinct shingles
+    * is falsely flagged with probability ≲ s·fpp — size `fpp`
+    * accordingly (quarantine-queue semantics, not drop semantics).
+    */
+  def contaminationFlagsBloom(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", shingleSize: Int = 4,
+      watermark: String = "30 minutes", fpp: Double = 0.01,
+      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    val items = math.max(1L, benchmark.select(coalesce(
+      sum(graft.functions.TextFunctions.tokenCount(col(textCol))), lit(0L)))
+      .head.getLong(0))
+    graft.operators.Decontaminate.buildBloom(
+      benchmarkShingles(benchmark, textCol, shingleSize), "shingle",
+      items, fpp) match {
+      case None => // empty benchmark: nothing can be contaminated
+        docs.select(col(idCol), col(tsCol)).filter(lit(false))
+      case Some(bloom) =>
+        val survivors = docs
+          .select(col(idCol), col(tsCol),
+            explode(array_distinct(graft.plans.TokenShinglesExpr
+              .token_shingles(col(textCol), shingleSize))).as("shingle"))
+          .filter(col("shingle") =!= "")
+          .filter(graft.operators.Decontaminate.mightContain(bloom, col("shingle")))
+        val flagged = verifyAgainst match {
+          case Some(real) => survivors.join(broadcast(real), Seq("shingle"), "left_semi")
+          case None       => survivors
+        }
+        flagged.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(idCol)
+          .select(col(idCol), col(tsCol))
+    }
+  }
+
   /** The distinct non-degenerate shingle set of a benchmark corpus —
     * NOT persisted; the caller owns the lifecycle.
     */

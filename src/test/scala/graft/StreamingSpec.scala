@@ -136,6 +136,65 @@ class StreamingSpec extends SparkSpec {
     assert(uncapped.isStreaming)
   }
 
+  test("streaming bloom decontamination: stateless prefilter, exact with verify, no broadcast in bloom-only plan") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val benchmark = Seq((100L, "the held out benchmark question about spark shuffles appears here"))
+      .toDF("doc_id", "text")
+    // bloom-only path: deterministic sketch, tiny fpp — same flags as
+    // the exact form on this corpus (no false negatives by
+    // construction; false positives would be stable, not flaky)
+    val src = MemoryStream[Doc]
+    val q = EventStreams.contaminationFlagsBloom(src.toDF(), benchmark,
+      watermark = "1 hour", fpp = 1e-4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_contam_out").start()
+    src.addData(
+      Doc(1, ts(0), "prefix words then the held out benchmark question about spark shuffles leaked"),
+      Doc(2, ts(1), "a clean document with entirely different content and no overlap"))
+    q.processAllAvailable()
+    src.addData(Doc(1, ts(2), "prefix words then the held out benchmark question about spark shuffles leaked"))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("bloom_contam_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged === Seq(1L), s"bloom flags must match the exact form here: $flagged")
+
+    // the bloom-only micro-batch plan is a stateless literal predicate:
+    // no join anywhere before the watermark dedup (analyzed plan — a
+    // streaming frame can't run the batch optimizer)
+    val plan = EventStreams.contaminationFlagsBloom(src.toDF(), benchmark,
+      watermark = "1 hour", fpp = 1e-4).queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
+    assert(!plan.contains("Join"), s"bloom-only path must be join-free:\n$plan")
+
+    // exact path: bloom prefilter + verify join reproduces the exact
+    // operator's flags
+    val real = EventStreams.benchmarkShingles(benchmark).persist()
+    try {
+      val q2 = EventStreams.contaminationFlagsBloom(src.toDF(), benchmark,
+        watermark = "1 hour", fpp = 1e-4, verifyAgainst = Some(real))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bloom_contam_exact_out").start()
+      src.addData(
+        Doc(7, ts(3), "another leak of the held out benchmark question about spark shuffles"),
+        Doc(8, ts(4), "still clean and still entirely unrelated prose"))
+      q2.processAllAvailable()
+      q2.stop()
+      // q2 starts after the earlier batches were consumed, so it sees
+      // only docs 7 (leaked) and 8 (clean)
+      val exact = spark.table("bloom_contam_exact_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(exact === Set(7L), s"verified flags: $exact")
+    } finally real.unpersist()
+
+    // empty benchmark → constructs a streaming frame that flags nothing
+    val none = EventStreams.contaminationFlagsBloom(src.toDF(),
+      benchmark.filter(col("doc_id") < 0), watermark = "1 hour")
+    assert(none.isStreaming)
+  }
+
   test("cursor machine keeps per-user monotonic state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
