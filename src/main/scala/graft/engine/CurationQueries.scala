@@ -45,6 +45,7 @@ object CurationQueries {
         Decontaminate.contaminatedDocs(
           corpus = docs.filter(col("doc_id") % 37 =!= 0),
           benchmark = docs.filter(col("doc_id") % 37 === 0))
+          .orderBy("doc_id")
     },
 
     // Gopher-rules quality gate: word-count window, mean-word-length
@@ -81,6 +82,7 @@ object CurationQueries {
       (s, d) =>
         Packing.packSequences(documents(s, d), "doc_id", "text",
           ctxLen = 512, bucketSize = 100)
+          .orderBy("doc_id")
     },
 
     // Data-mixing rebalance toward uniform language shares, derived
@@ -96,6 +98,7 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         Mixing.rebalanceUniform(documents(s, d), "lang", "doc_id")
+          .orderBy("doc_id")
     },
 
     // Symmetric int8 embedding quantization: scale basis, quantized
@@ -107,24 +110,29 @@ object CurationQueries {
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax FROM embeddings)
         |SELECT vec_id,
         | CAST(floor(amax * 10000.0) AS BIGINT) AS amax_e4,
-        | CASE WHEN amax = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        | CASE WHEN amax IS NULL THEN NULL
+        |  WHEN amax = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
         |  ELSE array_to_string(list_transform(embedding, x ->
         |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)), ',') END AS qvec,
-        | CASE WHEN amax = 0 THEN 0
+        | CASE WHEN amax IS NULL THEN NULL
+        |  WHEN amax = 0 THEN 0
         |  ELSE CAST(floor(list_max([abs(CAST(embedding[i] AS DOUBLE)
         |    - floor(CAST(embedding[i] AS DOUBLE) * 127.0 / amax + 0.5) * amax / 127.0)
         |    FOR i IN range(1, len(embedding)+1)]) * 10000000.0) AS BIGINT) END AS err_e7
         |FROM a ORDER BY vec_id""".stripMargin) {
       (s, d) =>
+        // int8Quantize/int8Error already yield zeros / 0.0 at amax = 0,
+        // so only the NULL arm (empty or null vector — absent from the
+        // testdata but mirrored for parity) needs an explicit guard
         val v = col("embedding")
         val amax = VectorFunctions.absMax(v)
         embeddings(s, d).select(col("vec_id"),
           floor(amax * lit(10000.0)).cast("long").as("amax_e4"),
-          when(amax === 0, array_join(transform(v, _ => lit("0")), ","))
+          when(amax.isNull, lit(null).cast("string"))
             .otherwise(array_join(
               transform(VectorFunctions.int8Quantize(v), _.cast("string")), ","))
             .as("qvec"),
-          when(amax === 0, lit(0L))
+          when(amax.isNull, lit(null).cast("long"))
             .otherwise(floor(VectorFunctions.int8Error(v) * lit(10000000.0)).cast("long"))
             .as("err_e7"))
           .orderBy("vec_id")

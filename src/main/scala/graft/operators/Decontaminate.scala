@@ -70,30 +70,39 @@ object Decontaminate {
       Literal(bloom, BinaryType),
       new XxHash64(Seq(GraftColumnBridge.expression(c)))))
 
+  /** The distinct non-degenerate token-`shingleSize`-gram set of a
+    * corpus as a one-column `shingle` frame — the shared shape of both
+    * decontamination sides (and of the streaming
+    * `EventStreams.benchmarkShingles`, which delegates here).
+    */
+  def shingleSet(df: DataFrame, textCol: String = "text",
+      shingleSize: Int = 4): DataFrame =
+    df.select(
+      explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
+        .as("shingle"))
+      .filter(col("shingle") =!= "")
+      .distinct()
+
   /** Documents sharing at least one token `shingleSize`-gram with the
     * benchmark corpus, with the distinct-overlap count — identical
     * output to the exact broadcast-join formulation, computed as Bloom
-    * prefilter → exact verify. Returns (idCol, n_overlap) sorted by id.
+    * prefilter → exact verify. Returns (idCol, n_overlap), unsorted.
     *
     * `expectedItems` pre-sizes the filter; pass the (approximate)
-    * distinct shingle count of the benchmark if known, otherwise the
-    * default sizes from a cheap upper bound (benchmark token count).
+    * distinct shingle count of the benchmark if known — otherwise it
+    * is counted exactly (one aggregate job over the eval side, which
+    * is small by definition), so the filter is sized tight rather
+    * than from a loose token-count bound. Construction runs the eval
+    * side twice up front (sizing count + sketch build) and once more
+    * as the verify join's broadcast; at corpus scale all three are
+    * noise against the corpus scan the Bloom stage protects.
     */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 4, fpp: Double = 0.01,
       expectedItems: Option[Long] = None): DataFrame = {
-    val evalShingles = benchmark
-      .select(explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
-        .as("shingle"))
-      .filter(col("shingle") =!= "")
-      .distinct()
-    val items = expectedItems.getOrElse(
-      // cheap upper bound: total benchmark tokens ≥ distinct shingles
-      // (coalesced: an empty benchmark sums to NULL)
-      math.max(1L, benchmark.select(coalesce(
-        sum(graft.functions.TextFunctions.tokenCount(col(textCol))), lit(0L)))
-        .head.getLong(0)))
+    val evalShingles = shingleSet(benchmark, textCol, shingleSize)
+    val items = expectedItems.getOrElse(math.max(1L, evalShingles.count()))
     val corpusShingles = corpus
       .select(col(idCol),
         explode(array_distinct(Dedup.shingles(col(textCol), shingleSize)))
@@ -110,7 +119,6 @@ object Decontaminate {
           .join(broadcast(evalShingles), "shingle")
           .groupBy(idCol)
           .agg(countDistinct("shingle").as("n_overlap"))
-          .orderBy(idCol)
     }
   }
 }

@@ -34,7 +34,8 @@ object Mixing {
   /** Rebalance toward UNIFORM shares across strata: every stratum's
     * target share is `1/n_strata`. Over-represented strata are
     * hash-downsampled to it; strata at or under their share keep all
-    * rows. Returns (idCol, strataCol) of surviving rows, ordered by id.
+    * rows. Returns (idCol, strataCol) of surviving rows (unsorted —
+    * ordering is presentation, added by the catalog query).
     */
   def rebalanceUniform(docs: DataFrame, strataCol: String,
       idCol: String = "doc_id"): DataFrame = {
@@ -50,7 +51,6 @@ object Mixing {
             format_string("%04x",
               expr("(65536 * __total) div (__nstrata * __cnt)")))
       .select(col(idCol), col(strataCol))
-      .orderBy(idCol)
   }
 
   /** Rebalance toward explicit per-stratum target shares, in
@@ -75,6 +75,5 @@ object Mixing {
           format_string("%04x",
             expr("(65536 * __share * __total) div (1000 * __cnt)")))
       .select(col(idCol), col(strataCol))
-      .orderBy(idCol)
   }
 }

@@ -35,9 +35,11 @@ import graft.functions.TextFunctions
   */
 object Packing {
 
-  /** (id, n_toks, start, pack_id, pack_off) per document, ordered by
-    * id. `idCol` must be numeric (the bucketing uses integer division;
-    * any monotone id-to-bucket map preserves the order).
+  /** (id, n_toks, start, pack_id, pack_off) per document — unsorted
+    * (a global orderBy belongs to presentation, not the operator; the
+    * catalog query adds one for the oracle compare). `idCol` must be
+    * numeric (the bucketing uses integer division; any monotone
+    * id-to-bucket map preserves the order).
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       ctxLen: Int, bucketSize: Long = 1L << 20): DataFrame = {
@@ -77,6 +79,5 @@ object Packing {
       .withColumn("pack_off", col("start") % ctxLen)
       .select(col("id"), col("n_toks").cast("long").as("n_toks"),
         col("start"), col("pack_id"), col("pack_off"))
-      .orderBy("id")
   }
 }

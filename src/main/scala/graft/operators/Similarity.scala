@@ -303,29 +303,26 @@ object Similarity {
       maxBucketSize: Int = DefaultMaxBucketSize,
       knownCount: Option[Long] = None): DataFrame = {
     require(bands >= 1, "bands must be positive")
-    if (bands == 1) {
-      // no dim clamp needed — SignBucketExpr self-caps bits at the
-      // vector length, and [[nearDupesAnnBanded]] skips its own dim
-      // check for one band; so with `knownCount` supplied this path
-      // stays fully lazy (no eager job), matching nearDupesAnnAuto
-      // (ADVICE r5)
-      val bits = autoBits(knownCount.getOrElse(corpus.count()),
-        targetBucketSize, maxBits = 24)
-      nearDupesAnnBanded(corpus, threshold, bits, bands = 1,
-        idCol, vecCol, maxBucketSize)
-    } else {
-      val dim = corpus.select(size(col(vecCol)).as("__d"))
-        .filter(col("__d").isNotNull).head(1).headOption
-        .map(_.getInt(0))
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot size bands: no non-null '$vecCol' row to read the dimension from"))
-      require(dim / bands >= 1,
-        s"bands = $bands exceeds embedding dim $dim — every band needs >= 1 dimension")
-      val bits = math.min(
-        autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits = 24),
-        dim / bands)
-      nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
-    }
+    val bits0 = autoBits(knownCount.getOrElse(corpus.count()),
+      targetBucketSize, maxBits = 24)
+    // bands == 1 needs no dim clamp — SignBucketExpr self-caps bits at
+    // the vector length and [[nearDupesAnnBanded]] skips its own dim
+    // check for one band — so with `knownCount` supplied that path
+    // stays fully lazy (no eager job), matching nearDupesAnnAuto
+    // (ADVICE r5)
+    val bits =
+      if (bands == 1) bits0
+      else {
+        val dim = corpus.select(size(col(vecCol)).as("__d"))
+          .filter(col("__d").isNotNull).head(1).headOption
+          .map(_.getInt(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot size bands: no non-null '$vecCol' row to read the dimension from"))
+        require(dim / bands >= 1,
+          s"bands = $bands exceeds embedding dim $dim — every band needs >= 1 dimension")
+        math.min(bits0, dim / bands)
+      }
+    nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
   }
 
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors

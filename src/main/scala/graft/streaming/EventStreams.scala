@@ -173,11 +173,9 @@ object EventStreams {
       tsCol: String = "ts", shingleSize: Int = 4,
       watermark: String = "30 minutes", fpp: Double = 0.01,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
-    val items = math.max(1L, benchmark.select(coalesce(
-      sum(graft.functions.TextFunctions.tokenCount(col(textCol))), lit(0L)))
-      .head.getLong(0))
-    graft.operators.Decontaminate.buildBloom(
-      benchmarkShingles(benchmark, textCol, shingleSize), "shingle",
+    val bench = benchmarkShingles(benchmark, textCol, shingleSize)
+    val items = math.max(1L, bench.count())
+    graft.operators.Decontaminate.buildBloom(bench, "shingle",
       items, fpp) match {
       case None => // empty benchmark: nothing can be contaminated
         docs.select(col(idCol), col(tsCol)).filter(lit(false))
@@ -199,15 +197,12 @@ object EventStreams {
   }
 
   /** The distinct non-degenerate shingle set of a benchmark corpus —
-    * NOT persisted; the caller owns the lifecycle.
+    * NOT persisted; the caller owns the lifecycle. (Shared shape:
+    * delegates to `Decontaminate.shingleSet`.)
     */
   def benchmarkShingles(benchmark: DataFrame, textCol: String = "text",
       shingleSize: Int = 4): DataFrame =
-    benchmark.select(
-      explode(array_distinct(graft.plans.TokenShinglesExpr
-        .token_shingles(col(textCol), shingleSize))).as("shingle"))
-      .filter(col("shingle") =!= "")
-      .distinct()
+    graft.operators.Decontaminate.shingleSet(benchmark, textCol, shingleSize)
 
   /** [[contaminationFlags]] against a prepared (ideally persisted)
     * one-column `shingle` DataFrame from [[benchmarkShingles]].
