@@ -49,10 +49,16 @@ object TrainingQueries {
           explode(array_distinct(Dedup.shingles(col("text"), 4))).as("shingle"))
           .filter(col("shingle") =!= "")
         val ev = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+        // count(1), not countDistinct: (doc, shingle) pairs are unique
+        // by construction (array_distinct per doc × distinct eval set),
+        // and countDistinct plans an extra full exchange of the joined
+        // stream on (doc, shingle) before aggregating (same argument as
+        // Decontaminate.contaminatedDocs; oracle keeps COUNT(DISTINCT),
+        // which is equal on unique pairs)
         sh.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(ev), "shingle")
           .groupBy("doc_id")
-          .agg(countDistinct("shingle").as("n_overlap"))
+          .agg(count(lit(1)).as("n_overlap"))
           .orderBy("doc_id")
     },
 

@@ -115,10 +115,14 @@ object Decontaminate {
         corpusShingles
           .filter(mightContain(bloom, col("shingle")))
           // exact verify: the join input is the fpp-bounded sliver, so
-          // the broadcast side only has to beat the SLIVER's size now
+          // the broadcast side only has to beat the SLIVER's size now.
+          // count(1), not countDistinct: (id, shingle) pairs are unique
+          // by construction (array_distinct per doc × globally-distinct
+          // eval set), and countDistinct plans an extra full exchange
+          // of the sliver on (id, shingle) before aggregating
           .join(broadcast(evalShingles), "shingle")
           .groupBy(idCol)
-          .agg(countDistinct("shingle").as("n_overlap"))
+          .agg(count(lit(1)).as("n_overlap"))
     }
   }
 }
