@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Decontaminate, Mixing, Packing}
+import graft.operators.{Decontaminate, Mixing, Packing, Similarity}
 
 /** Round-6 training-data curation additions: Bloom-filter
   * decontamination, the Gopher-rules quality gate, concat-and-split
@@ -136,6 +136,47 @@ object CurationQueries {
             .otherwise(floor(VectorFunctions.int8Error(v) * lit(10000000.0)).cast("long"))
             .as("err_e7"))
           .orderBy("vec_id")
+    },
+
+    // One Lloyd k-means refinement round seeded from the per-label
+    // means (the q43 coarse quantizer): stateless codegen'd argmax
+    // assignment, then the distributed posexplode/avg recompute. The
+    // oracle replays assignment as a row_number argmax and the
+    // recompute as a grouped average; components are floor-scaled to
+    // integers (the q43/q51 double-compare convention).
+    sql("q82_kmeans_refine",
+      """WITH cent AS (
+        | SELECT label AS list_id, list(m ORDER BY pos) AS centroid FROM (
+        |  SELECT label, pos, avg(x) AS m FROM (
+        |   SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |          unnest(range(1, len(embedding)+1)) AS pos
+        |   FROM embeddings) u
+        |  GROUP BY label, pos) g
+        | GROUP BY label),
+        |asg AS (
+        | SELECT vec_id, list_id FROM (
+        |  SELECT e.vec_id, c.list_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+        |              c.list_id) AS rn
+        |  FROM embeddings e, cent c) x WHERE rn = 1)
+        |SELECT CAST(list_id AS BIGINT) AS list_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(floor(avg(x) * 1000000.0) AS BIGINT) AS m_e6
+        |FROM asg a JOIN (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |         unnest(range(1, len(embedding)+1)) AS pos
+        |  FROM embeddings) u ON u.vec_id = a.vec_id
+        |GROUP BY list_id, pos ORDER BY list_id, pos""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d)
+        val refined = Similarity.kmeansRefine(emb,
+          Similarity.labelCentroids(emb), iters = 1)
+        refined
+          .select(col("list_id"), posexplode(col("centroid")).as(Seq("pos", "m")))
+          .select(col("list_id").cast("long").as("list_id"),
+            (col("pos") + 1).cast("long").as("pos"),
+            floor(col("m") * lit(1000000.0)).cast("long").as("m_e6"))
+          .orderBy("list_id", "pos")
     }
   )
 }

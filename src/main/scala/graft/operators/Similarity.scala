@@ -325,6 +325,22 @@ object Similarity {
     nearDupesAnnBanded(corpus, threshold, bits, bands, idCol, vecCol, maxBucketSize)
   }
 
+  /** Per-list elementwise mean vectors — the IVF coarse quantizer and
+    * the k-means recompute step. Computed via posexplode + avg +
+    * re-assemble, which stays fully distributed (no whole-list collect
+    * per group) — the formulation that survives lists with millions of
+    * members. Returns (list_id, centroid: array<double>).
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(labelCol).as("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
   /** IVF-style ANN: centroids are the per-`labelCol` mean vectors
     * (coarse quantizer); each query probes the `nprobe` nearest
     * centroids' inverted lists only. With a corpus pre-partitioned by
@@ -333,17 +349,7 @@ object Similarity {
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    // Centroid per list: elementwise mean. Computed via posexplode +
-    // avg + re-assemble, which stays fully distributed (no whole-list
-    // collect per group) — the formulation that survives lists with
-    // millions of members.
-    val centroids = corpus
-      .select(col(labelCol).as("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy(col("list_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    val centroids = labelCentroids(corpus, labelCol, vecCol)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("cd", cosine(col("qv"), col("centroid")))
@@ -360,5 +366,75 @@ object Similarity {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+  }
+
+  /** STATELESS cosine-argmax assignment of every corpus vector to one
+    * of a driver-held centroid set: the scoring expands to k native
+    * dot products + a `greatest` over (similarity, −list_id) structs,
+    * all inside whole-stage codegen — no join, no window, no
+    * aggregation, ONE corpus pass (plan-asserted in CurationSpec).
+    * Ties break toward the smaller list id (the −list_id struct
+    * field), matching the SQL `ORDER BY sim DESC, list_id` oracle
+    * convention. Centroids ride as plan literals, so this is for
+    * coarse-quantizer k (≲ hundreds); assignment against large
+    * codebooks is [[annIvf]] territory. Zero-norm vectors score NaN
+    * against every centroid and their assignment is undefined.
+    */
+  def kmeansAssign(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    corpus.select(col(idCol), bestList(cents, vecCol).as("list_id"))
+  }
+
+  private def bestList(cents: Seq[(Long, Array[Double])], vecCol: String): Column = {
+    val vn = norm(col(vecCol))
+    val scored = cents.map { case (lid, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col(vecCol), typedLit(c.toSeq)) / (vn * lit(cn))).as("s"),
+        lit(-lid).as("nl"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    (-best.getField("nl")).cast("long")
+  }
+
+  /** Lloyd k-means refinement: `iters` rounds of stateless assignment
+    * ([[kmeansAssign]]) + distributed mean recompute (the
+    * [[labelCentroids]] posexplode/avg shape). `init` is
+    * (list_id, centroid: array<double>) — e.g. `labelCentroids` output
+    * or any seeding. Each round collects the k centroids to the driver
+    * (k·dim doubles — tiny) exactly as production distributed k-means
+    * does: the collect truncates the iteration's lineage and turns the
+    * next assignment into plan literals, so every round is ONE corpus
+    * scan + one (list, pos)-aggregated shuffle of partial sums.
+    * Clusters that capture no members drop out (standard empty-cluster
+    * behavior — re-seed at the caller if undesired). Returns the
+    * refined (list_id, centroid) frame.
+    */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Array[Double])] = init
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+    var out: DataFrame = init
+    for (_ <- 1 to iters) {
+      out = corpus
+        .select(bestList(cents, vecCol).as("list_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+      cents = out.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        .sortBy(_._1)
+    }
+    cents.map { case (l, c) => (l, c.toSeq) }.toDF("list_id", "centroid")
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
+import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Similarity}
 
 /** Round-6 curation operators: Bloom decontamination, sequence
   * packing, mixing rebalance, int8 quantization, Gopher gate.
@@ -177,6 +177,55 @@ class CurationSpec extends SparkSpec {
       VectorFunctions.int8Error(col("embedding")).as("err")).head
     assert(g.getSeq[Long](0) === Seq(127L, -127L, 64L, 0L, -3L))
     assert(g.getDouble(1) === 0.0)
+  }
+
+  test("kmeans refinement converges to planted cluster means; assignment is stateless") {
+    val rnd = new scala.util.Random(31)
+    // three well-separated unit-ish cluster centers in 8 dims
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 1, 0, 0, 0),
+      Array(0, 1.0, 0, 0, 0, 1, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 1, 0))
+    val vecs = (0L until 300L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // deliberately poor seeding: three copies of a corner point nudged
+    // toward each true center
+    val init = centers.zipWithIndex.map { case (c, j) =>
+      (j.toLong, c.map(_ * 0.2 + 0.4).toSeq)
+    }.toDF("list_id", "centroid")
+    val refined = Similarity.kmeansRefine(corpus, init, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(refined.size === 3, s"all three clusters must survive: ${refined.keySet}")
+    // every refined centroid lies within noise distance of a distinct
+    // planted center (cosine > 0.99)
+    val matched = centers.map { c =>
+      refined.values.exists { m =>
+        val dot = c.zip(m).map { case (a, b) => a * b }.sum
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        val nm = math.sqrt(m.map(x => x * x).sum)
+        dot / (nc * nm) > 0.99
+      }
+    }
+    assert(matched.forall(identity), s"refined centroids must recover planted centers: $refined")
+
+    // assignment is one stateless pass: no join, no window, no
+    // aggregate before the recompute's own aggregation
+    val cents = refined.toSeq.map { case (l, c) => (l, c.toArray) }
+    val asg = Similarity.kmeansAssign(corpus, cents)
+    asg.collect()
+    val plan = asg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"assignment must be join-free:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must be window-free:\n$plan")
+    assert(!plan.contains("Sort"), s"assignment must be sort-free:\n$plan")
+    // and it assigns the planted clusters correctly
+    val byCluster = asg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1 % 3).map { case (k, v) => k -> v.map(_._2).distinct }
+    assert(byCluster.values.forall(_.length === 1),
+      s"each planted cluster maps to exactly one list: $byCluster")
   }
 
   test("gopher gate: each rule independently rejects") {
