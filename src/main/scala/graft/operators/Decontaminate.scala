@@ -55,7 +55,7 @@ object Decontaminate {
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(hashed, Literal(expectedItems), Literal(numBits))
         .toAggregateExpression())
-    values.agg(agg.as("bloom")).head.get(0) match {
+    values.agg(agg.as("bloom")).head().get(0) match {
       case b: Array[Byte] => Some(b)
       case _              => None
     }
