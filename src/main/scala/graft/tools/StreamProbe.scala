@@ -42,8 +42,25 @@ object StreamProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
       .select("doc_id", "ts", "text")
-    docs.repartitionByRange(16, col("doc_id"))
-      .write.mode("overwrite").parquet(s"$stage/in")
+    // DETERMINISTIC staging: contiguous zero-padded id-range dirs, so
+    // the file source replays the same near-monotone event-time order
+    // every run. (repartitionByRange SAMPLES its bounds — run-to-run
+    // file boundaries shifted which docs arrived late at the
+    // watermark, and kept/flagged counts wandered across probe runs.)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val per = math.max(1L, maxId / 16 + 1)
+    docs.withColumn("__f", format_string("%02d", expr(s"doc_id div ${per}L")))
+      .repartition(col("__f"))
+      .write.partitionBy("__f").mode("overwrite").parquet(s"$stage/in")
+    // FileStreamSource batches by file modification time, and parallel
+    // parquet task completion scrambles it — restamp every file in
+    // id-range order so batch composition (and with it which rows are
+    // late at the watermark) is identical on every probe run
+    new java.io.File(s"$stage/in").listFiles()
+      .filter(_.getName.startsWith("__f=")).sortBy(_.getName).zipWithIndex
+      .foreach { case (d, i) =>
+        d.listFiles().foreach(_.setLastModified((i + 1) * 60000L))
+      }
     val n = spark.read.parquet(s"$stage/in").count()
     val schema = spark.read.parquet(s"$stage/in").schema
 
@@ -75,6 +92,22 @@ object StreamProbe {
       graft.streaming.EventStreams.contaminationFlagsAgainst(in, shingles,
         watermark = "1 hour")
     }
+
+    // the Bloom prefilter forms of the same decontamination: bloom-only
+    // (stateless literal predicate, quarantine semantics) and
+    // bloom + exact-verify (flags identical to the exact form)
+    // fpp 1e-4, not the 1e-2 default: a doc with s distinct shingles
+    // is falsely flagged with odds ~s·fpp, and these docs carry ~100
+    // shingles — 1e-4 keeps the bloom-only false-flag rate ~1%
+    val benchDocs = docs.filter(col("doc_id") % 40 === 0)
+    val (flaggedB, tConB) = drive("contam_bloom") { in =>
+      graft.streaming.EventStreams.contaminationFlagsBloom(in, benchDocs,
+        watermark = "1 hour", fpp = 1e-4)
+    }
+    val (flaggedBV, tConBV) = drive("contam_bloom_verify") { in =>
+      graft.streaming.EventStreams.contaminationFlagsBloom(in, benchDocs,
+        watermark = "1 hour", fpp = 1e-4, verifyAgainst = Some(shingles))
+    }
     shingles.unpersist()
 
     def sec(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
@@ -82,7 +115,9 @@ object StreamProbe {
     println(
       s"""{"docs":$n,"suppress_sec":${sec(tSup)},"suppress_docs_per_sec":${rate(tSup)},""" +
         s""""suppress_kept":$kept,"bench_shingles":$nShingles,""" +
-        s""""contam_sec":${sec(tCon)},"contam_docs_per_sec":${rate(tCon)},"contam_flagged":$flagged}""")
+        s""""contam_sec":${sec(tCon)},"contam_docs_per_sec":${rate(tCon)},"contam_flagged":$flagged,""" +
+        s""""contam_bloom_sec":${sec(tConB)},"contam_bloom_docs_per_sec":${rate(tConB)},"contam_bloom_flagged":$flaggedB,""" +
+        s""""contam_bloom_verify_sec":${sec(tConBV)},"contam_bloom_verify_docs_per_sec":${rate(tConBV)},"contam_bloom_verify_flagged":$flaggedBV}""")
     spark.stop()
   }
 }
