@@ -114,12 +114,14 @@ object Decontaminate {
       case Some(bloom) =>
         corpusShingles
           .filter(mightContain(bloom, col("shingle")))
-          // exact verify: the join input is the fpp-bounded sliver, so
-          // the broadcast side only has to beat the SLIVER's size now.
-          // count(1), not countDistinct: (id, shingle) pairs are unique
-          // by construction (array_distinct per doc × globally-distinct
-          // eval set), and countDistinct plans an extra full exchange
-          // of the sliver on (id, shingle) before aggregating
+          // dedup AFTER the prefilter: array_distinct is per ROW, so a
+          // corpus with duplicate ids (re-crawled revisions) would
+          // inflate the overlap count without it — and placed here the
+          // exchange only covers the fpp-bounded sliver, not the corpus
+          .dropDuplicates(idCol, "shingle")
+          // exact verify: the join input is the deduped sliver, so the
+          // broadcast side only has to beat the SLIVER's size now;
+          // count(1) suffices — pairs are unique post-dedup
           .join(broadcast(evalShingles), "shingle")
           .groupBy(idCol)
           .agg(count(lit(1)).as("n_overlap"))

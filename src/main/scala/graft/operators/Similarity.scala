@@ -377,20 +377,31 @@ object Similarity {
     * field), matching the SQL `ORDER BY sim DESC, list_id` oracle
     * convention. Centroids ride as plan literals, so this is for
     * coarse-quantizer k (≲ hundreds); assignment against large
-    * codebooks is [[annIvf]] territory. Zero-norm vectors score NaN
-    * against every centroid and their assignment is undefined.
+    * codebooks is [[annIvf]] territory. NaN scores (a zero-norm
+    * vector, or a zero-norm/degenerate centroid) are demoted below
+    * every real similarity — Spark orders NaN ABOVE all doubles, so
+    * without the demotion one degenerate seed would capture the
+    * entire corpus; a zero-norm vector instead lands deterministically
+    * on the smallest list id.
     */
   def kmeansAssign(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(cents.nonEmpty, "need at least one centroid")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), bestList(cents, vecCol).as("list_id"))
-  }
 
   private def bestList(cents: Seq[(Long, Array[Double])], vecCol: String): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
     val vn = norm(col(vecCol))
     val scored = cents.map { case (lid, c) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col(vecCol), typedLit(c.toSeq)) / (vn * lit(cn))).as("s"),
+      // try_divide: an exactly-zero norm is an ANSI DIVIDE_BY_ZERO
+      // error, not infinity — NULL instead; then coalesce+nanvl demote
+      // both the NULL and any NaN to -2 (cosine ∈ [-1, 1]), ranking a
+      // degenerate score below every real centroid instead of above
+      // all of them (Spark orders NaN as the largest double)
+      struct(coalesce(
+        nanvl(try_divide(dot(col(vecCol), typedLit(c.toSeq)), vn * lit(cn)),
+          lit(-2.0)),
+        lit(-2.0)).as("s"),
         lit(-lid).as("nl"))
     }
     val best =
@@ -421,17 +432,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
-    var out: DataFrame = init
     for (_ <- 1 to iters) {
-      out = corpus
-        .select(bestList(cents, vecCol).as("list_id"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("list_id"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-      cents = out.collect()
+      // assignment + the shared labelCentroids recompute shape
+      val assigned = corpus.select(
+        bestList(cents, vecCol).as("__list"), col(vecCol))
+      cents = labelCentroids(assigned, "__list", vecCol).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         .sortBy(_._1)
     }

@@ -173,7 +173,11 @@ object EventStreams {
       tsCol: String = "ts", shingleSize: Int = 4,
       watermark: String = "30 minutes", fpp: Double = 0.01,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
-    val bench = benchmarkShingles(benchmark, textCol, shingleSize)
+    // when the caller supplies the (ideally persisted) verify frame it
+    // IS the benchmark shingle set — size and sketch from it instead
+    // of re-deriving the set from raw docs twice
+    val bench = verifyAgainst.getOrElse(
+      benchmarkShingles(benchmark, textCol, shingleSize))
     val items = math.max(1L, bench.count())
     graft.operators.Decontaminate.buildBloom(bench, "shingle",
       items, fpp) match {

@@ -47,7 +47,9 @@ object StreamProbe {
     // every run. (repartitionByRange SAMPLES its bounds — run-to-run
     // file boundaries shifted which docs arrived late at the
     // watermark, and kept/flagged counts wandered across probe runs.)
-    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val maxIdRow = docs.agg(max("doc_id")).head()
+    require(!maxIdRow.isNullAt(0), s"no documents found under $sfDir")
+    val maxId = maxIdRow.getLong(0)
     val per = math.max(1L, maxId / 16 + 1)
     docs.withColumn("__f", format_string("%02d", expr(s"doc_id div ${per}L")))
       .repartition(col("__f"))

@@ -59,6 +59,36 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"the prefilter must not be a join:\n$plan")
   }
 
+  test("duplicate-id corpus rows do not inflate the overlap count") {
+    // re-crawled revisions: the same doc_id twice, each carrying the
+    // same benchmark shingle — n_overlap must still be 1 (the
+    // distinct-overlap semantics the exact formulation defines)
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (5L, "prefix alpha beta gamma delta suffix"),
+      (5L, "other prefix alpha beta gamma delta"),
+      (6L, "entirely clean words only here")).toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedDocs(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(5L -> 1L), s"got $out")
+  }
+
+  test("a degenerate zero centroid must not capture the corpus (NaN demotion)") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      0L -> Array(0.0, 0.0, 0.0, 0.0), // degenerate seed: cosine = NaN
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(-1.0, 0.0, 0.0, 0.0))
+    val byList = Similarity.kmeansAssign(corpus, cents)
+      .collect().map(_.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(!byList.contains(0L),
+      s"NaN scores must rank below real similarities: $byList")
+    assert(byList.keySet === Set(1L, 2L), s"real centroids split the corpus: $byList")
+  }
+
   test("empty benchmark yields an empty contamination result") {
     val out = Decontaminate.contaminatedDocs(
       docs, docs.filter(col("doc_id") < 0))
