@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators. Randomness comes from an explicit
+  * integer hash of the row id — never from an RNG — so a sample is
+  * reproducible run-to-run, engine-to-engine, and under any
+  * repartitioning. (Reference scope: the reference commits to QA
+  * sampling/metrics stages, /root/reference/docs/system-plan.md:26;
+  * the weighted form is the Efraimidis–Spirakis A-ES scheme with the
+  * random key derandomized.)
+  */
+object Sampling {
+
+  /** Uniform variate u ∈ (0, 1) derived from a non-negative integer id
+    * by one LCG step (glibc multiplier, mod 2^31) — pure 64-bit
+    * integer arithmetic with no overflow for any non-negative id
+    * (the id is reduced mod 2^31 first, so the product is < 2^62),
+    * hence bit-identical in any engine with 64-bit integer ops.
+    */
+  def hashUniform(id: Column): Column =
+    (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      .cast("double").plus(0.5).divide(2147483648.0)
+
+  /** Weighted sample without replacement of `k` rows (Efraimidis &
+    * Spirakis 2006, exponential-clocks form): each row draws the
+    * deterministic uniform `hashUniform(id)` and is ranked by
+    * key = ln(u)/w — the largest `k` keys win, and a row's win
+    * probability is proportional to its weight. The key is floored to
+    * integer nano-units with (key, id) total-order tiebreak, so the
+    * selected set is stable across engines.
+    *
+    * Scale shape: the ranking is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject, a per-partition top-k followed by a
+    * k-row driver merge. No global sort, no single-partition window;
+    * the shuffle carries at most k rows per partition regardless of
+    * corpus size. Rows with non-positive weight are excluded (zero
+    * weight = never sampled; ln(u) < 0 would rank them FIRST, not
+    * last, if left in).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = col(weightCol).cast("double")
+    df.filter(w > 0)
+      .withColumn("sample_key_e9",
+        floor(log(hashUniform(col(idCol))) / w * 1000000000.0).cast("long"))
+      .orderBy(col("sample_key_e9").desc, col(idCol))
+      .limit(k)
+  }
+}

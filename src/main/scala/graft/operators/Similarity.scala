@@ -442,4 +442,39 @@ object Similarity {
     }
     cents.map { case (l, c) => (l, c.toSeq) }.toDF("list_id", "centroid")
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-dup removal by
+    * clustering first, then comparing ONLY within clusters. Each
+    * vector is assigned to its nearest centroid ([[kmeansAssign]]
+    * semantics — stateless codegen'd argmax over broadcast-literal
+    * centroids), and within a cluster a vector is dropped when some
+    * smaller-id vector is cosine-similar above `tau` (smallest id
+    * keeps — the same deterministic keeper rule as exact dedup).
+    * Returns (idCol, list_id, keep).
+    *
+    * Scale shape: clustering bounds the pair space — the self-join is
+    * an equi-join on list_id, so shuffle and compare cost is
+    * Σ|cluster|², never O(n²); with k sized so clusters are ~10⁴–10⁵
+    * vectors the per-cluster product fits one executor's partition.
+    * Norms are computed once per side before the join (not per pair).
+    * For clusters still too large, route candidates through the
+    * sign-LSH banding of [[nearDupesAnnBanded]] INSIDE each cluster —
+    * same verify step, sub-quadratic candidate generation.
+    */
+  def semDedupFlags(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = corpus.select(col(idCol), col(vecCol),
+      bestList(cents, vecCol).as("list_id"))
+    val a = asg.select(col("list_id"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
+    val b = asg.select(col("list_id"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"), norm(col(vecCol)).as("__nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) > tau)
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    asg.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("list_id"), col("__dropped").isNull.as("keep"))
+  }
 }

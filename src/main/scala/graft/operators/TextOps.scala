@@ -113,6 +113,82 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Okapi BM25 scores for a FIXED term set (the ad-hoc-search shape:
+    * a handful of query terms against the whole corpus). Per-term
+    * term frequencies are counted inside the row projection
+    * (`filter(tokens, _ = term)` — codegen, no explode), and the only
+    * non-scan work is ONE tiny global aggregate (corpus size, average
+    * document length, per-term document frequencies) that is broadcast
+    * back — so the whole query is two scans and zero wide shuffles,
+    * the plan that survives a 100-TB corpus. Docs matching no term are
+    * dropped.
+    *
+    * Output: (id, tf_<term>..., score) with
+    * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) — the standard
+    * non-negative BM25+ idf.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = TextFunctions.tokens(col(textCol))
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, t => t === lit(terms(i)))).cast("double").as(s"__tf$i"))
+    val s = docs.select((col(idCol).as("id") +: size(toks).cast("double").as("__dl") +: tfCols): _*)
+    val gAggs = count(lit(1)).cast("double").as("__n") +: avg("__dl").as("__avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val g = s.agg(gAggs.head, gAggs.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"__tf$i"); val df = col(s"__df$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+          tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val anyHit = terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _)
+    s.crossJoin(broadcast(g))
+      .filter(anyHit)
+      .select((col("id") +:
+        terms.indices.map(i => col(s"__tf$i").cast("long").as(s"tf_${terms(i)}")) :+
+        perTerm.reduce(_ + _).as("score")): _*)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): tokens are
+    * feature-hashed into 256 buckets (md5 first byte), the per-bucket
+    * log-likelihood ratio between a target slice and the whole corpus
+    * is learned from counts, and a document's importance is the sum of
+    * its tokens' bucket log-ratios. Returns (id, n_toks, imp_e6) with
+    * the per-bucket ratio pre-floored to integer micro-units — from
+    * there on everything is EXACT integer arithmetic, so the score is
+    * invariant to aggregation order (the property that makes the
+    * result reproducible across partitionings and engines).
+    *
+    * Scale shape: one explode, a map-side-combinable (id, bucket)
+    * count, a 256-row weight table broadcast back, one final
+    * aggregation on id. The weight learning itself is a 256-group
+    * aggregate — constant-size regardless of corpus size.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), isTarget.as("__t"),
+      explode(TextFunctions.tokens(col(textCol))).as("__token"))
+    val bucketed = tok.select(col("id"), col("__t"),
+      substring(md5(col("__token")), 1, 2).as("__bucket"))
+    val cnt = bucketed.groupBy("id", "__bucket").agg(count(lit(1)).as("__n"))
+    val weights = bucketed.groupBy("__bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).cast("double").as("__tb"),
+        count(lit(1)).cast("double").as("__cb"))
+      .select(col("__bucket"),
+        floor(log((col("__tb") + 0.5) / (col("__cb") + 0.5)) * 1000000.0)
+          .cast("long").as("__w_e6"))
+    cnt.join(broadcast(weights), "__bucket")
+      .groupBy("id")
+      .agg(sum(col("__n")).as("n_toks"),
+        sum(col("__n") * col("__w_e6")).as("imp_e6"))
+  }
+
   /** Gaps-and-islands sessionization over any keyed, timestamped
     * DataFrame: a new session starts after `gapSeconds` of inactivity.
     * Returns the input plus a per-key `session_id` (1-based).

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+
+/** Round-6 batch two: span-level dedup, BM25, DSIR weights, weighted
+  * sampling, SemDeDup. (The DuckDB oracle compare covers the catalog
+  * forms end-to-end; these specs pin the operator semantics on small
+  * hand-checkable inputs.)
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def words(n: Int, base: String): String =
+    (0 until n).map(i => s"$base$i").mkString(" ")
+
+  test("chunkDedupStats: shared span keeps smallest doc id, tail spans count") {
+    import spark.implicits._
+    val shared = words(16, "s") // one full 16-token span, identical in docs 1 and 2
+    val docs = Seq(
+      (1L, shared + " " + words(5, "a")), // spans: shared, tail-a (owned)
+      (2L, shared + " " + words(5, "b")), // spans: shared (dup), tail-b (owned)
+      (3L, words(7, "c")),                // one short span, owned
+      (4L, "   ")                         // tokenizes empty -> excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupStats(docs, "doc_id", "text", chunkLen = 16)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("chunkDedupStats: repeated span within one doc counts once and is owned") {
+    import spark.implicits._
+    val span = words(16, "r")
+    val docs = Seq((7L, span + " " + span)).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupStats(docs, "doc_id", "text", chunkLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((7L, 1L, 1L)))
+  }
+
+  test("bm25: rarer term outscores common term at equal tf; no-hit docs drop") {
+    import spark.implicits._
+    // 'rare' in 1 of 4 docs, 'common' in 3 of 4; doc 1 and 2 have equal
+    // length and tf=1 for their term, so idf decides.
+    val docs = Seq(
+      (1L, "rare x y z"),
+      (2L, "common x y z"),
+      (3L, "common p q r"),
+      (4L, "common p q r x y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L)) // every doc hits something here
+    assert(out(1L) > out(2L))
+    // same term, same tf, longer doc scores lower (length normalization)
+    assert(out(3L) > out(4L))
+    val none = TextOps.bm25(docs.union(Seq((5L, "no hits at all")).toDF("doc_id", "text")),
+      "doc_id", "text", Seq("rare")).select("id").collect().map(_.getLong(0))
+    assert(none.toSet === Set(1L))
+  }
+
+  test("dsirWeights: target-like docs score higher; score is repartition-invariant") {
+    import spark.implicits._
+    val enText = words(30, "en")
+    val deText = words(30, "de")
+    val docs = Seq(
+      (1L, enText, "en"), (2L, enText, "en"), (3L, enText, "en"),
+      (4L, deText, "de"), (5L, deText, "de"),
+      (6L, enText, "de") // de-labelled but en-like content: should score like en docs
+    ).toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(docs)
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) > byId(4L))
+    assert(byId(6L) === byId(1L)) // same content, same buckets, same score
+    // integer-exact: identical under a different partitioning
+    assert(run(docs.repartition(7)).toSeq === out.toSeq)
+  }
+
+  test("weightedSample: deterministic, k-bounded, weight-monotone, excludes w<=0") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i % 7 == 0) 0.0 else (i % 13 + 1).toDouble))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 50).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(df.repartition(11), "id", "w", k = 50).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.length === 50)
+    assert(s1.sorted === s2.sorted) // derandomized: stable under repartition
+    assert(s1.forall(_ % 7 != 0))  // zero-weight rows never sampled
+    // key matches the scalar reimplementation => truly ES-ranked
+    def key(id: Long, w: Double): Long = {
+      val u = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      math.floor(math.log((u.toDouble + 0.5) / 2147483648.0) / w * 1e9).toLong
+    }
+    val expect = (1L to 500L).filter(_ % 7 != 0)
+      .map(i => (i, key(i, (i % 13 + 1).toDouble)))
+      .sortBy { case (i, k0) => (-k0, i) }.take(50).map(_._1)
+    assert(s1.sorted === expect.sorted)
+  }
+
+  test("weightedSample plans a top-k (TakeOrderedAndProject), not a global sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("semDedupFlags: near-identical pair drops larger id; distant vectors keep") {
+    import spark.implicits._
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.05f)),  // cluster 0
+      (2L, Seq(1.0f, 0.06f)),  // cluster 0, ~identical to 1 -> dropped
+      (3L, Seq(0.05f, 1.0f)),  // cluster 1
+      (4L, Seq(-1.0f, 0.2f))   // cluster 1 (nearest by cosine), far from 3 -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupFlags(emb, cents, tau = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out === Seq((1L, 0L, true), (2L, 0L, false), (3L, 1L, true), (4L, 1L, true)))
+  }
+}
