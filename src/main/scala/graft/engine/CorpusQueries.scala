@@ -136,6 +136,78 @@ object CorpusQueries {
         Similarity.semDedupFlags(emb, cents, tau = 0.3)
           .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("keep"))
           .orderBy("vec_id")
+    },
+
+    // CCNet-style unigram-LM surprisal: corpus-trained add-0.5 unigram
+    // model, per-token surprisal pre-floored to micro-nats, per-doc
+    // total + floor-average — exact integers end to end. The
+    // perplexity-filter quality signal, derandomized.
+    sql("q88_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |vc AS (SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS ctot, CAST(count(*) AS DOUBLE) AS v FROM vc),
+        |w AS (SELECT token, CAST(floor(-ln((c + 0.5) / (ctot + 0.5 * v)) * 1000000.0) AS BIGINT) AS s_e6 FROM vc CROSS JOIN tot)
+        |SELECT tok.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(sum(w.s_e6) AS BIGINT) AS nll_e6,
+        |       CAST(sum(w.s_e6) // count(*) AS BIGINT) AS avg_nll_e6
+        |FROM tok JOIN w USING (token) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val tok = documents(s, d).select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        val vc = tok.groupBy("token").agg(count(lit(1)).cast("double").as("c"))
+        val tot = vc.agg(sum("c").as("ctot"), count(lit(1)).cast("double").as("v"))
+        val w = vc.crossJoin(broadcast(tot)).select(col("token"),
+          floor(-log((col("c") + 0.5) / (col("ctot") + lit(0.5) * col("v"))) * 1000000.0)
+            .cast("long").as("s_e6"))
+        tok.join(w, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("s_e6").as("nll_e6"))
+          .select(col("doc_id"), col("n_toks"), col("nll_e6"),
+            floor(col("nll_e6") / col("n_toks")).cast("long").as("avg_nll_e6"))
+          .orderBy("doc_id")
+    },
+
+    // Corpus QA rollup per (source, lang): the S24 per-source report
+    // recast over the curation signals — doc/char/word/stopword sums,
+    // exact-duplicate docs, and duplicated-span counts (the q83
+    // machinery; non-vacuous at every SF, where whole-doc dups only
+    // appear from sf0.1 up).
+    sql("q89_curation_report",
+      """WITH t AS (SELECT doc_id, source, lang, n_chars, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks, md5(lower(text)) AS f FROM documents),
+        |k AS (SELECT f, min(doc_id) AS keeper FROM t GROUP BY f),
+        |ch AS (SELECT doc_id, unnest(list_distinct([md5(array_to_string(list_slice(toks, i, i+15), ' ')) FOR i IN range(1, len(toks)+1, 16)])) AS c FROM t WHERE len(toks) > 0),
+        |ck AS (SELECT c, min(doc_id) AS ckeeper FROM ch GROUP BY c),
+        |cd AS (SELECT ch.doc_id, CAST(sum(CASE WHEN ck.ckeeper <> ch.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans FROM ch JOIN ck USING (c) GROUP BY ch.doc_id)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(toks)) AS BIGINT) AS total_words,
+        |  CAST(sum(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT) AS total_stop_hits,
+        |  CAST(sum(CASE WHEN k.keeper <> t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(COALESCE(cd.dup_spans, 0)) AS BIGINT) AS dup_spans
+        |FROM t JOIN k USING (f) LEFT JOIN cd ON cd.doc_id = t.doc_id
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
+      (s, d) =>
+        import graft.functions.TextFunctions
+        val docs = documents(s, d)
+        val fp = docs.select(col("doc_id"), md5(lower(col("text"))).as("f"))
+        val keep = fp.groupBy("f").agg(min("doc_id").as("keeper"))
+        val dup = fp.join(keep, "f").select(col("doc_id"),
+          when(col("keeper") =!= col("doc_id"), 1L).otherwise(0L).as("is_dup"))
+        val spans = Dedup.chunkDedupStats(docs, "doc_id", "text", chunkLen = 16)
+          .select(col("doc_id"), (col("n_chunks") - col("n_owned")).as("dup_spans"))
+        docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.stopwordHits(col("text")).as("stop_hits"))
+          .join(dup, "doc_id")
+          .join(spans, Seq("doc_id"), "left")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum("n_words").as("total_words"),
+            sum("stop_hits").as("total_stop_hits"),
+            sum("is_dup").as("n_dup_docs"),
+            sum(coalesce(col("dup_spans"), lit(0L))).as("dup_spans"))
+          .orderBy("source", "lang")
     }
   )
 }
