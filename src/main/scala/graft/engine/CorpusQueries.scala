@@ -107,7 +107,11 @@ object CorpusQueries {
     // codebook — the q82 seeding) then within-cluster cosine > 0.3
     // drops the larger id. The oracle replays assignment as the q82
     // row_number argmax and the drop rule as a within-cluster
-    // self-join.
+    // self-join. The catalog form reports the DROPPED set (not the
+    // keep flags): with flags, `count()` lets Catalyst eliminate the
+    // left join against the unique dropped-id side — correct
+    // optimization, but then the bench would time only the assignment
+    // scan; filtering on the flag keeps the pair join load-bearing.
     sql("q87_semdedup",
       """WITH cent AS (
         | SELECT label AS list_id, list(m ORDER BY pos) AS centroid FROM (
@@ -123,9 +127,8 @@ object CorpusQueries {
         |drop0 AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
         |  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3)
-        |SELECT asg.vec_id AS vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
-        |       (drop0.vec_id IS NULL) AS keep
-        |FROM asg LEFT JOIN drop0 ON asg.vec_id = drop0.vec_id ORDER BY vec_id""".stripMargin) {
+        |SELECT asg.vec_id AS vec_id, CAST(asg.list_id AS BIGINT) AS list_id
+        |FROM asg JOIN drop0 ON asg.vec_id = drop0.vec_id ORDER BY vec_id""".stripMargin) {
       (s, d) =>
         val emb = embeddings(s, d)
         val cents = Similarity.labelCentroids(emb)
@@ -134,7 +137,8 @@ object CorpusQueries {
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
           .sortBy((p: (Long, Array[Double])) => p._1)
         Similarity.semDedupFlags(emb, cents, tau = 0.3)
-          .select(col("vec_id"), col("list_id").cast("long").as("list_id"), col("keep"))
+          .filter(!col("keep"))
+          .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
           .orderBy("vec_id")
     },
 
