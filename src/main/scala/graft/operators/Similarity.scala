@@ -443,6 +443,24 @@ object Similarity {
     cents.map { case (l, c) => (l, c.toSeq) }.toDF("list_id", "centroid")
   }
 
+  /** Deterministic k-way seeding for a corpus-sized codebook: bucket
+    * vectors by `id % k` and take elementwise bucket means as initial
+    * centroids (then refine with [[kmeansRefine]]). The point is that
+    * k can GROW with the corpus — the property every Σ|cluster|²
+    * bound (SemDeDup, IVF probe lists) actually depends on: k ∝ n
+    * keeps cluster sizes constant as data scales. Deterministic (no
+    * RNG, no sampling job) and one aggregation pass; with ~uniformly
+    * distributed ids the buckets are balanced, so no seed captures a
+    * skewed share of the corpus.
+    */
+  def hashBucketCentroids(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    labelCentroids(
+      corpus.select((col(idCol) % k).cast("long").as("__bucket"), col(vecCol)),
+      "__bucket", vecCol)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-dup removal by
     * clustering first, then comparing ONLY within clusters. Each
     * vector is assigned to its nearest centroid ([[kmeansAssign]]

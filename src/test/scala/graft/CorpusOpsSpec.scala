@@ -110,6 +110,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("hashBucketCentroids: deterministic bucket means; empty buckets drop out") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 3.0f)), (4L, Seq(3.0f, 5.0f)), // ids ≡ 0 (mod 4) -> mean (2, 4)
+      (1L, Seq(10.0f, 0.0f))                        // bucket 1
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.hashBucketCentroids(emb, k = 4)
+      .orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(cents.map(_._1).toSeq === Seq(0L, 1L)) // buckets 2,3 empty -> absent
+    assert(cents(0)._2 === Seq(2.0, 4.0))
+    assert(cents(1)._2 === Seq(10.0, 0.0))
+    // identical content always dedups under ANY centroid set: assignment
+    // is by content, so equal vectors share a cluster regardless of k
+    val dup = Seq((10L, Seq(1.0f, 1.0f)), (20L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val seeded = Similarity.hashBucketCentroids(dup, k = 3)
+      .select(col("list_id").cast("long"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val flags = Similarity.semDedupFlags(dup, seeded, tau = 0.99)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(flags === Seq((10L, true), (20L, false)))
+  }
+
   test("semDedupFlags: near-identical pair drops larger id; distant vectors keep") {
     import spark.implicits._
     val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
