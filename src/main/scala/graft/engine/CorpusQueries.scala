@@ -131,11 +131,7 @@ object CorpusQueries {
         |FROM asg JOIN drop0 ON asg.vec_id = drop0.vec_id ORDER BY vec_id""".stripMargin) {
       (s, d) =>
         val emb = embeddings(s, d)
-        val cents = Similarity.labelCentroids(emb)
-          .select(col("list_id").cast("long"), col("centroid"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-          .sortBy((p: (Long, Array[Double])) => p._1)
+        val cents = Similarity.collectCentroids(Similarity.labelCentroids(emb))
         Similarity.semDedupFlags(emb, cents, tau = 0.3)
           .filter(!col("keep"))
           .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
@@ -193,7 +189,7 @@ object CorpusQueries {
       (s, d) =>
         import graft.functions.TextFunctions
         val docs = documents(s, d)
-        val fp = docs.select(col("doc_id"), md5(lower(col("text"))).as("f"))
+        val fp = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
         val keep = fp.groupBy("f").agg(min("doc_id").as("keeper"))
         val dup = fp.join(keep, "f").select(col("doc_id"),
           when(col("keeper") =!= col("doc_id"), 1L).otherwise(0L).as("is_dup"))

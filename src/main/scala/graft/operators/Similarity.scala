@@ -422,23 +422,28 @@ object Similarity {
     * behavior — re-seed at the caller if undesired). Returns the
     * refined (list_id, centroid) frame.
     */
+  /** Collect a (list_id, centroid) frame — [[labelCentroids]],
+    * [[kmeansRefine]], or [[hashBucketCentroids]] output — to the
+    * driver as the sorted literal-centroid seq the assignment
+    * operators take. k·dim doubles: tiny by construction.
+    */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Array[Double])] =
+    cents.select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
+
   def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Seq[(Long, Array[Double])] = init
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      .sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] = collectCentroids(init)
     for (_ <- 1 to iters) {
       // assignment + the shared labelCentroids recompute shape
       val assigned = corpus.select(
         bestList(cents, vecCol).as("__list"), col(vecCol))
-      cents = labelCentroids(assigned, "__list", vecCol).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-        .sortBy(_._1)
+      cents = collectCentroids(labelCentroids(assigned, "__list", vecCol))
     }
     cents.map { case (l, c) => (l, c.toSeq) }.toDF("list_id", "centroid")
   }
@@ -487,12 +492,21 @@ object Similarity {
       col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
     val b = asg.select(col("list_id"), col(idCol).as("__id_b"),
       col(vecCol).as("__vb"), norm(col(vecCol)).as("__nb"))
+    // try_divide: a zero-norm (degenerate) vector must make the pair
+    // predicate NULL — filtered out, both rows kept — not an ANSI
+    // DIVIDE_BY_ZERO that kills the query (the bestList hardening,
+    // applied to the pair stage too)
     val dropped = a.join(b, Seq("list_id"))
       .filter(col("__id_a") < col("__id_b"))
-      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) > tau)
+      .filter(try_divide(dot(col("__va"), col("__vb")),
+        col("__na") * col("__nb")) > tau)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
-    asg.join(dropped, Seq(idCol), "left")
+    // final projection derives from side `a`, NOT a third reference to
+    // `asg` — the k-way argmax scan is the dominant cost at large k,
+    // and a third subplan would re-execute it once more
+    a.select(col("__id_a").as(idCol), col("list_id"))
+      .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("list_id"), col("__dropped").isNull.as("keep"))
   }
 }

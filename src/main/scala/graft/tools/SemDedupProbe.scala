@@ -31,11 +31,7 @@ object SemDedupProbe {
     val t0 = System.nanoTime()
     val seeded = Similarity.hashBucketCentroids(emb, k)
     val refined = if (iters > 0) Similarity.kmeansRefine(emb, seeded, iters) else seeded
-    val cents = refined
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-      .sortBy((p: (Long, Array[Double])) => p._1)
+    val cents = Similarity.collectCentroids(refined)
     val tSeed = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val dropped = Similarity.semDedupFlags(emb, cents, tau)
