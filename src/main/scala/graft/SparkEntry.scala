@@ -15,7 +15,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++ DocQueries.all ++
       PipelineQueries.all ++ MoleculeQueries.all ++ ExtraQueries.all ++
-      TrainingQueries.all ++ CurationQueries.all ++ CorpusQueries.all
+      TrainingQueries.all ++ CurationQueries.all ++ CorpusQueries.all ++
+      FusionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

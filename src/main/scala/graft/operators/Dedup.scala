@@ -386,18 +386,61 @@ object Dedup {
   def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
       chunkLen: Int = 16): DataFrame = {
     require(chunkLen >= 1, "chunkLen must be positive")
+    val spans = chunkSpans(docs, idCol, textCol, chunkLen)
+    val keepers = spans.groupBy("chunk").agg(min(col("doc_id")).as("__keeper"))
+    spans.join(keepers, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__keeper") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"))
+  }
+
+  /** Distinct (doc_id, chunk-digest) rows: each document's consecutive
+    * `chunkLen`-token spans reduced to md5 digests (the shared span
+    * frame under [[chunkDedupStats]] and [[chunkSharePairs]]).
+    */
+  private def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val spans = docs
+    docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), ((size(col("__toks")) - 1) / lit(chunkLen)).cast("int")),
           i => md5(array_join(slice(col("__toks"), i * chunkLen + 1, lit(chunkLen)), " ")))))
         .as("chunk"))
-    val keepers = spans.groupBy("chunk").agg(min(col("doc_id")).as("__keeper"))
-    spans.join(keepers, "chunk")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__keeper") === col("doc_id"), 1L).otherwise(0L)).as("n_owned"))
+  }
+
+  /** Document pair graph induced by shared spans: (id1, id2), id1 <
+    * id2, distinct, for every document pair sharing at least one
+    * `chunkLen`-token chunk digest — the edge set
+    * [[nearDupKeeperLabels]] turns into duplicate CLUSTERS (connected
+    * components), the grouping RefinedWeb-style pipelines use to pick
+    * one representative per boilerplate family rather than per pair.
+    *
+    * Scale shape: spans are md5 digests deduplicated per document
+    * before the shuffle; the self-join is an equi-join on the digest.
+    * A join group's size is the digest's document frequency — shared
+    * spans are rare by nature, but a pathological hot span (a site-
+    * wide boilerplate sentence) can be bounded with `maxSpanDf`:
+    * digests in more than that many documents are dropped from the
+    * edge set (mirroring the q38 df-prune; such spans connect
+    * everything and carry no cluster signal).
+    */
+  def chunkSharePairs(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 16, maxSpanDf: Option[Int] = None): DataFrame = {
+    val spans = chunkSpans(docs, idCol, textCol, chunkLen)
+    val pruned = maxSpanDf match {
+      case Some(cap) =>
+        require(cap >= 2, "maxSpanDf below 2 would drop every edge")
+        val hot = spans.groupBy("chunk").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("chunk"))
+        // ~#hot-digest rows: broadcast anti-join, no sort (the q44 cap shape)
+        spans.join(broadcast(hot), Seq("chunk"), "left_anti")
+      case None => spans
+    }
+    pruned.as("a").join(pruned.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
   }
 }

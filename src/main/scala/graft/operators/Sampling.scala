@@ -49,4 +49,37 @@ object Sampling {
       .orderBy(col("sample_key_e9").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-group quantile calibration gate: compute the exact `p`-th
+    * percentile of `scoreCol` WITHIN each `groupCol` value (linear
+    * interpolation at index p·(n−1) — Spark's `percentile`, DuckDB's
+    * `quantile_cont`), then keep only rows STRICTLY above their own
+    * group's cutoff. The CCNet/FineWeb calibration move: a single
+    * global threshold over a quality score is dominated by the
+    * highest-resource language, so the cutoff is learned per language
+    * (or per source) and each document competes only against its own
+    * slice.
+    *
+    * Returns the input plus `cutoff_q4` — the group cutoff in exact
+    * quarter-units (integer scores make the interpolated percentile a
+    * multiple of 0.25, and ×4 is exact in IEEE double, so the column
+    * is engine-stable).
+    *
+    * Scale shape: the percentile aggregate produces one row per group
+    * (a handful of languages) and is broadcast back — the corpus is
+    * scanned, aggregated map-side, and filtered; it never shuffles on
+    * its own id. Exact percentile holds each group's score multiset
+    * on one aggregation task: fine for ≤ ~10⁸-row groups of longs at
+    * 100 TB corpus scale (scores, not documents); beyond that swap in
+    * `percentile_approx` with the q61-style ε-rank contract.
+    */
+  def quantileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, $p)").as("__cut"))
+      .select(col(groupCol), floor(col("__cut") * 4.0).cast("long").as("cutoff_q4"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(scoreCol).cast("double") * 4.0 > col("cutoff_q4"))
+  }
 }

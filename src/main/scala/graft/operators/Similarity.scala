@@ -509,4 +509,57 @@ object Similarity {
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("list_id"), col("__dropped").isNull.as("keep"))
   }
+
+  /** Class-mean linear probe direction, in integer micro-units:
+    * w = mean(x | isTarget) − mean(x), per dimension, floored to e6.
+    * The cheapest useful quality classifier over an embedding column
+    * (the FineWeb-Edu-style "train a tiny probe, score the corpus"
+    * pattern with the probe reduced to its closed-form class-mean
+    * solution — no gradient steps, one aggregation pass).
+    *
+    * Scale shape: posexplode → per-dimension partial means (dim groups,
+    * map-side combined) → `dim` rows collected. The collect is the
+    * probe's parameter vector — 64 longs here — not data.
+    *
+    * The e6 floor happens ONCE, on the `dim` learned weights; from
+    * there scoring is exact integer arithmetic (see
+    * [[linearScoreInt8]]), so scores are invariant to partitioning and
+    * engine. (A floor boundary would need the double mean to sit
+    * within ~1 ulp of an integer/1e6 — negligible, and checked by
+    * tri-SF oracle parity.)
+    */
+  def classMeanDirectionE6(corpus: DataFrame, isTarget: Column,
+      vecCol: String = "embedding"): Array[Long] = {
+    val ex = corpus.select(isTarget.as("__t"),
+      posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col("__t"), col("__pos"), col("__x").cast("double").as("__x"))
+    ex.groupBy("__pos")
+      .agg(floor((avg(when(col("__t"), col("__x"))) - avg(col("__x"))) * 1000000.0)
+        .cast("long").as("__w"))
+      .orderBy("__pos")
+      .collect()
+      .map(_.getLong(1))
+  }
+
+  /** Score every vector against a literal integer weight vector over
+    * its int8-quantized form: score = Σ_i q_i · w_i with
+    * q = [[graft.functions.VectorFunctions.int8Quantize]](x). Both
+    * factors are integers, so the sum is EXACT in any order and any
+    * engine — the whole score pipeline is reproducible bit-for-bit.
+    * Returns the input plus (`score_q`, `predicted` = score_q > 0).
+    *
+    * Scale shape: stateless per-row map over a broadcast-literal
+    * weight array — one scan, zero shuffles; quantized scoring is the
+    * int8 storage path (q81) doing classifier duty, so at 100 TB the
+    * scan reads the 4×-smaller int8 column, not the float32 one.
+    */
+  def linearScoreInt8(corpus: DataFrame, weightsE6: Array[Long],
+      vecCol: String = "embedding"): DataFrame = {
+    require(weightsE6.nonEmpty, "empty weight vector")
+    val q = graft.functions.VectorFunctions.int8Quantize(col(vecCol))
+    val score = aggregate(
+      zip_with(q, typedLit(weightsE6.toSeq), (a, b) => a * b), lit(0L), _ + _)
+    corpus.withColumn("score_q", score)
+      .withColumn("predicted", col("score_q") > 0)
+  }
 }

@@ -189,6 +189,42 @@ object TextOps {
         sum(col("__n") * col("__w_e6")).as("imp_e6"))
   }
 
+  /** Pairwise n-gram Jaccard overlap between corpus GROUPS (sources,
+    * languages, snapshots): for every group pair, |A∩B|, |A∪B| and the
+    * Jaccard in integer micro-units over the groups' distinct
+    * `n`-token shingle sets. The mixing-decision diagnostic — "how
+    * much of source B is already in source A" — at group granularity
+    * rather than document granularity (q44/q38 answer the latter).
+    *
+    * Scale shape: shingles are reduced to md5 digests and deduplicated
+    * per group BEFORE the shuffle (the q83 move), so the self-join is
+    * an equi-join on the digest whose groups are bounded by the NUMBER
+    * OF GROUPS (≤ ~hundreds), never by corpus size; group sizes are a
+    * tiny aggregate; the final matrix is groups² rows. Integer
+    * division keeps `jaccard_e6` engine-exact. Zero-overlap pairs are
+    * kept (n_inter = 0) so the matrix is complete.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    val sh = docs.select(col(groupCol).as("g"),
+      explode(array_distinct(transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.d") === col("b.d") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src1"), col("b.g").as("src2"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.select(col("g").as("src1"), col("n").as("n1"))
+      .join(sizes.select(col("g").as("src2"), col("n").as("n2")),
+        col("src1") < col("src2"))
+      .join(inter, Seq("src1", "src2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("src1"), col("src2"), col("n_inter"),
+        (col("n1") + col("n2") - col("n_inter")).as("n_union"),
+        expr("n_inter * 1000000 div (n1 + n2 - n_inter)").as("jaccard_e6"))
+  }
+
   /** Gaps-and-islands sessionization over any keyed, timestamped
     * DataFrame: a new session starts after `gapSeconds` of inactivity.
     * Returns the input plus a per-key `session_id` (1-based).

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextOps}
+
+/** Behavioral contracts for the rank-fusion / probe-scoring /
+  * calibration / overlap / clustering batch (q90–q94).
+  */
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse sums reciprocal ranks over present lists only, ties broken by id") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank", rrfK = 60, topK = 10)
+      .orderBy(desc("rrf_e9"), col("id")).collect()
+    // id 2: 1/62 + 1/61; id 1: 1/61; id 4: 1/62; id 3: 1/63
+    val expect2 = math.floor((1.0 / 62 + 1.0 / 61) * 1e9).toLong
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(out.head.getAs[Long]("rrf_e9") == expect2)
+    // absent ranks surface as 0
+    val r4 = out.find(_.getLong(0) == 4L).get
+    assert(r4.getAs[Long]("rank_a") == 0L && r4.getAs[Long]("rank_b") == 2L)
+  }
+
+  test("rrfFuse topK cuts by fused score with id tiebreak") {
+    // two ids with identical single-list rank → identical rrf; id wins
+    val a = Seq((7L, 1L)).toDF("id", "rank")
+    val b = Seq((5L, 1L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank", topK = 1).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 5L)
+  }
+
+  test("shortlist ranks 1-based by score desc with id tiebreak, cut first") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("id", "s")
+    val out = Retrieval.shortlist(df, "id", "s", 3)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L, 3L -> 2L, 1L -> 3L))
+    // the limit happens before ranking — plan is TakeOrdered, not global sort
+    val plan = Retrieval.shortlist(df, "id", "s", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("classMeanDirectionE6 learns mean(target) - mean(all), floored e6") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), true),
+      (1L, Seq(3.0f, 2.0f), true),
+      (2L, Seq(-2.0f, 4.0f), false)).toDF("vec_id", "embedding", "t")
+    val w = Similarity.classMeanDirectionE6(df, col("t"))
+    // dim0: target mean 2, all mean 2/3 → 4/3 → 1333333; dim1: 1 - 2 = -1e6
+    assert(w.toSeq == Seq(1333333L, -1000000L))
+  }
+
+  test("linearScoreInt8 scores quantized vectors exactly and gates at 0") {
+    val df = Seq(
+      (0L, Seq(1.0f, -1.0f)),   // q = [127, -127]
+      (1L, Seq(-0.5f, 1.0f)),   // amax 1 → q = [floor(-63.5+0.5), 127] = [-63, 127]
+      (2L, Seq(0.0f, 0.0f))     // zero vector → q = [0, 0]
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.linearScoreInt8(df, Array(2L, 1L))
+      .select("vec_id", "score_q", "predicted").as[(Long, Long, Boolean)]
+      .collect().map { case (k, s, p) => k -> ((s, p)) }.toMap
+    assert(out(0L) == ((127L * 2 - 127L, true)))
+    assert(out(1L) == ((-63L * 2 + 127L, true)))
+    assert(out(2L) == ((0L, false)))
+  }
+
+  test("quantileGate keeps rows strictly above their own group's percentile") {
+    // group g1 scores 1..4: p75 at index 0.75*3 = 2.25 → 3 + 0.25 = 3.25
+    // → cutoff_q4 = 13 → keep only score 4. g2 all equal → keep none.
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 7L), ("g2", 7L)).toDF("g", "score")
+    val out = Sampling.quantileGate(df, "g", "score", 0.75)
+      .select("g", "score", "cutoff_q4").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "g1" && out.head.getLong(1) == 4L
+      && out.head.getLong(2) == 13L)
+  }
+
+  test("quantileGate broadcasts the per-group cutoffs") {
+    val df = Seq(("g1", 1L), ("g1", 2L)).toDF("g", "score")
+    val plan = Sampling.quantileGate(df, "g", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("sourceOverlap computes exact pairwise shingle jaccard incl. zero pairs") {
+    val docs = Seq(
+      ("s1", "a b c d"),     // 3-gram digests: {abc, bcd}
+      ("s2", "a b c"),       // {abc}
+      ("s3", "x y z")        // {xyz}
+    ).toDF("source", "text")
+    val out = TextOps.sourceOverlap(docs, "source", "text", n = 3)
+      .orderBy("src1", "src2")
+      .select("src1", "src2", "n_inter", "n_union", "jaccard_e6")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s2", 1L, 2L, 500000L),
+      ("s1", "s3", 0L, 3L, 0L),
+      ("s2", "s3", 0L, 2L, 0L)))
+  }
+
+  test("chunkSharePairs emits distinct ordered pairs; hot-span cap prunes edges") {
+    val docs = Seq(
+      (1L, "a b c d"),   // chunks(2): {ab, cd}
+      (2L, "a b x y"),   // {ab, xy}
+      (3L, "c d x y"),   // {cd, xy}
+      (4L, "p q")        // {pq} — isolated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.chunkSharePairs(docs, "doc_id", "text", chunkLen = 2)
+      .orderBy("id1", "id2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap at df ≤ 2 keeps everything (each span df ≤ 2); a shared span in
+    // 3 docs would be dropped
+    val docs3 = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.chunkSharePairs(docs3, "doc_id", "text", chunkLen = 2,
+      maxSpanDf = Some(2)).collect()
+    // span "a b" df=3 > 2 → pruned from the edge set... but doc 4's
+    // distinct tail span "c d" (df=1) survives, pairing with nothing
+    assert(capped.isEmpty)
+  }
+
+  test("dup clusters: connected components label chain by min id with sizes") {
+    // chain 1-2, 2-3 plus isolated pair 10-11
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "x y q r"),
+      (10L, "m n"), (11L, "m n")).toDF("doc_id", "text")
+    val pairs = Dedup.chunkSharePairs(docs, "doc_id", "text", chunkLen = 2)
+    val labels = Dedup.nearDupKeeperLabels(pairs)
+      .select(col("id"), col("lab")).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}
