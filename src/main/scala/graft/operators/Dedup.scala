@@ -301,36 +301,44 @@ object Dedup {
     * extra documents per cluster.
     */
   def nearDupKeeperLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // the pair plan is typically an expensive self-join (candidate
+    // generation): materialize it ONCE and symmetrize from the
+    // checkpointed rows — referencing the raw plan from both union
+    // sides would execute the candidate join twice
+    val p = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .localCheckpoint()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.groupBy("a").agg(min("b").as("mb"))
       .select(col("a").as("id"), least(col("a"), col("mb")).as("lab"))
       .localCheckpoint()
     var round = 0
-    var converged = edges.isEmpty
+    var converged = p.isEmpty
     while (round < maxRounds && !converged) {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nlab")).as("nlab"))
       // cached (and released below) before the self-join, or both join
       // sides re-plan the edges⋈labels aggregation lineage; only
-      // `jumped` is localCheckpoint'd — per-round checkpoint blocks are
+      // `flagged` is localCheckpoint'd — per-round checkpoint blocks are
       // reclaimed by the ContextCleaner once unreferenced, and caching
       // `stepped` too would pin a second label-table copy per round
+      // the previous label rides along in `stepped` (and the change
+      // flag in `flagged`), so convergence detection costs a local
+      // scan of the checkpointed rows — not a join job per round
       val stepped = labels.join(nbr, "id")
-        .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+        .select(col("id"), least(col("lab"), col("nlab")).as("lab"),
+          col("lab").as("prev"))
         .persist()
       // pointer jump: every label value is itself a node id, so it has
       // a row in `stepped`; adopt that node's (smaller-or-equal) label
-      val jumped = stepped
+      val flagged = stepped
         .join(stepped.select(col("id").as("lab"), col("lab").as("lab2")), "lab")
-        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
+        .select(col("id"), least(col("lab"), col("lab2")).as("lab"),
+          (least(col("lab"), col("lab2")) < col("prev")).as("__changed"))
         .localCheckpoint() // eager: materializes before the unpersist
       stepped.unpersist()
-      converged = jumped.join(labels.withColumnRenamed("lab", "prev"), "id")
-        .filter(col("lab") < col("prev")).isEmpty
-      labels = jumped
+      converged = flagged.filter(col("__changed")).isEmpty
+      labels = flagged.select(col("id"), col("lab"))
       round += 1
     }
     if (!converged)
@@ -438,7 +446,15 @@ object Dedup {
         spans.join(broadcast(hot), Seq("chunk"), "left_anti")
       case None => spans
     }
-    pruned.as("a").join(pruned.as("b"),
+    // shuffle_hash on both sides: a small corpus would otherwise AQE-
+    // broadcast one side, which computes the span projection TWICE
+    // (broadcast build + streamed probe — no exchange to reuse). With
+    // both sides shuffling on the digest the exchanges are identical,
+    // ReuseExchange evaluates spans ONCE, and hash join skips the sort
+    // a merge join would add — the same plan the join degrades to at
+    // 100 TB anyway.
+    pruned.as("a").hint("shuffle_hash")
+      .join(pruned.as("b").hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
