@@ -134,9 +134,14 @@ object FusionQueries {
           .select(col("doc_id"), col("lang"),
             TextFunctions.stopwordHits(col("text")).as("stop_hits"),
             TextFunctions.tokenCount(col("text")).as("n_words"))
+        // coalesce makes the score provably non-nullable: a nullable
+        // `div` makes the downstream join infer isnotnull(score) and
+        // push the WHOLE text-kernel expression into the scan's row
+        // filter — tokenizing every document twice more (measured 2×
+        // at 100×). The fallback 0 is unreachable (n_words > 0 here).
         val scored = base.filter(col("n_words") > 0)
           .select(col("doc_id"), col("lang"),
-            expr("stop_hits * 1000000 div n_words").as("score_e6"))
+            coalesce(expr("stop_hits * 1000000 div n_words"), lit(0L)).as("score_e6"))
         Sampling.quantileGate(scored, "lang", "score_e6", 0.75)
           .select(col("doc_id"), col("lang"), col("score_e6"), col("cutoff_q4"))
           .orderBy("doc_id")
@@ -186,6 +191,27 @@ object FusionQueries {
         val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
         labels.join(broadcast(sizes), "component")
           .select(col("doc_id"), col("component"), col("cluster_size"))
+          .orderBy("doc_id")
+    },
+
+    // Per-source token-budget fill (epoch planning): documents drawn
+    // in derandomized-LCG order until each source's 2000-token budget
+    // is reached. The oracle replays the naive per-source running
+    // window; the operator computes it as a two-level prefix scan.
+    sql("q95_token_budget",
+      """WITH t AS (SELECT doc_id, source,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+        |   (CAST(((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5) / 2147483648.0 AS u
+        | FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |   CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY u, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_toks
+        | FROM t)
+        |SELECT doc_id, source, n_toks, start_toks
+        |FROM c WHERE start_toks < 2000 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Sampling.tokenBudgetFill(documents(s, d), "doc_id", "text",
+            "source", budget = 2000L)
           .orderBy("doc_id")
     }
   )

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators. Randomness comes from an explicit
@@ -81,5 +82,54 @@ object Sampling {
       .select(col(groupCol), floor(col("__cut") * 4.0).cast("long").as("cutoff_q4"))
     df.join(broadcast(cuts), groupCol)
       .filter(col(scoreCol).cast("double") * 4.0 > col("cutoff_q4"))
+  }
+
+  /** Epoch planning: fill a per-group TOKEN budget (not a row count)
+    * with documents taken in deterministic pseudo-random order — the
+    * "sample 1B tokens per source for this mixture" step between
+    * mixing weights (q80) and sequence packing (q79). A document is
+    * kept when the running token total of the documents drawn before
+    * it (its `start_toks`) is still under the budget, so every
+    * non-empty group fills to at least one document and overshoots by
+    * at most one document's tail — the standard fill-then-cut.
+    *
+    * Determinism: draw order is (hashUniform(id), id) — the same
+    * derandomized LCG variate as [[weightedSample]], bit-exact in any
+    * engine; token counts are integers, so the running sums are exact.
+    *
+    * Scale shape: the running sum is the Packing two-level prefix
+    * scan, never a per-group global window — documents land in
+    * `nBuckets` variate ranges (`floor(u·nBuckets)` is monotone in the
+    * draw order, and u is uniform so buckets balance); bucket totals
+    * are one small hash aggregate, the cross-bucket offsets are a
+    * window over groups×nBuckets rows (tiny), broadcast back, and the
+    * within-bucket window sorts only bounded slices. Bit-identical to
+    * the naive per-group window — which is what the DuckDB oracle
+    * (q95) replays.
+    */
+  def tokenBudgetFill(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long, nBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val base = docs.select(col(groupCol), col(idCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_toks"),
+      hashUniform(col(idCol)).as("__u"))
+      .withColumn("__bucket", floor(col("__u") * nBuckets).cast("int"))
+    val perBucket = base.groupBy(col(groupCol), col("__bucket"))
+      .agg(sum("n_toks").as("__btoks"))
+    val acrossBuckets = Window.partitionBy(col(groupCol)).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__boff", coalesce(sum("__btoks").over(acrossBuckets), lit(0L)))
+      .select(col(groupCol), col("__bucket"), col("__boff"))
+    val withinBucket = Window.partitionBy(col(groupCol), col("__bucket"))
+      .orderBy(col("__u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .withColumn("start_toks",
+        col("__boff") + coalesce(sum("n_toks").over(withinBucket), lit(0L)))
+      .filter(col("start_toks") < budget)
+      .select(col(idCol), col(groupCol), col("n_toks"), col("start_toks"))
   }
 }

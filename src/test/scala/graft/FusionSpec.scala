@@ -121,6 +121,42 @@ class FusionSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("tokenBudgetFill keeps docs whose start offset is under the group budget") {
+    // draw order within a group is (hashUniform(id), id) — compute it
+    // here and check the running-sum cut matches the scalar replay
+    val docs = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e"), (3L, "g1", "f g h i"),
+      (4L, "g2", "x")).toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudgetFill(docs, "doc_id", "text", "source", budget = 5L)
+      .select("doc_id", "start_toks").as[(Long, Long)].collect().toMap
+    def u(id: Long) = (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L + 0.5) / 2147483648.0
+    val order = Seq(1L -> 3L, 2L -> 2L, 3L -> 4L).sortBy { case (id, _) => (u(id), id) }
+    val starts = order.scanLeft(0L)(_ + _._2).init
+    val expected = order.map(_._1).zip(starts).filter(_._2 < 5L).toMap + (4L -> 0L)
+    assert(out == expected)
+    // every non-empty group fills at least one doc
+    assert(out.contains(4L))
+  }
+
+  test("tokenBudgetFill two-level scan matches a naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 200L).map(i => (i, s"g${i % 3}", ("w " * (i.toInt % 17 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    // nBuckets = 4 forces multi-doc buckets, exercising both scan levels
+    val fast = Sampling.tokenBudgetFill(docs, "doc_id", "text", "source",
+      budget = 100L, nBuckets = 4)
+      .select("doc_id", "start_toks").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.hashUniform(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("n", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("start_toks", coalesce(sum("n").over(w), lit(0L)))
+      .filter(col("start_toks") < 100L)
+      .select("doc_id", "start_toks").as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+  }
+
   test("dup clusters: connected components label chain by min id with sizes") {
     // chain 1-2, 2-3 plus isolated pair 10-11
     val docs = Seq(
