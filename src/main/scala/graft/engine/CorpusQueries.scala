@@ -154,6 +154,13 @@ object CorpusQueries {
       (s, d) =>
         val tok = documents(s, d).select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        // deliberately two passes over the exploded tokens: the vocab
+        // branch aggregates map-side to vocabulary size, and the probe
+        // side joins occurrences against the broadcast surprisal table
+        // with NO shuffle of its own. Pre-grouping the probe side to
+        // (doc, token) tf rows to "explode once" adds a corpus-sized
+        // wide shuffle that measured SLOWER at 100× (7.7 s vs ~6.7 s)
+        // — same finding as DSIR: scans scale better than shuffles.
         val vc = tok.groupBy("token").agg(count(lit(1)).cast("double").as("c"))
         val tot = vc.agg(sum("c").as("ctot"), count(lit(1)).cast("double").as("v"))
         val w = vc.crossJoin(broadcast(tot)).select(col("token"),

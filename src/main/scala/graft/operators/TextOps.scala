@@ -186,6 +186,14 @@ object TextOps {
       explode(TextFunctions.tokens(col(textCol))).as("__token"))
     val bucketed = tok.select(col("id"), col("__t"),
       substring(md5(col("__token")), 1, 2).as("__bucket"))
+    // deliberately TWO passes over the exploded tokens: the weight
+    // branch is a 256-group aggregate that combines map-side to
+    // almost nothing, and the count branch's only wide movement is
+    // docs×256 rows. The tempting "derive weights from the counts"
+    // single-pass rewrite threads both branches through the
+    // (id, bucket) aggregate — a second corpus-sized shuffle that
+    // measured SLOWER at 100× (11.5 s vs 10.1 s) than re-scanning:
+    // scans scale better than shuffles.
     val cnt = bucketed.groupBy("id", "__bucket").agg(count(lit(1)).as("__n"))
     val weights = bucketed.groupBy("__bucket")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).cast("double").as("__tb"),
