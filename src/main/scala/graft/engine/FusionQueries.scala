@@ -213,6 +213,33 @@ object FusionQueries {
         Sampling.tokenBudgetFill(documents(s, d), "doc_id", "text",
             "source", budget = 2000L)
           .orderBy("doc_id")
+    },
+
+    // Near-containment pairs (Broder's C(A,B) over 3-gram shingles,
+    // lang-blocked, df-pruned): the quote-expansion near-dups that
+    // symmetric Jaccard (q38) misses. Both directions in exact
+    // integer micro-units; pair kept when either reaches 0.8.
+    sql("q96_containment_pairs",
+      """WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, unnest(CASE WHEN len(toks) < 3 THEN [md5(array_to_string(toks, ' '))]
+        |    ELSE [md5(array_to_string(list_slice(toks, i, i+2), ' ')) FOR i IN range(1, len(toks)-1)] END) AS d FROM t),
+        |dfq AS (SELECT d, count(*) AS df FROM sh GROUP BY d),
+        |n AS (SELECT count(*) AS nd FROM t),
+        |pr AS (SELECT sh.doc_id, sh.lang, sh.d FROM sh JOIN dfq USING (d) CROSS JOIN n WHERE dfq.df <= 0.5 * n.nd),
+        |sz AS (SELECT doc_id, count(*) AS ns FROM pr GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nb
+        |  FROM pr a JOIN pr b ON a.d = b.d AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(nb * 1000000 // sa.ns AS BIGINT) AS c1_e6,
+        |  CAST(nb * 1000000 // sb.ns AS BIGINT) AS c2_e6
+        |FROM iv JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |WHERE greatest(nb * 1000000 // sa.ns, nb * 1000000 // sb.ns) >= 800000
+        |ORDER BY id1, id2""".stripMargin) {
+      (s, d) =>
+        TextOps.containmentPairs(documents(s, d), "doc_id", "text",
+            n = 3, blockCols = Seq("lang"), maxDfFraction = 0.5,
+            minContainment = 0.8)
+          .orderBy("id1", "id2")
     }
   )
 }

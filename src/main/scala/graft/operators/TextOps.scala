@@ -93,6 +93,56 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Near-CONTAINMENT pairs (Broder 1997's containment coefficient
+    * C(A,B) = |S(A)∩S(B)| / |S(A)| over `n`-token shingle sets): finds
+    * the quote-expansion / subset near-dups that symmetric Jaccard
+    * misses — a short document fully embedded in a long one has
+    * Jaccard |A|/|B| (tiny) but containment ~1. Returns
+    * (id1, id2, c1_e6, c2_e6), id1 < id2, both directions in exact
+    * integer micro-units, for pairs where EITHER direction reaches
+    * `minContainment`.
+    *
+    * Scale shape: the q38 blocked-token-join skeleton over shingle
+    * DIGESTS — distinct md5 shingles per doc (32-byte keys on the
+    * wire, one string build per shingle), document-frequency pruning
+    * before the self-join bounds every join group at
+    * `maxDfFraction × docs`, and blocking (language here) keeps pairs
+    * inside their slice. The pruning is consistent: df-pruned shingles
+    * leave both the intersection counts AND the set sizes, so the
+    * coefficient stays a true containment over the surviving
+    * vocabulary.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, blockCols: Seq[String] = Nil, maxDfFraction: Double = 0.5,
+      minContainment: Double = 0.8): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
+    val blocks = blockCols.map(col)
+    val allSh = docs.select(col(idCol).as("id") +: blocks :+
+      explode(array_distinct(
+        transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"): _*)
+    val dfreq = allSh.groupBy("d").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sh = allSh.join(dfreq, "d").crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFraction)
+      .select(col("id") +: blocks :+ col("d"): _*)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("ns"))
+    val cond = blockCols.foldLeft(
+      col("a.d") === col("b.d") && col("a.id") < col("b.id")) {
+      (acc, c) => acc && col(s"a.$c") === col(s"b.$c")
+    }
+    val minE6 = math.floor(minContainment * 1000000.0).toLong
+    sh.as("a").join(sh.as("b"), cond)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.select(col("id").as("id1"), col("ns").as("na")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("ns").as("nb")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("n_both * 1000000 div na").as("c1_e6"),
+        expr("n_both * 1000000 div nb").as("c2_e6"))
+      .filter(greatest(col("c1_e6"), col("c2_e6")) >= minE6)
+  }
+
   /** Fixed-size token chunking for training-data preparation: each
     * document becomes ceil(n_tokens / chunkSize) chunks of up to
     * `chunkSize` tokens, id'd 0-based in token order. Fully relational

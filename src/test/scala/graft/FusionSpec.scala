@@ -157,6 +157,38 @@ class FusionSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("containmentPairs finds asymmetric subset near-dups that jaccard misses") {
+    // doc 2's shingles {abc, bcd} are fully inside doc 1's {abc, bcd,
+    // cde, def, efg}; jaccard = 2/5 = 0.4 but containment(2→1) = 1.0.
+    // doc 3 shares nothing above threshold.
+    val docs = Seq(
+      (1L, "en", "a b c d e f g"),
+      (2L, "en", "a b c d"),
+      (3L, "en", "x y z w")).toDF("doc_id", "lang", "text")
+    // maxDfFraction 0.7: at 3 docs the shared shingles have df 2 —
+    // the default 0.5 cap (1.5 docs) would prune them in a corpus
+    // this small
+    val out = TextOps.containmentPairs(docs, "doc_id", "text",
+        n = 3, blockCols = Seq("lang"), maxDfFraction = 0.7,
+        minContainment = 0.8)
+      .select("id1", "id2", "c1_e6", "c2_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 400000L, 1000000L)))
+  }
+
+  test("containmentPairs blocks across languages and prunes hot shingles") {
+    // identical text, different lang → blocked apart; with three docs
+    // sharing one shingle, df-prune at 0.5 drops it entirely
+    val blocked = Seq((1L, "en", "a b c"), (2L, "fr", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.containmentPairs(blocked, "doc_id", "text",
+      n = 3, blockCols = Seq("lang")).isEmpty)
+    val hot = Seq((1L, "en", "a b c"), (2L, "en", "a b c"), (3L, "en", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.containmentPairs(hot, "doc_id", "text",
+      n = 3, blockCols = Seq("lang"), maxDfFraction = 0.5).isEmpty)
+  }
+
   test("dup clusters: connected components label chain by min id with sizes") {
     // chain 1-2, 2-3 plus isolated pair 10-11
     val docs = Seq(
