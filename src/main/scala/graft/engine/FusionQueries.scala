@@ -240,6 +240,50 @@ object FusionQueries {
             n = 3, blockCols = Seq("lang"), maxDfFraction = 0.5,
             minContainment = 0.8)
           .orderBy("id1", "id2")
+    },
+
+    // MMR diversified rerank (λ=0.7, pool 50, k=10) for query vector
+    // 0: greedy relevance-vs-redundancy selection, replayed by the
+    // oracle as a recursive CTE. The redundancy weight is written
+    // (1.0 - 0.7) on BOTH sides so the engines compute the identical
+    // IEEE complement.
+    sql("q97_mmr_rerank",
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_cosine_similarity(embedding::DOUBLE[], q.qv) AS simq
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY simq DESC, vec_id LIMIT 50),
+        |ps AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_cosine_similarity(a.v, b.v) AS s
+        |       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS step,
+        |    (SELECT vec_id FROM pool ORDER BY simq DESC, vec_id LIMIT 1) AS vid,
+        |    (SELECT CAST(floor(0.7 * max(simq) * 1000000.0) AS BIGINT) FROM pool) AS mmr_e6,
+        |    [(SELECT vec_id FROM pool ORDER BY simq DESC, vec_id LIMIT 1)] AS picked
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    (SELECT d.vec_id FROM pool d WHERE NOT list_contains(sel.picked, d.vec_id)
+        |     ORDER BY 0.7*d.simq - (1.0 - 0.7)*(SELECT max(p.s) FROM ps p WHERE p.ai = d.vec_id AND list_contains(sel.picked, p.bi)) DESC, d.vec_id
+        |     LIMIT 1),
+        |    (SELECT CAST(floor((0.7*d.simq - (1.0 - 0.7)*(SELECT max(p.s) FROM ps p WHERE p.ai = d.vec_id AND list_contains(sel.picked, p.bi))) * 1000000.0) AS BIGINT)
+        |     FROM pool d WHERE NOT list_contains(sel.picked, d.vec_id)
+        |     ORDER BY 0.7*d.simq - (1.0 - 0.7)*(SELECT max(p.s) FROM ps p WHERE p.ai = d.vec_id AND list_contains(sel.picked, p.bi)) DESC, d.vec_id
+        |     LIMIT 1),
+        |    list_append(sel.picked, (SELECT d.vec_id FROM pool d WHERE NOT list_contains(sel.picked, d.vec_id)
+        |     ORDER BY 0.7*d.simq - (1.0 - 0.7)*(SELECT max(p.s) FROM ps p WHERE p.ai = d.vec_id AND list_contains(sel.picked, p.bi)) DESC, d.vec_id
+        |     LIMIT 1))
+        |  FROM sel WHERE step < 10
+        |)
+        |SELECT step, vid AS vec_id, mmr_e6 FROM sel ORDER BY step""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        Retrieval.mmrRerank(emb.filter(col("vec_id") =!= 0), qv,
+            k = 10, poolSize = 50, lambda = 0.7)
+          .orderBy("step")
     }
   )
 }

@@ -69,4 +69,72 @@ object Retrieval {
     scored.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` of the top-`poolSize` candidates,
+    * trading query relevance against redundancy with what's already
+    * picked — step score = λ·sim(d, q) − (1−λ)·max_{s∈picked}
+    * sim(d, s), ties broken by id. Returns (step, id, mmr_e6) in
+    * selection order, the score in floored integer micro-units.
+    *
+    * Scale shape: the corpus-sized work — scoring every vector against
+    * the query and cutting to the pool — is distributed
+    * (TakeOrderedAndProject, codegen'd dot against a literal query);
+    * the greedy selection then runs on the collected `poolSize`-row
+    * shortlist, which is driver-sized BY DESIGN (every production MMR
+    * reranks a shortlist; the algorithm is inherently sequential in
+    * k). All driver arithmetic is plain IEEE double over sims computed
+    * with the same left-to-right accumulation as the distributed
+    * kernels, so the oracle (a recursive CTE replaying the greedy
+    * loop) hash-matches.
+    */
+  def mmrRerank(corpus: DataFrame, queryVec: Array[Float], k: Int = 10,
+      poolSize: Int = 50, lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    // lambda = 0 would make the first pick degenerate (all scores 0)
+    require(lambda > 0 && lambda <= 1, "lambda in (0, 1]")
+    require(queryVec.nonEmpty, "empty query vector")
+    import graft.functions.VectorFunctions.{dot, norm}
+    val spark = corpus.sparkSession
+    val qLit = typedLit(queryVec.toSeq)
+    val pool = corpus
+      .select(col(idCol), col(vecCol),
+        (dot(col(vecCol), qLit) / (norm(col(vecCol)) * norm(qLit))).as("__simq"))
+      .orderBy(col("__simq").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val mu = 1.0 - lambda
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map { case (id, v, s) => id -> ((v, s)) }.toSeq: _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val (bestId, bestScore) = remaining.iterator.map { case (id, (v, simq)) =>
+        val red = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.iterator.map(pv => cos(v, pv)).max
+        (id, lambda * simq - mu * red)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      picked += ((step, bestId, math.floor(bestScore * 1000000.0).toLong))
+      pickedVecs += remaining(bestId)._1
+      remaining.remove(bestId)
+      step += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("step", idCol, "mmr_e6")
+  }
 }

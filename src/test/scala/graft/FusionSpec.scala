@@ -189,6 +189,27 @@ class FusionSpec extends SparkSpec {
       n = 3, blockCols = Seq("lang"), maxDfFraction = 0.5).isEmpty)
   }
 
+  test("mmrRerank trades relevance for diversity and stops at the pool") {
+    // q = x-axis; doc 1 most relevant; doc 2 nearly duplicates doc 1;
+    // doc 3 equally relevant as 2 but orthogonal to 1 in its residual.
+    // Greedy-by-similarity would pick (1, 2, 3); MMR picks (1, 3, 2).
+    val emb = Seq(
+      (1L, Seq(0.9f, 0.435f, 0f)),
+      (2L, Seq(0.85f, 0.526f, 0f)),
+      (3L, Seq(0.85f, 0f, 0.526f))).toDF("vec_id", "embedding")
+    val out = Retrieval.mmrRerank(emb, Array(1f, 0f, 0f), k = 3,
+      poolSize = 3, lambda = 0.7)
+    assert(out.select("vec_id").as[Long].collect().toSeq == Seq(1L, 3L, 2L))
+    // k beyond the pool stops early
+    val short = Retrieval.mmrRerank(emb, Array(1f, 0f, 0f), k = 3,
+      poolSize = 3, lambda = 0.7).count()
+    assert(short == 3)
+    // scores are floored micro-units of lambda*sim - (1-lambda)*redundancy
+    val first = out.orderBy("step").select("mmr_e6").as[Long].head()
+    val sim1 = 0.9 / math.sqrt(0.9 * 0.9 + 0.435 * 0.435)
+    assert(first == math.floor(0.7 * sim1 * 1e6).toLong)
+  }
+
   test("dup clusters: connected components label chain by min id with sizes") {
     // chain 1-2, 2-3 plus isolated pair 10-11
     val docs = Seq(
