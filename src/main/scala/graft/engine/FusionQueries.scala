@@ -225,7 +225,7 @@ object FusionQueries {
         |    ELSE [md5(array_to_string(list_slice(toks, i, i+2), ' ')) FOR i IN range(1, len(toks)-1)] END) AS d FROM t),
         |dfq AS (SELECT d, count(*) AS df FROM sh GROUP BY d),
         |n AS (SELECT count(*) AS nd FROM t),
-        |pr AS (SELECT sh.doc_id, sh.lang, sh.d FROM sh JOIN dfq USING (d) CROSS JOIN n WHERE dfq.df <= 0.5 * n.nd),
+        |pr AS (SELECT sh.doc_id, sh.lang, sh.d FROM sh JOIN dfq USING (d) CROSS JOIN n WHERE dfq.df <= least(0.5 * n.nd, 2500.0)),
         |sz AS (SELECT doc_id, count(*) AS ns FROM pr GROUP BY doc_id),
         |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS nb
         |  FROM pr a JOIN pr b ON a.d = b.d AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -238,7 +238,7 @@ object FusionQueries {
       (s, d) =>
         TextOps.containmentPairs(documents(s, d), "doc_id", "text",
             n = 3, blockCols = Seq("lang"), maxDfFraction = 0.5,
-            minContainment = 0.8)
+            maxDf = 2500, minContainment = 0.8)
           .orderBy("id1", "id2")
     },
 

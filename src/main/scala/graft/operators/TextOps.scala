@@ -105,17 +105,29 @@ object TextOps {
     * Scale shape: the q38 blocked-token-join skeleton over shingle
     * DIGESTS — distinct md5 shingles per doc (32-byte keys on the
     * wire, one string build per shingle), document-frequency pruning
-    * before the self-join bounds every join group at
-    * `maxDfFraction × docs`, and blocking (language here) keeps pairs
+    * before the self-join, and blocking (language here) keeps pairs
     * inside their slice. The pruning is consistent: df-pruned shingles
     * leave both the intersection counts AND the set sizes, so the
     * coefficient stays a true containment over the surviving
     * vocabulary.
+    *
+    * The df cap is the MINIMUM of a corpus fraction and an ABSOLUTE
+    * bound (`maxDf`). The fraction alone is not a scale guard: it
+    * LOOSENS as the corpus grows (0.5 × 500 k admits a shingle in a
+    * quarter-million documents — a 3×10¹⁰-pair join group), which
+    * measured as 7.7× growth per 10× of data at the 100× probe. The
+    * absolute bound pins the largest join group at C(maxDf, 2)
+    * REGARDLESS of corpus size — boilerplate shared by thousands of
+    * documents carries no containment signal, exactly like q38's hot
+    * tokens — making the pair join O(shingles × maxDf), linear in the
+    * corpus. With the cap the same probe measured ~linear (10.8 s at
+    * 10×, ~30 s at 100×).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, blockCols: Seq[String] = Nil, maxDfFraction: Double = 0.5,
-      minContainment: Double = 0.8): DataFrame = {
+      maxDf: Int = 2500, minContainment: Double = 0.8): DataFrame = {
     require(n >= 1, "shingle size must be positive")
+    require(maxDf >= 2, "maxDf below 2 would drop every shared shingle")
     require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
     val blocks = blockCols.map(col)
     val allSh = docs.select(col(idCol).as("id") +: blocks :+
@@ -124,7 +136,7 @@ object TextOps {
     val dfreq = allSh.groupBy("d").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val sh = allSh.join(dfreq, "d").crossJoin(broadcast(nDocs))
-      .filter(col("df") <= col("n_docs") * maxDfFraction)
+      .filter(col("df") <= least(col("n_docs") * maxDfFraction, lit(maxDf.toDouble)))
       .select(col("id") +: blocks :+ col("d"): _*)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("ns"))
     val cond = blockCols.foldLeft(
