@@ -3,10 +3,11 @@ package graft.engine
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextOps}
 
-/** Round-6 batch three: rank fusion, probe-classifier scoring,
-  * per-group threshold calibration, cross-source overlap, and duplicate
-  * clustering — the composition layer over the retrieval/dedup
-  * primitives. All five carry full DuckDB oracles.
+/** Round-6 batch three (q90–q97): rank fusion, probe-classifier
+  * scoring, per-group threshold calibration, cross-source overlap,
+  * duplicate clustering, token-budget epoch fill, containment dedup,
+  * and MMR reranking — the composition layer over the retrieval/dedup
+  * primitives. All eight carry full DuckDB oracles.
   *
   * Scale shapes (details in each operator's Scaladoc):
   *  - q90: two shortlists (TakeOrdered) fused — the corpus never
@@ -18,6 +19,12 @@ import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextOps}
   *    number of sources, matrix output is sources².
   *  - q94: edges from span digests, components in O(log diameter)
   *    pointer-jumping rounds over the (small) pair graph.
+  *  - q95: per-source running token offset as the Packing two-level
+  *    prefix scan — no per-group global window.
+  *  - q96: q38's blocked join over shingle digests with the df cap
+  *    bounded ABSOLUTELY (fraction alone loosens with corpus growth).
+  *  - q97: distributed pool selection; the greedy loop is
+  *    shortlist-sized by design, replayed by a recursive-CTE oracle.
   */
 object FusionQueries {
   import QueryDef._
@@ -254,6 +261,7 @@ object FusionQueries {
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |         list_cosine_similarity(embedding::DOUBLE[], q.qv) AS simq
         |  FROM embeddings, q WHERE vec_id <> 0
+        |    AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0)) > 0
         |  ORDER BY simq DESC, vec_id LIMIT 50),
         |ps AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_cosine_similarity(a.v, b.v) AS s
         |       FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),

@@ -98,7 +98,13 @@ object Retrieval {
     import graft.functions.VectorFunctions.{dot, norm}
     val spark = corpus.sparkSession
     val qLit = typedLit(queryVec.toSeq)
+    // zero-norm (degenerate) vectors are excluded BEFORE scoring: their
+    // cosine is 0/0 = NaN, which Spark's descending sort ranks FIRST —
+    // a zero vector would hijack the pool and poison every greedy
+    // comparison (NaN compares false, floor(NaN) silently emits 0).
+    // The oracle mirrors the exclusion (any-nonzero-element test).
     val pool = corpus
+      .filter(norm(col(vecCol)) > 0)
       .select(col(idCol), col(vecCol),
         (dot(col(vecCol), qLit) / (norm(col(vecCol)) * norm(qLit))).as("__simq"))
       .orderBy(col("__simq").desc, col(idCol))

@@ -533,12 +533,16 @@ object Similarity {
     val ex = corpus.select(isTarget.as("__t"),
       posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .select(col("__t"), col("__pos"), col("__x").cast("double").as("__x"))
-    ex.groupBy("__pos")
+    val rows = ex.groupBy("__pos")
       .agg(floor((avg(when(col("__t"), col("__x"))) - avg(col("__x"))) * 1000000.0)
         .cast("long").as("__w"))
       .orderBy("__pos")
       .collect()
-      .map(_.getLong(1))
+    // an empty target class makes every avg(when(...)) NULL — fail
+    // with the actual problem, not an NPE from getLong on a null cell
+    require(rows.forall(!_.isNullAt(1)),
+      "classMeanDirectionE6: isTarget matches no rows (empty target class)")
+    rows.map(_.getLong(1))
   }
 
   /** Score every vector against a literal integer weight vector over

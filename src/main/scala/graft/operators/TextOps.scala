@@ -144,7 +144,9 @@ object TextOps {
       (acc, c) => acc && col(s"a.$c") === col(s"b.$c")
     }
     val minE6 = math.floor(minContainment * 1000000.0).toLong
-    sh.as("a").join(sh.as("b"), cond)
+    // shuffle_hash both sides — same ReuseExchange guard as
+    // sourceOverlap/chunkSharePairs (one shingle projection, not two)
+    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"), cond)
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("n_both"))
       .join(sizes.select(col("id").as("id1"), col("ns").as("na")), "id1")
@@ -291,7 +293,12 @@ object TextOps {
       explode(array_distinct(transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"))
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // shuffle_hash both sides: identical exchanges → ReuseExchange
+    // evaluates the shingle-digest projection ONCE (AQE would
+    // broadcast one side at small scale and tokenize the corpus
+    // twice — the measured chunkSharePairs pathology)
+    val inter = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.d") === col("b.d") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("src1"), col("b.g").as("src2"))
       .agg(count(lit(1)).as("n_inter"))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextOps}
 
 /** Behavioral contracts for the rank-fusion / probe-scoring /
-  * calibration / overlap / clustering batch (q90–q94).
+  * calibration / overlap / clustering / budget-fill / containment /
+  * MMR batch (q90–q97).
   */
 class FusionSpec extends SparkSpec {
   import spark.implicits._
@@ -49,6 +50,14 @@ class FusionSpec extends SparkSpec {
     val w = Similarity.classMeanDirectionE6(df, col("t"))
     // dim0: target mean 2, all mean 2/3 → 4/3 → 1333333; dim1: 1 - 2 = -1e6
     assert(w.toSeq == Seq(1333333L, -1000000L))
+  }
+
+  test("classMeanDirectionE6 rejects an empty target class with a clear error") {
+    val df = Seq((0L, Seq(1.0f, 2.0f), false)).toDF("vec_id", "embedding", "t")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.classMeanDirectionE6(df, col("t"))
+    }
+    assert(e.getMessage.contains("empty target class"))
   }
 
   test("linearScoreInt8 scores quantized vectors exactly and gates at 0") {
@@ -200,10 +209,16 @@ class FusionSpec extends SparkSpec {
     val out = Retrieval.mmrRerank(emb, Array(1f, 0f, 0f), k = 3,
       poolSize = 3, lambda = 0.7)
     assert(out.select("vec_id").as[Long].collect().toSeq == Seq(1L, 3L, 2L))
-    // k beyond the pool stops early
-    val short = Retrieval.mmrRerank(emb, Array(1f, 0f, 0f), k = 3,
-      poolSize = 3, lambda = 0.7).count()
-    assert(short == 3)
+    // k beyond the AVAILABLE corpus stops early (2 vectors, k = 3):
+    // the loop must exit on exhaustion, not pad or spin
+    val short = Retrieval.mmrRerank(emb.filter(col("vec_id") <= 2),
+      Array(1f, 0f, 0f), k = 3, poolSize = 3, lambda = 0.7).count()
+    assert(short == 2)
+    // zero vectors are excluded from the pool, never NaN-ranked first
+    val withZero = emb.union(Seq((9L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val ids = Retrieval.mmrRerank(withZero, Array(1f, 0f, 0f), k = 4,
+      poolSize = 4, lambda = 0.7).select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(9L) && ids == Set(1L, 2L, 3L))
     // scores are floored micro-units of lambda*sim - (1-lambda)*redundancy
     val first = out.orderBy("step").select("mmr_e6").as[Long].head()
     val sim1 = 0.9 / math.sqrt(0.9 * 0.9 + 0.435 * 0.435)
