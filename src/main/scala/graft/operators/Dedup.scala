@@ -446,15 +446,16 @@ object Dedup {
         spans.join(broadcast(hot), Seq("chunk"), "left_anti")
       case None => spans
     }
-    // shuffle_hash on both sides: a small corpus would otherwise AQE-
+    // merge hint on both sides: a small corpus would otherwise AQE-
     // broadcast one side, which computes the span projection TWICE
     // (broadcast build + streamed probe — no exchange to reuse). With
-    // both sides shuffling on the digest the exchanges are identical,
-    // ReuseExchange evaluates spans ONCE, and hash join skips the sort
-    // a merge join would add — the same plan the join degrades to at
-    // 100 TB anyway.
-    pruned.as("a").hint("shuffle_hash")
-      .join(pruned.as("b").hint("shuffle_hash"),
+    // both sides shuffling on the digest the exchanges are identical
+    // and ReuseExchange evaluates spans ONCE. Sort-merge rather than
+    // shuffle_hash: the hash build holds a full partition of the
+    // corpus-sized span table per task — measured OOM on the (larger)
+    // containment join at 100× — while the merge sort spills.
+    pruned.as("a").hint("merge")
+      .join(pruned.as("b").hint("merge"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()

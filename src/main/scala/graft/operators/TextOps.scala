@@ -144,9 +144,14 @@ object TextOps {
       (acc, c) => acc && col(s"a.$c") === col(s"b.$c")
     }
     val minE6 = math.floor(minContainment * 1000000.0).toLong
-    // shuffle_hash both sides — same ReuseExchange guard as
-    // sourceOverlap/chunkSharePairs (one shingle projection, not two)
-    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"), cond)
+    // merge hint on both sides: identical exchanges → ReuseExchange
+    // evaluates the shingle projection ONCE (AQE would broadcast one
+    // side at small scale and tokenize the corpus twice). Sort-merge,
+    // NOT shuffle_hash: a hash join builds one whole partition of the
+    // corpus-sized shingle table in memory per task — 32 concurrent
+    // tasks ≈ the entire table resident at once, which OOM'd the 100×
+    // probe; the merge sort spills gracefully at any scale.
+    sh.as("a").hint("merge").join(sh.as("b").hint("merge"), cond)
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("n_both"))
       .join(sizes.select(col("id").as("id1"), col("ns").as("na")), "id1")
@@ -293,12 +298,14 @@ object TextOps {
       explode(array_distinct(transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"))
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
-    // shuffle_hash both sides: identical exchanges → ReuseExchange
+    // merge hint on both sides: identical exchanges → ReuseExchange
     // evaluates the shingle-digest projection ONCE (AQE would
     // broadcast one side at small scale and tokenize the corpus
-    // twice — the measured chunkSharePairs pathology)
-    val inter = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b").hint("shuffle_hash"),
+    // twice). Sort-merge rather than shuffle_hash — the hash build
+    // holds a full partition of a corpus-sized table per task, which
+    // OOMs at scale (measured on the containment join at 100×).
+    val inter = sh.as("a").hint("merge")
+      .join(sh.as("b").hint("merge"),
         col("a.d") === col("b.d") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("src1"), col("b.g").as("src2"))
       .agg(count(lit(1)).as("n_inter"))
