@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+
+/** Round-7 batch (q98–q103): delta-oriented corpus maintenance plus
+  * the remaining relational-surface completion. A growing corpus is
+  * never re-deduplicated from scratch — new data is admitted against
+  * persisted digest stores (q98 exact, q99 shingle novelty), capped
+  * per domain (q101), epoch-shuffled for training (q103), and served
+  * from quantized storage (q102). All six carry full DuckDB oracles.
+  *
+  * The delta split is `doc_id % 10 < 7` (catalog) vs `>= 7` (delta) —
+  * a deterministic partition that scales with the corpus, standing in
+  * for "yesterday's corpus" vs "today's crawl".
+  *
+  * Scale shapes (details in each operator's Scaladoc):
+  *  - q98: three digest-keyed hash ops; catalog text read once to
+  *    build the digest store (persisted in production), no sort.
+  *  - q99: delta shingles probe the catalog's distinct-digest store;
+  *    all exchanges bounded by delta shingle volume.
+  *  - q100: pivot with an EXPLICIT value list (no distinct-scan job)
+  *    then unpivot back — one aggregate, a stack, zero extra jobs.
+  *  - q101: bounded heap aggregate — the corpus is never sorted; the
+  *    shuffle carries ≤ k pairs per (group × partition).
+  *  - q102: stateless scan of int8 codes vs a broadcast literal,
+  *    TakeOrderedAndProject; the float column is never scanned.
+  *  - q103: hash exchange on shard + partition-local sort of
+  *    corpus/nShards rows — the epoch-shuffle write pattern.
+  */
+object DeltaQueries {
+  import QueryDef._
+  import Tables._
+
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Shared DuckDB CTE: distinct 3-token shingle digests per document,
+    * identical to the q96 shingle construction (md5 over
+    * space-rejoined token slices; whole text when < 3 tokens).
+    */
+  private val ShingleCte =
+    """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [md5(array_to_string(toks, ' '))]
+      |    ELSE [md5(array_to_string(list_slice(toks, i, i+2), ' ')) FOR i IN range(1, len(toks)-1)] END)) AS d FROM t)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Incremental exact dedup: delta docs whose md5 digest is new to
+    // both the catalog and the earlier (min-id) delta itself.
+    sql("q98_incremental_dedup",
+      """WITH cat AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 < 7),
+        |d AS (SELECT doc_id, lang, source, md5(text) AS dg FROM documents WHERE doc_id % 10 >= 7),
+        |k AS (SELECT dg, min(doc_id) AS keep FROM d GROUP BY dg)
+        |SELECT d.doc_id, d.lang, d.source FROM d
+        |JOIN k ON d.dg = k.dg AND d.doc_id = k.keep
+        |WHERE NOT EXISTS (SELECT 1 FROM cat WHERE cat.dg = d.dg)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        Dedup.incrementalExact(
+            docs.filter(col("doc_id") % 10 < 7),
+            docs.filter(col("doc_id") % 10 >= 7),
+            "doc_id", "text")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+    },
+
+    // Shingle novelty of each delta doc vs the catalog digest store —
+    // integer-exact counts and e4 fraction.
+    sql("q99_delta_novelty",
+      ShingleCte +
+      """,
+        |cat AS (SELECT DISTINCT d FROM sh WHERE doc_id % 10 < 7),
+        |del AS (SELECT doc_id, d FROM sh WHERE doc_id % 10 >= 7)
+        |SELECT del.doc_id AS doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN cat.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN cat.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS novelty_e4
+        |FROM del LEFT JOIN cat ON del.d = cat.d
+        |GROUP BY del.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        TextOps.noveltyVsCatalog(
+            docs.filter(col("doc_id") % 10 < 7),
+            docs.filter(col("doc_id") % 10 >= 7),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+    },
+
+    // Pivot (explicit value list — no distinct-scan pre-job) to a wide
+    // per-source lang-count matrix, then unpivot back to long form
+    // with zero-fill: the round-trip exercises BOTH relational ops and
+    // the zero rows make absent (source, lang) combinations explicit.
+    sql("q100_pivot_unpivot",
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |l AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+        |c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2)
+        |SELECT s.source AS source, l.lang AS lang, COALESCE(c.cnt, 0) AS doc_count
+        |FROM s CROSS JOIN l LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+        |ORDER BY s.source, l.lang""".stripMargin) {
+      (s, d) =>
+        val wide = documents(s, d).groupBy("source")
+          .pivot("lang", Langs).agg(count(lit(1)))
+        wide.unpivot(Array(col("source")), Langs.map(col).toArray, "lang", "__cnt")
+          .select(col("source"), col("lang"),
+            coalesce(col("__cnt"), lit(0L)).as("doc_count"))
+          .orderBy("source", "lang")
+    },
+
+    // Per-source cap (k = 5) by the derandomized LCG rank — bounded
+    // heap aggregate, no window, no sort (plan-asserted in the spec).
+    sql("q101_group_cap",
+      """WITH h AS (SELECT source, doc_id,
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h_lcg FROM documents),
+        |r AS (SELECT source, doc_id, h_lcg,
+        |  row_number() OVER (PARTITION BY source ORDER BY h_lcg, doc_id) AS rn FROM h)
+        |SELECT source, doc_id, h_lcg FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin) {
+      (s, d) =>
+        Sampling.groupCap(documents(s, d), "source", "doc_id", k = 5)
+          .select(col("source"), col("doc_id"), col("h_lcg"))
+          .orderBy("source", "doc_id")
+    },
+
+    // ADC retrieval: query vector 0 at full precision (e6 weights) vs
+    // the int8-quantized corpus; exact integer scores, top-20.
+    sql("q102_ann_int8_adc",
+      """WITH q AS (SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qw
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings WHERE vec_id <> 0),
+        |sc AS (SELECT vec_id,
+        |  CAST(floor(amax * 10000.0) AS BIGINT) *
+        |  CAST(list_sum([(CASE WHEN amax = 0 THEN 0
+        |      ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) END) * qw[i]
+        |    FOR i IN range(1, len(embedding)+1)]) AS BIGINT) AS score_q
+        | FROM c CROSS JOIN q),
+        |top AS (SELECT vec_id, score_q FROM sc ORDER BY score_q DESC, vec_id LIMIT 20)
+        |SELECT vec_id, score_q FROM top ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d)
+        Similarity.annInt8Adc(emb.filter(col("vec_id") =!= 0),
+            emb.filter(col("vec_id") === 0), k = 20)
+          .orderBy("vec_id")
+    },
+
+    // Deterministic epoch shuffle into 8 shards with dense in-shard
+    // positions — the reproducible global-permutation layout.
+    sql("q103_epoch_shuffle",
+      """WITH h AS (SELECT doc_id,
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h_lcg FROM documents),
+        |s AS (SELECT doc_id, h_lcg, CAST(h_lcg % 8 AS INT) AS shard FROM h)
+        |SELECT doc_id, h_lcg, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h_lcg, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Sampling.epochShards(documents(s, d), "doc_id", nShards = 8)
+          .select(col("doc_id"), col("h_lcg"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+    }
+  )
+}

@@ -54,6 +54,40 @@ object Dedup {
     df.join(keepers.hint("shuffle_hash"), col(idCol) === col("__keep_id"), "left_semi")
   }
 
+  /** Incremental (delta-vs-catalog) exact dedup: keep the `delta` rows
+    * whose content digest appears neither in the already-ingested
+    * `catalog` nor earlier (by min id) within the delta itself — the
+    * batch-append flow of a continuously-growing corpus, where
+    * re-deduplicating 100 TB from scratch on every ingest is the thing
+    * a production pipeline must never do.
+    *
+    * Digests are md5 (not the engine-internal fingerprint) so the
+    * catalog side can be a PERSISTED digest store: in production the
+    * `catalog` argument is the maintained `(digest)` table — updated by
+    * appending each accepted delta's digests — and the corpus text is
+    * never rescanned. Here it is derived inline from the catalog rows
+    * for self-containment.
+    *
+    * Scale shape: three digest-keyed hash operations, no sort, no
+    * window — (1) delta self-keepers via the [[exactByContent]]
+    * hash-agg min(id) pattern, (2) a left-semi on the keeper ids
+    * (delta-sized build, shuffle_hash safe), (3) a left-anti against
+    * the catalog digest store, left to AQE: the probe side is
+    * delta-sized, so whenever the delta is small relative to the
+    * catalog the anti-join shuffles only digests and the catalog's
+    * text columns are never read.
+    */
+  def incrementalExact(catalog: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val catDigests = catalog.select(md5(col(textCol)).as("__digest")).distinct()
+    val d = delta.withColumn("__digest", md5(col(textCol)))
+    val keepers = d.groupBy(col("__digest")).agg(min(col(idCol)).as("__keep_id"))
+      .select("__keep_id")
+    d.join(keepers.hint("shuffle_hash"), col(idCol) === col("__keep_id"), "left_semi")
+      .join(catDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** Token `n`-gram shingles as an array column — the native
     * `TokenShinglesExpr` kernel (tokenize once, one string build per
     * shingle).

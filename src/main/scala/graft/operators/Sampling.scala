@@ -21,8 +21,16 @@ object Sampling {
     * hence bit-identical in any engine with 64-bit integer ops.
     */
   def hashUniform(id: Column): Column =
-    (((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
-      .cast("double").plus(0.5).divide(2147483648.0)
+    hashLcg(id).cast("double").plus(0.5).divide(2147483648.0)
+
+  /** The raw integer LCG variate behind [[hashUniform]] — pure 64-bit
+    * integer arithmetic (the id is reduced mod 2^31 first, so the
+    * product stays < 2^62), hence bit-identical in ANY engine with
+    * 64-bit integers, with no floating point anywhere. Rank keys that
+    * must survive a cross-engine hash compare use this form directly.
+    */
+  def hashLcg(id: Column): Column =
+    ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
 
   /** Weighted sample without replacement of `k` rows (Efraimidis &
     * Spirakis 2006, exponential-clocks form): each row draws the
@@ -131,5 +139,55 @@ object Sampling {
         col("__boff") + coalesce(sum("n_toks").over(withinBucket), lit(0L)))
       .filter(col("start_toks") < budget)
       .select(col(idCol), col(groupCol), col("n_toks"), col("start_toks"))
+  }
+
+  /** Per-group cap: keep at most `k` rows per `groupCol` value, chosen
+    * deterministically by ascending ([[hashLcg]](id), id) — the "at
+    * most N documents per domain" curation gate, derandomized so the
+    * kept set is identical run-to-run and engine-to-engine.
+    *
+    * Scale shape: NO window, NO sort. The per-group selection is the
+    * bounded [[graft.functions.GroupCapAgg]] typed aggregate —
+    * ObjectHashAggregate with full map-side partial aggregation, so
+    * every scan task reduces its slice to ≤ k pairs per group before
+    * the exchange and the shuffle carries O(groups × partitions × k)
+    * longs regardless of corpus size. The windowed equivalent sorts
+    * the whole corpus inside each group partition; this form never
+    * materializes an ordering at all (DeltaOpsSpec asserts the plan
+    * is Sort- and Window-free and exactly matches the windowed form).
+    *
+    * Output: (groupCol, idCol, h_lcg), one row per kept id.
+    */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "cap must be positive")
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        hashLcg(col(idCol)).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GroupCapAgg.cap_pairs(k)(col("__h"), col("__id")).as("__kept"))
+      .select(col(groupCol), explode(col("__kept")).as("__p"))
+      .select(col(groupCol), col("__p._2").as(idCol), col("__p._1").as("h_lcg"))
+  }
+
+  /** Deterministic training-epoch shuffle: assign every row a shard
+    * `hashLcg(id) mod nShards` and a dense position within its shard
+    * ordered by (hashLcg(id), id). Writing shard files in `pos` order
+    * is the standard "globally shuffled corpus, reproducible across
+    * reruns" layout a trainer streams — a global random permutation
+    * without a global sort.
+    *
+    * Scale shape: one hash exchange on `shard` plus a PARTITION-LOCAL
+    * sort of corpus/nShards rows per shard (the window partitions by
+    * shard, so no single-partition bottleneck; production uses
+    * nShards in the thousands, making each sort slice executor-sized).
+    * This is exactly the `repartition(shard).sortWithinPartitions`
+    * write pattern, with the position made explicit so the layout is
+    * engine-checkable.
+    */
+  def epochShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h_lcg"), col(idCol))
+    df.select(col(idCol), hashLcg(col(idCol)).as("h_lcg"))
+      .withColumn("shard", (col("h_lcg") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
   }
 }

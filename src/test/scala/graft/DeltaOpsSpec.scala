@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+
+/** Round-7 delta/maintenance operators: incremental dedup, novelty
+  * scoring, per-group cap (heap aggregate), int8 ADC retrieval, epoch
+  * shuffle, pivot/unpivot round-trip.
+  */
+class DeltaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("incrementalExact keeps only content new to catalog and delta") {
+    val catalog = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta"),   // exact dup of catalog content → dropped
+      (11L, "epsilon zeta"), // new → kept
+      (12L, "epsilon zeta"), // within-delta dup, higher id → dropped
+      (13L, "eta theta")     // new → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(catalog, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+  }
+
+  test("incrementalExact with an empty catalog degrades to delta self-dedup") {
+    val catalog = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val delta = Seq((5L, "a b"), (6L, "a b"), (7L, "c d")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(catalog, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(5L, 7L))
+  }
+
+  test("noveltyVsCatalog computes exact shingle novelty fractions") {
+    // n = 2 shingles: doc 10 = {a b, b c} both seen; doc 11 = {a b, b x}
+    // one seen; doc 12 = {p q} unseen
+    val catalog = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "a b c"), (11L, "a b x"), (12L, "p q")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.noveltyVsCatalog(catalog, delta, "doc_id", "text", n = 2)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_e4")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (10L, 2L, 0L, 0L),
+      (11L, 2L, 1L, 5000L),
+      (12L, 1L, 1L, 10000L)))
+  }
+
+  test("noveltyVsCatalog counts DISTINCT shingles per delta doc") {
+    // "a b a b a" with n=2 → shingles {a b, b a} (each repeated) —
+    // distinct count must be 2, not 4
+    val catalog = Seq((1L, "z z z")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a b a b a")).toDF("doc_id", "text")
+    val r = TextOps.noveltyVsCatalog(catalog, delta, "doc_id", "text", n = 2)
+      .select("n_shingles", "n_novel").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((2L, 2L)))
+  }
+
+  test("groupCap matches the windowed top-k exactly, sort- and window-free") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = Sampling.groupCap(docs, "source", "doc_id", k = 5)
+    val got = capped.select("source", "doc_id", "h_lcg")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h_lcg"), col("doc_id"))
+    val want = docs.select(col("source"), col("doc_id"),
+        Sampling.hashLcg(col("doc_id")).as("h_lcg"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+
+    // the scale contract: bounded heap aggregate, never a corpus sort
+    capped.collect()
+    val plan = finalPlan(capped)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"groupCap must plan the typed bounded aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no Window in groupCap:\n$plan")
+    assert(!plan.contains("Sort"), s"no Sort in groupCap:\n$plan")
+  }
+
+  test("groupCap passes small groups through whole") {
+    val df = Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("id", "g")
+    val got = Sampling.groupCap(df, "g", "id", k = 5)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("annInt8Adc scores match the dequantized integer formula and rank correctly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),   // query
+      (1L, Array(2.0f, 0.0f, 1.0f)),   // same direction as query
+      (2L, Array(-1.0f, 0.0f, -0.5f)), // opposite
+      (3L, Array(0.0f, 0.0f, 0.0f)),   // zero vector → score 0
+      (4L, Array(0.0f, 3.0f, 0.0f))    // orthogonal → score 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.annInt8Adc(
+        emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0), k = 5)
+      .as[(Long, Long)].collect().toMap
+
+    // hand replica: qw = floor(q*1e6); code = floor(x*127/amax + 0.5);
+    // score = floor(amax*1e4) * Σ code·qw
+    def score(v: Array[Float]): Long = {
+      val qw = Array(1000000L, 0L, 500000L)
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      if (amax == 0) 0L
+      else {
+        val code = v.map(x => math.floor(x.toDouble * 127.0 / amax + 0.5).toLong)
+        math.floor(amax * 10000.0).toLong *
+          code.zip(qw).map { case (a, b) => a * b }.sum
+      }
+    }
+    assert(got(1L) == score(Array(2.0f, 0.0f, 1.0f)))
+    assert(got(2L) == score(Array(-1.0f, 0.0f, -0.5f)))
+    assert(got(3L) == 0L)
+    assert(got(4L) == 0L)
+    assert(got(1L) > 0 && got(2L) < 0)
+
+    // top-1 keeps the aligned vector only
+    val top1 = Similarity.annInt8Adc(
+        emb.filter($"vec_id" =!= 0), emb.filter($"vec_id" === 0), k = 1)
+      .as[(Long, Long)].collect()
+    assert(top1.map(_._1).toSeq == Seq(1L))
+  }
+
+  test("epochShards yields dense per-shard positions over a permutation") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = Sampling.epochShards(docs, "doc_id", nShards = 8)
+    val rows = s.select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val ps = grp.map(_._3).sorted
+      assert(ps.toSeq == (1L to grp.length).toSeq, "positions must be dense per shard")
+    }
+    // deterministic under arbitrary input partitioning
+    val again = Sampling.epochShards(docs.repartition(7), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
+  test("pivot/unpivot round-trip reproduces per-(source,lang) counts with zero-fill") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val wide = docs.groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+    val longForm = wide.unpivot(Array(col("source")), langs.map(col).toArray, "lang", "cnt")
+      .select(col("source"), col("lang"), coalesce(col("cnt"), lit(0L)).as("doc_count"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+
+    val direct = docs.groupBy("source", "lang").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, l, c) => (s, l) -> c }.toMap
+    val sources = docs.select("source").distinct().as[String].collect()
+    val want = (for { s <- sources; l <- langs }
+      yield (s, l, direct.getOrElse((s, l), 0L))).sortBy(r => (r._1, r._2))
+    assert(longForm.toSeq == want.toSeq)
+    // the data really exercises the zero-fill arm
+    assert(longForm.exists(_._3 == 0L), "expected at least one absent (source, lang) combo")
+  }
+}
