@@ -97,6 +97,21 @@ object VectorFunctions {
     array_join(transform(c, e =>
       floor(e.cast("double") * lit(1000000.0)).cast("string")), ",")
 
+  /** Fused int8 ADC score — native one-pass kernel (see
+    * `plans.Int8AdcScoreExpr`): ⌊amax·10⁴⌋ · Σ ⌊x_i·127/amax + ½⌋·qw_i.
+    */
+  def int8AdcScore(v: Column, qwE6: Column): Column =
+    graft.plans.Int8AdcScoreExpr.int8_adc_score(v, qwE6)
+
+  /** Higher-order-function ADC score — the differential oracle for the
+    * native kernel (see FunctionsSpec): absMax + int8Quantize +
+    * zip_with product + aggregate, with the amax scale folded in as
+    * ⌊amax·10⁴⌋. Four interpreted passes; the kernel is one.
+    */
+  def int8AdcScoreHof(v: Column, qwE6: Column): Column =
+    floor(coalesce(absMax(v), lit(0.0)) * lit(10000.0)).cast("long") *
+      aggregate(zip_with(int8Quantize(v), qwE6, _ * _), lit(0L), _ + _)
+
   def signBucket(a: Column, bits: Int): Column =
     graft.plans.SignBucketExpr.sign_bucket(a, bits)
 

@@ -594,14 +594,14 @@ object Similarity {
     require(k >= 1, "k must be positive")
     val qw = query.select(
       transform(col(vecCol), x => floor(x.cast("double") * lit(1000000.0))).as("__qw"))
-    val amax = graft.functions.VectorFunctions.absMax(col(vecCol))
-    val c = corpus.select(col(idCol),
-      graft.functions.VectorFunctions.int8Quantize(col(vecCol)).as("__code"),
-      floor(coalesce(amax, lit(0.0)) * lit(10000.0)).cast("long").as("__amax_e4"))
-    c.crossJoin(broadcast(qw))
+    // fused native kernel: amax → codes → dot in one codegen loop,
+    // zero intermediate arrays (the HOF form measured 8.1 s on the
+    // 100× corpus; differential spec pins kernel ≡ HOF in both
+    // execution modes)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(qw))
       .select(col(idCol),
-        (col("__amax_e4") *
-          aggregate(zip_with(col("__code"), col("__qw"), _ * _), lit(0L), _ + _))
+        graft.functions.VectorFunctions.int8AdcScore(col(vecCol), col("__qw"))
           .as("score_q"))
       .orderBy(col("score_q").desc, col(idCol))
       .limit(k)

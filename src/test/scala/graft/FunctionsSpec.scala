@@ -160,6 +160,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native int8 ADC score matches the HOF formulation in both execution modes") {
+    import spark.implicits._
+    def check(): Unit = {
+      // edge: zero vector scores 0 (not null); length mismatch and a
+      // null element both poison to NULL, like the HOF form
+      val edge = Seq(
+        (Array[java.lang.Float](0.0f, 0.0f), Array[java.lang.Long](5L, 7L)),
+        (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Long](5L)),
+        (Array[java.lang.Float](1.0f, null), Array[java.lang.Long](5L, 7L)))
+        .toDF("v", "qw")
+        .select(VectorFunctions.int8AdcScore($"v", $"qw").as("native"),
+          VectorFunctions.int8AdcScoreHof($"v", $"qw").as("hof"))
+        .collect()
+      assert(edge(0).getLong(0) == 0L && edge(0).getLong(1) == 0L)
+      assert(edge(1).isNullAt(0) && edge(1).isNullAt(1))
+      assert(edge(2).isNullAt(0) && edge(2).isNullAt(1))
+      // full corpus vs the vec_id-0 query weights, on a real parquet
+      // scan; exact long equality — the arithmetic is integer end-to-end
+      val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val qw = emb.filter($"vec_id" === 0).select(
+        transform($"embedding", x => floor(x.cast("double") * lit(1000000.0))).as("qw"))
+      val diff = emb.crossJoin(broadcast(qw))
+        .select(VectorFunctions.int8AdcScore($"embedding", $"qw").as("native"),
+          VectorFunctions.int8AdcScoreHof($"embedding", $"qw").as("hof"))
+        .filter(not(col("native") === col("hof")))
+      assert(diff.count() === 0)
+    }
+    check()
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("fingerprint OR-fold aggregator unions bit sets per group") {
     import spark.implicits._
     import graft.functions.{Chemistry, FingerprintAgg}
