@@ -3,12 +3,14 @@ package graft.engine
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
-/** Round-7 batch (q98–q103): delta-oriented corpus maintenance plus
-  * the remaining relational-surface completion. A growing corpus is
-  * never re-deduplicated from scratch — new data is admitted against
-  * persisted digest stores (q98 exact, q99 shingle novelty), capped
-  * per domain (q101), epoch-shuffled for training (q103), and served
-  * from quantized storage (q102). All six carry full DuckDB oracles.
+/** Round-7 batch (q98–q106): delta-oriented corpus maintenance plus
+  * relational-surface completion. A growing corpus is never
+  * re-deduplicated from scratch — new data is admitted against
+  * persisted digest stores (q98 exact, q99 shingle novelty), diffed
+  * across releases (q105), profiled at the drop gate (q104), capped
+  * per domain (q101), temperature-rebalanced (q106), epoch-shuffled
+  * for training (q103), and served from quantized storage (q102).
+  * All nine carry full DuckDB oracles.
   *
   * The delta split is `doc_id % 10 < 7` (catalog) vs `>= 7` (delta) —
   * a deterministic partition that scales with the corpus, standing in
@@ -23,10 +25,14 @@ import graft.operators.{Dedup, Sampling, Similarity, TextOps}
   *    then unpivot back — one aggregate, a stack, zero extra jobs.
   *  - q101: bounded heap aggregate — the corpus is never sorted; the
   *    shuffle carries ≤ k pairs per (group × partition).
-  *  - q102: stateless scan of int8 codes vs a broadcast literal,
-  *    TakeOrderedAndProject; the float column is never scanned.
+  *  - q102: fused-kernel scan of the corpus vs a broadcast literal,
+  *    TakeOrderedAndProject; no intermediate arrays.
   *  - q103: hash exchange on shard + partition-local sort of
   *    corpus/nShards rows — the epoch-shuffle write pattern.
+  *  - q104: one scan; N exact distincts share it via Expand.
+  *  - q105: digest projections full-outer joined on id — text never
+  *    crosses the exchange.
+  *  - q106: tiny counts aggregate broadcast back; map-side filter.
   */
 object DeltaQueries {
   import QueryDef._
@@ -142,6 +148,62 @@ object DeltaQueries {
         Similarity.annInt8Adc(emb.filter(col("vec_id") =!= 0),
             emb.filter(col("vec_id") === 0), k = 20)
           .orderBy("vec_id")
+    },
+
+    // One-pass column profiling of the 4 numeric lineitem measures —
+    // the per-table QA drop gate (stack unpivots the single agg row).
+    sql("q104_table_profile",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(floor(min($c) * 100) AS BIGINT) AS min_e2,
+           | CAST(floor(max($c) * 100) AS BIGINT) AS max_e2 FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) {
+      (s, d) =>
+        graft.operators.Profiling.numericProfile(lineitem(s, d),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_name")
+    },
+
+    // Corpus-release diff: v1 = ids % 10 < 8 (original text), v2 =
+    // ids % 10 >= 1 with every 7th doc's text changed — added /
+    // removed / changed / unchanged by digest.
+    sql("q105_corpus_diff",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 < 8),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS dg
+        |       FROM documents WHERE doc_id % 10 >= 1)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.dg IS NULL THEN 'added' WHEN v2.dg IS NULL THEN 'removed'
+        |       WHEN v1.dg <> v2.dg THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        Dedup.corpusDiff(
+            docs.filter(col("doc_id") % 10 < 8),
+            docs.filter(col("doc_id") % 10 >= 1)
+              .withColumn("text", when(col("doc_id") % 7 === 0,
+                upper(col("text"))).otherwise(col("text"))),
+            "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // Temperature (α = ½) mixture resampling over languages: final
+    // shares ∝ √n_lang; smallest language kept whole. √ is IEEE-exact,
+    // so the 16-bit Bernoulli thresholds are engine-identical.
+    sql("q106_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS mn FROM c)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        |WHERE c.cnt = m.mn
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |      printf('%04x', CAST(floor(65536.0 * sqrt(m.mn) / sqrt(c.cnt)) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.Mixing.temperatureSample(documents(s, d), "lang", "doc_id")
+          .orderBy("doc_id")
     },
 
     // Deterministic epoch shuffle into 8 shards with dense in-shard

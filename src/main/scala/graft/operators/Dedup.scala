@@ -88,6 +88,31 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Corpus-release diff: classify every doc id across two corpus
+    * versions as added / removed / changed / unchanged by content
+    * digest — the dataset-versioning audit ("what moved between v1
+    * and v2?") that gates a retrain on a refreshed corpus.
+    *
+    * Scale shape: both sides reduce to (id, md5) projections before
+    * the single full-outer id join — the text columns never cross the
+    * exchange, and when both versions are stored bucketed by id the
+    * join is exchange-free. No sort beyond the join's own mechanics,
+    * no window. In production the digest projections ARE the
+    * persisted per-release digest stores of [[incrementalExact]], so
+    * a release diff reads two digest tables and never touches text.
+    */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val a = oldV.select(col(idCol).as("__id"), md5(col(textCol)).as("__da"))
+    val b = newV.select(col(idCol).as("__id"), md5(col(textCol)).as("__db"))
+    a.join(b, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__da").isNull, "added")
+          .when(col("__db").isNull, "removed")
+          .when(col("__da") =!= col("__db"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Token `n`-gram shingles as an array column — the native
     * `TokenShinglesExpr` kernel (tokenize once, one string build per
     * shingle).

@@ -76,4 +76,35 @@ object Mixing {
             expr("(65536 * __share * __total) div (1000 * __cnt)")))
       .select(col(idCol), col(strataCol))
   }
+
+  /** Temperature-scaled mixture resampling at α = ½ (the mT5/XLM-R
+    * rebalance family, p_s ∝ n_s^α): downsample each stratum to
+    * n_s·√(min_n/n_s) = √(n_s·min_n) rows, so final shares are
+    * proportional to √n_s — flattening the head without q80's full
+    * uniformity. The smallest stratum keeps every row; each other
+    * stratum keeps a document when its derandomized md5 16-bit prefix
+    * clears the stratum's rate threshold (the [[rebalanceUniform]]
+    * Bernoulli gate).
+    *
+    * α is pinned to ½ BECAUSE of the cross-engine exactness contract:
+    * √ is IEEE-754 correctly rounded (like + × ÷), so
+    * ⌊65536·√min_n/√n_s⌋ is bit-identical in any engine, where a
+    * general n^α needs `pow` — whose last-ulp behavior is libm-
+    * specific and could flip a floor boundary.
+    *
+    * Scale shape: one tiny counts aggregate broadcast back; the corpus
+    * is scanned and filtered map-side, never shuffled.
+    */
+  def temperatureSample(docs: DataFrame, strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val minc = counts.agg(min("__cnt").as("__minc"))
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(minc))
+      .filter(col("__cnt") === col("__minc") ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          format_string("%04x",
+            floor(lit(65536.0) * sqrt(col("__minc")) / sqrt(col("__cnt"))).cast("long")))
+      .select(col(idCol), col(strataCol))
+  }
 }

@@ -147,6 +147,55 @@ class DeltaOpsSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("numericProfile: nulls, distincts, floor-scaled ranges per column") {
+    val df = Seq(
+      (Some(1.5), Some(-0.015)),
+      (Some(1.5), Some(2.0)),
+      (None, Some(2.0)),
+      (Some(3.25), None)
+    ).toDF("a", "b")
+    val rows = graft.operators.Profiling.numericProfile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // floor(-0.015*100) = floor(-1.5) = -2 — floor, not truncation
+    assert(rows.toSeq == Seq(
+      ("a", 4L, 1L, 2L, 150L, 325L),
+      ("b", 4L, 1L, 2L, -2L, 200L)))
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("temperatureSample keeps the smallest stratum whole and flattens shares toward sqrt") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minLang = counts.minBy(_._2)._1
+    val kept = graft.operators.Mixing.temperatureSample(docs, "lang")
+      .as[(Long, String)].collect()
+    val keptCounts = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptCounts(minLang) == counts(minLang), "smallest stratum is never downsampled")
+    // every stratum's expected kept count is √(n_s·min_n); the md5
+    // gate is Bernoulli(⌊65536·√(mn/n)⌋/65536) per doc — allow 4σ
+    counts.foreach { case (lang, n) =>
+      if (lang != minLang) {
+        val p = math.floor(65536.0 * math.sqrt(counts(minLang).toDouble) /
+          math.sqrt(n.toDouble)) / 65536.0
+        val sd = math.sqrt(n * p * (1 - p))
+        assert(math.abs(keptCounts.getOrElse(lang, 0L) - n * p) <= 4 * sd + 1,
+          s"$lang kept ${keptCounts.getOrElse(lang, 0L)} vs expected ${n * p}")
+      }
+    }
+    // deterministic under input partitioning
+    val again = graft.operators.Mixing.temperatureSample(docs.repartition(7), "lang")
+      .as[(Long, String)].collect()
+    assert(again.map(_._1).sorted.toSeq == kept.map(_._1).sorted.toSeq)
+  }
+
   test("pivot/unpivot round-trip reproduces per-(source,lang) counts with zero-fill") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val langs = Seq("de", "en", "es", "fr", "zh")
