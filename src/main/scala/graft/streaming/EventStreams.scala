@@ -97,6 +97,51 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming incremental EXACT dedup — `Dedup.incrementalExact`'s
+    * continuous-ingest twin: drop stream documents whose md5 content
+    * digest was already admitted, either earlier in the stream
+    * (watermark-bounded `dropDuplicatesWithinWatermark` state) or in
+    * the persisted catalog digest store (`catalogDigests`: a
+    * one-column `digest` frame — the same store the batch operator
+    * maintains, md5 so it is engine- and layer-portable).
+    *
+    * Scale shape: state is one 32-char digest per unique doc within
+    * the watermark horizon — not the text; the catalog check is a
+    * stream-static LEFT ANTI join on the digest. With `bloom = Some`
+    * (built once from the store via `Decontaminate.buildBloom`), a
+    * codegen'd `might_contain` LITERAL predicate splits each batch:
+    * definite-unseen rows skip the join entirely and only the
+    * maybe-seen sliver (catalog hits + the fpp-bounded false
+    * positives) probes the store — dedup must stay EXACT, since a
+    * Bloom-only form would silently DROP a fresh document on every
+    * false positive (one-sided error is tolerable for q77's flags,
+    * not for data-discarding dedup). Callers own the static side's
+    * persist lifecycle, as with `contaminationFlagsAgainst`.
+    *
+    * The Bloom split happens BEFORE the stateful dedup: the branch
+    * predicate is deterministic on the digest, so every repeat of a
+    * digest lands in the same branch — the two branch dedups hold
+    * DISJOINT digest spaces (total state = unique digests in the
+    * horizon, same as the single-branch form), where splitting after
+    * one shared dedup would instead instantiate the full state twice.
+    */
+  def incrementalDedupStream(docs: DataFrame, catalogDigests: DataFrame,
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      bloom: Option[Array[Byte]] = None): DataFrame = {
+    val withDigest = docs.withColumn("digest", md5(col(textCol)))
+    def dedup(df: DataFrame): DataFrame =
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("digest")
+    bloom match {
+      case None => dedup(withDigest).join(catalogDigests, Seq("digest"), "left_anti")
+      case Some(bytes) =>
+        val maybeSeen = graft.operators.Decontaminate.mightContain(bytes, col("digest"))
+        dedup(withDigest.filter(!maybeSeen)).unionByName(
+          dedup(withDigest.filter(maybeSeen))
+            .join(catalogDigests, Seq("digest"), "left_anti"))
+    }
+  }
+
   /** Streaming benchmark decontamination: flags incoming documents
     * that share any token `shingleSize`-gram with a STATIC benchmark
     * corpus (the eval set). The benchmark's shingle set is computed

@@ -313,6 +313,58 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
     assert(got === expected)
   }
+
+  test("streaming incremental dedup drops catalog-seen and stream-repeated content") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val catalog = Seq("already ingested yesterday").toDF("text")
+      .select(md5(col("text")).as("digest"))
+    val src = MemoryStream[Doc]
+    val q = EventStreams.incrementalDedupStream(src.toDF(), catalog, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incdedup_out").start()
+    src.addData(
+      Doc(1, ts(0), "already ingested yesterday"),  // in catalog → dropped
+      Doc(2, ts(1), "brand new document"),          // kept
+      Doc(3, ts(2), "brand new document"))          // in-batch repeat → dropped
+    q.processAllAvailable()
+    src.addData(Doc(4, ts(3), "brand new document"), // cross-batch repeat → state drop
+      Doc(5, ts(4), "another fresh one"))            // kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("incdedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 5L), s"expected only first-seen fresh docs, got $kept")
+  }
+
+  test("bloom-routed incremental dedup stays exact and disjoint across branches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val catTexts = Seq("already ingested yesterday", "old boilerplate page")
+    val catalog = catTexts.toDF("text").select(md5(col("text")).as("digest"))
+    val bloom = graft.operators.Decontaminate
+      .buildBloom(catalog, "digest", expectedItems = 2, fpp = 0.01)
+    assert(bloom.nonEmpty)
+    val src = MemoryStream[Doc]
+    val q = EventStreams.incrementalDedupStream(src.toDF(), catalog,
+        watermark = "1 hour", bloom = bloom)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incdedup_bloom_out").start()
+    src.addData(
+      Doc(1, ts(0), "already ingested yesterday"), // catalog hit via bloom branch
+      Doc(2, ts(1), "old boilerplate page"),       // catalog hit via bloom branch
+      Doc(3, ts(2), "brand new document"),         // kept (bloom-negative fast path)
+      Doc(4, ts(3), "brand new document"))         // in-stream repeat → dropped
+    q.processAllAvailable()
+    src.addData(Doc(5, ts(4), "brand new document")) // cross-batch repeat → dropped
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("incdedup_bloom_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L), s"bloom routing must not change exact-dedup output: $kept")
+  }
 }
 
 object StreamingSpec {
