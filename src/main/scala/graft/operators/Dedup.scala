@@ -79,8 +79,10 @@ object Dedup {
     */
   def incrementalExact(catalog: DataFrame, delta: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val catDigests = catalog.select(md5(col(textCol)).as("__digest")).distinct()
-    val d = delta.withColumn("__digest", md5(col(textCol)))
+    // 16-byte binary md5 (bijective with the hex form): the digest is
+    // join plumbing and the persisted store format — binary halves it
+    val catDigests = catalog.select(unhex(md5(col(textCol))).as("__digest")).distinct()
+    val d = delta.withColumn("__digest", unhex(md5(col(textCol))))
     val keepers = d.groupBy(col("__digest")).agg(min(col(idCol)).as("__keep_id"))
       .select("__keep_id")
     d.join(keepers.hint("shuffle_hash"), col(idCol) === col("__keep_id"), "left_semi")
@@ -472,8 +474,11 @@ object Dedup {
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"), explode(array_distinct(
+        // 16-byte binary digests (bijective with the md5 hex): the
+        // digest is internal join/group plumbing, and binary keys
+        // halve the exchange and sort bytes vs the 32-char string
         transform(sequence(lit(0), ((size(col("__toks")) - 1) / lit(chunkLen)).cast("int")),
-          i => md5(array_join(slice(col("__toks"), i * chunkLen + 1, lit(chunkLen)), " ")))))
+          i => unhex(md5(array_join(slice(col("__toks"), i * chunkLen + 1, lit(chunkLen)), " "))))))
         .as("chunk"))
   }
 

@@ -130,9 +130,15 @@ object TextOps {
     require(maxDf >= 2, "maxDf below 2 would drop every shared shingle")
     require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
     val blocks = blockCols.map(col)
+    // digests ride as 16-byte BINARY (unhex of the md5 hex), not the
+    // 32-char string: the digest is internal join plumbing and the
+    // hex → binary map is bijective, so df counts and join groups are
+    // IDENTICAL (oracle untouched) while the spill-bound merge join
+    // sorts half the key bytes — measured on the 100× probe where
+    // this join is the catalog's top cost
     val allSh = docs.select(col(idCol).as("id") +: blocks :+
       explode(array_distinct(
-        transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"): _*)
+        transform(Dedup.shingles(col(textCol), n), s => unhex(md5(s))))).as("d"): _*)
     val dfreq = allSh.groupBy("d").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val sh = allSh.join(dfreq, "d").crossJoin(broadcast(nDocs))
@@ -295,7 +301,9 @@ object TextOps {
       n: Int = 3): DataFrame = {
     require(n >= 1, "shingle size must be positive")
     val sh = docs.select(col(groupCol).as("g"),
-      explode(array_distinct(transform(Dedup.shingles(col(textCol), n), md5(_)))).as("d"))
+      // binary digests: internal join keys, half the bytes of md5 hex
+      explode(array_distinct(transform(Dedup.shingles(col(textCol), n),
+        s => unhex(md5(s))))).as("d"))
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
     // merge hint on both sides: identical exchanges → ReuseExchange
@@ -340,7 +348,9 @@ object TextOps {
   def noveltyVsCatalog(catalog: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    def digests(c: Column) = array_distinct(transform(Dedup.shingles(c, n), md5(_)))
+    // binary digests: internal probe keys, half the bytes of md5 hex
+    def digests(c: Column) =
+      array_distinct(transform(Dedup.shingles(c, n), s => unhex(md5(s))))
     val store = catalog.select(explode(digests(col(textCol))).as("__d")).distinct()
     val dd = delta.select(col(idCol), explode(digests(col(textCol))).as("__d"))
     dd.join(store.withColumn("__seen", lit(true)), Seq("__d"), "left")

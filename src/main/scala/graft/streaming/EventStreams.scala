@@ -102,10 +102,10 @@ object EventStreams {
     * digest was already admitted, either earlier in the stream
     * (watermark-bounded `dropDuplicatesWithinWatermark` state) or in
     * the persisted catalog digest store (`catalogDigests`: a
-    * one-column `digest` frame — the same store the batch operator
-    * maintains, md5 so it is engine- and layer-portable).
+    * one-column binary `digest` frame — the same 16-byte md5 store
+    * the batch operator maintains, so one table serves both layers).
     *
-    * Scale shape: state is one 32-char digest per unique doc within
+    * Scale shape: state is one 16-byte digest per unique doc within
     * the watermark horizon — not the text; the catalog check is a
     * stream-static LEFT ANTI join on the digest. With `bloom = Some`
     * (built once from the store via `Decontaminate.buildBloom`), a
@@ -129,7 +129,9 @@ object EventStreams {
       textCol: String = "text", tsCol: String = "ts",
       watermark: String = "30 minutes",
       bloom: Option[Array[Byte]] = None): DataFrame = {
-    val withDigest = docs.withColumn("digest", md5(col(textCol)))
+    // 16-byte binary md5 — the same store format Dedup.incrementalExact
+    // persists, so one digest table serves both layers
+    val withDigest = docs.withColumn("digest", unhex(md5(col(textCol))))
     def dedup(df: DataFrame): DataFrame =
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("digest")
     bloom match {

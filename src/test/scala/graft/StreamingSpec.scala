@@ -319,7 +319,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     import StreamingSpec.Doc
     val catalog = Seq("already ingested yesterday").toDF("text")
-      .select(md5(col("text")).as("digest"))
+      .select(unhex(md5(col("text"))).as("digest"))
     val src = MemoryStream[Doc]
     val q = EventStreams.incrementalDedupStream(src.toDF(), catalog, watermark = "1 hour")
       .writeStream.outputMode("append").format("memory")
@@ -343,7 +343,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     import StreamingSpec.Doc
     val catTexts = Seq("already ingested yesterday", "old boilerplate page")
-    val catalog = catTexts.toDF("text").select(md5(col("text")).as("digest"))
+    val catalog = catTexts.toDF("text").select(unhex(md5(col("text"))).as("digest"))
     val bloom = graft.operators.Decontaminate
       .buildBloom(catalog, "digest", expectedItems = 2, fpp = 0.01)
     assert(bloom.nonEmpty)
