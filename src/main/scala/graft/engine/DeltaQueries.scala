@@ -3,14 +3,15 @@ package graft.engine
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
-/** Round-7 batch (q98–q106): delta-oriented corpus maintenance plus
+/** Round-7 batch (q98–q107): delta-oriented corpus maintenance plus
   * relational-surface completion. A growing corpus is never
   * re-deduplicated from scratch — new data is admitted against
   * persisted digest stores (q98 exact, q99 shingle novelty), diffed
   * across releases (q105), profiled at the drop gate (q104), capped
   * per domain (q101), temperature-rebalanced (q106), epoch-shuffled
-  * for training (q103), and served from quantized storage (q102).
-  * All nine carry full DuckDB oracles.
+  * for training (q103), and served from quantized storage (q102);
+  * q107 pins the approx (HLL++, no-Expand) profiling path to the q61
+  * error-bound contract. All ten carry full DuckDB oracles.
   *
   * The delta split is `doc_id % 10 < 7` (catalog) vs `>= 7` (delta) —
   * a deterministic partition that scales with the corpus, standing in
@@ -163,6 +164,30 @@ object DeltaQueries {
       (s, d) =>
         graft.operators.Profiling.numericProfile(lineitem(s, d),
             Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_name")
+    },
+
+    // The routine-run (approx) profile under the q61 bound contract:
+    // exact distincts from the audit profile, a TRUE bound column the
+    // oracle asserts, single-pass HLL++ plan with no Expand.
+    sql("q107_profile_approx",
+      Seq("l_partkey", "l_quantity", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | count(DISTINCT $c) AS n_distinct, TRUE AS acd_within_bound
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) {
+      (s, d) =>
+        val cols9 = Seq("l_partkey", "l_quantity", "l_discount", "l_tax")
+        val exact = graft.operators.Profiling.numericProfile(lineitem(s, d), cols9)
+          .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+        val approx = graft.operators.Profiling
+          .numericProfileApprox(lineitem(s, d), cols9, rsd = 0.05)
+          .select(col("col_name"), col("n_distinct_approx"))
+        exact.join(approx, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+            (abs(col("n_distinct_approx") - col("n_distinct")) <=
+              col("n_distinct") * 0.15).as("acd_within_bound"))
           .orderBy("col_name")
     },
 

@@ -40,4 +40,31 @@ object Profiling {
     row.select(expr(
       s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_null, n_distinct, min_e2, max_e2)"))
   }
+
+  /** The routine-run profile: identical shape to [[numericProfile]]
+    * but distincts are HLL++ `approx_count_distinct(c, rsd)` — ONE
+    * aggregation pass with NO Expand (plan-asserted in DeltaOpsSpec):
+    * the scan is not replicated per column, and the shuffle carries
+    * one sketch per column instead of per-partition distinct values.
+    * This is the form a 100 TB drop gate runs daily; the exact
+    * profile is the audit-grade escalation. Estimates carry the q61
+    * ε-bound contract (q107 asserts |approx − exact| ≤ 3·rsd·exact).
+    */
+  def numericProfileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nnull"),
+        approx_count_distinct(col(c), rsd).as(s"__${c}__acd"),
+        floor(min(col(c)) * 100).cast("long").as(s"__${c}__min"),
+        floor(max(col(c)) * 100).cast("long").as(s"__${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n_rows, __${c}__nnull, __${c}__acd, __${c}__min, __${c}__max"
+    }.mkString(", ")
+    row.select(expr(
+      s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_null, n_distinct_approx, min_e2, max_e2)"))
+  }
 }

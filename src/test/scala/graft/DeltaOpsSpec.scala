@@ -196,6 +196,57 @@ class DeltaOpsSpec extends SparkSpec {
     assert(again.map(_._1).sorted.toSeq == kept.map(_._1).sorted.toSeq)
   }
 
+  test("delta operators keep their scale shapes: no Sort/Window; ADC is scan + TakeOrdered") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    // incrementalExact: three digest-keyed hash ops, nothing ordered
+    val inc = Dedup.incrementalExact(
+      docs.filter(col("doc_id") % 10 < 7), docs.filter(col("doc_id") % 10 >= 7),
+      "doc_id", "text")
+    inc.collect()
+    val p1 = finalPlan(inc)
+    assert(!p1.contains("Sort"), s"no Sort in incrementalExact:\n$p1")
+    assert(!p1.contains("Window"), s"no Window in incrementalExact:\n$p1")
+    // noveltyVsCatalog: store probe + per-doc re-aggregation, unordered
+    val nov = TextOps.noveltyVsCatalog(
+      docs.filter(col("doc_id") % 10 < 7), docs.filter(col("doc_id") % 10 >= 7),
+      "doc_id", "text", n = 3)
+    nov.collect()
+    val p2 = finalPlan(nov)
+    assert(!p2.contains("Sort"), s"no Sort in noveltyVsCatalog:\n$p2")
+    assert(!p2.contains("Window"), s"no Window in noveltyVsCatalog:\n$p2")
+    // temperatureSample: broadcast gates only — the corpus itself is
+    // never hash-exchanged (the two tiny aggregates are)
+    val temp = graft.operators.Mixing.temperatureSample(docs, "lang")
+    temp.collect()
+    val p3 = finalPlan(temp)
+    assert(!p3.contains("Sort") && !p3.contains("Window"),
+      s"no Sort/Window in temperatureSample:\n$p3")
+    assert(p3.contains("BroadcastExchange"), s"gates must broadcast:\n$p3")
+    // annInt8Adc: one corpus scan against a broadcast literal, then a
+    // per-partition top-k — no hash exchange of the corpus anywhere
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val adc = Similarity.annInt8Adc(
+      emb.filter(col("vec_id") =!= 0), emb.filter(col("vec_id") === 0), k = 10)
+    adc.collect()
+    val p4 = finalPlan(adc)
+    assert(p4.contains("TakeOrderedAndProject"), s"ADC must TakeOrdered:\n$p4")
+    assert(!p4.contains("Exchange hashpartitioning"),
+      s"the quantized corpus must not shuffle:\n$p4")
+  }
+
+  test("numericProfileApprox plans a single pass: no Expand, exact profile has one") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols9 = Seq("l_quantity", "l_discount")
+    val approx = graft.operators.Profiling.numericProfileApprox(li, cols9)
+    approx.collect()
+    val pa = finalPlan(approx)
+    assert(!pa.contains("Expand"), s"approx profile must not Expand the scan:\n$pa")
+    val exact = graft.operators.Profiling.numericProfile(li, cols9)
+    exact.collect()
+    assert(finalPlan(exact).contains("Expand"),
+      "exact profile shares the scan via Expand (the documented trade)")
+  }
+
   test("pivot/unpivot round-trip reproduces per-(source,lang) counts with zero-fill") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val langs = Seq("de", "en", "es", "fr", "zh")
