@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
-/** Round-7 batch (q98–q107): delta-oriented corpus maintenance plus
+/** Round-7 batch (q98–q109): delta-oriented corpus maintenance plus
   * relational-surface completion. A growing corpus is never
   * re-deduplicated from scratch — new data is admitted against
   * persisted digest stores (q98 exact, q99 shingle novelty), diffed
@@ -11,7 +11,9 @@ import graft.operators.{Dedup, Sampling, Similarity, TextOps}
   * per domain (q101), temperature-rebalanced (q106), epoch-shuffled
   * for training (q103), and served from quantized storage (q102);
   * q107 pins the approx (HLL++, no-Expand) profiling path to the q61
-  * error-bound contract. All ten carry full DuckDB oracles.
+  * error-bound contract; q108 deduplicates with a keeper priority
+  * (prefer the curated source); q109 is the robust MAD length gate.
+  * All twelve carry full DuckDB oracles.
   *
   * The delta split is `doc_id % 10 < 7` (catalog) vs `>= 7` (delta) —
   * a deterministic partition that scales with the corpus, standing in
@@ -228,6 +230,41 @@ object DeltaQueries {
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         graft.operators.Mixing.temperatureSample(documents(s, d), "lang", "doc_id")
+          .orderBy("doc_id")
+    },
+
+    // Priority-aware exact dedup: among content duplicates keep the
+    // smallest (priority, id) — prefer-the-curated-source policy
+    // (priority classes derived deterministically from the source id).
+    sql("q108_priority_dedup",
+      """WITH d AS (SELECT doc_id, source, md5(text) AS dg,
+        |  CAST(substr(source, 4, 10) AS INT) % 3 AS priority FROM documents)
+        |SELECT doc_id, source, priority FROM (
+        |  SELECT doc_id, source, priority,
+        |    row_number() OVER (PARTITION BY dg ORDER BY priority, doc_id) AS rn FROM d) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d).withColumn("priority",
+          substring(col("source"), 4, 10).cast("int") % 3)
+        Dedup.exactByContentPriority(docs, "doc_id", "text", "priority")
+          .select(col("doc_id"), col("source"), col("priority"))
+          .orderBy("doc_id")
+    },
+
+    // Robust per-language length gate: keep docs within 2 MADs of
+    // their language's median n_chars — quarter-unit-exact both ways.
+    sql("q109_mad_outlier_gate",
+      """WITH m AS (SELECT lang, CAST(floor(quantile_cont(n_chars, 0.5) * 4) AS BIGINT) AS med4
+        |  FROM documents GROUP BY lang),
+        |v AS (SELECT d.lang, CAST(floor(quantile_cont(abs(d.n_chars * 4 - m.med4), 0.5)) AS BIGINT) AS mad4
+        |  FROM documents d JOIN m USING (lang) GROUP BY d.lang)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars
+        |FROM documents d JOIN m USING (lang) JOIN v USING (lang)
+        |WHERE abs(d.n_chars * 4 - m.med4) <= v.mad4 * 2
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.Sampling.madOutlierGate(documents(s, d), "lang", "n_chars", k = 2)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id")
     },
 

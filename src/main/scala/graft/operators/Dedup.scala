@@ -90,6 +90,39 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Exact dedup with a KEEPER POLICY: among content duplicates, keep
+    * the row with the smallest (priority, id) — "prefer the curated
+    * source over the crawl" when the same text arrives from several
+    * sources, the standard multi-source curation rule (plain
+    * [[exactByContent]] is the priority-blind special case).
+    *
+    * Scale shape: identical to [[exactByContent]] — one HASH aggregate
+    * + a left-semi on the keeper ids; no sort, no window
+    * (plan-asserted). The (priority, id) order is packed into ONE long
+    * (priority·2⁴⁰ + id) because `min` over a STRUCT is not
+    * hash-aggregable — Spark plans SortAggregate with a partition-
+    * local sort per exchange side for struct minima, exactly the
+    * corpus-wide sort this operator exists to avoid (caught by the
+    * plan spec). The packing needs 0 ≤ id < 2⁴⁰ (~10¹² docs) and
+    * 0 ≤ priority < 2²² — enforced per row with `raise_error`, not
+    * silently truncated. Ties on (digest, priority) resolve by id.
+    */
+  def exactByContentPriority(df: DataFrame, idCol: String, textCol: String,
+      priorityCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val pr = col(priorityCol).cast("long")
+    val packed = when(id >= 0 && id < (1L << 40) && pr >= 0 && pr < (1L << 22),
+        pr * (1L << 40) + id)
+      .otherwise(raise_error(concat(
+        lit("exactByContentPriority needs 0 <= id < 2^40 and 0 <= priority < 2^22, got ("),
+        pr, lit(", "), id, lit(")"))))
+    val keepers = df
+      .groupBy(unhex(md5(col(textCol))).as("__fp"))
+      .agg(min(packed).as("__pk"))
+      .select(col("__pk").bitwiseAND(lit((1L << 40) - 1)).as("__keep_id"))
+    df.join(keepers.hint("shuffle_hash"), col(idCol) === col("__keep_id"), "left_semi")
+  }
+
   /** Corpus-release diff: classify every doc id across two corpus
     * versions as added / removed / changed / unchanged by content
     * digest — the dataset-versioning audit ("what moved between v1

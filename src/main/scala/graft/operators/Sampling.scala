@@ -168,6 +168,36 @@ object Sampling {
       .select(col(groupCol), col("__p._2").as(idCol), col("__p._1").as("h_lcg"))
   }
 
+  /** Robust per-group outlier gate: keep rows whose integer `scoreCol`
+    * lies within `k` MADs of the group median — median/MAD instead of
+    * mean/stddev so a heavy-tailed group (one 10 MB doc among 1 KB
+    * docs) cannot drag its own gate open. The robust-z curation
+    * filter over doc-length-like signals.
+    *
+    * Exactness: scores are integers, so the interpolated median and
+    * every |score − median| are quarter-unit multiples; both are
+    * carried ×4 (exact in IEEE double) and the gate compares
+    * 4·|x − med| ≤ k · mad4 in integers — engine-identical (the q92
+    * quarter-unit move, applied twice).
+    *
+    * Scale shape: two tiny per-group aggregates (median, then MAD)
+    * broadcast back; the corpus is scanned and filtered map-side,
+    * never shuffled on its own id. Exact percentile holds one group's
+    * score multiset per task — the q92 contract; swap in
+    * `percentile_approx` past ~10⁸-row groups.
+    */
+  def madOutlierGate(df: DataFrame, groupCol: String, scoreCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val med = df.groupBy(col(groupCol))
+      .agg(floor(expr(s"percentile($scoreCol, 0.5)") * 4.0).cast("long").as("med4"))
+    val dev = df.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol))
+      .agg(floor(expr(s"percentile(abs($scoreCol * 4 - med4), 0.5)")).cast("long").as("mad4"))
+    df.join(broadcast(med), groupCol).join(broadcast(dev), groupCol)
+      .filter(abs(col(scoreCol) * 4 - col("med4")) <= col("mad4") * k)
+  }
+
   /** Deterministic training-epoch shuffle: assign every row a shard
     * `hashLcg(id) mod nShards` and a dense position within its shard
     * ordered by (hashLcg(id), id). Writing shard files in `pos` order

@@ -247,6 +247,34 @@ class DeltaOpsSpec extends SparkSpec {
       "exact profile shares the scan via Expand (the documented trade)")
   }
 
+  test("exactByContentPriority keeps the best (priority, id) per content, sort-free") {
+    val df = Seq(
+      (1L, "same text", 2),  // crawl copy
+      (2L, "same text", 0),  // curated copy → keeper despite higher id
+      (3L, "same text", 2),
+      (4L, "unique", 1)
+    ).toDF("doc_id", "text", "priority")
+    val kept = Dedup.exactByContentPriority(df, "doc_id", "text", "priority")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    val plan = finalPlan(kept)
+    assert(!plan.contains("Sort") && !plan.contains("Window"),
+      s"priority dedup must stay a hash aggregate + semi join:\n$plan")
+    // priority ties fall back to the smallest id
+    val tied = Seq((5L, "t", 1), (6L, "t", 1)).toDF("doc_id", "text", "priority")
+    assert(Dedup.exactByContentPriority(tied, "doc_id", "text", "priority")
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("madOutlierGate drops only rows beyond k MADs of their group median") {
+    // group g: scores 10,10,12,12,100 → med4=48, |4x−med4| = 8,8,0,0,352,
+    // mad4 = 8 → k=2 keeps |dev| ≤ 16: drops only the 100
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 12L), ("g", 12L), ("g", 100L),
+      ("h", 7L)).toDF("lang", "score")
+    val kept = graft.operators.Sampling.madOutlierGate(df, "lang", "score", k = 2)
+      .select("lang", "score").as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(kept.toSeq == Seq(("g", 10L), ("g", 10L), ("g", 12L), ("g", 12L), ("h", 7L)))
+  }
+
   test("pivot/unpivot round-trip reproduces per-(source,lang) counts with zero-fill") {
     val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
     val langs = Seq("de", "en", "es", "fr", "zh")
