@@ -28,8 +28,19 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        if not os.path.exists(p):
+            continue
+        sel = "*"
+        if t == "events":
+            # ScaleGen (Spark-written) events carry ts as raw nanosecond
+            # longs (Spark cannot write ns timestamps); mirror the engine's
+            # Tables.events mapping ts -> timestamp_micros(ts div 1000)
+            ts_type = con.execute(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
