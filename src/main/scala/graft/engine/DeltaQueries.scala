@@ -195,10 +195,13 @@ object DeltaQueries {
 
     // Corpus-release diff: v1 = ids % 10 < 8 (original text), v2 =
     // ids % 10 >= 1 with every 7th doc's text changed — added /
-    // removed / changed / unchanged by digest.
+    // removed / changed / unchanged by digest. The change transform is
+    // concat(text, '!') — byte-identical in any engine — rather than
+    // upper(), whose Java full-Unicode case mapping (ß→SS) and
+    // DuckDB's simple mapping agree only on ASCII corpora (r7 ADVICE).
     sql("q105_corpus_diff",
       """WITH v1 AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 < 8),
-        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS dg
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END) AS dg
         |       FROM documents WHERE doc_id % 10 >= 1)
         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN v1.dg IS NULL THEN 'added' WHEN v2.dg IS NULL THEN 'removed'
@@ -211,7 +214,7 @@ object DeltaQueries {
             docs.filter(col("doc_id") % 10 < 8),
             docs.filter(col("doc_id") % 10 >= 1)
               .withColumn("text", when(col("doc_id") % 7 === 0,
-                upper(col("text"))).otherwise(col("text"))),
+                concat(col("text"), lit("!"))).otherwise(col("text"))),
             "doc_id", "text")
           .orderBy("doc_id")
     },

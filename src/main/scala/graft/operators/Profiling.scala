@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data-quality profiling — the "ANALYZE"-style QA pass
@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
   * column granularity: row/null/distinct counts and value ranges).
   *
   * One aggregation over one scan produces every per-column statistic;
-  * `stack` then unpivots the single result row to one row per column.
-  * Numeric ranges are floor-scaled to e2 integers so the output is
-  * hash-stable across engines.
+  * an inline-posexplode of per-column structs then unpivots the single
+  * result row to one row per column. Numeric ranges are floor-scaled
+  * to e2 integers so the output is hash-stable across engines.
+  *
+  * Internal aggregate aliases are INDEX-based (`__c0__nnull`), and the
+  * user-facing column name only ever enters the plan as a `lit(...)`
+  * value — no caller identifier is ever spliced into a SQL string, so
+  * names containing quotes, backticks, or dots cannot break the
+  * expression or inject SQL (the r7 ADVICE hazard of the old
+  * `expr("stack(... '$c' ...)")` form).
   *
   * Scale shape: a single pass — the N exact `count(DISTINCT)`s share
   * one scan via Expand (N+1 tagged copies of the projected columns
@@ -21,25 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Unpivot the single agg row: one struct per column, exploded to
+    * rows. `explode(array(struct...))` stays inside whole-stage
+    * codegen and adds no shuffle (the input is one row).
+    */
+  private def unpivot(row: DataFrame, cols: Seq[String],
+      distinctAlias: String): DataFrame = {
+    val entries: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n_rows").as("n_rows"),
+        col(s"__c${i}__nnull").as("n_null"),
+        col(s"__c${i}__ndist").as(distinctAlias),
+        col(s"__c${i}__min").as("min_e2"),
+        col(s"__c${i}__max").as("max_e2"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      distinctAgg: Column => Column, distinctAlias: String): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = count(lit(1)).as("__n_rows") +: cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__c${i}__nnull"),
+          distinctAgg(col(c)).as(s"__c${i}__ndist"),
+          floor(min(col(c)) * 100).cast("long").as(s"__c${i}__min"),
+          floor(max(col(c)) * 100).cast("long").as(s"__c${i}__max"))
+    }
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols, distinctAlias)
+  }
+
   /** Profile `cols` (numeric) of `df`: one output row per column with
     * (col_name, n_rows, n_null, n_distinct, min_e2, max_e2).
     */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "no columns to profile")
-    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nnull"),
-        countDistinct(col(c)).as(s"__${c}__ndist"),
-        floor(min(col(c)) * 100).cast("long").as(s"__${c}__min"),
-        floor(max(col(c)) * 100).cast("long").as(s"__${c}__max"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __n_rows, __${c}__nnull, __${c}__ndist, __${c}__min, __${c}__max"
-    }.mkString(", ")
-    row.select(expr(
-      s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_null, n_distinct, min_e2, max_e2)"))
-  }
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, countDistinct(_), "n_distinct")
 
   /** The routine-run profile: identical shape to [[numericProfile]]
     * but distincts are HLL++ `approx_count_distinct(c, rsd)` — ONE
@@ -51,20 +76,6 @@ object Profiling {
     * ε-bound contract (q107 asserts |approx − exact| ≤ 3·rsd·exact).
     */
   def numericProfileApprox(df: DataFrame, cols: Seq[String],
-      rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "no columns to profile")
-    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nnull"),
-        approx_count_distinct(col(c), rsd).as(s"__${c}__acd"),
-        floor(min(col(c)) * 100).cast("long").as(s"__${c}__min"),
-        floor(max(col(c)) * 100).cast("long").as(s"__${c}__max"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', __n_rows, __${c}__nnull, __${c}__acd, __${c}__min, __${c}__max"
-    }.mkString(", ")
-    row.select(expr(
-      s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_null, n_distinct_approx, min_e2, max_e2)"))
-  }
+      rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, approx_count_distinct(_, rsd), "n_distinct_approx")
 }

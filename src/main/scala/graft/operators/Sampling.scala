@@ -85,8 +85,10 @@ object Sampling {
   def quantileGate(df: DataFrame, groupCol: String, scoreCol: String,
       p: Double): DataFrame = {
     require(p > 0 && p < 1, "p must be in (0, 1)")
+    // Column-API percentile: the score column name never enters a SQL
+    // string, so quoted/dotted/backticked names can't break the parse
     val cuts = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($scoreCol, $p)").as("__cut"))
+      .agg(percentile(col(scoreCol), lit(p)).as("__cut"))
       .select(col(groupCol), floor(col("__cut") * 4.0).cast("long").as("cutoff_q4"))
     df.join(broadcast(cuts), groupCol)
       .filter(col(scoreCol).cast("double") * 4.0 > col("cutoff_q4"))
@@ -190,10 +192,11 @@ object Sampling {
       k: Int = 5): DataFrame = {
     require(k >= 1, "k must be positive")
     val med = df.groupBy(col(groupCol))
-      .agg(floor(expr(s"percentile($scoreCol, 0.5)") * 4.0).cast("long").as("med4"))
+      .agg(floor(percentile(col(scoreCol), lit(0.5)) * 4.0).cast("long").as("med4"))
     val dev = df.join(broadcast(med), groupCol)
       .groupBy(col(groupCol))
-      .agg(floor(expr(s"percentile(abs($scoreCol * 4 - med4), 0.5)")).cast("long").as("mad4"))
+      .agg(floor(percentile(abs(col(scoreCol) * 4 - col("med4")), lit(0.5)))
+        .cast("long").as("mad4"))
     df.join(broadcast(med), groupCol).join(broadcast(dev), groupCol)
       .filter(abs(col(scoreCol) * 4 - col("med4")) <= col("mad4") * k)
   }

@@ -137,9 +137,17 @@ object EventStreams {
     bloom match {
       case None => dedup(withDigest).join(catalogDigests, Seq("digest"), "left_anti")
       case Some(bytes) =>
-        val maybeSeen = graft.operators.Decontaminate.mightContain(bytes, col("digest"))
-        dedup(withDigest.filter(!maybeSeen)).unionByName(
-          dedup(withDigest.filter(maybeSeen))
+        // null digest (null text) ⇒ might_contain is NULL, and a bare
+        // filter(pred)/filter(!pred) pair would drop the row from BOTH
+        // branches — while the non-Bloom path keeps one null-digest doc
+        // per window (a null key never matches a left-anti join). Route
+        // nulls explicitly to the no-catalog-hit branch so the Bloom
+        // option cannot change exact-dedup output on this edge.
+        val seen = coalesce(
+          graft.operators.Decontaminate.mightContain(bytes, col("digest")),
+          lit(false))
+        dedup(withDigest.filter(!seen)).unionByName(
+          dedup(withDigest.filter(seen))
             .join(catalogDigests, Seq("digest"), "left_anti"))
     }
   }

@@ -365,6 +365,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(3L), s"bloom routing must not change exact-dedup output: $kept")
   }
+
+  test("bloom routing keeps a null-text doc exactly like the non-bloom path") {
+    // null text → null digest → might_contain is NULL; a bare
+    // filter(p)/filter(!p) pair would drop the doc from BOTH branches,
+    // while the non-bloom path keeps one per window (null keys never
+    // match a left-anti join). The coalesce routing must make the two
+    // paths agree: exactly one null-text survivor per window in each.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val catalog = Seq("already ingested yesterday").toDF("text")
+      .select(unhex(md5(col("text"))).as("digest"))
+    val bloom = graft.operators.Decontaminate
+      .buildBloom(catalog, "digest", expectedItems = 2, fpp = 0.01)
+    for ((blm, out) <- Seq(
+        (Option.empty[Array[Byte]], "incdedup_null_plain"),
+        (bloom, "incdedup_null_bloom"))) {
+      val src = MemoryStream[Doc]
+      val q = EventStreams.incrementalDedupStream(src.toDF(), catalog,
+          watermark = "1 hour", bloom = blm)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(out).start()
+      src.addData(
+        Doc(1, ts(0), null),                 // null text → kept (first null digest)
+        Doc(2, ts(1), null),                 // in-batch null repeat → dropped
+        Doc(3, ts(2), "brand new document")) // kept
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.table(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L),
+        s"$out: null-text docs must survive dedup identically in both paths: $kept")
+    }
+  }
 }
 
 object StreamingSpec {

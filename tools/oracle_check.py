@@ -36,8 +36,12 @@ def main(sf_dir, out_dir):
             # ScaleGen (Spark-written) events carry ts as raw nanosecond
             # longs (Spark cannot write ns timestamps); mirror the engine's
             # Tables.events mapping ts -> timestamp_micros(ts div 1000)
+            # DESCRIBE reads the column type from parquet metadata, so
+            # this works on an empty table too (a LIMIT 1 fetchone()
+            # returns None on zero rows and would crash the gate)
             ts_type = con.execute(
-                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                f"SELECT column_type FROM (DESCRIBE SELECT ts FROM {src}) "
+                "WHERE column_name = 'ts'").fetchone()[0]
             if ts_type == "BIGINT":
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
