@@ -106,9 +106,29 @@ object MoleculeQueries {
 
     // Integration: molecule near-dup via normalized-SMILES fingerprint
     // groups + Morgan-bit overlap inside each group — the chemistry
-    // functions feeding the dedup machinery (rows-only: md5 grouping is
-    // oracle-able but Morgan bits are engine-internal).
-    rowsOnly("q65_molecule_neardup") { (s, d) =>
+    // functions feeding the dedup machinery, now under a FULL contract
+    // oracle (the q61/q73 pattern, retiring the last rows-only trio):
+    //  - norm / n_members / keeper are EXACT: the synthetic SMILES per
+    //    p_partkey % 6 class normalize deterministically (salt strip
+    //    keeps the largest fragment, ties to the lexicographically
+    //    smallest — '[Na+].[Cl-]' → '[Cl-]'; stereo/isotope stripping
+    //    is a no-op here), so the oracle hand-applies the same mapping
+    //    and recomputes the groups relationally;
+    //  - the Morgan OR-profile is engine-internal, so its CONTRACT is
+    //    checked instead: bits_pos (every group profile has ≥ 1 bit)
+    //    and profile_superset_ok (every member's fingerprint is a
+    //    subset of its group's OR-profile — an independent recompute
+    //    of each member fp against the FingerprintAgg aggregate).
+    //    The raw bit layout stays spec'd in ChemistrySpec.
+    sql("q65_molecule_neardup",
+      """WITH mols AS (
+        | SELECT p_partkey,
+        |  CASE p_partkey % 6 WHEN 1 THEN 'C1CCCCC1' WHEN 2 THEN 'CC(=O)O'
+        |    WHEN 4 THEN '[Cl-]' ELSE repeat('C', (p_size % 10) + 1) END AS norm
+        | FROM part WHERE (p_partkey % 6) NOT IN (0, 3))
+        |SELECT norm, count(*) AS n_members, min(p_partkey) AS keeper,
+        | TRUE AS bits_pos, TRUE AS profile_superset_ok
+        |FROM mols GROUP BY norm ORDER BY norm""".stripMargin) { (s, d) =>
       import graft.functions.Chemistry
       val mols = part(s, d)
         .withColumn("smiles", smilesCol)
@@ -116,11 +136,15 @@ object MoleculeQueries {
         .select(col("p_partkey"),
           Chemistry.normalize_smiles(col("smiles")).as("norm"),
           Chemistry.morgan_fp(col("smiles")).as("fp"))
-      mols.groupBy(col("norm"))
+      val prof = mols.groupBy(col("norm"))
         .agg(count(lit(1)).as("n_members"), min("p_partkey").as("keeper"),
           graft.functions.FingerprintAgg.fingerprint_or(col("fp")).as("profile"))
+      mols.join(prof, "norm")
+        .groupBy(col("norm"), col("n_members"), col("keeper"), col("profile"))
+        .agg(bool_and(size(array_except(col("fp"), col("profile"))) === 0)
+          .as("profile_superset_ok"))
         .select(col("norm"), col("n_members"), col("keeper"),
-          size(col("profile")).cast("long").as("profile_bits"))
+          (size(col("profile")) > 0).as("bits_pos"), col("profile_superset_ok"))
         .orderBy(col("norm"))
     },
 

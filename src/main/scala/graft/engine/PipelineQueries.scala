@@ -182,16 +182,97 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     },
 
-    rowsOnly("q44_minhash_lsh_candidates") { (s, d) =>
-      Dedup.minHashCandidates(documents(s, d), "doc_id", "text",
-          bands = 8, rowsPerBand = 4)
-        .orderBy(col("id1"), col("id2"))
+    // MinHash-LSH candidate generation under a CONTRACT oracle (the
+    // q61/q73 pattern): the xxhash64-seeded signatures are engine-
+    // internal, but the operator's guarantees are not. A planted
+    // fixture (a copy of every doc_id < 40 re-inserted at
+    // doc_id + 10^6) makes the contract non-vacuous at every SF:
+    //  - n_dup_pairs: EXACT count of identical-text pairs drawn from
+    //    text groups of size 2..8 — DuckDB recomputes it from the
+    //    same planted corpus (the 2..8 cap keeps every such pair's
+    //    band buckets far below maxBucketSize=64, so the hot-bucket
+    //    guard provably cannot drop them);
+    //  - dup_recall_ok: every one of those pairs IS an LSH candidate
+    //    (identical text ⇒ identical signature ⇒ all bands collide —
+    //    deterministic, not probabilistic);
+    //  - precision_ok: ≥ 60% of ALL candidate pairs have exact
+    //    3-shingle Jaccard ≥ 0.5 (recomputed from raw text, planted
+    //    pairs at J=1 plus banding false positives; measured ≥ 0.9
+    //    at sf0.001/0.01/0.1 and the 10× corpus — 0.6 is the pinned
+    //    slack bound). Deterministic on fixed data: fails loudly,
+    //    never flakes. The raw candidate set stays differentially
+    //    spec'd against the HOF mirror in OperatorsSpec.
+    sql("q44_minhash_lsh_candidates",
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 40),
+        |g AS (SELECT text, count(*) AS n FROM corpus GROUP BY text)
+        |SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_dup_pairs,
+        |       TRUE AS dup_recall_ok, TRUE AS precision_ok
+        |FROM g WHERE n BETWEEN 2 AND 8""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+        bands = 8, rowsPerBand = 4)
+      val smallGroups = corpus.groupBy(col("text"))
+        .agg(count(lit(1)).as("n")).filter(col("n").between(2, 8))
+      val members = corpus.join(smallGroups.select(col("text")), Seq("text"))
+      val dupPairs = members.alias("x")
+        .join(members.alias("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      val nDup = dupPairs.agg(count(lit(1)).as("n_dup_pairs"))
+      val recall = dupPairs
+        .join(cand.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_anti")
+        .agg((count(lit(1)) === 0).as("dup_recall_ok"))
+      val texts1 = corpus.select(col("doc_id").as("id1"), col("text").as("t1"))
+      val texts2 = corpus.select(col("doc_id").as("id2"), col("text").as("t2"))
+      val prec = cand.join(texts1, "id1").join(texts2, "id2")
+        .select(graft.plans.ArrayJaccardExpr.array_jaccard(
+          graft.plans.TokenShinglesExpr.token_shingles(col("t1"), 3),
+          graft.plans.TokenShinglesExpr.token_shingles(col("t2"), 3)).as("j"))
+        .agg((coalesce(sum(when(col("j") >= 0.5, 1L).otherwise(0L)), lit(0L)) >=
+          count(lit(1)) * 0.6).as("precision_ok"))
+      nDup.crossJoin(recall).crossJoin(prec)
     },
 
-    rowsOnly("q45_simhash") { (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))
+    // SimHash under the same contract pattern: the 32-bit codes are
+    // engine-internal, their properties are not. Checked booleans:
+    //  - native_hof_agree: the codegen SimHash32Expr kernel and the
+    //    independent higher-order-function implementation (different
+    //    tokenizer path, no shared kernel) agree code-for-code on a
+    //    deterministic 5% sample (doc_id % 20 = 0) — the differential
+    //    spec promoted onto real data (full-corpus HOF is the
+    //    documented interpreted-mode tax; specs cover both codegen
+    //    modes on fixtures);
+    //  - in_u32_range: every code is in [0, 2^32) — pins the 32-bit
+    //    domain;
+    //  - small_lt_large: mean Hamming distance to a one-token-append
+    //    perturbation (text + ' qq') is strictly below mean distance
+    //    to an unrelated same-length-scale text (md5 hex of text) —
+    //    the locality property that makes SimHash a near-dup sketch.
+    //    Measured margins ~2 vs ~16 bits; deterministic on fixed data.
+    sql("q45_simhash",
+      """SELECT count(*) AS n_docs, TRUE AS native_hof_agree,
+        | TRUE AS in_u32_range, TRUE AS small_lt_large
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val h = Dedup.simHash32(col("text"))
+      def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        bit_count(a.bitwiseXOR(b))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        bool_and(h >= 0L && h < 4294967296L).as("in_u32_range"),
+        avg(ham(h, Dedup.simHash32(concat(col("text"), lit(" qq"))))).as("avg_s"),
+        avg(ham(h, Dedup.simHash32(md5(col("text"))))).as("avg_l"))
+      val hof = docs.filter(col("doc_id") % 20 === 0)
+        .agg(bool_and(h === Dedup.simHash32Hof(col("text"))).as("native_hof_agree"))
+      base.crossJoin(hof)
+        .select(col("n_docs"), col("native_hof_agree"), col("in_u32_range"),
+          (col("avg_s") < col("avg_l")).as("small_lt_large"))
     },
 
     // Multimodal plumbing: documents → binary payload + typed metadata
