@@ -312,8 +312,8 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.cli.Main <download|ingest> <config.yaml>")
-    val job = JobConfig.load(args(1))
+    require(args.length >= 2,
+      "usage: graft.cli.Main <download|ingest> <config.yaml> | pipeline <run|resume> <pipeline.yaml>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-ingest")
@@ -325,13 +325,31 @@ object Main {
     try {
       args(0) match {
         case "ingest" =>
-          val summaries = runIngestion(spark, job)
+          val summaries = runIngestion(spark, JobConfig.load(args(1)))
           summaries.sortBy(_.name).foreach(s =>
             println(s"${s.name}: ${s.recordsWritten} records in ${s.batchesWritten} batches"))
         case "download" =>
-          val summaries = runDownload(job)
+          val summaries = runDownload(JobConfig.load(args(1)))
           summaries.sortBy(_.name).foreach(s =>
             println(s"${s.name}: ${s.batchesWritten} archives mirrored"))
+        // `pipeline run` executes the declared stage DAG from scratch;
+        // `pipeline resume` skips completed materialized stages and
+        // sinks (reference contract: system-plan.md:21). `${VAR}` in
+        // stage paths resolves from the process environment.
+        case "pipeline" =>
+          require(args.length >= 3,
+            "usage: graft.cli.Main pipeline <run|resume> <pipeline.yaml>")
+          val resume = args(1) match {
+            case "run" => false
+            case "resume" => true
+            case o => throw new IllegalArgumentException(s"unknown pipeline command '$o'")
+          }
+          val p = graft.pipeline.PipelineConfig.load(args(2))
+          val res = graft.pipeline.PipelineRunner.run(spark, p,
+            resume = resume, vars = sys.env.toMap)
+          res.stages.foreach(s => println(s"${s.name} [${s.kind}]: ${s.action}"))
+          if (!res.completed) throw new IllegalStateException(
+            "pipeline halted before all stages completed")
         case other =>
           throw new IllegalArgumentException(s"unknown command '$other'")
       }

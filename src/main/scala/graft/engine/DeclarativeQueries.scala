@@ -1,0 +1,96 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{PipelineConfig, PipelineRunner}
+
+/** Round-8: the declarative YAML pipeline surface, oracle-checked.
+  *
+  * q110 re-expresses a curation rollup (the q89 shape: tokenize → gate
+  * → per-language stats) as a `PipelineConfig` YAML document and runs
+  * it through [[PipelineRunner]] — scan, map (with a materialized
+  * checkpoint barrier), filter, reduce, sink — then hash-compares the
+  * sink output against the same rollup in DuckDB. This pins the whole
+  * declarative path end-to-end: YAML parse, `${VAR}` substitution,
+  * stage compilation to Catalyst expressions, checkpoint
+  * materialization, and the sink write all sit between the testdata
+  * and the oracle, so a regression anywhere in the runner breaks the
+  * hash.
+  *
+  * Scale shape: identical to writing the DataFrame chain by hand — the
+  * scan/filter/reduce stages stay ONE Catalyst plan (filter pushdown
+  * and column pruning reach the parquet scan; the reduce is a
+  * hash aggregate), and the materialized stage is an explicit parquet
+  * barrier, exactly the checkpoint a 100-TB pipeline wants between
+  * expensive phases.
+  */
+object DeclarativeQueries {
+  import QueryDef._
+
+  /** The q110 pipeline: YAML is the system-plan.md:17 contract form —
+    * tokenization in a map stage, a short-doc gate as a filter stage,
+    * the per-language rollup as a reduce stage, parquet sink.
+    */
+  private val RollupYaml =
+    """pipeline:
+      |  name: doc_quality_rollup
+      |  checkpoint_dir: ${CKPT}
+      |  stages:
+      |    - name: docs
+      |      type: scan
+      |      format: parquet
+      |      path: ${DIR}/documents.parquet
+      |    - name: tokenized
+      |      type: map
+      |      input: docs
+      |      materialize: true
+      |      # plain (unquoted) YAML scalars: no YAML escape processing,
+      |      # so the Spark-SQL literal '\\s+' (which SQL-unescapes to the
+      |      # \s+ regex) reaches expr() intact
+      |      columns:
+      |        n_chars: cast(length(text) as bigint)
+      |        n_tokens: cast(size(filter(split(trim(text), '\\s+'), x -> x != '')) as bigint)
+      |      select: [doc_id, lang, n_chars, n_tokens]
+      |    - name: kept
+      |      type: filter
+      |      input: tokenized
+      |      condition: "n_tokens >= 5"
+      |    - name: rollup
+      |      type: reduce
+      |      input: kept
+      |      group_by: [lang]
+      |      aggs:
+      |        n_docs: "count(*)"
+      |        total_tokens: "cast(sum(n_tokens) as bigint)"
+      |        max_chars: "max(n_chars)"
+      |    - name: out
+      |      type: sink
+      |      input: rollup
+      |      format: parquet
+      |      path: ${CKPT}/rollup_out
+      |""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("q110_pipeline_yaml",
+      """WITH t AS (
+        | SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | max(n_chars) AS max_chars
+        |FROM t WHERE n_tokens >= 5
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pipeline_q110").toString
+        val spec = PipelineConfig.parse(RollupYaml)
+        val res = PipelineRunner.run(s, spec,
+          vars = Map("DIR" -> d, "CKPT" -> ckpt))
+        // read the SINK's output (not the in-memory frame): the checked
+        // rows must have passed through the full declared DAG including
+        // the terminal write
+        s.read.parquet(s"$ckpt/rollup_out").orderBy(col("lang"))
+    })
+}
