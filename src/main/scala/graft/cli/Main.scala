@@ -97,7 +97,7 @@ object Main {
     rl.log("job_complete", "phase" -> "download", "n_sources" -> summaries.size)
     Files.createDirectories(Paths.get(job.outputDir))
     Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"),
-      Report.render(summaries))
+      Report.render(summaries, configHash = Some(job.configHash).filter(_.nonEmpty)))
     summaries
   }
 
@@ -155,7 +155,8 @@ object Main {
   private[graft] def ingestFilesResumable(spark: SparkSession, job: JobSpec,
       spec: SourceSpec, checkpointRoot: String,
       reader: (SparkSession, SourceSpec) => DataFrame,
-      maxWaves: Int = Int.MaxValue): (Long, Long) = {
+      maxWaves: Int = Int.MaxValue,
+      ingestedAt: String = java.time.Instant.now().toString): (Long, Long) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val waveSize = spec.options.getOrElse("resume_wave_files", "64").toInt
     val files = expandPaths(spec.options("paths"), hconf)
@@ -191,7 +192,11 @@ object Main {
     val it = files.drop(done).grouped(math.max(1, waveSize))
     while (it.hasNext && waves < maxWaves) {
       val wave = it.next()
-      val df = reader(spark, spec.copy(options = spec.options + ("paths" -> wave.mkString(","))))
+      // provenance stamp (system-plan.md:32): source, config hash, and
+      // job-start instant ride the metadata map of every record written
+      val df = graft.operators.Provenance.stamp(
+        reader(spark, spec.copy(options = spec.options + ("paths" -> wave.mkString(",")))),
+        spec.name, job.configHash, ingestedAt)
       val res = NdjsonSink.writeNumberedBatches(df, job.outputDir, spec.name,
         job.batchSize, compress = job.compressOutput, startBatch = batchIdx)
       batchIdx += res.batches.toInt
@@ -211,16 +216,22 @@ object Main {
 
   def runIngestion(spark: SparkSession, job: JobSpec,
       transport: RetryingHttp.Transport = RetryingHttp.realTransport,
-      log: Option[graft.report.RunLog] = None): Seq[SourceSummary] = {
+      log: Option[graft.report.RunLog] = None,
+      now: java.time.Instant = java.time.Instant.now()): Seq[SourceSummary] = {
     val rl = log.getOrElse(new graft.report.RunLog(s"${job.outputDir}/run-log.jsonl"))
     val checkpointRoot = s"${job.checkpointDir}/ingestion-parse"
     val hconf = spark.sparkContext.hadoopConfiguration
+    // one job-start instant stamps every source's records (audit wants
+    // "which run", not "which wave"); injectable for golden specs
+    val ingestedAt = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(now.atOffset(java.time.ZoneOffset.UTC))
     // pool must be shut down or the non-daemon workers keep the JVM alive
     val pool = java.util.concurrent.Executors.newFixedThreadPool(job.concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     rl.log("job_start", "phase" -> "ingest",
-      "n_sources" -> job.sources.size, "concurrency" -> job.concurrency)
+      "n_sources" -> job.sources.size, "concurrency" -> job.concurrency,
+      "config_hash" -> job.configHash)
     try {
     val futures = job.sources.map { spec =>
       Future {
@@ -257,7 +268,7 @@ object Main {
             rl.log("source_start", "phase" -> "ingest",
               "source" -> spec.name, "type" -> spec.sourceType)
             val (batches, records) = ingestFilesResumable(spark, job, spec,
-              checkpointRoot, reader)
+              checkpointRoot, reader, ingestedAt = ingestedAt)
             done(SourceSummary(spec.name, spec.sourceType, completed = true,
               batches, batches, records,
               Some(Report.summarizeDirectory(s"${job.outputDir}/${spec.name}",
@@ -294,7 +305,8 @@ object Main {
     // source failed, otherwise attach it as suppressed
     val reportError =
       try {
-        val report = Report.render(summaries)
+        val report = Report.render(summaries,
+          configHash = Some(job.configHash).filter(_.nonEmpty))
         Files.createDirectories(Paths.get(job.outputDir))
         Files.writeString(Paths.get(job.outputDir, "raw-data-report.md"), report)
         None

@@ -24,13 +24,18 @@ object JobConfig {
       name: String,
       options: Map[String, String])
 
+  /** `configHash` is the md5 of the raw YAML text this spec was parsed
+    * from (provenance identity, system-plan.md:32) — empty for specs
+    * constructed programmatically.
+    */
   final case class JobSpec(
       outputDir: String,
       checkpointDir: String,
       batchSize: Int,
       concurrency: Int,
       compressOutput: Boolean,
-      sources: Seq[SourceSpec])
+      sources: Seq[SourceSpec],
+      configHash: String = "")
 
   /** Source types the engine can build a reader for (S31 registry). */
   val KnownSourceTypes: Set[String] =
@@ -79,6 +84,7 @@ object JobConfig {
       batchSize = batchSize,
       concurrency = concurrency,
       compressOutput = Option(job.get("compress_output")).forall(_.asBoolean()),
-      sources = sources)
+      sources = sources,
+      configHash = graft.operators.Provenance.configHash(yaml))
   }
 }

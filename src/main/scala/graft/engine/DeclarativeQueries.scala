@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Provenance
 import graft.pipeline.{PipelineConfig, PipelineRunner}
 
 /** Round-8: the declarative YAML pipeline surface, oracle-checked.
@@ -92,5 +93,27 @@ object DeclarativeQueries {
         // rows must have passed through the full declared DAG including
         // the terminal write
         s.read.parquet(s"$ckpt/rollup_out").orderBy(col("lang"))
+    },
+
+    // Provenance stamping (system-plan.md:32): source name, config
+    // hash, ingest instant in each record's metadata map. The oracle
+    // recomputes the config hash with DuckDB's OWN md5() over the same
+    // config text — an independent cross-engine check of
+    // Provenance.configHash — and the row values pin the map_concat /
+    // element_at plumbing end-to-end.
+    sql("q113_provenance_stamp",
+      """SELECT doc_id, 'documents' AS src,
+        | md5('job: {source: documents, batch: 1000}') AS cfg_hash,
+        | '2026-08-13T00:00:00Z' AS stamped_at
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val cfgText = "job: {source: documents, batch: 1000}"
+        Provenance.stamp(Tables.documents(s, d), "documents",
+            Provenance.configHash(cfgText), "2026-08-13T00:00:00Z")
+          .select(col("doc_id"),
+            element_at(col("metadata"), Provenance.SourceKey).as("src"),
+            element_at(col("metadata"), Provenance.ConfigKey).as("cfg_hash"),
+            element_at(col("metadata"), Provenance.AtKey).as("stamped_at"))
+          .orderBy(col("doc_id"))
     })
 }

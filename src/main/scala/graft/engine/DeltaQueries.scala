@@ -236,6 +236,30 @@ object DeltaQueries {
           .orderBy("doc_id")
     },
 
+    // General dyadic-α temperature resampling at α = ¾: acceptance
+    // probability (min/cnt)^(3/4) built from TWO chained sqrts (the
+    // 4th root) times itself thrice — every step IEEE-correctly
+    // rounded, so the floor'd threshold is bit-identical in DuckDB
+    // (the hash-stability argument that bars libm pow; see
+    // Mixing.temperatureSampleAlpha).
+    sql("q114_temperature_alpha",
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |p AS (SELECT lang, cnt,
+        |  sqrt(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))) AS rt
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang
+        |FROM documents d JOIN p ON d.lang = p.lang CROSS JOIN m
+        |WHERE p.cnt = m.mn
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |      printf('%04x', CAST(floor(65536.0 * (p.rt * p.rt * p.rt)) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.Mixing.temperatureSampleAlpha(documents(s, d), "lang",
+            "doc_id", alphaNum = 3, alphaLog2Den = 2)
+          .orderBy("doc_id")
+    },
+
     // Priority-aware exact dedup: among content duplicates keep the
     // smallest (priority, id) — prefer-the-curated-source policy
     // (priority classes derived deterministically from the source id).

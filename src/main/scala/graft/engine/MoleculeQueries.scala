@@ -42,6 +42,39 @@ object MoleculeQueries {
       .otherwise(alkane)
   }
 
+  // q111 fixture: deterministic SMILES spelled so each PAINS motif is a
+  // literal substring — six alert-bearing molecules (azo, catechol,
+  // Michael acceptor, nitroaromatic, quinone, thiourea), three
+  // drug-like clean ones, and one clean-but-Lipinski-failing alkane
+  // (C30: logP proxy 0.5·30 = 15 > 5) that separates the PAINS gate
+  // from the composed PAINS+Lipinski gate.
+  private def alertSmilesCol = {
+    val m = col("p_partkey") % 10
+    when(m === 0, lit("CN=NC"))
+      .when(m === 1, lit("c1ccc(O)c(O)c1"))
+      .when(m === 2, lit("C=CC(=O)C"))
+      .when(m === 3, lit("c1ccc(cc1)[N+](=O)[O-]"))
+      .when(m === 4, lit("O=C1C=CC(=O)C=C1"))
+      .when(m === 5, lit("NC(=S)N"))
+      .when(m === 6, lit("C1CCCCC1"))
+      .when(m === 7, lit("CC(=O)O"))
+      .when(m === 8, lit("[Na+].[Cl-]"))
+      .otherwise(repeat(lit("C"), 30))
+  }
+
+  private val alertSmilesSql =
+    """CASE p_partkey % 10
+      |  WHEN 0 THEN 'CN=NC'
+      |  WHEN 1 THEN 'c1ccc(O)c(O)c1'
+      |  WHEN 2 THEN 'C=CC(=O)C'
+      |  WHEN 3 THEN 'c1ccc(cc1)[N+](=O)[O-]'
+      |  WHEN 4 THEN 'O=C1C=CC(=O)C=C1'
+      |  WHEN 5 THEN 'NC(=S)N'
+      |  WHEN 6 THEN 'C1CCCCC1'
+      |  WHEN 7 THEN 'CC(=O)O'
+      |  WHEN 8 THEN '[Na+].[Cl-]'
+      |  ELSE repeat('C', 30) END""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     sql("q46_smiles_validity",
@@ -167,6 +200,79 @@ object MoleculeQueries {
             element_at(col("props"), "PNAME").as("name_tag"),
             element_at(col("props"), "PTYPE").as("type_tag"))
           .orderBy(col("p_partkey"))
+    },
+
+    // PAINS-style structural-alert gate composed with Lipinski
+    // (system-plan.md:24-25 "filtering (e.g., Lipinski, PAINS)",
+    // "structural alerts"). Oracle is CLOSED-FORM per fixture branch:
+    // branches 0–5 carry exactly the planted motifs (the quinone also
+    // contains the Michael-acceptor motif — chemically true: quinones
+    // ARE Michael acceptors — so its alert list is both, in table
+    // order), 6–9 are clean; the composed gate additionally rejects
+    // branch 9 (C30 alkane: logP proxy 0.5·30 = 15 > 5 fails Lipinski)
+    // while 6/7/8 (cyclohexane, acetic acid, NaCl) pass both.
+    sql("q111_structural_alerts",
+      s"""WITH t AS (SELECT p_partkey, p_partkey % 10 AS m,
+         |  ($alertSmilesSql) AS smiles FROM part)
+         |SELECT p_partkey, smiles,
+         | CASE m WHEN 0 THEN 'azo' WHEN 1 THEN 'catechol'
+         |   WHEN 2 THEN 'michael_acceptor' WHEN 3 THEN 'nitro'
+         |   WHEN 4 THEN 'michael_acceptor,quinone' WHEN 5 THEN 'thiocarbonyl'
+         |   ELSE '' END AS alerts,
+         | m >= 6 AS pains_ok,
+         | m IN (6, 7, 8) AS gate_ok
+         |FROM t ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .withColumn("smiles", alertSmilesCol)
+          .select(col("p_partkey"), col("smiles"),
+            Chemistry.structural_alerts_csv(col("smiles")).as("alerts"),
+            Chemistry.pains_ok(col("smiles")).as("pains_ok"),
+            Chemistry.pains_lipinski_gate(col("smiles")).as("gate_ok"))
+          .orderBy(col("p_partkey"))
+    },
+
+    // Descriptor-distribution histograms per source (system-plan.md:30
+    // "descriptor distributions" in the report engine): MW in 25-Da
+    // buckets and logP in unit buckets, per brand (the fixture's
+    // source analog). Buckets are computed from round(·,3) — the
+    // 3-decimal values q47/q48 already prove bit-identical across
+    // engines — and no fixture value lands on a bucket boundary, so the
+    // floor is engine-exact. ONE scan: both metrics unpivot via stack
+    // into a single (source, metric, bucket) aggregation; the rows feed
+    // Report.descriptorSection (golden-specced).
+    sql("q112_descriptor_histogram",
+      s"""WITH t AS (SELECT p_brand,
+         | round(CAST(CASE p_partkey % 6
+         |  WHEN 1 THEN 84.162 WHEN 2 THEN 60.052 WHEN 4 THEN 58.443
+         |  ELSE ((p_size % 10) + 1) * 12.011 + (2 * ((p_size % 10) + 1) + 2) * 1.008
+         | END AS DOUBLE), 3) AS mw,
+         | round(CAST(CASE p_partkey % 6
+         |  WHEN 1 THEN 3.0 WHEN 2 THEN -0.3 WHEN 4 THEN -0.45
+         |  ELSE 0.5 * ((p_size % 10) + 1) END AS DOUBLE), 3) AS logp
+         | FROM part WHERE (p_partkey % 6) NOT IN (0, 3)),
+         |u AS (SELECT p_brand, 'mw' AS metric,
+         |        CAST(floor(mw / 25) * 25 AS BIGINT) AS bucket FROM t
+         |      UNION ALL
+         |      SELECT p_brand, 'logp' AS metric,
+         |        CAST(floor(logp) AS BIGINT) AS bucket FROM t)
+         |SELECT p_brand, metric, bucket, count(*) AS n FROM u
+         |GROUP BY p_brand, metric, bucket
+         |ORDER BY p_brand, metric, bucket""".stripMargin) {
+      (s, d) =>
+        part(s, d)
+          .withColumn("smiles", smilesCol)
+          .filter(Chemistry.is_valid_smiles(col("smiles")))
+          .select(col("p_brand"),
+            (floor(round(Chemistry.molecular_weight(col("smiles")), 3) / 25) * 25)
+              .cast("long").as("mw_bucket"),
+            floor(round(Chemistry.log_p(col("smiles")), 3))
+              .cast("long").as("logp_bucket"))
+          .selectExpr("p_brand",
+            "stack(2, 'mw', mw_bucket, 'logp', logp_bucket) AS (metric, bucket)")
+          .groupBy(col("p_brand"), col("metric"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("p_brand"), col("metric"), col("bucket"))
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{concat_ws, lit, udf, when}
 
 /** Pure-Scala SMILES algorithms: validity, normalization, salt
   * stripping, descriptors (MW, logP/TPSA proxies), and hashed
@@ -305,4 +305,51 @@ object Chemistry {
   def lipinski_ok(c: Column): Column = lipinskiUdf(c)
   def morgan_fp(c: Column): Column = morganUdf(c)
   def structural_keys(c: Column): Column = structuralKeysUdf(c)
+
+  // ---- PAINS-flavored structural alerts ---------------------------------
+
+  /** Structural-alert table: (alert name, SMILES substring motif),
+    * name-ordered. The reference declares "filtering (e.g., Lipinski,
+    * PAINS)" and "structural alerts" as analysis stages
+    * (/root/reference/docs/system-plan.md:24-25) with no
+    * implementation; real PAINS matching is SMARTS-subgraph-based
+    * (RDKit), which this zero-dependency engine approximates with
+    * DETERMINISTIC substring motifs over the SMILES text — the same
+    * approximation discipline as the MACCS-flavored
+    * [[structuralKeys]]. Substring matching trades recall (a motif
+    * spelled differently — ring-number shuffles, kekulized aromatics —
+    * is missed) for a gate that is engine-exact, codegen'd (plain
+    * `contains`, no UDF), and DuckDB-oracle-checkable. Classic PAINS
+    * families represented: azo dyes, catechols, Michael acceptors,
+    * nitro aromatics, quinones, thiocarbonyls.
+    */
+  val StructuralAlerts: Seq[(String, String)] = Seq(
+    "azo" -> "N=N",
+    "catechol" -> "c1ccc(O)c(O)c1",
+    "michael_acceptor" -> "C=CC(=O)",
+    "nitro" -> "[N+](=O)[O-]",
+    "quinone" -> "C=CC(=O)C=C",
+    "thiocarbonyl" -> "C(=S)")
+
+  /** Comma-joined names of every triggered alert (empty string when
+    * clean). `concat_ws` drops the NULLs of non-matching motifs, so
+    * the result is deterministic in table order — and has the exact
+    * same semantics as DuckDB's `concat_ws`, which is what makes the
+    * gate hash-oracle-able. Pure Column ops: the whole alert table
+    * compiles into one codegen'd projection, no UDF in the scan path.
+    */
+  def structural_alerts_csv(c: Column): Column =
+    concat_ws(",", StructuralAlerts.map { case (name, motif) =>
+      when(c.contains(motif), lit(name))
+    }: _*)
+
+  /** True when no structural alert fires. */
+  def pains_ok(c: Column): Column = structural_alerts_csv(c) === lit("")
+
+  /** The composed admission gate of system-plan.md:24-25: Lipinski
+    * drug-likeness AND no structural alert. Order matters for cost,
+    * not semantics: the codegen'd substring gate short-circuits before
+    * the descriptor UDF runs on rejected rows.
+    */
+  def pains_lipinski_gate(c: Column): Column = pains_ok(c) && lipinski_ok(c)
 }

@@ -78,10 +78,15 @@ object Dedup {
     * text columns are never read.
     */
   def incrementalExact(catalog: DataFrame, delta: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
     // 16-byte binary md5 (bijective with the hex form): the digest is
     // join plumbing and the persisted store format — binary halves it
-    val catDigests = catalog.select(unhex(md5(col(textCol))).as("__digest")).distinct()
+    incrementalAgainstDigests(
+      catalog.select(unhex(md5(col(textCol))).as("__digest")).distinct(),
+      delta, idCol, textCol)
+
+  private def incrementalAgainstDigests(catDigests: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val d = delta.withColumn("__digest", unhex(md5(col(textCol))))
     val keepers = d.groupBy(col("__digest")).agg(min(col(idCol)).as("__keep_id"))
       .select("__keep_id")
@@ -89,6 +94,54 @@ object Dedup {
       .join(catDigests, Seq("__digest"), "left_anti")
       .drop("__digest")
   }
+
+  /** Persist the catalog's content-digest store as a BUCKETED table:
+    * `(digest BINARY)` distinct, bucketed AND bucket-sorted on
+    * `digest`. This is the production form of [[incrementalExact]]'s
+    * catalog side — the 100-TB corpus is digested ONCE, and every
+    * later ingest joins against the store with no exchange and no
+    * sort on the store side (the r7 verdict's remaining scale-killer:
+    * re-shuffling or re-sorting a 60M+-row digest store on every
+    * delta run). The `repartition(buckets, digest)` before the write
+    * uses the SAME hash Spark's bucketing uses, so each task holds
+    * exactly one bucket and each bucket is ONE file — the single-file
+    * layout Spark requires to trust the on-disk sort order and elide
+    * the merge-join sort entirely (plan-pinned in DigestStoreSpec).
+    */
+  def writeDigestStore(catalog: DataFrame, textCol: String,
+      table: String, buckets: Int = 64): Unit =
+    catalog.select(unhex(md5(col(textCol))).as("digest")).distinct()
+      .repartition(buckets, col("digest"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "digest").sortBy("digest")
+      .saveAsTable(table)
+
+  /** [[incrementalExact]] against a persisted [[writeDigestStore]]
+    * table: identical output (differential-spec'd), but the catalog
+    * text is never rescanned and the store side of the anti-join
+    * arrives pre-partitioned — only the (small) delta shuffles.
+    */
+  def incrementalExactVsStore(spark: org.apache.spark.sql.SparkSession,
+      storeTable: String, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    incrementalAgainstDigests(
+      spark.table(storeTable).select(col("digest").as("__digest")),
+      delta, idCol, textCol)
+
+  /** Append a batch's digests to a [[writeDigestStore]] table — the
+    * maintenance write after a delta is accepted. Pass the ACCEPTED
+    * rows (the [[incrementalExactVsStore]] output): their digests are
+    * novel by construction, so the store stays a set without a
+    * re-distinct over the whole table. `buckets` must match the
+    * store's spec (Spark validates on append).
+    */
+  def appendToDigestStore(accepted: DataFrame, textCol: String,
+      table: String, buckets: Int = 64): Unit =
+    accepted.select(unhex(md5(col(textCol))).as("digest")).distinct()
+      .repartition(buckets, col("digest"))
+      .write.mode("append")
+      .bucketBy(buckets, "digest").sortBy("digest")
+      .saveAsTable(table)
 
   /** Exact dedup with a KEEPER POLICY: among content duplicates, keep
     * the row with the smallest (priority, id) — "prefer the curated

@@ -107,4 +107,34 @@ object Mixing {
             floor(lit(65536.0) * sqrt(col("__minc")) / sqrt(col("__cnt"))).cast("long")))
       .select(col(idCol), col(strataCol))
   }
+
+  /** [[temperatureSample]] for GENERAL dyadic α = num / 2^log2den —
+    * covering the practically-used 0.3–0.7 band (¼, ⅜, ½, ⅝, ¾, …)
+    * without surrendering the hash-stable oracle: the acceptance
+    * probability (minc/cnt)^α is computed as n chained `sqrt`s (the
+    * 2^log2den-th root) followed by num−1 multiplications. Every step
+    * (÷, √, ×) is IEEE-754 correctly rounded, so the SAME expression
+    * DAG yields BIT-IDENTICAL doubles in any compliant engine and the
+    * floor'd 16-bit threshold cannot flip — where a general libm
+    * `pow` differs in the last ulp across implementations (the
+    * documented reason plain α was restricted to ½).
+    */
+  def temperatureSampleAlpha(docs: DataFrame, strataCol: String,
+      idCol: String = "doc_id", alphaNum: Int = 1, alphaLog2Den: Int = 1): DataFrame = {
+    require(alphaNum >= 1, "alpha numerator must be >= 1")
+    require(alphaLog2Den >= 0 && alphaLog2Den <= 8, "alpha denominator 2^n, n in [0,8]")
+    require(alphaNum <= (1 << alphaLog2Den),
+      "alpha must be <= 1 (num <= 2^log2den): supersampling is rebalance(), not temperature")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val minc = counts.agg(min("__cnt").as("__minc"))
+    val ratio = col("__minc").cast("double") / col("__cnt").cast("double")
+    val root = (1 to alphaLog2Den).foldLeft(ratio)((c, _) => sqrt(c))
+    val p = (2 to alphaNum).foldLeft(root)((acc, _) => acc * root)
+    docs.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(minc))
+      .filter(col("__cnt") === col("__minc") ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          format_string("%04x", floor(lit(65536.0) * p).cast("long")))
+      .select(col(idCol), col(strataCol))
+  }
 }

@@ -127,22 +127,79 @@ object TextOps {
       n: Int = 3, blockCols: Seq[String] = Nil, maxDfFraction: Double = 0.5,
       maxDf: Int = 2500, minContainment: Double = 0.8): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    require(maxDf >= 2, "maxDf below 2 would drop every shared shingle")
-    require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
-    val blocks = blockCols.map(col)
     // digests ride as 16-byte BINARY (unhex of the md5 hex), not the
     // 32-char string: the digest is internal join plumbing and the
     // hex → binary map is bijective, so df counts and join groups are
     // IDENTICAL (oracle untouched) while the spill-bound merge join
     // sorts half the key bytes — measured on the 100× probe where
     // this join is the catalog's top cost
-    val allSh = docs.select(col(idCol).as("id") +: blocks :+
+    val allSh = docs.select(col(idCol).as("id") +: blockCols.map(col) :+
       explode(array_distinct(
         transform(Dedup.shingles(col(textCol), n), s => unhex(md5(s))))).as("d"): _*)
-    val dfreq = allSh.groupBy("d").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val sh = allSh.join(dfreq, "d").crossJoin(broadcast(nDocs))
-      .filter(col("df") <= least(col("n_docs") * maxDfFraction, lit(maxDf.toDouble)))
+    containmentFromShingles(allSh, nDocs, blockCols, maxDfFraction, maxDf, minContainment)
+  }
+
+  /** Persist the `(id, blocks…, d)` shingle-digest table BUCKETED and
+    * bucket-sorted on the digest — the production layout for repeated
+    * containment runs over a growing corpus. Everything downstream of
+    * the shingle explosion in [[containmentPairs]] is digest-keyed
+    * (the df count, the df-cap join, the pair self-join), so a store
+    * bucketed on `d` runs ALL of it without a single exchange or sort
+    * on the corpus side (plan-pinned in DigestStoreSpec) — where the
+    * inline form re-shingles, re-shuffles and re-sorts the 60M-row
+    * digest table on every run (the r7 verdict's q96 `weak` finding,
+    * with its 24–79 s session variance from the spilling sort).
+    * `repartition(buckets, d)` matches Spark's bucket hash, so each
+    * bucket is one file and the on-disk sort survives into the plan.
+    * A one-row `<table>_meta` sidecar carries the corpus size for the
+    * df-fraction cap (so the probe never rescans ids to count docs).
+    */
+  def writeContainmentStore(docs: DataFrame, idCol: String, textCol: String,
+      table: String, n: Int = 3, blockCols: Seq[String] = Nil,
+      buckets: Int = 64): Unit = {
+    require(n >= 1, "shingle size must be positive")
+    val allSh = docs.select(col(idCol).as("id") +: blockCols.map(col) :+
+      explode(array_distinct(
+        transform(Dedup.shingles(col(textCol), n), s => unhex(md5(s))))).as("d"): _*)
+    allSh.repartition(buckets, col("d"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "d").sortBy(("d" +: blockCols).head, ("d" +: blockCols).tail: _*)
+      .saveAsTable(table)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
+
+  /** [[containmentPairs]] over a persisted [[writeContainmentStore]]
+    * table: identical output (differential-spec'd), zero exchanges and
+    * zero sorts up to and including the pair self-join.
+    */
+  def containmentPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, blockCols: Seq[String] = Nil, maxDfFraction: Double = 0.5,
+      maxDf: Int = 2500, minContainment: Double = 0.8): DataFrame =
+    containmentFromShingles(spark.table(table), spark.table(s"${table}_meta"),
+      blockCols, maxDfFraction, maxDf, minContainment)
+
+  private def containmentFromShingles(allSh: DataFrame, nDocs: DataFrame,
+      blockCols: Seq[String], maxDfFraction: Double,
+      maxDf: Int, minContainment: Double): DataFrame = {
+    require(maxDf >= 2, "maxDf below 2 would drop every shared shingle")
+    require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
+    val blocks = blockCols.map(col)
+    val dfreq = allSh.groupBy("d").agg(count(lit(1)).as("df"))
+    // The df cap is applied as a broadcast ANTI-join against the HOT
+    // blacklist, not an equi-join with the full df table: the
+    // blacklist is bounded by shingle_count / maxDf entries (only
+    // boilerplate shared by > maxDf docs), so it always broadcasts,
+    // the corpus-sized shingle table never shuffles for the cap, and —
+    // decisive for the bucketed-store path — a broadcast hash join
+    // preserves the streamed side's sort order, where the old
+    // join+crossJoin route (BroadcastNestedLoopJoin) erased it and
+    // forced the pair join to re-sort the whole digest table.
+    val hot = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") > least(col("n_docs") * maxDfFraction, lit(maxDf.toDouble)))
+      .select("d")
+    val sh = allSh.join(broadcast(hot), Seq("d"), "left_anti")
       .select(col("id") +: blocks :+ col("d"): _*)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("ns"))
     val cond = blockCols.foldLeft(
@@ -345,14 +402,45 @@ object TextOps {
     * volume plus one one-time distinct over the store. Counts are
     * integers and `novelty_e4` is integer division — engine-exact.
     */
+  /** Binary shingle digests: internal probe keys, half the bytes of
+    * md5 hex. */
+  private def shingleDigests(c: Column, n: Int): Column =
+    array_distinct(transform(Dedup.shingles(c, n), s => unhex(md5(s))))
+
   def noveltyVsCatalog(catalog: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    // binary digests: internal probe keys, half the bytes of md5 hex
-    def digests(c: Column) =
-      array_distinct(transform(Dedup.shingles(c, n), s => unhex(md5(s))))
-    val store = catalog.select(explode(digests(col(textCol))).as("__d")).distinct()
-    val dd = delta.select(col(idCol), explode(digests(col(textCol))).as("__d"))
+    val store = catalog.select(explode(shingleDigests(col(textCol), n)).as("__d")).distinct()
+    noveltyAgainstDigests(store, delta, idCol, textCol, n)
+  }
+
+  /** Persist the catalog's DISTINCT shingle-digest set `(d BINARY)` as
+    * a bucketed table — [[noveltyVsCatalog]]'s store side, maintained
+    * by appending each accepted delta's novel digests instead of
+    * re-shingling the corpus per run (same store discipline as
+    * [[graft.operators.Dedup.writeDigestStore]]).
+    */
+  def writeShingleDigestStore(catalog: DataFrame, textCol: String,
+      table: String, n: Int = 3, buckets: Int = 64): Unit =
+    catalog.select(explode(shingleDigests(col(textCol), n)).as("d")).distinct()
+      .repartition(buckets, col("d"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "d").sortBy("d")
+      .saveAsTable(table)
+
+  /** [[noveltyVsCatalog]] against a persisted [[writeShingleDigestStore]]
+    * table: identical output; the store side joins exchange-free.
+    */
+  def noveltyVsStore(spark: org.apache.spark.sql.SparkSession,
+      storeTable: String, delta: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame =
+    noveltyAgainstDigests(spark.table(storeTable).select(col("d").as("__d")),
+      delta, idCol, textCol, n)
+
+  private def noveltyAgainstDigests(store: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    val dd = delta.select(col(idCol), explode(shingleDigests(col(textCol), n)).as("__d"))
     dd.join(store.withColumn("__seen", lit(true)), Seq("__d"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -59,13 +59,39 @@ object Report {
     DirectorySummary(dir, n, bytes)
   }
 
+  /** Markdown descriptor-distribution section (system-plan.md:30
+    * "descriptor distributions" in the report engine): one histogram
+    * row per (source, metric, bucket), sorted for a stable golden.
+    * The rows are the q112 aggregate's output — collect()ing it is
+    * safe by construction (sources × metrics × bounded buckets).
+    */
+  def descriptorSection(rows: Seq[(String, String, Long, Long)]): String = {
+    val sb = new StringBuilder
+    sb.append("## Descriptor distributions\n\n")
+    if (rows.isEmpty) {
+      sb.append("No descriptor data.\n")
+      return sb.result()
+    }
+    sb.append("| source | metric | bucket | molecules |\n")
+    sb.append("| --- | --- | --- | --- |\n")
+    rows.sortBy(r => (r._1, r._2, r._3)).foreach { case (src, metric, bucket, n) =>
+      sb.append(s"| $src | $metric | $bucket | $n |\n")
+    }
+    sb.result()
+  }
+
   /** Markdown report; summaries pre-sorted by source name (S26). */
   def render(summaries: Seq[SourceSummary],
-      now: Instant = Instant.now()): String = {
+      now: Instant = Instant.now(),
+      configHash: Option[String] = None): String = {
     val ts = DateTimeFormatter.ISO_INSTANT.format(now.atOffset(ZoneOffset.UTC))
     val sb = new StringBuilder
     sb.append("# Raw Data Report\n\n")
     sb.append(s"Generated: $ts\n\n")
+    // audit identity (system-plan.md:32): the md5 of the exact config
+    // text this run executed — matches the _prov_config_hash stamped
+    // into every record's metadata
+    configHash.filter(_.nonEmpty).foreach(h => sb.append(s"Config hash: $h\n\n"))
     if (summaries.isEmpty) {
       sb.append("No sources were executed.\n")
       return sb.result()

@@ -68,4 +68,43 @@ class ChemistrySpec extends SparkSpec {
     assert(got.map(_.getBoolean(0)).toSeq === Seq(true, false, true))
     assert(math.abs(got(0).getDouble(1) - 46.069) < 1e-9)
   }
+
+  /** Per-alert rejection (the q78 Gopher-gate pattern): every alert in
+    * the table has a molecule that triggers it and only it — except
+    * the quinone, which legitimately also triggers the Michael-
+    * acceptor motif — and drug-like molecules trigger nothing.
+    */
+  test("structural alerts: each motif fires on its molecule, clean molecules pass") {
+    import spark.implicits._
+    val fixtures = Seq(
+      ("CN=NC", "azo"),
+      ("c1ccc(O)c(O)c1", "catechol"),
+      ("C=CC(=O)C", "michael_acceptor"),
+      ("c1ccc(cc1)[N+](=O)[O-]", "nitro"),
+      ("O=C1C=CC(=O)C=C1", "michael_acceptor,quinone"),
+      ("NC(=S)N", "thiocarbonyl"),
+      ("C1CCCCC1", ""), ("CC(=O)O", ""), ("[Na+].[Cl-]", ""), ("CCO", ""))
+    val got = fixtures.map(_._1).toDF("smiles")
+      .select($"smiles", Chemistry.structural_alerts_csv($"smiles").as("alerts"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (s, want) =>
+      assert(got(s) === want, s"alerts for $s")
+    }
+  }
+
+  test("composed PAINS+Lipinski gate: alerts reject, Lipinski rejects, clean+drug-like passes") {
+    import spark.implicits._
+    val rows = Seq(
+      "NC(=S)N",        // alert → rejected even though small
+      "C" * 30,         // clean but logP proxy 15 > 5 → Lipinski reject
+      "C1CCCCC1",       // clean + drug-like → pass
+      "CC(=O)O")        // clean + drug-like → pass
+      .toDF("smiles")
+      .select($"smiles",
+        Chemistry.pains_ok($"smiles").as("p"),
+        Chemistry.pains_lipinski_gate($"smiles").as("g"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.map(r => (r._2, r._3)).toSeq ===
+      Seq((false, false), (true, false), (true, true), (true, true)))
+  }
 }

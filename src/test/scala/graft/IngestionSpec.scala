@@ -594,4 +594,62 @@ class IngestionSpec extends SparkSpec {
     assert(Report.formatBytes(5L * 1024 * 1024 * 1024) === "5.00 GB")
     assert(Report.render(Nil).contains("No sources were executed."))
   }
+
+  test("provenance: records carry source + config hash + run instant; config edits change the hash") {
+    val dir = tmpDir("prov_e2e")
+    Files.writeString(Paths.get(s"$dir/data.tsv"), "C\tZINC1\nCC\tZINC2\n")
+    def yaml(batch: Int) =
+      s"""job:
+         |  output_dir: $dir/out$batch
+         |  checkpoint_dir: $dir/cp$batch
+         |  batch_size: $batch
+         |  compress_output: false
+         |  sources:
+         |    - type: delimited
+         |      name: zinc
+         |      options: {paths: $dir/data.tsv, delimiter: "\\t"}
+         |""".stripMargin
+    val job = JobConfig.parse(yaml(10))
+    assert(job.configHash.length === 32)
+    val t0 = java.time.Instant.parse("2026-08-13T12:00:00Z")
+    Main.runIngestion(spark, job, now = t0)
+    val back = spark.read.json(s"$dir/out10/zinc/*.jsonl")
+    val meta = back.selectExpr(
+      "metadata._prov_source", "metadata._prov_config_hash",
+      "metadata._prov_ingested_at").distinct().collect()
+    // every record of the run carries ONE identical stamp
+    assert(meta.length === 1)
+    assert(meta.head.getString(0) === "zinc")
+    assert(meta.head.getString(1) === job.configHash)
+    assert(meta.head.getString(2) === "2026-08-13T12:00:00Z")
+    // the report surfaces the same audit identity
+    val report = Files.readString(Paths.get(s"$dir/out10/raw-data-report.md"))
+    assert(report.contains(s"Config hash: ${job.configHash}"), report)
+    // an edited config (any byte) is a different identity
+    val job2 = JobConfig.parse(yaml(11))
+    assert(job2.configHash !== job.configHash)
+    Main.runIngestion(spark, job2, now = t0)
+    val h2 = spark.read.json(s"$dir/out11/zinc/*.jsonl")
+      .selectExpr("metadata._prov_config_hash").distinct().collect()
+    assert(h2.map(_.getString(0)).toSeq === Seq(job2.configHash))
+  }
+
+  test("report: descriptor-distribution section golden") {
+    val rows = Seq(
+      ("zinc", "mw", 75L, 12L),
+      ("pubchem", "logp", -1L, 3L),
+      ("pubchem", "mw", 50L, 7L))
+    val got = Report.descriptorSection(rows)
+    val want =
+      """## Descriptor distributions
+        |
+        || source | metric | bucket | molecules |
+        || --- | --- | --- | --- |
+        || pubchem | logp | -1 | 3 |
+        || pubchem | mw | 50 | 7 |
+        || zinc | mw | 75 | 12 |
+        |""".stripMargin
+    assert(got === want)
+    assert(Report.descriptorSection(Nil).contains("No descriptor data."))
+  }
 }
