@@ -25,16 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a long and truncate
-    * to microseconds — integer division floors exactly like DuckDB's
-    * ns→us cast, so `ts` values stay comparable across engines.
+  /** `events.ts` has shipped in two physical layouts across driver
+    * generations: nanosecond-precision parquet (which Spark's vectorized
+    * reader rejects — PARQUET_TYPE_ILLEGAL — so it is read as a long and
+    * floor-divided to microseconds, exactly like DuckDB's ns→us cast)
+    * and plain `timestamp[us]` (read as TIMESTAMP_NTZ). Normalize both
+    * to session-local TIMESTAMP; the session is pinned to UTC everywhere
+    * (Bench/Verify/SparkSpec), so the NTZ cast is value-preserving and
+    * `ts` stays comparable with DuckDB's naive timestamps.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
