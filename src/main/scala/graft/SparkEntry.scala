@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.all ++ EventQueries.all ++ DocQueries.all ++
       PipelineQueries.all ++ MoleculeQueries.all ++ ExtraQueries.all ++
       TrainingQueries.all ++ CurationQueries.all ++ CorpusQueries.all ++
-      FusionQueries.all ++ DeltaQueries.all ++ DeclarativeQueries.all
+      FusionQueries.all ++ DeltaQueries.all ++ DeclarativeQueries.all ++
+      SplitQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Round-8 batch (q115–q118): the train/eval-split family a training-
+  * data pipeline needs between curation and tokenization — holdout
+  * assignment, vocabulary induction, an information-density gate, and
+  * the split-leakage audit. The reference's design commits to QA +
+  * dedup + reporting stages over ingested records
+  * (/root/reference/docs/system-plan.md:23-32); these extend that
+  * contract to the split/tokenizer-prep steps. All four carry full
+  * DuckDB oracles.
+  *
+  * Scale shapes:
+  *  - q115: split assignment is a stateless per-row hash — no RNG
+  *    state, no shuffle, reproducible on any engine and any retry
+  *    (the q69 property); the report aggregate is map-side combined
+  *    to |source × lang × split| rows.
+  *  - q116: one explode feeding a hash aggregate that partial-
+  *    aggregates down to vocabulary size; the ranking window then
+  *    runs over the VOCAB-sized aggregate (single partition by
+  *    design — same argument as q90's shortlist: the corpus-sized
+  *    side never reaches the window).
+  *  - q117: entropy is computed inside each row (sorted-run-length
+  *    histogram, `TextFunctions.tokenRunCounts`) — zero exchange;
+  *    the relational explode+groupBy(doc, token) alternative shuffles
+  *    one row per token occurrence, which at 100 TB is the dominant
+  *    cost of the whole job. The oracle keeps the relational form;
+  *    both floor each c·ln(c) term to micro-nats before integer-
+  *    summing, so the results are bit-equal.
+  *  - q118: the test split's distinct shingle set is eval-sized by
+  *    construction, so it broadcasts (the q68 decontamination shape):
+  *    the train side streams once with no shuffle of corpus shingles.
+  */
+object SplitQueries {
+  import QueryDef._
+  import Tables._
+
+  /** Deterministic 3-way holdout from the first two hex digits of
+    * md5(doc_id): 256 buckets, '00'..'0c' → test (13/256 ≈ 5.1%),
+    * '0d'..'19' → valid (next 13), rest → train. String comparison on
+    * the hex prefix is identical in every engine; no RNG, no state,
+    * stable under retries and across corpus growth (a doc's split
+    * never changes when other docs arrive — the property that keeps
+    * eval sets frozen while the corpus is re-crawled).
+    */
+  private def splitOf(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 2)
+    when(h < "0d", "test").when(h < "1a", "valid").otherwise("train")
+  }
+
+  /** The same assignment as ANSI SQL, inlined into the oracles. */
+  private val splitSql =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '0d' THEN 'test'
+      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '1a' THEN 'valid'
+      |     ELSE 'train' END""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Stratified split report: doc/char counts per (source, lang,
+    // split) — the audit table a split step must emit so skew between
+    // holdouts and strata is visible before training.
+    sql("q115_stratified_split",
+      s"""WITH s AS (SELECT source, lang, n_chars, $splitSql AS split FROM documents)
+        |SELECT source, lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY source, lang, split ORDER BY source, lang, split""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("source"), col("lang"), col("n_chars"), splitOf(col("doc_id")).as("split"))
+          .groupBy("source", "lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source", "lang", "split")
+    },
+
+    // Vocabulary induction: top-K tokens by corpus frequency with
+    // cumulative-coverage basis points — the table a tokenizer-prep
+    // step reads to pick a vocab size (coverage knee) and that OOV
+    // analyses join against. Ties break on the token so the ranking
+    // is total; coverage is integer math (cum·10⁴ DIV total), exact
+    // in both engines.
+    sql("q116_vocab_coverage",
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT sum(tf) AS t FROM vc),
+        |r AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank,
+        |             sum(tf) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING) AS cum FROM vc)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, tf, CAST(cum * 10000 // t AS BIGINT) AS cov_bp
+        |FROM r CROSS JOIN tot WHERE rank <= 16 ORDER BY rank""".stripMargin) {
+      (s, d) =>
+        val vc = documents(s, d)
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+        val tot = vc.agg(sum("tf").as("t"))
+        // vocab-sized input: the single-partition window is bounded by
+        // |vocab|, not the corpus (same shape as the q90 shortlist)
+        val w = Window.orderBy(col("tf").desc, col("token"))
+        vc.withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("tf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rank") <= 16)
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("token"), col("tf"),
+            expr("cum * 10000 DIV t").as("cov_bp"))
+          .orderBy("rank")
+    },
+
+    // Information-density gate: per-document unigram entropy in
+    // floored micro-nats, keeping docs above 3.0 nats — the cheap
+    // "is there any signal here" filter (low-entropy docs are
+    // keyword-stuffed or generator loops). ent = ln N − (Σ c·ln c)/N
+    // with every transcendental term floored to an integer before any
+    // sum/division, so Spark's per-row HOF form and the oracle's
+    // relational form agree bit-for-bit.
+    sql("q117_entropy_gate",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |        CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS clogc_e6
+        |      FROM tf GROUP BY doc_id),
+        |f AS (SELECT doc_id, n_toks,
+        |        CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000.0) AS BIGINT) - (clogc_e6 // n_toks) AS ent_e6 FROM e)
+        |SELECT doc_id, n_toks, ent_e6 FROM f WHERE ent_e6 >= 3000000 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"),
+            TextFunctions.unigramClogcE6(col("text")).as("clogc_e6"))
+          .filter(col("n_toks") > 0)
+          .select(col("doc_id"), col("n_toks"),
+            (floor(log(col("n_toks").cast("double")) * 1000000.0).cast("long") -
+              expr("clogc_e6 DIV n_toks")).as("ent_e6"))
+          .filter(col("ent_e6") >= 3000000L)
+          .orderBy("doc_id")
+    },
+
+    // Split-leakage audit: train-split documents sharing any token
+    // 4-gram with the test split — the check that MUST run after any
+    // split step, because hash-holdouts freeze doc membership but not
+    // content overlap (near-dups of a test doc leak into train). The
+    // test side is holdout-sized, so its distinct shingle set
+    // broadcasts; pairs are unique by construction (array_distinct per
+    // doc × distinct test set), so count(*) equals the oracle's
+    // COUNT(DISTINCT) without the extra exchange (the q68 argument).
+    sql("q118_split_leakage",
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS shingle FROM t),
+        |ss AS (SELECT doc_id, $splitSql AS split, shingle FROM sh JOIN documents USING (doc_id) WHERE shingle <> ''),
+        |tst AS (SELECT DISTINCT shingle FROM ss WHERE split = 'test')
+        |SELECT ss.doc_id AS doc_id, CAST(count(DISTINCT ss.shingle) AS BIGINT) AS n_leak
+        |FROM ss JOIN tst ON ss.shingle = tst.shingle
+        |WHERE ss.split = 'train' GROUP BY ss.doc_id ORDER BY ss.doc_id""".stripMargin) {
+      (s, d) =>
+        // split derives from doc_id alone, so it rides the shingle
+        // explosion — no join back to documents
+        val ss = documents(s, d)
+          .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+            explode(array_distinct(Dedup.shingles(col("text"), 4))).as("shingle"))
+          .filter(col("shingle") =!= "")
+        val tst = ss.filter(col("split") === "test").select("shingle").distinct()
+        ss.filter(col("split") === "train")
+          .join(broadcast(tst), "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_leak"))
+          .orderBy("doc_id")
+    }
+  )
+}

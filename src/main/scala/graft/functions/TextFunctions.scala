@@ -174,6 +174,49 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Run-length counts of the document's sorted token array — the
+    * per-row unigram histogram values, with the token identities
+    * dropped (entropy and diversity need only the multiset of counts).
+    *
+    * This is the zero-shuffle formulation of a per-document histogram:
+    * sort the tokens within the row (O(L log L) per document), take
+    * the start index of every equal-token run, and difference
+    * consecutive starts. The relational alternative — explode +
+    * groupBy(doc, token) — shuffles one row per token occurrence
+    * across the cluster; at 100 TB that exchange IS the job, while
+    * this form streams documents through a scan at CPU speed. The
+    * higher-order functions don't codegen, but they also never leave
+    * the row.
+    *
+    * Empty/whitespace-only docs yield [] (`sequence(0, n-1)` would
+    * count DOWN for n=0 — the guard is load-bearing, and CaseWhen
+    * only evaluates the taken branch).
+    */
+  def tokenRunCounts(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    val n = size(sorted)
+    // 0-based start positions of runs: position 0, plus every i where
+    // sorted[i] differs from sorted[i-1] (element_at is 1-based).
+    val starts = filter(sequence(lit(0), n - 1), i =>
+      i === 0 || element_at(sorted, i + 1) =!= element_at(sorted, i))
+    val nexts = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(n))
+    when(n === 0, array().cast("array<int>"))
+      .otherwise(zip_with(starts, nexts, (a, b) => b - a))
+  }
+
+  /** Σ c·ln(c) over the per-document unigram counts, each term floored
+    * to integer micro-nats BEFORE summing (the q88 determinism
+    * pattern: floor(x·10⁶) of identical doubles is identical in any
+    * engine, and integer addition is order-independent — a float sum
+    * would be sensitive to run order). Unigram entropy in micro-nats
+    * is then `floor(ln(N)·10⁶) − (this DIV N)`: exact integer ops all
+    * the way from the floored terms. NULL for empty documents.
+    */
+  def unigramClogcE6(text: Column): Column =
+    when(size(tokens(text)) === 0, lit(null))
+      .otherwise(aggregate(tokenRunCounts(text), lit(0L), (acc, c) =>
+        acc + floor(c.cast("double") * log(c.cast("double")) * 1000000.0).cast("long")))
+
   /** Polynomial rolling hash over tokens (base-257 Horner form over
     * each token's xxhash64, mod 2^31−1 so every intermediate stays
     * overflow-safe under Spark's ANSI mode). Engine-internal (not

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Round-8 split family (q115–q118): hash-holdout assignment,
+  * vocabulary coverage, the per-row entropy machinery, and the
+  * split-leakage audit's plan shape.
+  */
+class SplitOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenRunCounts is the sorted-run histogram: multiset of counts matches groupBy") {
+    val docs = Seq(
+      "a b a b a",          // a:3 b:2
+      "x",                  // x:1
+      "k k k k",            // k:4
+      "p q r p q r p",      // p:3 q:2 r:2
+      "",                   // []
+      "   "                 // whitespace-only → []
+    ).toDF("text")
+    val got = docs.select(sort_array(TextFunctions.tokenRunCounts($"text")).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(2, 3), Seq(1), Seq(4), Seq(2, 2, 3), Seq(), Seq()))
+  }
+
+  test("tokenRunCounts differential vs relational explode+groupBy on the corpus") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perRow = docs.select($"doc_id",
+      sort_array(TextFunctions.tokenRunCounts($"text")).as("counts"))
+    val relational = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("int").as("c"))
+      .groupBy("doc_id").agg(sort_array(collect_list("c")).as("counts"))
+    assert(perRow.join(relational, "doc_id")
+      .filter(perRow("counts") =!= relational("counts")).isEmpty)
+  }
+
+  test("unigramClogcE6: floored terms sum; null on empty; ln(1)-runs contribute 0") {
+    val got = Seq("a a a b", "c d e", "").toDF("text")
+      .select(TextFunctions.unigramClogcE6($"text")).as[Option[Long]].collect().toSeq
+    // "a a a b": 3·ln3·1e6 = 3295836.866… → 3295836; 1·ln1 = 0
+    assert(got == Seq(Some(3295836L), Some(0L), None))
+  }
+
+  test("split assignment is a total partition with frozen membership") {
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q115_stratified_split")(spark, d)
+    val splits = q.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")) && splits.contains("train"))
+    // totality: the report's doc count equals the corpus count
+    val total = q.agg(sum("n_docs")).as[Long].head()
+    assert(total == graft.engine.Tables.documents(spark, d).count())
+  }
+
+  test("vocab coverage is monotone and ends ≤ 10000 bp") {
+    val rows = SparkEntry.queries("q116_vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .select("rank", "cov_bp").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.size <= 16)
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => a <= b; case _ => true })
+    assert(rows.last._2 <= 10000L)
+  }
+
+  test("q118 leakage join broadcasts the test-split shingle set") {
+    val plan = SparkEntry.queries("q118_split_leakage")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast of test shingles:\n$plan")
+  }
+
+  test("entropy gate keeps only docs at/above 3.0 nats and never exceeds ln(n)") {
+    val rows = SparkEntry.queries("q117_entropy_gate")(spark, "/root/testdata/sf0.001")
+      .select("n_toks", "ent_e6").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, e) =>
+      assert(e >= 3000000L)
+      assert(e <= math.floor(math.log(n.toDouble) * 1000000.0).toLong)
+    }
+  }
+}
