@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Dedup
 
-/** Round-8 batch (q115–q118): the train/eval-split family a training-
-  * data pipeline needs between curation and tokenization — holdout
-  * assignment, vocabulary induction, an information-density gate, and
-  * the split-leakage audit. The reference's design commits to QA +
-  * dedup + reporting stages over ingested records
+/** Round-8 batch (q115–q121): the split/tokenizer-prep and corpus-
+  * diagnostic family a training-data pipeline needs between curation
+  * and tokenization — holdout assignment, vocabulary induction, an
+  * information-density gate, the split-leakage audit, per-language
+  * OOV fairness, the duplicate-cluster spectrum, and per-source
+  * boilerplate spans. The reference's design commits to QA + dedup +
+  * reporting stages over ingested records
   * (/root/reference/docs/system-plan.md:23-32); these extend that
-  * contract to the split/tokenizer-prep steps. All four carry full
-  * DuckDB oracles.
+  * contract to the split/tokenizer-prep steps. All carry full DuckDB
+  * oracles.
   *
   * Scale shapes:
   *  - q115: split assignment is a stateless per-row hash — no RNG
@@ -35,6 +37,15 @@ import graft.operators.Dedup
   *  - q118: the test split's distinct shingle set is eval-sized by
   *    construction, so it broadcasts (the q68 decontamination shape):
   *    the train side streams once with no shuffle of corpus shingles.
+  *  - q119: the top-K vocab is K rows by construction — it broadcasts
+  *    against the token stream; the aggregate is |langs| rows.
+  *  - q120: two hash aggregates, the first map-side combined to the
+  *    distinct-digest count, the second to the spectrum's support
+  *    (≤ max cluster size) — text never crosses an exchange, only
+  *    16-byte digests.
+  *  - q121: distinct (doc, span) pairs flow into a (source, span)
+  *    hash aggregate; the ranking window is partitioned by source
+  *    over the df-filtered aggregate (the q70 per-group-topk shape).
   */
 object SplitQueries {
   import QueryDef._
@@ -167,6 +178,80 @@ object SplitQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_leak"))
           .orderBy("doc_id")
+    },
+
+    // Per-language OOV fairness: the fraction of each language's token
+    // occurrences NOT covered by the global top-K vocabulary (q116's
+    // ranking, same tiebreak) — the readout that shows a
+    // frequency-built vocab starving low-resource languages. The K-row
+    // vocab broadcasts; integer basis points (the q116 convention).
+    sql("q119_oov_rate",
+      """WITH tok AS (SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |vc AS (SELECT token FROM (SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank FROM tok GROUP BY token) x WHERE rank <= 16)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(count(*) FILTER (token NOT IN (SELECT token FROM vc)) AS BIGINT) AS n_oov,
+        |       CAST(count(*) FILTER (token NOT IN (SELECT token FROM vc)) * 10000 // count(*) AS BIGINT) AS oov_bp
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val tok = documents(s, d)
+          .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        val w = Window.orderBy(col("tf").desc, col("token"))
+        val vc = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 16)
+          .select(col("token"), lit(1).as("iv"))
+        tok.join(broadcast(vc), Seq("token"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_toks"), col("n_oov"),
+            expr("n_oov * 10000 DIV n_toks").as("oov_bp"))
+          .orderBy("lang")
+    },
+
+    // Duplicate-cluster size spectrum: how many content-identical
+    // clusters exist at each multiplicity (k=1 singletons, k=2 pairs,
+    // …) — the one-table diagnostic that says whether dedup is worth
+    // a pass over this corpus and how much it would remove
+    // (Σ (k−1)·n_clusters over k ≥ 2). Only digests shuffle.
+    sql("q120_dup_spectrum",
+      """WITH g AS (SELECT md5(lower(text)) AS fp, CAST(count(*) AS BIGINT) AS k FROM documents GROUP BY fp)
+        |SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(k) AS BIGINT) AS n_docs
+        |FROM g GROUP BY k ORDER BY k""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("k"))
+          .groupBy(col("k").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"), sum("k").as("n_docs"))
+          .orderBy("cluster_size")
+    },
+
+    // Per-source boilerplate spans: token 4-grams appearing in ≥ 2
+    // DISTINCT documents of the same source (distinct by the q68
+    // array_distinct-per-doc construction), top-3 per source by
+    // document frequency — the table a boilerplate-stripping stage is
+    // driven by (headers, footers, navigation chrome repeat within a
+    // source, not across sources).
+    sql("q121_boilerplate_spans",
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS span FROM t),
+        |c AS (SELECT source, span, CAST(count(*) AS BIGINT) AS df FROM sh WHERE span <> '' GROUP BY source, span),
+        |r AS (SELECT source, span, df, row_number() OVER (PARTITION BY source ORDER BY df DESC, span) AS rn FROM c WHERE df >= 2)
+        |SELECT source, span, df, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin) {
+      (s, d) =>
+        val c = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(Dedup.shingles(col("text"), 4))).as("span"))
+          .filter(col("span") =!= "")
+          .groupBy("source", "span")
+          .agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("source").orderBy(col("df").desc, col("span"))
+        c.filter(col("df") >= 2)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy("source", "rn")
     }
   )
 }

@@ -178,15 +178,13 @@ object TextFunctions {
     * per-row unigram histogram values, with the token identities
     * dropped (entropy and diversity need only the multiset of counts).
     *
-    * This is the zero-shuffle formulation of a per-document histogram:
-    * sort the tokens within the row (O(L log L) per document), take
-    * the start index of every equal-token run, and difference
-    * consecutive starts. The relational alternative — explode +
-    * groupBy(doc, token) — shuffles one row per token occurrence
-    * across the cluster; at 100 TB that exchange IS the job, while
-    * this form streams documents through a scan at CPU speed. The
-    * higher-order functions don't codegen, but they also never leave
-    * the row.
+    * SPEC-ORACLE FORM, not a production path: the lambdas capture the
+    * sorted array, and Catalyst inlines captured expression trees into
+    * each lambda body — the array is re-sorted per ELEMENT, so this
+    * evaluates in O(L² log L) per row (measured: 142 s for q117 at the
+    * 10× corpus). The production entropy path is the native
+    * `UnigramClogcE6Expr` kernel; this form exists as its readable
+    * differential oracle (the tokens/tokensHof convention).
     *
     * Empty/whitespace-only docs yield [] (`sequence(0, n-1)` would
     * count DOWN for n=0 — the guard is load-bearing, and CaseWhen
@@ -211,8 +209,21 @@ object TextFunctions {
     * would be sensitive to run order). Unigram entropy in micro-nats
     * is then `floor(ln(N)·10⁶) − (this DIV N)`: exact integer ops all
     * the way from the floored terms. NULL for empty documents.
+    *
+    * Runs in the native `UnigramClogcE6Expr` kernel (one tokenize +
+    * sort + linear pass per row, codegen- and CSE-eligible); see
+    * [[unigramClogcE6Hof]] for the differential-oracle form and the
+    * kernel's Scaladoc for why the HOF form is quadratic.
     */
   def unigramClogcE6(text: Column): Column =
+    when(size(tokens(text)) === 0, lit(null))
+      .otherwise(graft.plans.UnigramClogcE6Expr.unigram_clogc_e6(text))
+
+  /** Higher-order-function Σ floor(c·ln c·10⁶) — the differential
+    * oracle for `UnigramClogcE6Expr` (see SplitOpsSpec). Quadratic
+    * per row (lambda-capture inlining) — spec scale only.
+    */
+  private[graft] def unigramClogcE6Hof(text: Column): Column =
     when(size(tokens(text)) === 0, lit(null))
       .otherwise(aggregate(tokenRunCounts(text), lit(0L), (acc, c) =>
         acc + floor(c.cast("double") * log(c.cast("double")) * 1000000.0).cast("long")))

@@ -43,6 +43,14 @@ class SplitOpsSpec extends SparkSpec {
     assert(got == Seq(Some(3295836L), Some(0L), None))
   }
 
+  test("native clogc kernel ≡ HOF differential oracle on the corpus") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      TextFunctions.unigramClogcE6($"text").as("native"),
+      TextFunctions.unigramClogcE6Hof($"text").as("hof"))
+    assert(diff.filter(!($"native" <=> $"hof")).isEmpty)
+  }
+
   test("split assignment is a total partition with frozen membership") {
     val d = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q115_stratified_split")(spark, d)
@@ -65,6 +73,46 @@ class SplitOpsSpec extends SparkSpec {
     val plan = SparkEntry.queries("q118_split_leakage")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast of test shingles:\n$plan")
+  }
+
+  test("q117 entropy is computed inside the row: no explode, no aggregate in the plan") {
+    // the relational formulation would show Generate (explode) +
+    // HashAggregate over (doc, token); the per-row form must show
+    // neither — its only exchange is the final presentation sort
+    val plan = SparkEntry.queries("q117_entropy_gate")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"unexpected explode:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
+
+  test("q119 OOV counts are consistent and the vocab join broadcasts") {
+    val df = SparkEntry.queries("q119_oov_rate")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = df.select("n_toks", "n_oov", "oov_bp").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, oov, bp) =>
+      assert(oov <= n && bp == oov * 10000 / n)
+    }
+  }
+
+  test("q120 spectrum conserves the corpus: Σ n_docs = |docs|, n_docs = k·n_clusters") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q120_dup_spectrum")(spark, d)
+      .select("cluster_size", "n_clusters", "n_docs").as[(Long, Long, Long)].collect()
+    rows.foreach { case (k, c, nd) => assert(nd == k * c) }
+    assert(rows.map(_._3).sum == graft.engine.Tables.documents(spark, d).count())
+  }
+
+  test("q121 boilerplate spans: df ≥ 2, ≤ 3 per source, rank ordered by df desc") {
+    val rows = SparkEntry.queries("q121_boilerplate_spans")(spark, "/root/testdata/sf0.001")
+      .select("source", "df", "rn").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, df, rn) => assert(df >= 2 && rn >= 1 && rn <= 3) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRn = g.sortBy(_._3)
+      assert(byRn.map(_._3).toSeq == (1L to byRn.size).toSeq)
+      assert(byRn.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
+    }
   }
 
   test("entropy gate keeps only docs at/above 3.0 nats and never exceeds ln(n)") {
