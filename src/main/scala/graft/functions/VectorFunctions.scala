@@ -62,7 +62,17 @@ object VectorFunctions {
     * arithmetic floor-based: identical IEEE-double results in any
     * engine, which is what the q81 oracle checks.
     */
-  def int8Quantize(v: Column): Column = {
+  def int8Quantize(v: Column): Column =
+    graft.plans.Int8QuantizeExpr.int8_quantize(v)
+
+  /** Higher-order-function quantize — the differential oracle for
+    * `Int8QuantizeExpr` (see FunctionsSpec). NOT a production path:
+    * `amax` is referenced inside the per-element lambda and Catalyst
+    * inlines captured expression trees, so the amax scan re-runs per
+    * element — O(d²) interpreted work per row (the UnigramClogcE6Expr
+    * finding, in vector form).
+    */
+  private[graft] def int8QuantizeHof(v: Column): Column = {
     val amax = absMax(v)
     when(amax.isNull || amax === 0, transform(v, _ => lit(0L)))
       .otherwise(transform(v, x =>
@@ -76,7 +86,14 @@ object VectorFunctions {
   /** Max per-element reconstruction error of [[int8Quantize]]:
     * max_i |x_i − q_i·amax/127| ≤ amax/254 (half a quantization step).
     */
-  def int8Error(v: Column): Column = {
+  def int8Error(v: Column): Column =
+    graft.plans.Int8ErrorExpr.int8_error(v)
+
+  /** Higher-order-function error — the differential oracle for
+    * `Int8ErrorExpr` (see FunctionsSpec). Same O(d²) lambda-capture
+    * caveat as [[int8QuantizeHof]].
+    */
+  private[graft] def int8ErrorHof(v: Column): Column = {
     val amax = absMax(v)
     when(amax.isNull || amax === 0, lit(0.0))
       .otherwise(array_max(transform(v, x => {
@@ -110,7 +127,7 @@ object VectorFunctions {
     */
   def int8AdcScoreHof(v: Column, qwE6: Column): Column =
     floor(coalesce(absMax(v), lit(0.0)) * lit(10000.0)).cast("long") *
-      aggregate(zip_with(int8Quantize(v), qwE6, _ * _), lit(0L), _ + _)
+      aggregate(zip_with(int8QuantizeHof(v), qwE6, _ * _), lit(0L), _ + _)
 
   def signBucket(a: Column, bits: Int): Column =
     graft.plans.SignBucketExpr.sign_bucket(a, bits)

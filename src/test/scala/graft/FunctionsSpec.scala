@@ -288,4 +288,44 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(viaSql === viaCol)
   }
+
+  test("native int8 quantize + error match the HOF formulations in both execution modes") {
+    import spark.implicits._
+    def check(): Unit = {
+      // edge: all-zero vector → zero codes, 0.0 error; empty → empty, 0.0
+      val edge = Seq(Array(0.0f, 0.0f), Array.empty[Float], Array(3.0f, -1.5f, 0.25f))
+        .toDF("v")
+        .select(VectorFunctions.int8Quantize($"v").as("nq"),
+          VectorFunctions.int8QuantizeHof($"v").as("hq"),
+          VectorFunctions.int8Error($"v").as("ne"),
+          VectorFunctions.int8ErrorHof($"v").as("he"))
+        .collect()
+      assert(edge(0).getSeq[Long](0) == Seq(0L, 0L) && edge(0).getSeq[Long](1) == Seq(0L, 0L))
+      assert(edge(1).getSeq[Long](0).isEmpty && edge(1).getSeq[Long](1).isEmpty)
+      assert(edge(0).getDouble(2) == 0.0 && edge(1).getDouble(2) == 0.0)
+      edge.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
+      assert(edge(2).getSeq[Long](0) == edge(2).getSeq[Long](1))
+      // full corpus differential, exact equality (quantize is integer;
+      // error follows the identical double association order per element)
+      val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val diff = emb.select(
+        VectorFunctions.int8Quantize($"embedding").as("nq"),
+        VectorFunctions.int8QuantizeHof($"embedding").as("hq"),
+        VectorFunctions.int8Error($"embedding").as("ne"),
+        VectorFunctions.int8ErrorHof($"embedding").as("he"))
+        .filter(not($"nq" === $"hq") || not($"ne" === $"he"))
+      assert(diff.count() === 0)
+    }
+    check()
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
 }
