@@ -35,7 +35,18 @@ object Bench {
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
     // two passes, min per query: pass 1 absorbs each plan's one-time
     // codegen/JIT cost, so the reported number is the steady-state time
-    // — the quantity that scales to repeated production runs
+    // — the quantity that scales to repeated production runs.
+    //
+    // Metric semantics: count() is the action, so Catalyst prunes
+    // projection columns that feed neither a filter, join, aggregate,
+    // nor sort — a pure-projection query (q81's quantize rendering,
+    // q71's masking) is timed as its scan, not its full compute
+    // (measured via tools/CountProbe: q81 0.14 s counted vs 1.15 s
+    // fully evaluated at sf0.1; sort-/filter-rooted queries like q102
+    // are identical both ways). This is the round-1 contract kept for
+    // cross-round comparability; per-op compute costs for
+    // projection-only paths are measured in their specs/probes, not
+    // here.
     val passes = (1 to 2).map { pass =>
       selected.map { case (name, fn) =>
         System.err.println(s"[bench] start $name (pass $pass)")
