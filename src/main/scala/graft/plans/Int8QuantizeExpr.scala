@@ -28,7 +28,10 @@ private[plans] trait Int8VectorKernel { self: UnaryExpression =>
       case _ => arr.getDouble(i)
     }
 
-  /** max |v_i| over non-null elements (0.0 when all null/empty). */
+  /** max |v_i| over non-null FINITE elements (0.0 when none; NaN/±Inf
+    * are corrupt-data markers, not scale candidates — see the
+    * non-finite divergence note on [[Int8QuantizeExpr]]).
+    */
   protected def amaxOf(v: ArrayData): Double = {
     val n = v.numElements()
     var amax = 0.0
@@ -36,7 +39,7 @@ private[plans] trait Int8VectorKernel { self: UnaryExpression =>
     while (i < n) {
       if (!(vecType.containsNull && v.isNullAt(i))) {
         val a = math.abs(read(v, i))
-        if (a > amax) amax = a
+        if (java.lang.Double.isFinite(a) && a > amax) amax = a
       }
       i += 1
     }
@@ -62,6 +65,15 @@ private[plans] trait Int8VectorKernel { self: UnaryExpression =>
   * Null semantics (matches the HOF form): null array → null; empty
   * array → empty; a null ELEMENT passes through as a null element
   * and is skipped by the amax scan.
+  *
+  * Sole divergence from the HOF form: NON-FINITE elements. The HOF
+  * chain poisons the whole vector (Spark's array_max ranks NaN above
+  * everything, so amax goes NaN/Inf and every code degrades through
+  * floor(NaN) → 0); this kernel excludes non-finite values from the
+  * amax scan and 0-codes them, quantizing the remaining finite
+  * elements normally — the saner contract for a corrupt element in an
+  * otherwise-good embedding, pinned by spec. The embeddings data
+  * contract is finite floats, so the corpus differential is exact.
   */
 case class Int8QuantizeExpr(child: Expression)
     extends UnaryExpression with Int8VectorKernel {
@@ -80,8 +92,12 @@ case class Int8QuantizeExpr(child: Expression)
     var i = 0
     while (i < n) {
       if (vecType.containsNull && v.isNullAt(i)) out(i) = null
-      else if (amax == 0.0) out(i) = 0L
-      else out(i) = math.floor(read(v, i) * 127.0 / amax + 0.5).toLong
+      else {
+        val xd = read(v, i)
+        out(i) =
+          if (amax == 0.0 || !java.lang.Double.isFinite(xd)) 0L
+          else math.floor(xd * 127.0 / amax + 0.5).toLong
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -130,8 +146,10 @@ case class Int8ErrorExpr(child: Expression)
     while (i < n) {
       if (!(vecType.containsNull && v.isNullAt(i))) {
         val xd = read(v, i)
-        val e = math.abs(xd - math.floor(xd * 127.0 / amax + 0.5) * amax / 127.0)
-        if (e > err) err = e
+        if (java.lang.Double.isFinite(xd)) {
+          val e = math.abs(xd - math.floor(xd * 127.0 / amax + 0.5) * amax / 127.0)
+          if (e > err) err = e
+        }
       }
       i += 1
     }

@@ -305,6 +305,16 @@ class FunctionsSpec extends SparkSpec {
       assert(edge(0).getDouble(2) == 0.0 && edge(1).getDouble(2) == 0.0)
       edge.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
       assert(edge(2).getSeq[Long](0) == edge(2).getSeq[Long](1))
+      // documented divergence: a non-finite ELEMENT poisons the whole
+      // vector in the HOF chain but is excluded/0-coded by the kernel,
+      // which quantizes the remaining finite elements normally
+      val nf = Seq(Array(Float.NaN, 1.0f), Array(Float.PositiveInfinity, -2.0f, 1.0f))
+        .toDF("v")
+        .select(VectorFunctions.int8Quantize($"v").as("nq"),
+          VectorFunctions.int8Error($"v").as("ne"))
+        .collect()
+      assert(nf(0).getSeq[Long](0) == Seq(0L, 127L) && nf(0).getDouble(1) == 0.0)
+      assert(nf(1).getSeq[Long](0) == Seq(0L, -127L, 64L))
       // full corpus differential, exact equality (quantize is integer;
       // error follows the identical double association order per element)
       val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
