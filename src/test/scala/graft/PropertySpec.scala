@@ -127,4 +127,60 @@ class PropertySpec extends SparkSpec {
       Chemistry.normalize(n1) == n1 && Chemistry.stripSalt(s).nonEmpty
     }, "normalize idempotent")
   }
+
+  test("property: entropy kernel matches a plain-Scala histogram on generated docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    // one Spark job over many generated rows (the scaledJoin pattern):
+    // random docs over a small vocab (forces repeated tokens), plus
+    // whitespace-noise edges; expected value computed independently in
+    // plain Scala from a HashMap histogram
+    val vocab = Vector("a", "bb", "ccc", "déjà", "x1", "zz")
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 120).map { i =>
+      val n = rnd.nextInt(40)
+      val sep = if (i % 7 == 0) "  " else " "
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(sep) +
+        (if (i % 13 == 0) " \t" else ""))
+    }
+    val got = docs.toDF("i", "text")
+      .select(col("i"), TextFunctions.unigramClogcE6(col("text")).as("clogc"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    docs.foreach { case (i, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val want =
+        if (toks.isEmpty) None
+        else Some(toks.groupBy(identity).values
+          .map(g => math.floor(g.length.toDouble * math.log(g.length.toDouble) * 1000000.0).toLong)
+          .sum)
+      assert(got(i) == want, s"doc $i: got ${got(i)}, want $want")
+    }
+  }
+
+  test("property: int8 codes bounded by ±127 and error within amax/254 on random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 100).map { i =>
+      val d = 1 + rnd.nextInt(24)
+      (i, Array.fill(d)((rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(7) - 3).toFloat))
+    }
+    val rows = vecs.toDF("i", "v")
+      .select(col("i"),
+        VectorFunctions.int8Quantize(col("v")).as("q"),
+        VectorFunctions.int8Error(col("v")).as("err"),
+        VectorFunctions.absMax(col("v")).as("amax"))
+      .collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Long](1)
+      val amax = r.getDouble(3)
+      assert(q.forall(c => c >= -127L && c <= 127L), s"codes out of range: $q")
+      // ⌊x·127/amax + ½⌋ rounds to nearest: max reconstruction error is
+      // half a step = amax/254 (1 ulp slack for the double arithmetic)
+      assert(r.getDouble(2) <= amax / 254.0 * (1 + 1e-12) + java.lang.Math.ulp(amax),
+        s"error ${r.getDouble(2)} exceeds ${amax / 254.0}")
+    }
+  }
 }
