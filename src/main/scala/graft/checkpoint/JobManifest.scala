@@ -79,6 +79,54 @@ object JobManifest {
       conf: Configuration = new Configuration()): Boolean =
     load(root, source, conf).exists(_.completed)
 
+  // -- snapshot / restore-validation (system-plan.md §6 disaster
+  // recovery: "periodic snapshotting of checkpoints … to remote
+  // storage" + "validation scripts to ensure snapshots are
+  // restorable"). Hadoop-FS paths throughout, so the destination can
+  // be any configured store (local, hdfs, s3a, …). ---------------------
+
+  /** Copy every source checkpoint under `root` into `destDir`
+    * (created if absent). Each file is re-written via the same
+    * tmp+atomic-commit protocol as [[store]], so a crashed snapshot
+    * never leaves a half-written checkpoint to restore from. Returns
+    * the snapshotted source names, sorted.
+    */
+  def snapshot(root: String, destDir: String,
+      conf: Configuration = new Configuration()): Seq[String] = {
+    val rootPath = new Path(root)
+    val f = fs(rootPath, conf)
+    if (!f.exists(rootPath)) return Seq.empty
+    val sources = f.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName.stripSuffix(".json"))
+      .sorted
+    sources.foreach { src =>
+      load(root, src, conf).foreach(cp => store(destDir, src, cp, conf))
+    }
+    sources
+  }
+
+  /** Validate that a snapshot directory is restorable: every
+    * checkpoint file must parse back into a [[Checkpoint]]. Returns
+    * (restorable sources, corrupt file names) — a non-empty second
+    * component means the snapshot must not be trusted for recovery.
+    */
+  def validateSnapshot(dir: String,
+      conf: Configuration = new Configuration()): (Seq[String], Seq[String]) = {
+    val dirPath = new Path(dir)
+    val f = fs(dirPath, conf)
+    if (!f.exists(dirPath)) return (Seq.empty, Seq.empty)
+    val files = f.listStatus(dirPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    val (ok, bad) = files.partition { name =>
+      load(dir, name.stripSuffix(".json"), conf).isDefined
+    }
+    (ok.map(_.stripSuffix(".json")), bad)
+  }
+
   def markCompleted(root: String, source: String, batchIndex: Int,
       conf: Configuration = new Configuration()): Unit =
     store(root, source, Checkpoint(Map.empty, batchIndex, completed = true), conf)

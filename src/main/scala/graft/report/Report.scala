@@ -113,4 +113,54 @@ object Report {
     }
     sb.result()
   }
+
+  /** Minimal HTML escaping for text interpolated into [[renderHtml]]
+    * (source names and directories are externally-supplied strings).
+    */
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** HTML report (system-plan.md:29 commits the report engine to
+    * "Markdown/HTML/PDF"; PDF is a print stylesheet away and out of
+    * scope for a headless library). Same data, same S26 source
+    * ordering and golden content as [[render]] — the HTML is
+    * generated from the identical summaries so the two formats can
+    * never drift apart.
+    */
+  def renderHtml(summaries: Seq[SourceSummary],
+      now: Instant = Instant.now(),
+      configHash: Option[String] = None): String = {
+    val ts = DateTimeFormatter.ISO_INSTANT.format(now.atOffset(ZoneOffset.UTC))
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">")
+    sb.append("<title>Raw Data Report</title></head><body>\n")
+    sb.append("<h1>Raw Data Report</h1>\n")
+    sb.append(s"<p>Generated: $ts</p>\n")
+    configHash.filter(_.nonEmpty).foreach(h =>
+      sb.append(s"<p>Config hash: <code>${esc(h)}</code></p>\n"))
+    if (summaries.isEmpty) {
+      sb.append("<p>No sources were executed.</p>\n</body></html>\n")
+      return sb.result()
+    }
+    sb.append("<table><thead><tr><th>source</th><th>type</th><th>completed</th>")
+    sb.append("<th>total batches</th><th>batches written</th><th>records written</th></tr></thead><tbody>\n")
+    summaries.sortBy(_.name).foreach { s =>
+      val yes = if (s.completed) "yes" else "no"
+      sb.append(s"<tr><td>${esc(s.name)}</td><td>${esc(s.sourceType)}</td><td>$yes</td>")
+      sb.append(s"<td>${s.totalBatches}</td><td>${s.batchesWritten}</td><td>${s.recordsWritten}</td></tr>\n")
+    }
+    sb.append("</tbody></table>\n")
+    summaries.sortBy(_.name).foreach { s =>
+      sb.append(s"<h2>${esc(s.name)}</h2>\n<ul>\n")
+      s.output.foreach { d =>
+        sb.append(s"<li>output: ${esc(d.directory)} (${d.fileCount} files, ${formatBytes(d.totalBytes)})</li>\n")
+      }
+      s.downloads.foreach { d =>
+        sb.append(s"<li>downloads: ${esc(d.directory)} (${d.fileCount} files, ${formatBytes(d.totalBytes)})</li>\n")
+      }
+      sb.append("</ul>\n")
+    }
+    sb.append("</body></html>\n")
+    sb.result()
+  }
 }

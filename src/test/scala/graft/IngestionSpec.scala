@@ -52,6 +52,39 @@ class IngestionSpec extends SparkSpec {
     assert(JobManifest.isCompleted(root, "src"))
   }
 
+  test("checkpoint snapshot is restorable; corruption is detected, not restored") {
+    val root = tmpDir("cp_snap")
+    val snap = tmpDir("cp_snap_dest")
+    JobManifest.store(root, "alpha",
+      JobManifest.Checkpoint(Map("cursor" -> "p3"), 3, completed = false))
+    JobManifest.store(root, "beta",
+      JobManifest.Checkpoint(Map.empty, 7, completed = true))
+    assert(JobManifest.snapshot(root, snap) === Seq("alpha", "beta"))
+    // validation: both restorable, values identical to the originals
+    assert(JobManifest.validateSnapshot(snap) === (Seq("alpha", "beta"), Seq.empty))
+    Seq("alpha", "beta").foreach { s =>
+      assert(JobManifest.load(snap, s) === JobManifest.load(root, s))
+    }
+    // a corrupt file in the snapshot must be REPORTED (a DR restore
+    // from it would silently re-ingest from scratch), never listed ok
+    Files.writeString(Paths.get(s"$snap/gamma.json"), "{not json")
+    val (ok, bad) = JobManifest.validateSnapshot(snap)
+    assert(ok === Seq("alpha", "beta") && bad === Seq("gamma.json"))
+    // snapshotting an empty/missing root is a no-op, not an error
+    assert(JobManifest.snapshot(tmpDir("cp_snap_none") + "/missing", snap).isEmpty)
+  }
+
+  test("HTML report carries the Markdown goldens and escapes external strings") {
+    val s = Report.SourceSummary("zinc<a>", "delimited", completed = true,
+      totalBatches = 2, batchesWritten = 2, recordsWritten = 3,
+      output = Some(Report.DirectorySummary("/out/zinc", 2, 2048)), downloads = None)
+    val html = Report.renderHtml(Seq(s), configHash = Some("abc123"))
+    assert(html.contains("<td>zinc&lt;a&gt;</td>") && !html.contains("zinc<a>"))
+    assert(html.contains("<td>delimited</td>") && html.contains("<td>yes</td>"))
+    assert(html.contains("2.00 KB") && html.contains("abc123"))
+    assert(Report.renderHtml(Nil).contains("No sources were executed."))
+  }
+
   test("ingest end-to-end: batch files, checkpoint, golden report line, idempotent rerun") {
     val dir = tmpDir("e2e")
     val data = s"$dir/data.tsv"
