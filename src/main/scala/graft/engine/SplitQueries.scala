@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Dedup
 
-/** Round-8 batch (q115–q121): the split/tokenizer-prep and corpus-
+/** Round-8 batch (q115–q122): the split/tokenizer-prep and corpus-
   * diagnostic family a training-data pipeline needs between curation
   * and tokenization — holdout assignment, vocabulary induction, an
   * information-density gate, the split-leakage audit, per-language
@@ -46,6 +46,10 @@ import graft.operators.Dedup
   *  - q121: distinct (doc, span) pairs flow into a (source, span)
   *    hash aggregate; the ranking window is partitioned by source
   *    over the df-filtered aggregate (the q70 per-group-topk shape).
+  *  - q122: the flagged-span set is bounded (top-k per source), so it
+  *    collects driver-side and bakes into a native expression — the
+  *    strip itself is a per-row hash-probe scan, zero joins, zero
+  *    shuffles; at 100 TB it runs at tokenize speed.
   */
 object SplitQueries {
   import QueryDef._
@@ -252,6 +256,65 @@ object SplitQueries {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .orderBy("source", "rn")
+    },
+
+    // Boilerplate STRIP — the stage q121's table drives: greedy
+    // single-pass removal of the flagged spans from every document
+    // (native kernel; single-pass is the production semantic — removal
+    // can form new flagged adjacencies and those survive, see the
+    // kernel's Scaladoc). The flagged set is bounded by construction
+    // (top-3 per source), so it is collected driver-side and baked
+    // into the expression as a static set (the q97 driver-sized
+    // precedent) — a per-row hash probe, no join, no shuffle. The
+    // oracle replays the exact greedy walk with a recursive CTE over
+    // token positions, so Spark's kernel is hash-checked against an
+    // independent implementation of the same procedure.
+    sql("q122_boilerplate_strip",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+3), ' ') FOR i IN range(1, len(toks)-2)] END)) AS span
+        |   FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)),
+        |c AS (SELECT source, span, count(*) AS df FROM sh WHERE span <> '' GROUP BY 1, 2),
+        |flagged AS (SELECT DISTINCT span FROM (
+        |  SELECT source, span, df, row_number() OVER (PARTITION BY source ORDER BY df DESC, span) AS rn
+        |  FROM c WHERE df >= 2) x WHERE rn <= 3),
+        |walk AS (
+        |  WITH RECURSIVE w(doc_id, pos, kept) AS (
+        |    SELECT doc_id, 1, CAST([] AS VARCHAR[]) FROM t
+        |    UNION ALL
+        |    SELECT w.doc_id,
+        |      CASE WHEN w.pos + 3 <= len(t.toks)
+        |             AND array_to_string(list_slice(t.toks, w.pos, w.pos+3), ' ') IN (SELECT span FROM flagged)
+        |           THEN w.pos + 4 ELSE w.pos + 1 END,
+        |      CASE WHEN w.pos + 3 <= len(t.toks)
+        |             AND array_to_string(list_slice(t.toks, w.pos, w.pos+3), ' ') IN (SELECT span FROM flagged)
+        |           THEN w.kept ELSE list_append(w.kept, t.toks[w.pos]) END
+        |    FROM w JOIN t USING (doc_id)
+        |    WHERE w.pos <= len(t.toks))
+        |  SELECT w.doc_id, array_to_string(w.kept, ' ') AS cleaned,
+        |         CAST(len(t.toks) - len(w.kept) AS BIGINT) AS n_removed
+        |  FROM w JOIN t USING (doc_id) WHERE w.pos = len(t.toks) + 1)
+        |SELECT doc_id, cleaned, n_removed FROM walk ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        // same flagged set as q121, deduped across sources; ≤ 3·|sources|
+        // strings by construction — safe to collect
+        val c = docs
+          .select(col("source"),
+            explode(array_distinct(Dedup.shingles(col("text"), 4))).as("span"))
+          .filter(col("span") =!= "")
+          .groupBy("source", "span")
+          .agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("source").orderBy(col("df").desc, col("span"))
+        val spans = c.filter(col("df") >= 2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("span").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val cleaned = graft.plans.BoilerplateStripExpr.boilerplate_strip(col("text"), spans, 4)
+        docs.select(col("doc_id"), cleaned.as("cleaned"),
+          (TextFunctions.tokenCount(col("text")) - TextFunctions.tokenCount(cleaned)).as("n_removed"))
+          .orderBy("doc_id")
     }
   )
 }

@@ -115,6 +115,29 @@ class SplitOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate strip: greedy single-pass semantics, hand-computed") {
+    import graft.plans.BoilerplateStripExpr.boilerplate_strip
+    val spans = Seq("a b c d", "a b a b")
+    val got = Seq(
+      "x a b c d y",          // simple removal mid-doc
+      "a b c d a b c d",      // adjacent occurrences both removed
+      "a b a a b a b b a b",  // greedy: hit at pos 3 only; the REJOINED
+                              //   text contains "a b a b" — single-pass
+                              //   survival, the documented semantic
+      "a b c",                // shorter than the window: untouched
+      ""                      // empty → empty
+    ).toDF("text")
+      .select(boilerplate_strip($"text", spans, 4).as("c")).as[String].collect().toSeq
+    assert(got == Seq("x y", "", "a b a b a b", "a b c", ""))
+  }
+
+  test("q122 output is consistent: n_removed = token delta, multiples of the window") {
+    val rows = SparkEntry.queries("q122_boilerplate_strip")(spark, "/root/testdata/sf0.001")
+      .select("n_removed").as[Long].collect()
+    assert(rows.exists(_ > 0), "fixture must exercise actual removal")
+    rows.foreach(r => assert(r >= 0 && r % 4 == 0))
+  }
+
   test("entropy gate keeps only docs at/above 3.0 nats and never exceeds ln(n)") {
     val rows = SparkEntry.queries("q117_entropy_gate")(spark, "/root/testdata/sf0.001")
       .select("n_toks", "ent_e6").as[(Long, Long)].collect()
