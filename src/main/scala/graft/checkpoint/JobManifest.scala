@@ -89,22 +89,45 @@ object JobManifest {
     * (created if absent). Each file is re-written via the same
     * tmp+atomic-commit protocol as [[store]], so a crashed snapshot
     * never leaves a half-written checkpoint to restore from. Returns
-    * the snapshotted source names, sorted.
+    * (copied, failed), both sorted: `copied` lists only the sources
+    * whose checkpoint was actually parsed and stored in `destDir`;
+    * `failed` lists sources whose file exists but did not parse. A
+    * non-empty `failed` means the snapshot is incomplete — a DR
+    * restore from it would silently re-ingest those sources from
+    * scratch, so callers must surface it (mirrors the
+    * (restorable, corrupt) contract of [[validateSnapshot]]).
     */
   def snapshot(root: String, destDir: String,
-      conf: Configuration = new Configuration()): Seq[String] = {
+      conf: Configuration = new Configuration()): (Seq[String], Seq[String]) = {
     val rootPath = new Path(root)
     val f = fs(rootPath, conf)
-    if (!f.exists(rootPath)) return Seq.empty
+    if (!f.exists(rootPath)) return (Seq.empty, Seq.empty)
     val sources = f.listStatus(rootPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName.stripSuffix(".json"))
       .sorted
-    sources.foreach { src =>
-      load(root, src, conf).foreach(cp => store(destDir, src, cp, conf))
+    val (copied, failed) = sources.partition { src =>
+      load(root, src, conf) match {
+        case Some(cp) => store(destDir, src, cp, conf); true
+        case None => false
+      }
     }
-    sources
+    (copied, failed)
+  }
+
+  /** [[validateSnapshot]] variant that also checks completeness
+    * against the expected source list: a source that was supposed to
+    * be snapshotted but has no file in `dir` is as fatal for DR as a
+    * corrupt one, and plain validateSnapshot cannot see it. Returns
+    * (restorable, corrupt ++ missing-as-"<name>.json (missing)").
+    */
+  def validateSnapshot(dir: String, expected: Seq[String],
+      conf: Configuration): (Seq[String], Seq[String]) = {
+    val (ok, bad) = validateSnapshot(dir, conf)
+    val missing = expected.filterNot(ok.contains)
+      .map(n => s"$n.json (missing)").sorted
+    (ok, bad ++ missing)
   }
 
   /** Validate that a snapshot directory is restorable: every

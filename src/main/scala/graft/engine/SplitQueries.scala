@@ -23,10 +23,10 @@ import graft.operators.Dedup
   *    (the q69 property); the report aggregate is map-side combined
   *    to |source × lang × split| rows.
   *  - q116: one explode feeding a hash aggregate that partial-
-  *    aggregates down to vocabulary size; the ranking window then
-  *    runs over the VOCAB-sized aggregate (single partition by
-  *    design — same argument as q90's shortlist: the corpus-sized
-  *    side never reaches the window).
+  *    aggregates down to vocabulary size; the ranking is the
+  *    two-level banded scheme ([[rankVocab]]) — no single-partition
+  *    sort anywhere, even when the raw vocabulary is itself
+  *    corpus-like (the web-scale typo/number/URL tail).
   *  - q117: entropy is computed inside each row (sorted-run-length
   *    histogram, `TextFunctions.tokenRunCounts`) — zero exchange;
   *    the relational explode+groupBy(doc, token) alternative shuffles
@@ -74,6 +74,54 @@ object SplitQueries {
       |     WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '1a' THEN 'valid'
       |     ELSE 'train' END""".stripMargin
 
+  /** Two-level top-K frequency ranking over a (token, tf) aggregate:
+    * rank + running tf sum under the total order (tf DESC, token),
+    * without EVER sorting the whole vocabulary in one partition.
+    * At web scale the raw unigram vocabulary (typos, numbers, URLs)
+    * is itself corpus-like — a bare `Window.orderBy(tf desc)` puts
+    * all of it through one task. Instead (the `Packing.packCounts`
+    * two-level-scan shape, applied to ranking):
+    *
+    *  1. tokens are banded by floor(log2(tf)) — monotone in tf, so
+    *     band DESC refines the global order and bands are disjoint
+    *     tf ranges;
+    *  2. per-band (count, Σtf) aggregates to ≤ 64 rows (tf < 2⁶⁴);
+    *     the prefix offsets across bands are a window over THAT
+    *     relation — bounded by construction, like the bucket-offset
+    *     window in `Packing.packCounts`;
+    *  3. bands whose count-offset ≥ K are pruned BEFORE the ranking
+    *     window (an inner broadcast join) — in particular the tf=1
+    *     band, which holds most of a web vocabulary, never reaches a
+    *     sort — and rank-within-band (a window PARTITIONED BY band)
+    *     plus the band's offset is the exact global rank.
+    *
+    * Bit-identical to the naive global window (same total order), so
+    * the q116/q119 oracle hashes are unchanged; `SplitPlanSpec`
+    * asserts no corpus-sized unpartitioned WindowExec survives.
+    * Returns (token, tf, rank, cum) for rank ≤ k.
+    */
+  private[graft] def rankVocab(vc: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val banded = vc.withColumn("band",
+      floor(log2(col("tf").cast("double"))).cast("long"))
+    val wb = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy("band")
+      .agg(count(lit(1)).as("bn"), sum("tf").as("bs"))
+      .withColumn("cnt_off", coalesce(sum("bn").over(wb), lit(0L)))
+      .withColumn("sum_off", coalesce(sum("bs").over(wb), lit(0L)))
+      .filter(col("cnt_off") < k)
+      .select("band", "cnt_off", "sum_off")
+    val w = Window.partitionBy("band").orderBy(col("tf").desc, col("token"))
+    banded.join(broadcast(offsets), "band")
+      .withColumn("rank", (row_number().over(w) + col("cnt_off")).cast("long"))
+      .withColumn("cum",
+        sum("tf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("sum_off"))
+      .filter(col("rank") <= k)
+      .select(col("token"), col("tf"), col("rank"), col("cum"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Stratified split report: doc/char counts per (source, lang,
@@ -111,12 +159,9 @@ object SplitQueries {
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("tf"))
         val tot = vc.agg(sum("tf").as("t"))
-        // vocab-sized input: the single-partition window is bounded by
-        // |vocab|, not the corpus (same shape as the q90 shortlist)
-        val w = Window.orderBy(col("tf").desc, col("token"))
-        vc.withColumn("rank", row_number().over(w).cast("long"))
-          .withColumn("cum", sum("tf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("rank") <= 16)
+        // two-level banded ranking: no whole-vocab single-partition
+        // sort — see rankVocab above
+        rankVocab(vc, 16)
           .crossJoin(broadcast(tot))
           .select(col("rank"), col("token"), col("tf"),
             expr("cum * 10000 DIV t").as("cov_bp"))
@@ -199,10 +244,9 @@ object SplitQueries {
       (s, d) =>
         val tok = documents(s, d)
           .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
-        val w = Window.orderBy(col("tf").desc, col("token"))
-        val vc = tok.groupBy("token").agg(count(lit(1)).as("tf"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 16)
+        // banded two-level ranking (rankVocab): the tf=1 long tail —
+        // most of a web vocabulary — never reaches a sort
+        val vc = rankVocab(tok.groupBy("token").agg(count(lit(1)).as("tf")), 16)
           .select(col("token"), lit(1).as("iv"))
         tok.join(broadcast(vc), Seq("token"), "left")
           .groupBy("lang")

@@ -74,7 +74,12 @@ object VectorFunctions {
     */
   private[graft] def int8QuantizeHof(v: Column): Column = {
     val amax = absMax(v)
-    when(amax.isNull || amax === 0, transform(v, _ => lit(0L)))
+    // amax==0 branch preserves null ELEMENTS (when(x.isNull, …)) so
+    // the HOF matches the kernel's null contract on that branch too —
+    // a bare `transform(v, _ => lit(0L))` would 0-code them, a
+    // divergence the [null, 0.0] edge row in FunctionsSpec pins.
+    when(amax.isNull || amax === 0,
+      transform(v, x => when(x.isNull, lit(null)).otherwise(lit(0L))))
       .otherwise(transform(v, x =>
         floor(x.cast("double") * lit(127.0) / amax + lit(0.5))))
   }

@@ -64,7 +64,11 @@ private[plans] trait Int8VectorKernel { self: UnaryExpression =>
   *
   * Null semantics (matches the HOF form): null array → null; empty
   * array → empty; a null ELEMENT passes through as a null element
-  * and is skipped by the amax scan.
+  * and is skipped by the amax scan — on EVERY branch, including
+  * amax = 0 (all elements null or zero), where non-null elements
+  * 0-code but null elements stay null. The HOF oracle mirrors this
+  * explicitly (`when(x.isNull, …)` in its amax==0 branch) and the
+  * [null, 0.0] edge row in FunctionsSpec pins the agreement.
   *
   * Sole divergence from the HOF form: NON-FINITE elements. The HOF
   * chain poisons the whole vector (Spark's array_max ranks NaN above

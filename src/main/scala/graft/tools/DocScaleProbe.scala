@@ -31,7 +31,10 @@ object DocScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val destDocs = s"$dest/documents.parquet"
-    if (!new java.io.File(destDocs).exists()) {
+    // Reuse only a COMPLETE prior write: the _SUCCESS marker is the
+    // Spark/Hadoop commit signal — a bare directory left by a crashed
+    // partial write must be regenerated, not timed against.
+    if (!new java.io.File(s"$destDocs/_SUCCESS").exists()) {
       System.err.println(s"[docscale] generating factor-$factor documents into $dest")
       ScaleGen.scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor)
         .coalesce(32).write.mode(SaveMode.Overwrite).parquet(destDocs)

@@ -305,6 +305,15 @@ class FunctionsSpec extends SparkSpec {
       assert(edge(0).getDouble(2) == 0.0 && edge(1).getDouble(2) == 0.0)
       edge.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
       assert(edge(2).getSeq[Long](0) == edge(2).getSeq[Long](1))
+      // edge: amax==0 with a null ELEMENT — null stays null (is NOT
+      // 0-coded) in BOTH forms; the non-null zero still 0-codes
+      val nullEdge = Seq(Seq[java.lang.Double](null, 0.0))
+        .toDF("v")
+        .select(VectorFunctions.int8Quantize($"v").as("nq"),
+          VectorFunctions.int8QuantizeHof($"v").as("hq"))
+        .collect()(0)
+      assert(nullEdge.getSeq[java.lang.Long](0) == Seq(null, 0L))
+      assert(nullEdge.getSeq[java.lang.Long](0) == nullEdge.getSeq[java.lang.Long](1))
       // documented divergence: a non-finite ELEMENT poisons the whole
       // vector in the HOF chain but is excluded/0-coded by the kernel,
       // which quantizes the remaining finite elements normally

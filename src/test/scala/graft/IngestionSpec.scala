@@ -59,7 +59,7 @@ class IngestionSpec extends SparkSpec {
       JobManifest.Checkpoint(Map("cursor" -> "p3"), 3, completed = false))
     JobManifest.store(root, "beta",
       JobManifest.Checkpoint(Map.empty, 7, completed = true))
-    assert(JobManifest.snapshot(root, snap) === Seq("alpha", "beta"))
+    assert(JobManifest.snapshot(root, snap) === (Seq("alpha", "beta"), Seq.empty))
     // validation: both restorable, values identical to the originals
     assert(JobManifest.validateSnapshot(snap) === (Seq("alpha", "beta"), Seq.empty))
     Seq("alpha", "beta").foreach { s =>
@@ -70,8 +70,18 @@ class IngestionSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$snap/gamma.json"), "{not json")
     val (ok, bad) = JobManifest.validateSnapshot(snap)
     assert(ok === Seq("alpha", "beta") && bad === Seq("gamma.json"))
+    // a SOURCE-side unparseable checkpoint must be reported by
+    // snapshot itself, not silently skipped while claiming success —
+    // and the expected-list validation must catch the resulting hole
+    Files.writeString(Paths.get(s"$root/delta.json"), "{not json")
+    val snap2 = tmpDir("cp_snap_dest2")
+    assert(JobManifest.snapshot(root, snap2) ===
+      (Seq("alpha", "beta"), Seq("delta")))
+    val (ok2, bad2) = JobManifest.validateSnapshot(
+      snap2, Seq("alpha", "beta", "delta"), new org.apache.hadoop.conf.Configuration())
+    assert(ok2 === Seq("alpha", "beta") && bad2 === Seq("delta.json (missing)"))
     // snapshotting an empty/missing root is a no-op, not an error
-    assert(JobManifest.snapshot(tmpDir("cp_snap_none") + "/missing", snap).isEmpty)
+    assert(JobManifest.snapshot(tmpDir("cp_snap_none") + "/missing", snap)._1.isEmpty)
   }
 
   test("HTML report carries the Markdown goldens and escapes external strings") {

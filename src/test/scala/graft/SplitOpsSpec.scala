@@ -69,6 +69,54 @@ class SplitOpsSpec extends SparkSpec {
     assert(rows.last._2 <= 10000L)
   }
 
+  test("rankVocab matches the naive global ranking window, including ties and skew") {
+    // heavy tf=1 tail (the web-vocab shape), duplicate tf values both
+    // within and across log2 bands, and tie-break-on-token cases
+    val vc = (Seq(("the", 900L), ("of", 512L), ("and", 512L), ("a", 511L),
+      ("to", 300L), ("in", 64L), ("is", 64L), ("it", 63L), ("on", 7L),
+      ("at", 7L), ("by", 7L), ("or", 2L), ("an", 1L)) ++
+      (1 to 500).map(i => (f"tail$i%04d", 1L))).toDF("token", "tf")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"tf".desc, $"token")
+    val naive = vc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("tf").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .filter($"rank" <= 16)
+      .select("token", "tf", "rank", "cum")
+    val banded = graft.engine.SplitQueries.rankVocab(vc, 16)
+    assert(banded.count() === 16)
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
+
+  test("q116/q119 plans have no corpus-sized unpartitioned window") {
+    // the only unpartitioned WindowExec allowed is the ≤64-row band-
+    // offset prefix (outputs band/cnt_off/sum_off, never the token);
+    // the token-carrying ranking window must be PARTITIONED (by band)
+    for (q <- Seq("q116_vocab_coverage", "q119_oov_rate")) {
+      // unwrap the AQE root (and any nested adaptive subtrees) or
+      // collect() sees only the AdaptiveSparkPlanExec wrapper
+      def windowsIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            windowsIn(a.executedPlan)
+          case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        }.flatten
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val windows = windowsIn(plan)
+      assert(windows.nonEmpty, s"$q: expected window nodes")
+      val unpartitionedOverTokens = windows.filter(w =>
+        w.partitionSpec.isEmpty &&
+          w.child.output.exists(_.name == "token"))
+      assert(unpartitionedOverTokens.isEmpty,
+        s"$q: token-carrying unpartitioned window:\n$plan")
+      assert(windows.exists(w => w.partitionSpec.nonEmpty),
+        s"$q: expected a band-partitioned ranking window:\n$plan")
+    }
+  }
+
   test("q118 leakage join broadcasts the test-split shingle set") {
     val plan = SparkEntry.queries("q118_split_leakage")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
