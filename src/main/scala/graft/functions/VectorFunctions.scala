@@ -145,4 +145,47 @@ object VectorFunctions {
       zip_with(slice(d(a), 1, bits), sequence(lit(0), lit(bits - 1)),
         (x, i) => when(x >= 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
       lit(0L), _ + _)
+
+  def pqEncode(v: Column, codebookE6: Seq[Long], m: Int, ksub: Int): Column =
+    graft.plans.PqEncodeExpr.pq_encode(v, codebookE6, m, ksub)
+
+  /** Expression-tree PQ encode — the differential oracle for the
+    * native kernel (see PqSpec): per block, `least` over ksub
+    * (distance, code) structs, distances as explicit Σ(v−c)² term
+    * sums. A ~m·ksub·subdim-term static tree — fine as a spec oracle,
+    * unusable as the corpus-scan production path (no loop, no reuse
+    * of the floored elements across the ksub candidates). Non-null
+    * vectors only (struct `least` does not replicate the kernel's
+    * null-poisoning; the kernel's null contract is pinned directly).
+    */
+  private[graft] def pqEncodeHof(v: Column, codebookE6: Seq[Long],
+      m: Int, ksub: Int): Column = {
+    val subdim = codebookE6.length / (m * ksub)
+    (0 until m).map { b =>
+      val best = least((0 until ksub).map { c =>
+        val dist = (0 until subdim).map { j =>
+          val cent = lit(codebookE6((b * ksub + c) * subdim + j))
+          val dv = floor(element_at(v, b * subdim + j + 1).cast("double") *
+            lit(1000000.0)).cast("long") - cent
+          dv * dv
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(c.toLong).as("c"))
+      }: _*)
+      best.getField("c") * lit(1L << (8 * b))
+    }.reduce(_ + _)
+  }
+
+  def pqAdcScore(codes: Column, lutE6: Seq[Long], m: Int, ksub: Int): Column =
+    graft.plans.PqAdcScoreExpr.pq_adc_score(codes, lutE6, m, ksub)
+
+  /** Built-in-function PQ ADC score — the differential oracle for the
+    * native kernel (see PqSpec): per block, element_at into the LUT
+    * literal by the unpacked code.
+    */
+  private[graft] def pqAdcScoreHof(codes: Column, lutE6: Seq[Long],
+      m: Int, ksub: Int): Column =
+    (0 until m).map { b =>
+      element_at(typedLit(lutE6),
+        (lit(b * ksub) + shiftright(codes, 8 * b).bitwiseAND(lit(255L)).cast("int") + lit(1)).cast("int"))
+    }.reduce(_ + _)
 }
