@@ -295,6 +295,51 @@ object DeltaQueries {
           .orderBy("doc_id")
     },
 
+    // Incremental NEAR-dup (the q98 store pattern on MinHash bands):
+    // the delta's new candidate pairs from the band-key probe. Two
+    // Spark-side booleans + one DuckDB-exact count, the q44 contract
+    // shape: matches_full_recompute pins the headline property (probe
+    // output == the delta-touching subset of a from-scratch
+    // minHashCandidates over catalog ∪ delta, both directions);
+    // dup_recall_ok pins that every planted exact-dup pair with a
+    // delta member is found; n_new_dup_pairs is replayed exactly by
+    // the oracle from text equality.
+    sql("q124_incremental_neardup",
+      """WITH delta AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 40),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM delta),
+        |g AS (SELECT text, count(*) AS n FROM corpus GROUP BY text),
+        |m AS (SELECT c.doc_id, c.text FROM corpus c JOIN g ON c.text = g.text WHERE g.n BETWEEN 2 AND 8),
+        |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2 FROM m x JOIN m y ON x.text = y.text AND x.doc_id < y.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_new_dup_pairs, TRUE AS dup_recall_ok,
+        |       TRUE AS matches_full_recompute
+        |FROM p WHERE id2 >= 1000000""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val delta = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val inc = Dedup.incrementalNearDupCandidates(docs, delta,
+          "doc_id", "text", bands = 8, rowsPerBand = 4)
+        val full = Dedup.minHashCandidates(docs.unionByName(delta),
+            "doc_id", "text", bands = 8, rowsPerBand = 4)
+          .filter(col("id1") >= 1000000L || col("id2") >= 1000000L)
+        val matches = inc.exceptAll(full).unionAll(full.exceptAll(inc))
+          .agg((count(lit(1)) === 0).as("matches_full_recompute"))
+        val corpus = docs.unionByName(delta)
+        val smallGroups = corpus.groupBy(col("text"))
+          .agg(count(lit(1)).as("n")).filter(col("n").between(2, 8))
+        val members = corpus.join(smallGroups.select(col("text")), Seq("text"))
+        val dupPairs = members.alias("x")
+          .join(members.alias("y"),
+            col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .filter(col("id2") >= 1000000L)
+        val nDup = dupPairs.agg(count(lit(1)).as("n_new_dup_pairs"))
+        val recall = dupPairs
+          .join(inc.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_anti")
+          .agg((count(lit(1)) === 0).as("dup_recall_ok"))
+        nDup.crossJoin(recall).crossJoin(matches)
+    },
+
     // Deterministic epoch shuffle into 8 shards with dense in-shard
     // positions — the reproducible global-permutation layout.
     sql("q103_epoch_shuffle",

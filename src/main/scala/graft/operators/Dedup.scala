@@ -143,6 +143,122 @@ object Dedup {
       .bucketBy(buckets, "digest").sortBy("digest")
       .saveAsTable(table)
 
+  // -- persisted MinHash band-key store + incremental NEAR-dup ---------
+
+  /** (band_key, id) banded projection: the fused
+    * `ShingleMinHashBandKeysExpr` kernel's per-band keys packed with
+    * the band index into ONE long (band << 32 | key; keys are
+    * pmod-P31 < 2^31, bands ≤ 8) so the store buckets, sorts, joins
+    * and aggregates on a single column.
+    */
+  private def bandKeysOf(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(
+        graft.plans.ShingleMinHashBandKeysExpr.shingle_minhash_band_keys(
+          col(textCol), bands, rowsPerBand, shingleSize))
+        .as(Seq("band", "key")))
+      .select((col("band").cast("long") * lit(1L << 32) + col("key"))
+        .as("band_key"), col("id"))
+
+  /** Persist the catalog's MinHash band keys as a BUCKETED store —
+    * the [[writeDigestStore]] treatment applied to NEAR-dup: the
+    * 100-TB corpus is shingled/hashed/banded ONCE, and every later
+    * ingest probes `(band_key, id)` with no exchange and no re-band
+    * of the catalog (text never rescanned). Buckets are NOT capped at
+    * write time: the hot-bucket guard applies at probe time on the
+    * COMBINED (store + delta) bucket size, which is what keeps
+    * [[incrementalNearDupCandidatesVsStore]] bit-equal to a full
+    * recompute ([[minHashCandidates]]) over catalog ∪ delta. A
+    * deployment that must bound store growth under adversarial
+    * boilerplate can cap here too, trading that strict equality.
+    */
+  def writeBandStore(catalog: DataFrame, idCol: String, textCol: String,
+      table: String, bands: Int = 8, rowsPerBand: Int = 8,
+      shingleSize: Int = 3, buckets: Int = 64): Unit =
+    bandKeysOf(catalog, idCol, textCol, bands, rowsPerBand, shingleSize)
+      .repartition(buckets, col("band_key"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+
+  /** Append an accepted delta's band keys — the maintenance write
+    * after an ingest (the [[appendToDigestStore]] counterpart).
+    * `buckets` must match the original [[writeBandStore]] call.
+    */
+  def appendToBandStore(accepted: DataFrame, idCol: String, textCol: String,
+      table: String, bands: Int = 8, rowsPerBand: Int = 8,
+      shingleSize: Int = 3, buckets: Int = 64): Unit =
+    bandKeysOf(accepted, idCol, textCol, bands, rowsPerBand, shingleSize)
+      .repartition(buckets, col("band_key"))
+      .write.mode("append")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+
+  /** The delta's NEW near-dup candidate pairs — every (id1, id2,
+    * n_shared_bands) with at least one delta member, exactly the
+    * delta-touching subset of [[minHashCandidates]] over
+    * catalog ∪ delta (differential-spec'd): delta×catalog pairs via
+    * the band-key probe, delta×delta pairs via the capped self-join,
+    * with the hot-bucket cap applied to the COMBINED bucket size so
+    * the cap decision matches the full recompute's. Requires ids
+    * disjoint across catalog and delta (any sane ingest key).
+    *
+    * Scale shape: the catalog side arrives as a banded projection —
+    * from the persisted store in the production form
+    * ([[incrementalNearDupCandidatesVsStore]]), where its hash agg
+    * and both probe joins run WITHOUT exchanging or sorting the
+    * store (bucketed on band_key; plan-pinned in BandStoreSpec) —
+    * so each ingest shuffles only the delta's band keys: the q98
+    * digest-store property, extended to near-dup.
+    */
+  def incrementalNearDupCandidates(catalog: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, bands: Int = 8, rowsPerBand: Int = 8,
+      shingleSize: Int = 3, maxBucketSize: Int = 64): DataFrame =
+    nearDupProbe(
+      bandKeysOf(catalog, idCol, textCol, bands, rowsPerBand, shingleSize),
+      bandKeysOf(delta, idCol, textCol, bands, rowsPerBand, shingleSize),
+      maxBucketSize)
+
+  /** [[incrementalNearDupCandidates]] against a persisted
+    * [[writeBandStore]] table: identical output, catalog never
+    * re-banded, store never exchanged. */
+  def incrementalNearDupCandidatesVsStore(
+      spark: org.apache.spark.sql.SparkSession, storeTable: String,
+      delta: DataFrame, idCol: String, textCol: String, bands: Int = 8,
+      rowsPerBand: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = 64): DataFrame =
+    nearDupProbe(spark.table(storeTable),
+      bandKeysOf(delta, idCol, textCol, bands, rowsPerBand, shingleSize),
+      maxBucketSize)
+
+  private def nearDupProbe(catBanded: DataFrame, deltaBanded: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    // combined bucket sizes: the store-side count aggregates WITHOUT
+    // an exchange (grouping key = bucketing key); only delta
+    // shuffles. shuffle_hash on the count join keeps the store-side
+    // aggregate sort-free too (an SMJ would re-sort it per ingest —
+    // the plan spec pins both properties).
+    val sc = catBanded.groupBy("band_key").agg(count(lit(1)).as("__sn"))
+    val dc = deltaBanded.groupBy("band_key").agg(count(lit(1)).as("__dn"))
+    val valid = dc.join(sc.hint("shuffle_hash"), Seq("band_key"), "left_outer")
+      .filter(col("__dn") + coalesce(col("__sn"), lit(0L)) <= maxBucketSize)
+      .select("band_key")
+    val dOk = deltaBanded.join(valid, "band_key")
+    // the store side needs NO valid filter of its own: pairs only form
+    // against dOk keys, which are already capped — an oversized key is
+    // simply absent from the probe side, so its store rows stream
+    // through the join unmatched instead of fanning out
+    val cross = dOk.alias("a").join(catBanded.alias("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+    val self = dOk.alias("a").join(dOk.alias("b"),
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    cross.unionByName(self)
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Exact dedup with a KEEPER POLICY: among content duplicates, keep
     * the row with the smallest (priority, id) — "prefer the curated
     * source over the crawl" when the same text arrives from several
