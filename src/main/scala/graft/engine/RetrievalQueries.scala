@@ -23,7 +23,51 @@ object RetrievalQueries {
   import QueryDef._
   import Tables._
 
+  /** The q125 oracle: BPE training unrolled as `n` chained CTE
+    * rounds. Words ride as sentinel-delimited strings
+    * (chr(1)-separated symbols, chr(1) at both ends) because SQL
+    * `replace` on "␁l␁r␁" → "␁lr␁" IS the greedy leftmost
+    * non-overlapping merge — scan the original left to right,
+    * consume both symbols, resume after the replacement — i.e. the
+    * exact `BpeMergeExpr` kernel semantics. Each round re-splits to
+    * count adjacent pairs, takes the (cnt DESC, l, r) argmax, and
+    * applies it; the final SELECT stitches the per-round winners
+    * into the merge table.
+    */
+  private def bpeOracle(n: Int): String = {
+    val head =
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |w0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1)), chr(1)) AS d
+        |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""e$k AS (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u
+         |  FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+         |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM e$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail = (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    head + rounds + tail
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // BPE merge-table induction: the first 8 learned merges (round,
+    // lhs, rhs, pair_count), trained distributed on the word-
+    // frequency basis and replayed move-for-move by the unrolled
+    // DuckDB oracle above — training determinism IS the contract.
+    sql("q125_bpe_merges", bpeOracle(8)) { (s, d) =>
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(documents(s, d), "text", nMerges = 8)
+        .toDF()
+        .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
+          col("pairCount").as("pair_count"))
+        .orderBy("round")
+    },
 
     // PQ ADC retrieval with a LEARNED codebook, trained, encoded and
     // queried inside the query — deterministic id-bucket seeds, one

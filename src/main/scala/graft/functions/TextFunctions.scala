@@ -237,4 +237,21 @@ object TextFunctions {
   def rollingTokenHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, tok) =>
       pmod(acc * lit(257L) + pmod(xxhash64(tok), lit(2147483647L)), lit(2147483647L)))
+
+  /** Higher-order-function BPE merge round — the differential oracle
+    * for the native `BpeMergeExpr` kernel (see BpeSpec). A left fold
+    * that merges `x` into the accumulator's last element when the two
+    * form the (lhs, rhs) pair; because a merge replaces the last
+    * element with lhs+rhs (≠ lhs — symbols are non-empty), a merge
+    * product can never immediately re-merge, which is exactly the
+    * greedy leftmost non-overlapping scan of the kernel. O(|word|²)
+    * accumulator copies per row — oracle only, not a production path.
+    */
+  private[graft] def bpeMergeHof(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(syms,
+      expr("CAST(array() AS ARRAY<STRING>)"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x))))
 }

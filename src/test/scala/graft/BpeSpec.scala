@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Bpe
+
+/** BPE merge induction (q125): kernel ≡ HOF-fold differential in both
+  * execution modes, greedy-scan edge semantics, and training pinned
+  * against a hand-computed classic fixture.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe_merge kernel matches the HOF fold in both execution modes") {
+    def check(): Unit = {
+      val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(expr("filter(split(text, ''), x -> x <> '')").as("syms"))
+      // a frequent pair on real character data: ('e', ' ') etc. —
+      // exercise three merges including multi-char symbols
+      for ((l, r) <- Seq(("e", " "), ("t", "h"), ("th", "e"))) {
+        val diff = docs.select(
+          graft.plans.BpeMergeExpr.bpe_merge($"syms", l, r).as("nk"),
+          TextFunctions.bpeMergeHof($"syms", l, r).as("hk"))
+          .filter(not($"nk" === $"hk"))
+        assert(diff.count() === 0, s"merge ($l,$r) diverged")
+      }
+    }
+    check()
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  test("greedy leftmost non-overlapping scan: runs, products, nulls") {
+    def merge(in: Seq[String], l: String, r: String): Seq[String] =
+      Seq(Tuple1(in)).toDF("syms")
+        .select(graft.plans.BpeMergeExpr.bpe_merge($"syms", l, r))
+        .as[Seq[String]].head()
+    // run of four 'a': two non-overlapping merges, never a chain
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // run of three: merge + orphan
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // a merge product never re-merges within the round
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // no match → unchanged
+    assert(merge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    // null elements never match and pass through
+    val withNull = Seq(Tuple1(Seq[String]("a", null, "a"))).toDF("syms")
+      .select(graft.plans.BpeMergeExpr.bpe_merge($"syms", "a", "a"))
+      .collect()(0).getSeq[String](0)
+    assert(withNull == Seq("a", null, "a"))
+  }
+
+  test("training replays the classic low/lower/newest fixture by hand") {
+    // word freqs: low×5, lower×2, newest×6 — richest pairs first:
+    // (e,s) 6, (e,w) 6+2=8, (s,t) 6, (n,e) 6, (w,e) 6+2... compute:
+    // adjacent pairs: low: l-o, o-w ×5; lower: l-o, o-w, w-e, e-r ×2;
+    // newest: n-e, e-w, w-e, e-s, s-t ×6
+    // counts: l-o 7, o-w 7, w-e 8, e-r 2, n-e 6, e-w 6, e-s 6, s-t 6
+    // round 1: (w,e) 8 → we
+    // round 2: l-o 7, o-we 7 (low's o-w now o-w still? low has no e:
+    //   low stays l,o,w; lower → l,o,we,r; newest → n,e,we,s,t)
+    //   counts: l-o 7, o-w 5, o-we 2, we-r 2, n-e 6, e-we 6, we-s 6, s-t 6
+    //   → (l,o) 7 → lo
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).map(Tuple1(_)).toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", 2)
+    assert(merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount)) ==
+      Seq((1, "w", "e", 8L), (2, "l", "o", 7L)))
+    // determinism: identical rerun
+    assert(Bpe.trainMerges(docs, "text", 2) == merges)
+    // encode side: applying the merges re-tokenizes 'lower'
+    val enc = Seq(Tuple1("lower")).toDF("text")
+      .select(Bpe.applyMerges(
+        expr("filter(split(text, ''), x -> x <> '')"), merges).as("syms"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("lo", "we", "r"))
+  }
+}
