@@ -69,6 +69,47 @@ object RetrievalQueries {
         .orderBy("round")
     },
 
+    // Multimodal perceptual near-dup: exact copies (+2000000, L1 = 0)
+    // and lightly perturbed copies (+1000000, text ⧺ " x") planted
+    // among synthesized payloads; the full pipeline — stub decode
+    // histogram, occupancy-sign bucket, hot-bucket cap, cross-scaled
+    // integer L1 gate — is replayed move-for-move by the oracle
+    // (ascii(text[i:i]) % dim is the byte histogram, the q50
+    // convention), so the pair list hash-matches exactly.
+    sql("q126_perceptual_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+        |f AS (SELECT id, CAST(greatest(length(text), 1) AS BIGINT) AS n,
+        |        [CAST(len(list_filter(range(1, length(text)+1), i -> ascii(text[i:i]) % 8 = b)) AS BIGINT)
+        |         FOR b IN range(8)] AS c
+        |      FROM m),
+        |k AS (SELECT id, n, c,
+        |        CAST(list_sum([CASE WHEN c[b+1] * 8 >= n THEN 1<<b ELSE 0 END FOR b IN range(8)]) AS BIGINT) AS key
+        |      FROM f),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.c[i+1] * y.n - y.c[i+1] * x.n) FOR i IN range(8)]) AS BIGINT) AS l1,
+        |        x.n AS n1, y.n AS n2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 100 * n1 * n2
+        |ORDER BY id1, id2""".stripMargin) {
+      (s, d) =>
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text"))
+          .unionByName(base.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        val media = graft.operators.Multimodal.synthesize(
+          base.unionByName(planted), "doc_id", "text")
+        graft.operators.Multimodal.perceptualNearDupCandidates(
+            media, dim = 8, maxBucketSize = 64, thrPermille = 100)
+          .orderBy("id1", "id2")
+    },
+
     // PQ ADC retrieval with a LEARNED codebook, trained, encoded and
     // queried inside the query — deterministic id-bucket seeds, one
     // integer-Lloyd round, integer-exact end to end, so DuckDB

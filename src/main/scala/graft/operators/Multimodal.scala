@@ -111,6 +111,55 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       lit(w).as("width"), lit(h).as("height")))
 
+  /** Perceptual near-dup candidates over binary payloads — the
+    * multimodal counterpart of the text LSH tier, routed through the
+    * SAME sign-LSH bucketing (`SignBucketExpr`): bucketed, never
+    * all-pairs.
+    *
+    * Pipeline (integer-exact end to end, so the q126 DuckDB oracle
+    * replays it rather than trusting a contract):
+    *  1. [[decodeStub]] features → integer byte-bucket counts
+    *     (c[b]·n_bytes recovered exactly, the q50 convention);
+    *  2. perceptual signature = sign bucket of the OCCUPANCY
+    *     DEVIATION vector (c[b]·dim − n): bit b set iff bucket b is
+    *     at or above its uniform share — the render-invariant "shape
+    *     of the byte distribution", and a direct `sign_bucket` call
+    *     because deviation ≥ 0 is exactly its bit rule;
+    *  3. same-signature docs pair within hot-bucket-capped buckets
+    *     ([[HotBuckets.dropOversized]] — a degenerate signature
+    *     carries no near-dup signal worth O(m²));
+    *  4. verification: cross-scaled integer L1,
+    *     Σ_b |c1[b]·n2 − c2[b]·n1| · 1000 ≤ thrPermille·n1·n2 ⟺
+    *     normalized-histogram L1 ≤ thrPermille/1000 — no floats, no
+    *     engine divergence. Exact payload copies score 0.
+    *
+    * A real deployment swaps the stub histogram for decoded
+    * perceptual features (pHash planes, embedding signs) — every
+    * stage downstream of [[decodeStub]] is unchanged.
+    */
+  def perceptualNearDupCandidates(media: DataFrame, dim: Int = 8,
+      maxBucketSize: Int = 64, thrPermille: Int = 100): DataFrame = {
+    require(dim >= 1 && dim <= 63, "dim must fit the sign-bucket bit range")
+    val withKey = decodeStub(media, dim)
+      .withColumn("__n", greatest(col("meta.n_bytes"), lit(1L)))
+      .withColumn("__counts",
+        expr("transform(features, f -> CAST(round(f * __n) AS BIGINT))"))
+      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
+        expr(s"transform(__counts, c -> CAST(c * $dim - __n AS DOUBLE))"), dim))
+      .select(col("media_id").as("id"), col("__key"), col("__counts"), col("__n"))
+      .repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__counts").as("c1"), col("b.__counts").as("c2"),
+        col("a.__n").as("n1"), col("b.__n").as("n2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(c1, c2, (x, y) -> abs(x * n2 - y * n1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <= lit(thrPermille.toLong) * col("n1") * col("n2"))
+      .select("id1", "id2", "l1")
+  }
+
   /** Frame sampling stub for video-like payloads: every `stride`-th
     * byte window becomes one "frame" row (posexplode keeps lineage to
     * the source media row).

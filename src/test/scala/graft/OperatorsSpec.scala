@@ -675,6 +675,32 @@ class OperatorsSpec extends SparkSpec {
     assert(sess === Seq(1L, 1L, 2L))
   }
 
+  test("perceptual near-dup: exact payload copies pair at L1 = 0, all-pairs never happens") {
+    import spark.implicits._
+    // 3 distinct byte distributions ×repeats + exact copies at 100+
+    val base = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (2L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"),
+      (3L, "0101 2323 4545 6767 8989 0101 2323 4545"),
+      (101L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"), // copy of 1
+      (102L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss")  // copy of 2
+    ).toDF("doc_id", "text")
+    val media = Multimodal.synthesize(base, "doc_id", "text")
+    val pairs = Multimodal.perceptualNearDupCandidates(media, dim = 8,
+      maxBucketSize = 64, thrPermille = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact copies: same histogram → same sign bucket → L1 exactly 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 101L && p._3 == 0L))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 102L && p._3 == 0L))
+    // a degenerate signature (every row identical) is capped, not
+    // exploded into O(m²) pairs
+    val mono = Multimodal.synthesize(
+      (1 to 200).map(i => (i.toLong, "same same same")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Multimodal.perceptualNearDupCandidates(mono, dim = 8,
+      maxBucketSize = 64).count() === 0)
+  }
+
   test("binaryFile source maps into the media schema") {
     val dir = tmpDir("binfiles")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bin"), Array[Byte](1, 2, 3))
