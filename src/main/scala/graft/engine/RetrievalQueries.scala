@@ -69,6 +69,42 @@ object RetrievalQueries {
         .orderBy("round")
     },
 
+    // C4-style line-level corpus dedup: every 5th document gets an
+    // 8-token boilerplate line prepended, which crosses the df ≥ 3
+    // threshold corpus-wide and is stripped from ALL of them (plus
+    // any organically repeated chunk); the oracle replays the
+    // chunking, the df aggregate, and the filter-strip directly.
+    sql("q127_line_dedup_strip",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'legal disclaimer terms conditions apply all rights reserved ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |ch AS (SELECT doc_id,
+        |         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE [array_to_string(list_slice(toks, 1 + 8*i, 8*i + 8), ' ')
+        |                 FOR i IN range(0, CAST(ceil(len(toks) / 8.0) AS INT))] END AS chunks
+        |       FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct([md5(c) FOR c IN chunks])) AS dg FROM ch),
+        |f AS (SELECT dg FROM e GROUP BY dg HAVING count(*) >= 3),
+        |fl AS (SELECT coalesce(list(dg), CAST([] AS VARCHAR[])) AS fls FROM f)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(chunks, c -> NOT list_contains(fls, md5(c))), ' ') AS cleaned,
+        |  CAST(len(chunks) - len(list_filter(chunks, c -> NOT list_contains(fls, md5(c)))) AS BIGINT) AS n_removed
+        |FROM ch CROSS JOIN fl ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("legal disclaimer terms conditions apply all rights reserved "),
+              col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.TextOps.lineDedupStrip(corpus, "doc_id", "text",
+            lineTokens = 8, dfThreshold = 3)
+          .orderBy("doc_id")
+    },
+
     // Multimodal perceptual near-dup: exact copies (+2000000, L1 = 0)
     // and lightly perturbed copies (+1000000, text ⧺ " x") planted
     // among synthesized payloads; the full pipeline — stub decode

@@ -453,6 +453,57 @@ object TextOps {
     * Returns the input plus a per-key `session_id` (1-based).
     * Batch twin of `EventStreams.sessionAgg` (session_window).
     */
+  /** C4-style LINE-level corpus dedup (Raffel et al. 2020 §2.2: drop
+    * any line occurring ≥ `dfThreshold` times in the corpus) —
+    * q121/q122's per-source top-k spans generalized to a corpus-wide
+    * df-threshold rule. "Lines" here are non-overlapping `lineTokens`-
+    * token chunks (the q83 chunk convention — this corpus has no
+    * newlines; a newline-delimited deployment swaps the chunker for
+    * `split(text, '\n')` and nothing downstream changes).
+    *
+    * Scale shape:
+    *  - df pass: per-doc DISTINCT line digests explode and hash-
+    *    aggregate — md5 digests ONLY on the wire, never line text;
+    *  - flagged set: digests with df ≥ threshold collect into a
+    *    single-row array that BROADCASTS (by definition flagged lines
+    *    are repeated ≥ threshold times, so the distinct flagged set is
+    *    ≤ total_lines/threshold and in practice boilerplate-small —
+    *    the same bound C4 relies on); corpus text never shuffles, the
+    *    strip is a stateless per-row chunk filter;
+    *  - membership is a per-chunk array_contains scan — linear in
+    *    |flagged|, fine for boilerplate-sized sets; a deployment with
+    *    a pathological flagged set (adversarial template spam) should
+    *    pre-sort and binary-search or Bloom-prefilter (q77 shape).
+    *
+    * Returns (id, cleaned, n_removed); a removed FINAL partial chunk
+    * counts like any line.
+    */
+  def lineDedupStrip(docs: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, dfThreshold: Int = 3): DataFrame = {
+    require(lineTokens >= 1 && dfThreshold >= 2,
+      "need lineTokens >= 1 and dfThreshold >= 2")
+    val L = lineTokens
+    val withChunks = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__chunks",
+        when(size(col("__toks")) === 0, expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(
+            s"transform(sequence(0, CAST(ceil(size(__toks) / $L.0) AS INT) - 1), " +
+              s"i -> array_join(slice(__toks, i * $L + 1, $L), ' '))")))
+    val flagged = withChunks
+      .select(explode(array_distinct(expr("transform(__chunks, c -> md5(c))")))
+        .as("__dg"))
+      .groupBy("__dg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= dfThreshold)
+      .agg(collect_list("__dg").as("__flagged"))
+    withChunks.crossJoin(broadcast(flagged))
+      .withColumn("__kept",
+        expr("filter(__chunks, c -> NOT array_contains(__flagged, md5(c)))"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tiebreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol) +: tiebreak.map(col)).toSeq

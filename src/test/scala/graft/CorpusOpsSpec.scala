@@ -147,4 +147,43 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out === Seq((1L, 0L, true), (2L, 0L, false), (3L, 1L, true), (4L, 1L, true)))
   }
+
+  test("lineDedupStrip: df-threshold chunks strip everywhere, partial tails count, uniques keep") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val bp = words(4, "boiler") // one full 4-token line
+    val docs = Seq(
+      (1L, s"$bp ${words(4, "one")}"),   // bp + unique line
+      (2L, s"$bp ${words(4, "two")}"),   // bp + unique line
+      (3L, s"${words(4, "thr")} $bp"),   // bp as SECOND line
+      (4L, s"${words(4, "four")} extra"),// unique + partial tail (1 token)
+      (5L, "")                           // empty doc
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedupStrip(docs, "doc_id", "text",
+        lineTokens = 4, dfThreshold = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, words(4, "one"), 1L)))
+    assert(out(1) == ((2L, words(4, "two"), 1L)))
+    assert(out(2) == ((3L, words(4, "thr"), 1L)))
+    assert(out(3) == ((4L, s"${words(4, "four")} extra", 0L)))
+    assert(out(4) == ((5L, "", 0L)))
+    // df = 2 stays below a threshold of 3: nothing stripped
+    val below = TextOps.lineDedupStrip(
+      docs.filter($"doc_id" <= 2), "doc_id", "text",
+      lineTokens = 4, dfThreshold = 3)
+    assert(below.agg(org.apache.spark.sql.functions.sum("n_removed"))
+      .head().getLong(0) === 0L)
+    // a repeated PARTIAL tail is a line too once it crosses df
+    val tails = Seq(
+      (1L, s"${words(4, "a")} common tail"),
+      (2L, s"${words(4, "b")} common tail"),
+      (3L, s"${words(4, "c")} common tail")
+    ).toDF("doc_id", "text")
+    val t = TextOps.lineDedupStrip(tails, "doc_id", "text",
+        lineTokens = 4, dfThreshold = 3)
+      .orderBy("doc_id").collect()
+    assert(t.forall(_.getLong(2) == 1L) &&
+      t(0).getString(1) == words(4, "a"))
+  }
 }
