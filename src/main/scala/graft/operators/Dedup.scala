@@ -194,6 +194,28 @@ object Dedup {
       .bucketBy(buckets, "band_key").sortBy("band_key")
       .saveAsTable(table)
 
+  /** Maintenance: rewrite the band store as DISTINCT (band_key, id)
+    * rows, preserving the bucketed+sorted layout. A crash-replayed
+    * [[appendToBandStore]] (at-least-once) leaves duplicate rows —
+    * harmless to the candidate SET (self-pairs are excluded and pairs
+    * are grouped) but they inflate `n_shared_bands` and hot-bucket
+    * occupancy; run this on a compaction cadence. Writes through a
+    * temp table because Spark refuses to overwrite a table its own
+    * plan reads.
+    */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 64): Unit = {
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table).distinct()
+      .repartition(buckets, col("band_key"))
+      .write.bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    ()
+  }
+
   /** The delta's NEW near-dup candidate pairs — every (id1, id2,
     * n_shared_bands) with at least one delta member, exactly the
     * delta-touching subset of [[minHashCandidates]] over

@@ -279,6 +279,70 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))
 
+  /** Streaming incremental NEAR-dup — `Dedup.incrementalNearDupCandidatesVsStore`'s
+    * continuous-ingest twin (the q124 probe run per micro-batch): each
+    * batch probes the persisted MinHash band-key store
+    * (`Dedup.writeBandStore`), suppresses near-dup documents, lands
+    * the admitted rows under `outDir/batch_id=N`, and appends the
+    * ADMITTED docs' band keys back to the store — so the "state" IS
+    * the same bucketed table the batch layer maintains (unbounded
+    * horizon, shared with batch ingests, zero executor-memory state),
+    * not a watermark-bounded state store. Start with
+    * `.writer.option("checkpointLocation", ...).start()`.
+    *
+    * Suppression rule (deterministic, batch-replayable — the spec pins
+    * it against a batch-sequential q124 replay): a batch doc is
+    * suppressed iff it shares ≥ `minSharedBands` band keys with the
+    * store, or with a SMALLER-id member of the same batch (admitted or
+    * not — no sequential greedy pass inside a batch). Only admitted
+    * docs feed the store, so the store tracks the KEPT corpus: a doc
+    * near-dup solely of a previously-suppressed doc is admitted, the
+    * keeper semantics of `Dedup.exactByContent`.
+    *
+    * Failure replay: the per-batch output overwrite is idempotent; the
+    * store append is at-least-once. A replayed append duplicates that
+    * batch's (band_key, id) rows — self-pairs are excluded by the
+    * probe, so duplicates never create or destroy candidate pairs,
+    * but they inflate `n_shared_bands` and hot-bucket occupancy;
+    * `Dedup.compactBandStore` (distinct rewrite) restores the clean
+    * layout on a maintenance cadence.
+    *
+    * Requires ids disjoint across store and stream (any sane ingest
+    * key), as the batch operator does.
+    */
+  def incrementalNearDupStream(docs: DataFrame, storeTable: String,
+      outDir: String, idCol: String = "doc_id", textCol: String = "text",
+      bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = 64, minSharedBands: Int = 1,
+      buckets: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val cand = graft.operators.Dedup
+            .incrementalNearDupCandidatesVsStore(spark, storeTable, b,
+              idCol, textCol, bands, rowsPerBand, shingleSize, maxBucketSize)
+            .filter(col("n_shared_bands") >= minSharedBands)
+          // every candidate pair has >= 1 batch member (the probe emits
+          // only delta-touching pairs); mark which sides are batch ids
+          // and suppress the batch member — the LARGER one when both are
+          val bid = b.select(col(idCol).cast("long").as("bid")).distinct()
+          val suppressed = cand
+            .join(bid.select(col("bid").as("id2"), lit(true).as("b2")), Seq("id2"), "left")
+            .select(when(coalesce(col("b2"), lit(false)), col("id2"))
+              .otherwise(col("id1")).as("sid"))
+            .distinct()
+          val admitted = b.join(suppressed,
+            b(idCol).cast("long") === suppressed("sid"), "left_anti")
+          // idempotent landing: a replayed batch overwrites its own dir
+          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          graft.operators.Dedup.appendToBandStore(
+            spark.read.parquet(s"$outDir/batch_id=$batchId"),
+            idCol, textCol, storeTable, bands, rowsPerBand, shingleSize, buckets)
+        } finally { b.unpersist(); () }
+    }
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.EventStreams
+
+/** Streaming incremental near-dup: the q124 band-store probe run per
+  * micro-batch via foreachBatch, with the persisted store as the only
+  * cross-batch state. The headline test pins the streamed result
+  * against a BATCH-SEQUENTIAL replay of the same rule built from
+  * `Dedup.incrementalNearDupCandidates` — the "cross-batch suppression
+  * equals the batch q124 result" contract.
+  */
+class NearDupStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  // distinct filler texts long enough to shingle (shingleSize = 3)
+  private def mkText(i: Int): String = {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike")
+    val rnd = new scala.util.Random(i)
+    (0 until 14).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  /** The operator's declared suppression rule applied in BATCH form:
+    * candidates vs the kept corpus (inline q124 probe), suppress id2
+    * when it is a batch member, else id1. Returns (admitted, kept').
+    */
+  private def batchReplayStep(kept: DataFrame, batch: DataFrame): DataFrame = {
+    val cand = Dedup.incrementalNearDupCandidates(kept, batch,
+      "doc_id", "text", bands = 8, rowsPerBand = 4)
+    val bid = batch.select(col("doc_id").as("bid")).distinct()
+    val suppressed = cand
+      .join(bid.select(col("bid").as("id2"), lit(true).as("b2")), Seq("id2"), "left")
+      .select(when(coalesce(col("b2"), lit(false)), col("id2"))
+        .otherwise(col("id1")).as("sid"))
+      .distinct()
+    batch.join(suppressed, batch("doc_id") === suppressed("sid"), "left_anti")
+  }
+
+  test("streamed suppression equals a batch-sequential q124 replay, store tracks the kept corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+
+    val catalog = (0L until 20L).map(i => (i, mkText(i.toInt)))
+      .toDF("doc_id", "text")
+    val table = "neardup_stream_store"
+    dropTable(table)
+    Dedup.writeBandStore(catalog, "doc_id", "text", table,
+      bands = 8, rowsPerBand = 4, buckets = 8)
+
+    val outDir = tmpDir("neardup_out")
+    val ckpt = tmpDir("neardup_ckpt")
+    val src = MemoryStream[Doc]
+    val q = EventStreams.incrementalNearDupStream(src.toDF(), table, outDir,
+        bands = 8, rowsPerBand = 4, buckets = 8)
+      .option("checkpointLocation", ckpt).start()
+
+    // batch 1: 1001 duplicates catalog doc 0 → suppressed vs store;
+    // 1002 fresh → admitted; 1003 duplicates 1002 (same batch, larger
+    // id) → suppressed; 1004 fresh → admitted
+    val b1 = Seq(
+      Doc(1001L, ts(1), mkText(0)),
+      Doc(1002L, ts(1), "completely novel first streaming document body"),
+      Doc(1003L, ts(2), "completely novel first streaming document body"),
+      Doc(1004L, ts(2), "another novel streaming document arriving now"))
+    src.addData(b1: _*)
+    q.processAllAvailable()
+
+    // batch 2: 2001 duplicates ADMITTED 1002 → suppressed via the
+    // store append (cross-batch); 2002 fresh → admitted
+    val b2 = Seq(
+      Doc(2001L, ts(3), "completely novel first streaming document body"),
+      Doc(2002L, ts(3), "a third novel streaming document distinct again"))
+    src.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(outDir)
+    val admitted = landed.select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1002L, 1004L, 2002L), s"streamed admits: $admitted")
+    // provenance: the per-batch landing dirs surface as a batch_id column
+    assert(landed.columns.contains("batch_id"))
+
+    // --- batch-sequential replay of the SAME rule via the inline q124
+    // probe: streamed result must match exactly
+    var kept: DataFrame = catalog
+    var replayAdmitted = Set.empty[Long]
+    for (b <- Seq(b1, b2)) {
+      val bdf = b.toDF().select(col("doc_id"), col("text"))
+      val adm = batchReplayStep(kept, bdf)
+      replayAdmitted ++= adm.select("doc_id").as[Long].collect()
+      kept = kept.unionByName(adm)
+    }
+    assert(admitted === replayAdmitted,
+      s"streamed $admitted != batch-sequential replay $replayAdmitted")
+
+    // the store holds band keys for catalog + admitted only (keeper
+    // semantics: suppressed docs never feed the store)
+    val storeIds = spark.table(table).select("id").as[Long].collect().toSet
+    assert(storeIds === (0L until 20L).toSet ++ Set(1002L, 1004L, 2002L))
+    dropTable(table)
+  }
+
+  test("compactBandStore removes replayed duplicates and preserves the probe result") {
+    import spark.implicits._
+    val catalog = (0L until 30L).map(i => (i, mkText(i.toInt)))
+      .toDF("doc_id", "text")
+    val delta = Seq((9001L, mkText(0)), (9002L, "some novel text body going past"))
+      .toDF("doc_id", "text")
+    val table = "neardup_compact_store"
+    dropTable(table); dropTable(s"${table}__compact")
+    Dedup.writeBandStore(catalog, "doc_id", "text", table,
+      bands = 8, rowsPerBand = 4, buckets = 8)
+    val clean = spark.table(table).count()
+    // simulate an at-least-once replayed append: same rows twice
+    val extra = catalog.filter(col("doc_id") < 5)
+    Dedup.appendToBandStore(extra, "doc_id", "text", table,
+      bands = 8, rowsPerBand = 4, buckets = 8)
+    Dedup.appendToBandStore(extra, "doc_id", "text", table,
+      bands = 8, rowsPerBand = 4, buckets = 8)
+    assert(spark.table(table).count() > clean)
+
+    Dedup.compactBandStore(spark, table, buckets = 8)
+    assert(spark.table(table).count() === clean,
+      "distinct rewrite must restore the clean row count")
+    // layout preserved: still bucketed on band_key
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(cat.bucketSpec.exists(b =>
+      b.numBuckets === 8 && b.bucketColumnNames === Seq("band_key")))
+    // probe after compaction == inline recompute
+    val stored = Dedup.incrementalNearDupCandidatesVsStore(spark, table, delta,
+        "doc_id", "text", bands = 8, rowsPerBand = 4)
+      .orderBy("id1", "id2").collect().toSeq
+    val inline = Dedup.incrementalNearDupCandidates(catalog, delta,
+        "doc_id", "text", bands = 8, rowsPerBand = 4)
+      .orderBy("id1", "id2").collect().toSeq
+    assert(stored.nonEmpty && stored === inline)
+    dropTable(table)
+  }
+}
