@@ -203,6 +203,92 @@ object RetrievalQueries {
         Pq.pqTopK(emb.filter(col("vec_id") =!= 0),
             emb.filter(col("vec_id") === 0), k = 20, m = 8, ksub = 16, iters = 1)
           .orderBy("vec_id")
+    },
+
+    // IVF-PQ retrieval (q123's inverted-file upgrade): a 4-cell coarse
+    // quantizer over the full vector + an m=8 × ksub=16 PQ codebook on
+    // the exact integer RESIDUALS, probing only the top-2 cells by
+    // coarse inner product. Integer-exact end to end — the oracle
+    // replays coarse training, assignment, residual PQ training,
+    // encoding, cell selection, and the offset+ADC score bit-for-bit.
+    // score(v) = ⟨q, cent_cell⟩ + Σ_b lut[b][code_b], so the probed
+    // scan is the same one-packed-long shape as flat PQ but touches
+    // nprobe/ncells of the corpus (partition-pruned in the persisted
+    // layout — IvfPqSpec pins PartitionFilters).
+    sql("q128_ivfpq_probe",
+      """WITH p AS (
+        |  SELECT vec_id,
+        |         unnest([{'j': i-1,
+        |                  'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+        |                 FOR i IN range(1, len(embedding)+1)]) AS u
+        |  FROM embeddings WHERE vec_id <> 0),
+        |e AS (SELECT vec_id, u.j AS j, u.v AS v FROM p),
+        |cs AS (SELECT vec_id % 4 AS c, j, sum(v) // count(*) AS cent
+        |       FROM e GROUP BY vec_id % 4, j),
+        |cd1 AS (SELECT e.vec_id, s.c, sum((e.v - s.cent) * (e.v - s.cent)) AS dist
+        |        FROM e JOIN cs s ON e.j = s.j GROUP BY e.vec_id, s.c),
+        |ca1 AS (SELECT vec_id, c FROM (
+        |          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |          FROM cd1) x WHERE rn = 1),
+        |cr1 AS (SELECT a.c, e.j, sum(e.v) // count(*) AS cent
+        |        FROM e JOIN ca1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.j),
+        |ccb AS (SELECT s.c, s.j, COALESCE(r1.cent, s.cent) AS cent
+        |        FROM cs s LEFT JOIN cr1 r1 ON s.c = r1.c AND s.j = r1.j),
+        |cd2 AS (SELECT e.vec_id, k.c, sum((e.v - k.cent) * (e.v - k.cent)) AS dist
+        |        FROM e JOIN ccb k ON e.j = k.j GROUP BY e.vec_id, k.c),
+        |cass AS (SELECT vec_id, c AS cell FROM (
+        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |           FROM cd2) x WHERE rn = 1),
+        |r AS (SELECT e.vec_id, a.cell, e.j, e.v - k.cent AS v
+        |      FROM e JOIN cass a ON e.vec_id = a.vec_id
+        |      JOIN ccb k ON k.c = a.cell AND k.j = e.j),
+        |ps AS (SELECT j // 8 AS b, vec_id % 16 AS c, j % 8 AS bp, sum(v) // count(*) AS cent
+        |       FROM r GROUP BY j // 8, vec_id % 16, j % 8),
+        |pd1 AS (SELECT r.vec_id, r.j // 8 AS b, s.c, sum((r.v - s.cent) * (r.v - s.cent)) AS dist
+        |        FROM r JOIN ps s ON r.j // 8 = s.b AND r.j % 8 = s.bp
+        |        GROUP BY r.vec_id, r.j // 8, s.c),
+        |pa1 AS (SELECT vec_id, b, c FROM (
+        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+        |          FROM pd1) x WHERE rn = 1),
+        |pr1 AS (SELECT r.j // 8 AS b, a.c, r.j % 8 AS bp, sum(r.v) // count(*) AS cent
+        |        FROM r JOIN pa1 a ON r.vec_id = a.vec_id AND r.j // 8 = a.b
+        |        GROUP BY r.j // 8, a.c, r.j % 8),
+        |pcb AS (SELECT s.b, s.c, s.bp, COALESCE(p1.cent, s.cent) AS cent
+        |        FROM ps s LEFT JOIN pr1 p1 ON s.b = p1.b AND s.c = p1.c AND s.bp = p1.bp),
+        |pd2 AS (SELECT r.vec_id, r.j // 8 AS b, k.c, sum((r.v - k.cent) * (r.v - k.cent)) AS dist
+        |        FROM r JOIN pcb k ON r.j // 8 = k.b AND r.j % 8 = k.bp
+        |        GROUP BY r.vec_id, r.j // 8, k.c),
+        |enc AS (SELECT vec_id, b, c FROM (
+        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+        |          FROM pd2) x WHERE rn = 1),
+        |q AS (SELECT unnest([{'j': i-1,
+        |                     'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+        |                    FOR i IN range(1, len(embedding)+1)]) AS u
+        |      FROM embeddings WHERE vec_id = 0),
+        |qe AS (SELECT u.j AS j, u.v AS qv FROM q),
+        |csc AS (SELECT k.c, sum(qe.qv * k.cent) AS s
+        |        FROM ccb k JOIN qe ON k.j = qe.j GROUP BY k.c),
+        |probe AS (SELECT c, s FROM (
+        |            SELECT c, s, row_number() OVER (ORDER BY s DESC, c) AS rn
+        |            FROM csc) x WHERE rn <= 2),
+        |lut AS (SELECT k.b, k.c, sum(qe.qv * k.cent) AS l
+        |        FROM pcb k JOIN qe ON qe.j = k.b * 8 + k.bp GROUP BY k.b, k.c),
+        |sc AS (SELECT a.vec_id, a.cell, pr.s + sum(l.l) AS score
+        |       FROM cass a JOIN probe pr ON a.cell = pr.c
+        |       JOIN enc ON enc.vec_id = a.vec_id
+        |       JOIN lut l ON enc.b = l.b AND enc.c = l.c
+        |       GROUP BY a.vec_id, a.cell, pr.s),
+        |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
+        |        FROM sc ORDER BY score DESC, vec_id LIMIT 20)
+        |SELECT vec_id, cell, score_q FROM top ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d)
+        Pq.ivfPqTopK(emb.filter(col("vec_id") =!= 0),
+            emb.filter(col("vec_id") === 0), k = 20, ncells = 4, nprobe = 2,
+            m = 8, ksub = 16)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("score_q"))
+          .orderBy("vec_id")
     }
   )
 }

@@ -159,14 +159,16 @@ object VectorFunctions {
     * null-poisoning; the kernel's null contract is pinned directly).
     */
   private[graft] def pqEncodeHof(v: Column, codebookE6: Seq[Long],
-      m: Int, ksub: Int): Column = {
+      m: Int, ksub: Int, alreadyE6: Boolean = false): Column = {
     val subdim = codebookE6.length / (m * ksub)
     (0 until m).map { b =>
       val best = least((0 until ksub).map { c =>
         val dist = (0 until subdim).map { j =>
           val cent = lit(codebookE6((b * ksub + c) * subdim + j))
-          val dv = floor(element_at(v, b * subdim + j + 1).cast("double") *
-            lit(1000000.0)).cast("long") - cent
+          val el = element_at(v, b * subdim + j + 1)
+          val ve6 = if (alreadyE6) el.cast("long")
+          else floor(el.cast("double") * lit(1000000.0)).cast("long")
+          val dv = ve6 - cent
           dv * dv
         }.reduce(_ + _)
         struct(dist.as("d"), lit(c.toLong).as("c"))

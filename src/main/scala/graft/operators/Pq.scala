@@ -66,57 +66,75 @@ object Pq {
     */
   def trainCodebookE6(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
       iters: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Codebook = {
+      vecCol: String = "embedding"): Codebook =
+    trainCodebookFromE6(
+      corpus.select(col(idCol), toE6(col(vecCol)).as("__ve6")),
+      m, ksub, iters, idCol, "__ve6")
+
+  /** The e6-floored long-array projection of a float/double vector —
+    * applied ONCE up front so training and the IVF-PQ residual path
+    * share one integer-exact element representation. */
+  private def toE6(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** [[trainCodebookE6]] over a corpus whose vector column is ALREADY
+    * e6 longs — the IVF-PQ residual path trains here directly (the
+    * residuals are exact integer differences; a float round-trip
+    * would break the engine-exact oracle replay).
+    */
+  def trainCodebookFromE6(corpusE6: DataFrame, m: Int, ksub: Int,
+      iters: Int, idCol: String, vecE6Col: String): Codebook = {
     require(iters >= 0, "iters must be non-negative")
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = corpusE6.select(size(col(vecE6Col)).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m = $m")
     val subdim = dim / m
 
-    // prev = None: seed pass, every cell must exist; Some(flat):
-    // Lloyd round, an empty cluster falls back to its prior centroid
-    def collectFlat(cells: DataFrame, prev: Option[Array[Long]]): Array[Long] = {
-      val got = cells.collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
-      val flat = new Array[Long](m * ksub * subdim)
-      for (b <- 0 until m; c <- 0 until ksub; j <- 0 until subdim) {
-        val idx = (b * ksub + c) * subdim + j
-        flat(idx) = got.getOrElse((b, c, j), prev match {
-          case Some(p) => p(idx)
-          case None => throw new IllegalStateException(
-            s"PQ seed bucket (block=$b, code=$c) is empty — corpus has " +
-              s"fewer than ksub=$ksub distinct id residues")
-        })
-      }
-      flat
-    }
-
     // seed: per (block, id-bucket, pos) truncating integer mean
-    var flat = collectFlat(
-      corpus.select(col(idCol).as("__id"),
-          posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+    var flat = collectFlat(m, ksub, subdim,
+      corpusE6.select(col(idCol).as("__id"),
+          posexplode(col(vecE6Col)).as(Seq("__pos", "__v")))
         .select(
           expr(s"__pos div $subdim").cast("int").as("__block"),
           pmod(col("__id"), lit(ksub)).cast("int").as("__code"),
           expr(s"__pos % $subdim").cast("int").as("__bpos"),
-          floor(col("__x").cast("double") * lit(1000000.0)).cast("long").as("__v"))
+          col("__v"))
         .groupBy("__block", "__code", "__bpos")
         .agg(expr("sum(__v) div count(1)").as("__c")), None)
 
     for (_ <- 1 to iters) {
       // one scan: native per-row assignment rides the explode
-      flat = collectFlat(
-        corpus.select(col(idCol).as("__id"),
-            PqEncodeExpr.pq_encode(col(vecCol), flat.toSeq, m, ksub).as("__codes"),
-            posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      flat = collectFlat(m, ksub, subdim,
+        corpusE6.select(col(idCol).as("__id"),
+            PqEncodeExpr.pq_encode(col(vecE6Col), flat.toSeq, m, ksub).as("__codes"),
+            posexplode(col(vecE6Col)).as(Seq("__pos", "__v")))
           .select(
             expr(s"__pos div $subdim").cast("int").as("__block"),
             expr(s"CAST(shiftright(__codes, 8 * CAST(__pos div $subdim AS INT)) & 255 AS INT)").as("__code"),
             expr(s"__pos % $subdim").cast("int").as("__bpos"),
-            floor(col("__x").cast("double") * lit(1000000.0)).cast("long").as("__v"))
+            col("__v"))
           .groupBy("__block", "__code", "__bpos")
           .agg(expr("sum(__v) div count(1)").as("__c")), Some(flat))
     }
     Codebook(m, ksub, subdim, flat)
+  }
+
+  /** prev = None: seed pass, every cell must exist; Some(flat): Lloyd
+    * round, an empty cluster falls back to its prior centroid. */
+  private def collectFlat(m: Int, ksub: Int, subdim: Int,
+      cells: DataFrame, prev: Option[Array[Long]]): Array[Long] = {
+    val got = cells.collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val flat = new Array[Long](m * ksub * subdim)
+    for (b <- 0 until m; c <- 0 until ksub; j <- 0 until subdim) {
+      val idx = (b * ksub + c) * subdim + j
+      flat(idx) = got.getOrElse((b, c, j), prev match {
+        case Some(p) => p(idx)
+        case None => throw new IllegalStateException(
+          s"PQ seed bucket (block=$b, code=$c) is empty — corpus has " +
+            s"fewer than ksub=$ksub distinct id residues")
+      })
+    }
+    flat
   }
 
   /** Encode the corpus: (id, codes) with all m codes packed into one
@@ -163,5 +181,113 @@ object Pq {
     val cb = trainCodebookE6(corpus, m, ksub, iters, idCol, vecCol)
     adcTopK(encode(corpus, cb, idCol, vecCol), cb,
       queryWeightsE6(query, vecCol), k, idCol)
+  }
+
+  // ---- IVF-PQ: coarse cells + residual codes (Jégou et al. §V) -------
+
+  /** Coarse quantizer (ONE block over the full dim — a Codebook with
+    * m = 1, ksub = ncells) + a residual PQ codebook shared across
+    * cells: the inverted-file layout where a probe touches only
+    * `nprobe` of `ncells` cells instead of the whole corpus. Score of
+    * v in cell c is exactly ⟨q, cent_c⟩ + ⟨q, v_e6 − cent_c⟩: the
+    * coarse term is a per-cell constant added driver-side, the
+    * residual term is the fused ADC kernel — so the probed scan stays
+    * the same one-long-per-row shape as flat PQ.
+    */
+  final case class IvfPqIndex(coarse: Codebook, residual: Codebook) {
+    def ncells: Int = coarse.ksub
+  }
+
+  /** (id, cell, resid) — the refined coarse assignment and the exact
+    * integer residual v_e6 − cent_cell. The centroid slice is indexed
+    * by the ROW's cell straight out of the literal flat codebook
+    * (`slice` on a computed offset) — no join against a centroid
+    * table, the `kmeansAssign` broadcast-literal shape. */
+  def residualsE6(corpus: DataFrame, coarse: Codebook,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(coarse.m == 1, "coarse quantizer must be a single-block codebook")
+    val dim = coarse.subdim
+    corpus
+      .select(col(idCol),
+        PqEncodeExpr.pq_encode(col(vecCol), coarse.flatE6.toSeq, 1, coarse.ksub)
+          .cast("int").as("cell"),
+        toE6(col(vecCol)).as("__ve6"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__ve6"),
+          slice(typedlit(coarse.flatE6.toSeq), col("cell") * lit(dim) + lit(1), lit(dim)),
+          (v, c) => v - c).as("resid"))
+  }
+
+  /** Train the coarse quantizer on full vectors, then the residual
+    * codebook on exact integer residuals against the REFINED coarse
+    * centroids — both with deterministic id-bucket seeds and
+    * truncating-integer Lloyd rounds, so the q128 oracle replays
+    * training end to end. */
+  def trainIvfPq(corpus: DataFrame, ncells: Int = 4, m: Int = 8,
+      ksub: Int = 16, coarseIters: Int = 1, pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val coarse = trainCodebookE6(corpus, 1, ncells, coarseIters, idCol, vecCol)
+    val resid = residualsE6(corpus, coarse, idCol, vecCol)
+    IvfPqIndex(coarse,
+      trainCodebookFromE6(resid, m, ksub, pqIters, idCol, "resid"))
+  }
+
+  /** Encode to the inverted-file layout: (id, cell, codes) — one int
+    * + one packed long per vector. */
+  def encodeIvfPq(corpus: DataFrame, idx: IvfPqIndex,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    residualsE6(corpus, idx.coarse, idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        PqEncodeExpr.pq_encode(col("resid"), idx.residual.flatE6.toSeq,
+          idx.residual.m, idx.residual.ksub).as("codes"))
+
+  /** Persist the index partitioned BY CELL: a probe's `cell IN (...)`
+    * filter becomes partition pruning — only nprobe/ncells of the
+    * files are ever listed or read, the on-disk analogue of FAISS's
+    * inverted lists (spec-pinned via PartitionFilters). */
+  def writeIvfPqIndex(corpus: DataFrame, idx: IvfPqIndex, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    encodeIvfPq(corpus, idx, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The probe set: top-`nprobe` cells by coarse inner product
+    * ⟨q, cent_c⟩ (ties to the smaller cell id) — driver-side over
+    * ncells scores; [[lutFor]] on the single-block coarse codebook IS
+    * that score vector. */
+  def probedCells(idx: IvfPqIndex, queryE6: Array[Long], nprobe: Int): Array[Int] = {
+    require(nprobe >= 1 && nprobe <= idx.ncells,
+      s"nprobe must be in [1, ${idx.ncells}], got $nprobe")
+    lutFor(idx.coarse, queryE6).zipWithIndex
+      .sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
+  }
+
+  /** ADC top-k over an encoded IVF-PQ frame restricted to the probed
+    * cells. `coarseScores` is indexed by cell via a literal-array
+    * lookup — no join; with the [[writeIvfPqIndex]] layout the cell
+    * filter prunes partitions before any file is read. */
+  def ivfPqTopKFromEncoded(encoded: DataFrame, idx: IvfPqIndex,
+      queryE6: Array[Long], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cells = probedCells(idx, queryE6, nprobe)
+    val coarseScores = lutFor(idx.coarse, queryE6)
+    val lut = lutFor(idx.residual, queryE6)
+    encoded
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), col("cell"),
+        (element_at(typedlit(coarseScores.toSeq), col("cell") + lit(1)) +
+          PqAdcScoreExpr.pq_adc_score(col("codes"), lut.toSeq,
+            idx.residual.m, idx.residual.ksub)).as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Train + encode + probe in one call — the q128 shape. */
+  def ivfPqTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      ncells: Int = 4, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = trainIvfPq(corpus, ncells, m, ksub, 1, 1, idCol, vecCol)
+    ivfPqTopKFromEncoded(encodeIvfPq(corpus, idx, idCol, vecCol), idx,
+      queryWeightsE6(query, vecCol), k, nprobe, idCol)
   }
 }

@@ -36,6 +36,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * `codebookE6` is flattened [block][code][bpos] — length must be
   * m·ksub·subdim with every cell present (an empty training cluster
   * keeps its prior centroid; see `Pq.trainCodebookE6`).
+  *
+  * Input element types: float/double elements are e6-floored per the
+  * convention above; LONG elements are taken as ALREADY-e6 integers
+  * verbatim — the residual path of IVF-PQ (`Pq.trainIvfPq`) trains and
+  * encodes over exact integer residuals (v_e6 − coarse centroid), and
+  * a float round-trip there would break the engine-exact replay.
   */
 case class PqEncodeExpr(child: Expression, codebookE6: Seq[Long],
     m: Int, ksub: Int) extends UnaryExpression {
@@ -53,11 +59,12 @@ case class PqEncodeExpr(child: Expression, codebookE6: Seq[Long],
 
   @transient private lazy val vecType = child.dataType.asInstanceOf[ArrayType]
   @transient private lazy val isFloat = vecType.elementType == FloatType
+  @transient private lazy val isLong = vecType.elementType == LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode needs an array<float|double> input, got ${other.simpleString}")
+      s"pq_encode needs an array<float|double|bigint> input, got ${other.simpleString}")
   }
 
   /** Per-row kernel; public so generated code can call it. Returns
@@ -74,8 +81,11 @@ case class PqEncodeExpr(child: Expression, codebookE6: Seq[Long],
       while (j < subdim) {
         val i = b * subdim + j
         if (vecType.containsNull && arr.isNullAt(i)) return null
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        v(j) = math.floor(x * 1000000.0).toLong
+        v(j) = if (isLong) arr.getLong(i)
+        else {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          math.floor(x * 1000000.0).toLong
+        }
         j += 1
       }
       var best = 0
