@@ -54,7 +54,52 @@ object RetrievalQueries {
     head + rounds + tail
   }
 
+  /** The q129 oracle: the [[bpeOracle]] rounds with the WORD threaded
+    * through (encoding depends only on the word, so the per-doc
+    * rollup is a join from the exploded tokens back to the final
+    * round's per-word symbol count — the same vocab-basis shape the
+    * Spark operator uses).
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val head =
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |w0 AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1)), chr(1)) AS d
+        |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""e$k AS (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u
+         |  FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+         |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM e$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT w.token, w.freq, replace(w.d, chr(1) || b.l || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    val tail =
+      s"""sub AS (SELECT token, CAST(len(list_filter(string_split(d, chr(1)), x -> x <> '')) AS BIGINT) AS n_sub FROM w$n),
+         |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(length(t.token)) AS BIGINT) AS n_chars,
+         |          CAST(sum(s.n_sub) AS BIGINT) AS n_subwords
+         |        FROM tok t JOIN sub s USING (token) GROUP BY t.doc_id)
+         |SELECT d.doc_id AS doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         |       COALESCE(a.n_chars, 0) AS n_chars,
+         |       COALESCE(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    head + rounds + tail
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Tokenizer APPLY: per-doc token/char/subword counts under the 8
+    // learned q125 merges — the corpus-budget answer a packing or
+    // token-fill stage consumes. Vocab-basis encode + broadcast join
+    // in Spark; the oracle threads the word through the merge rounds
+    // and rolls up identically.
+    sql("q129_bpe_encode_stats", bpeEncodeOracle(8)) { (s, d) =>
+      val docs = documents(s, d)
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", nMerges = 8)
+      graft.operators.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
 
     // BPE merge-table induction: the first 8 learned merges (round,
     // lhs, rhs, pair_count), trained distributed on the word-

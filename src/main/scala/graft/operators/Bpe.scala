@@ -76,4 +76,36 @@ object Bpe {
     merges.sortBy(_.round).foldLeft(syms) { (c, m) =>
       graft.plans.BpeMergeExpr.bpe_merge(c, m.lhs, m.rhs)
     }
+
+  /** Corpus-encode statistics under a learned merge table: per doc,
+    * (n_tokens, n_chars, n_subwords) — the tokenizer-apply step that
+    * turns a merge table into corpus token budgets (q95's fill, q79's
+    * packing, and any "how many tokens is this corpus" answer).
+    *
+    * Scale shape: encoding a word depends only on the word, so the
+    * merge chain runs ONCE PER DISTINCT WORD on the vocab basis (the
+    * [[trainMerges]] hash-agg shape, vocab-sized) and rides back to
+    * the corpus as a BROADCAST join on the exploded tokens — the
+    * corpus-sized side is never shuffled; the per-doc rollup is one
+    * partial-aggregated groupBy. Encoding per occurrence (a plain
+    * kernel map) would be shuffle-free too but repeats Σ|word|·nMerges
+    * work per DUPLICATE occurrence — the vocab basis is ~100× smaller
+    * than the corpus at web scale.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val chars = expr("filter(split(token, ''), x -> x <> '')")
+    val vocabEnc = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .distinct()
+      .select(col("token"),
+        size(applyMerges(chars, merges)).cast("long").as("__n_sub"))
+    docs
+      .select(col(idCol), explode_outer(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocabEnc), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("token")).as("n_tokens"),
+        coalesce(sum(length(col("token"))), lit(0L)).as("n_chars"),
+        coalesce(sum(col("__n_sub")), lit(0L)).as("n_subwords"))
+  }
 }
