@@ -89,6 +89,33 @@ object RetrievalQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Z-order (Morton) clustering: interleave the low 16 bits of
+    // (l_partkey, l_suppkey) and aggregate by coarse z-bucket —
+    // pinning the interleave arithmetic the Layout operator clusters
+    // and prunes by (LayoutSpec pins the file-skipping itself: a
+    // 2-d box read touches only manifest-surviving files).
+    sql("q130_zorder_buckets",
+      """WITH z AS (
+        |  SELECT CAST(list_sum([
+        |           ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        |           ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+        |           FOR i IN range(16)]) AS BIGINT) AS zv,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT zv // 4096 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .select(graft.operators.Layout.zValue(
+              Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zv"),
+            col("l_quantity"))
+          .groupBy(expr("zv div 4096").as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy("zbucket")
+    },
+
     // Tokenizer APPLY: per-doc token/char/subword counts under the 8
     // learned q125 merges — the corpus-budget answer a packing or
     // token-fill stage consumes. Vocab-basis encode + broadcast join
