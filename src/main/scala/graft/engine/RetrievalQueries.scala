@@ -87,7 +87,44 @@ object RetrievalQueries {
     head + rounds + tail
   }
 
+  /** The q131 oracle: `n` unrolled TextRank iterations — symmetrized
+    * adjacent-pair edges, truncating-integer rank updates at exactly
+    * the two division points the Spark operator uses.
+    */
+  private def textRankOracle(n: Int): String = {
+    val head =
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |a AS (SELECT unnest([{'u': toks[i], 'v': toks[i+1]} FOR i IN range(1, len(toks))]) AS p FROM t),
+        |e0 AS (SELECT p.u AS u, p.v AS v, CAST(count(*) AS BIGINT) AS w FROM a WHERE p.u <> p.v GROUP BY 1, 2),
+        |e AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM
+        |        (SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0) GROUP BY u, v),
+        |d AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY u),
+        |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM d)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""r$k AS (SELECT e.v AS node,
+         |  150000 + (85 * CAST(sum((r.r * e.w) // d.wdeg) AS BIGINT)) // 100 AS r
+         |  FROM e JOIN d ON e.u = d.u JOIN r${k - 1} r ON e.u = r.node GROUP BY e.v)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail =
+      s"""SELECT token, rank_e6 FROM (
+         |  SELECT node AS token, CAST(r AS BIGINT) AS rank_e6
+         |  FROM r$n ORDER BY r DESC, node LIMIT 16) ORDER BY token""".stripMargin
+    head + rounds + tail
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // TextRank keyword centrality: 3 integer-exact weighted-PageRank
+    // iterations over the token-adjacency graph, top-16 keywords —
+    // iterative graph compute done the Spark way (vocab-sized joins,
+    // ReuseExchange across iterations, corpus never reshuffled),
+    // replayed move-for-move by the unrolled oracle.
+    sql("q131_textrank_keywords", textRankOracle(3)) { (s, d) =>
+      graft.operators.TextOps.textRank(documents(s, d), "text", iters = 3)
+        .orderBy(col("r").desc, col("node")).limit(16)
+        .select(col("node").as("token"), col("r").as("rank_e6"))
+        .orderBy("token")
+    },
 
     // Z-order (Morton) clustering: interleave the low 16 bits of
     // (l_partkey, l_suppkey) and aggregate by coarse z-bucket —

@@ -504,6 +504,57 @@ object TextOps {
         (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** TextRank keyword centrality (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004): weighted PageRank over
+    * the token-ADJACENCY graph — high-rank tokens are the corpus's
+    * structural keywords, the graph upgrade of q39's tf-idf (which
+    * scores tokens in isolation).
+    *
+    * Integer-exact so DuckDB replays the iterations bit-for-bit (the
+    * q123/q128 convention): ranks start at `scale`, and one round is
+    *
+    *   r'(v) = (100−damp)·scale/100 + damp·(Σ_u (r(u)·w(u,v)) div wdeg(u)) div 100
+    *
+    * with truncating integer division at exactly those two points.
+    *
+    * Scale shape: the graph basis is VOCAB-sized (adjacent-pair hash
+    * agg — the q125 pair-count shape; the corpus is tokenized once and
+    * never reshuffled), and each iteration is one vocab-sized join +
+    * hash agg. The edge/degree subtree appears identically in every
+    * iteration of the final plan, so ReuseExchange computes its
+    * shuffle ONCE — no persist lifecycle to manage. Symmetrized edges
+    * mean no dangling nodes (every node has in- and out-edges), so no
+    * rank mass correction term is needed.
+    */
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
+      scale: Long = 1000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val pairs = docs
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), (l, r) -> struct(l, r))"))
+        .as("p"))
+      .filter(col("p.l") =!= col("p.r"))
+      .groupBy(col("p.l").as("u"), col("p.r").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w"))
+    val deg = edges.groupBy("u").agg(sum("w").as("wdeg"))
+    val ew = edges.join(deg, "u")
+    val base = (100 - dampPct) * scale / 100
+    var ranks = deg.select(col("u").as("node"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ew.join(ranks, ew("u") === ranks("node"))
+        .select(col("v"), expr("(r * w) div wdeg").as("c"))
+        .groupBy("v").agg(sum("c").as("__s"))
+        .select(col("v").as("node"),
+          (lit(base) + expr(s"($dampPct * __s) div 100")).as("r"))
+    }
+    ranks
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tiebreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol) +: tiebreak.map(col)).toSeq
