@@ -112,7 +112,95 @@ object RetrievalQueries {
     head + rounds + tail
   }
 
+  /** Shared IVF-PQ training/encoding replay (q128/q132): coarse
+    * k-means (seed + 1 Lloyd round) and residual PQ are trained on
+    * the `trainPred` subset of vectors; assignment, residuals, and
+    * the final code distances (`pd2`) are evaluated over ALL non-query
+    * vectors — with `trainPred = "TRUE"` the two coincide (the q128
+    * case), with a real predicate the complement is a DELTA encoded
+    * under frozen codebooks (the q132 case). Ends mid-WITH; callers
+    * append their tail CTEs + final SELECT.
+    */
+  private def ivfPqOracleCore(trainPred: String): String =
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |         unnest([{'j': i-1,
+       |                  'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+       |                 FOR i IN range(1, len(embedding)+1)]) AS u
+       |  FROM embeddings WHERE vec_id <> 0),
+       |e AS (SELECT vec_id, u.j AS j, u.v AS v FROM p),
+       |etr AS (SELECT * FROM e WHERE $trainPred),
+       |cs AS (SELECT vec_id % 4 AS c, j, sum(v) // count(*) AS cent
+       |       FROM etr GROUP BY vec_id % 4, j),
+       |cd1 AS (SELECT e.vec_id, s.c, sum((e.v - s.cent) * (e.v - s.cent)) AS dist
+       |        FROM etr e JOIN cs s ON e.j = s.j GROUP BY e.vec_id, s.c),
+       |ca1 AS (SELECT vec_id, c FROM (
+       |          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |          FROM cd1) x WHERE rn = 1),
+       |cr1 AS (SELECT a.c, e.j, sum(e.v) // count(*) AS cent
+       |        FROM etr e JOIN ca1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.j),
+       |ccb AS (SELECT s.c, s.j, COALESCE(r1.cent, s.cent) AS cent
+       |        FROM cs s LEFT JOIN cr1 r1 ON s.c = r1.c AND s.j = r1.j),
+       |cd2 AS (SELECT e.vec_id, k.c, sum((e.v - k.cent) * (e.v - k.cent)) AS dist
+       |        FROM e JOIN ccb k ON e.j = k.j GROUP BY e.vec_id, k.c),
+       |cass AS (SELECT vec_id, c AS cell FROM (
+       |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+       |           FROM cd2) x WHERE rn = 1),
+       |r AS (SELECT e.vec_id, a.cell, e.j, e.v - k.cent AS v
+       |      FROM e JOIN cass a ON e.vec_id = a.vec_id
+       |      JOIN ccb k ON k.c = a.cell AND k.j = e.j),
+       |rtr AS (SELECT * FROM r WHERE $trainPred),
+       |ps AS (SELECT j // 8 AS b, vec_id % 16 AS c, j % 8 AS bp, sum(v) // count(*) AS cent
+       |       FROM rtr GROUP BY j // 8, vec_id % 16, j % 8),
+       |pd1 AS (SELECT r.vec_id, r.j // 8 AS b, s.c, sum((r.v - s.cent) * (r.v - s.cent)) AS dist
+       |        FROM rtr r JOIN ps s ON r.j // 8 = s.b AND r.j % 8 = s.bp
+       |        GROUP BY r.vec_id, r.j // 8, s.c),
+       |pa1 AS (SELECT vec_id, b, c FROM (
+       |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+       |          FROM pd1) x WHERE rn = 1),
+       |pr1 AS (SELECT r.j // 8 AS b, a.c, r.j % 8 AS bp, sum(r.v) // count(*) AS cent
+       |        FROM rtr r JOIN pa1 a ON r.vec_id = a.vec_id AND r.j // 8 = a.b
+       |        GROUP BY r.j // 8, a.c, r.j % 8),
+       |pcb AS (SELECT s.b, s.c, s.bp, COALESCE(p1.cent, s.cent) AS cent
+       |        FROM ps s LEFT JOIN pr1 p1 ON s.b = p1.b AND s.c = p1.c AND s.bp = p1.bp),
+       |pd2 AS (SELECT r.vec_id, r.j // 8 AS b, k.c, sum((r.v - k.cent) * (r.v - k.cent)) AS dist
+       |        FROM r JOIN pcb k ON r.j // 8 = k.b AND r.j % 8 = k.bp
+       |        GROUP BY r.vec_id, r.j // 8, k.c),
+       |enc AS (SELECT vec_id, b, c FROM (
+       |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+       |          FROM pd2) x WHERE rn = 1),
+       |""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+
+    // IVF-PQ quantization-drift monitor: every vec_id % 10 = 9 vector
+    // is a DELTA encoded under codebooks trained only on the rest;
+    // per coarse cell, member counts and truncating-mean ADC
+    // reconstruction error (Σ_b min_c dist — the pq_encode_err
+    // kernel) for catalog vs delta. The retrain signal for a
+    // maintained index, one scan + an ncells-row aggregate.
+    sql("q132_ivfpq_drift",
+      ivfPqOracleCore("vec_id % 10 <> 9") +
+      """md AS (SELECT vec_id, b, min(dist) AS d FROM pd2 GROUP BY vec_id, b),
+        |verr AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS err FROM md GROUP BY vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 <> 9) AS BIGINT) AS n_cat,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 = 9) AS BIGINT) AS n_delta,
+        |  CASE WHEN count(*) FILTER (WHERE vec_id % 10 <> 9) > 0
+        |    THEN CAST(sum(err) FILTER (WHERE vec_id % 10 <> 9)
+        |              // count(*) FILTER (WHERE vec_id % 10 <> 9) AS BIGINT) END AS avg_err_cat,
+        |  CASE WHEN count(*) FILTER (WHERE vec_id % 10 = 9) > 0
+        |    THEN CAST(sum(err) FILTER (WHERE vec_id % 10 = 9)
+        |              // count(*) FILTER (WHERE vec_id % 10 = 9) AS BIGINT) END AS avg_err_delta
+        |FROM cass a JOIN verr USING (vec_id)
+        |GROUP BY a.cell ORDER BY cell""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val cat = emb.filter(col("vec_id") % 10 =!= 9)
+        val del = emb.filter(col("vec_id") % 10 === 9)
+        val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
+        Pq.ivfPqDriftStats(cat, del, idx).orderBy("cell")
+    },
 
     // TextRank keyword centrality: 3 integer-exact weighted-PageRank
     // iterations over the token-adjacency graph, top-16 keywords —
@@ -325,52 +413,8 @@ object RetrievalQueries {
     // nprobe/ncells of the corpus (partition-pruned in the persisted
     // layout — IvfPqSpec pins PartitionFilters).
     sql("q128_ivfpq_probe",
-      """WITH p AS (
-        |  SELECT vec_id,
-        |         unnest([{'j': i-1,
-        |                  'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
-        |                 FOR i IN range(1, len(embedding)+1)]) AS u
-        |  FROM embeddings WHERE vec_id <> 0),
-        |e AS (SELECT vec_id, u.j AS j, u.v AS v FROM p),
-        |cs AS (SELECT vec_id % 4 AS c, j, sum(v) // count(*) AS cent
-        |       FROM e GROUP BY vec_id % 4, j),
-        |cd1 AS (SELECT e.vec_id, s.c, sum((e.v - s.cent) * (e.v - s.cent)) AS dist
-        |        FROM e JOIN cs s ON e.j = s.j GROUP BY e.vec_id, s.c),
-        |ca1 AS (SELECT vec_id, c FROM (
-        |          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |          FROM cd1) x WHERE rn = 1),
-        |cr1 AS (SELECT a.c, e.j, sum(e.v) // count(*) AS cent
-        |        FROM e JOIN ca1 a ON e.vec_id = a.vec_id GROUP BY a.c, e.j),
-        |ccb AS (SELECT s.c, s.j, COALESCE(r1.cent, s.cent) AS cent
-        |        FROM cs s LEFT JOIN cr1 r1 ON s.c = r1.c AND s.j = r1.j),
-        |cd2 AS (SELECT e.vec_id, k.c, sum((e.v - k.cent) * (e.v - k.cent)) AS dist
-        |        FROM e JOIN ccb k ON e.j = k.j GROUP BY e.vec_id, k.c),
-        |cass AS (SELECT vec_id, c AS cell FROM (
-        |           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |           FROM cd2) x WHERE rn = 1),
-        |r AS (SELECT e.vec_id, a.cell, e.j, e.v - k.cent AS v
-        |      FROM e JOIN cass a ON e.vec_id = a.vec_id
-        |      JOIN ccb k ON k.c = a.cell AND k.j = e.j),
-        |ps AS (SELECT j // 8 AS b, vec_id % 16 AS c, j % 8 AS bp, sum(v) // count(*) AS cent
-        |       FROM r GROUP BY j // 8, vec_id % 16, j % 8),
-        |pd1 AS (SELECT r.vec_id, r.j // 8 AS b, s.c, sum((r.v - s.cent) * (r.v - s.cent)) AS dist
-        |        FROM r JOIN ps s ON r.j // 8 = s.b AND r.j % 8 = s.bp
-        |        GROUP BY r.vec_id, r.j // 8, s.c),
-        |pa1 AS (SELECT vec_id, b, c FROM (
-        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
-        |          FROM pd1) x WHERE rn = 1),
-        |pr1 AS (SELECT r.j // 8 AS b, a.c, r.j % 8 AS bp, sum(r.v) // count(*) AS cent
-        |        FROM r JOIN pa1 a ON r.vec_id = a.vec_id AND r.j // 8 = a.b
-        |        GROUP BY r.j // 8, a.c, r.j % 8),
-        |pcb AS (SELECT s.b, s.c, s.bp, COALESCE(p1.cent, s.cent) AS cent
-        |        FROM ps s LEFT JOIN pr1 p1 ON s.b = p1.b AND s.c = p1.c AND s.bp = p1.bp),
-        |pd2 AS (SELECT r.vec_id, r.j // 8 AS b, k.c, sum((r.v - k.cent) * (r.v - k.cent)) AS dist
-        |        FROM r JOIN pcb k ON r.j // 8 = k.b AND r.j % 8 = k.bp
-        |        GROUP BY r.vec_id, r.j // 8, k.c),
-        |enc AS (SELECT vec_id, b, c FROM (
-        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
-        |          FROM pd2) x WHERE rn = 1),
-        |q AS (SELECT unnest([{'j': i-1,
+      ivfPqOracleCore("TRUE") +
+      """q AS (SELECT unnest([{'j': i-1,
         |                     'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
         |                    FOR i IN range(1, len(embedding)+1)]) AS u
         |      FROM embeddings WHERE vec_id = 0),

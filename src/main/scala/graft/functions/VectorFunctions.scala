@@ -177,6 +177,28 @@ object VectorFunctions {
     }.reduce(_ + _)
   }
 
+  def pqEncodeErr(v: Column, codebookE6: Seq[Long], m: Int, ksub: Int): Column =
+    graft.plans.PqEncodeErrExpr.pq_encode_err(v, codebookE6, m, ksub)
+
+  /** Expression-tree PQ quantization error — the differential oracle
+    * for `PqEncodeErrExpr` (same caveats as [[pqEncodeHof]]). */
+  private[graft] def pqEncodeErrHof(v: Column, codebookE6: Seq[Long],
+      m: Int, ksub: Int, alreadyE6: Boolean = false): Column = {
+    val subdim = codebookE6.length / (m * ksub)
+    (0 until m).map { b =>
+      least((0 until ksub).map { c =>
+        (0 until subdim).map { j =>
+          val cent = lit(codebookE6((b * ksub + c) * subdim + j))
+          val el = element_at(v, b * subdim + j + 1)
+          val ve6 = if (alreadyE6) el.cast("long")
+          else floor(el.cast("double") * lit(1000000.0)).cast("long")
+          val dv = ve6 - cent
+          dv * dv
+        }.reduce(_ + _)
+      }: _*)
+    }.reduce(_ + _)
+  }
+
   def pqAdcScore(codes: Column, lutE6: Seq[Long], m: Int, ksub: Int): Column =
     graft.plans.PqAdcScoreExpr.pq_adc_score(codes, lutE6, m, ksub)
 

@@ -282,6 +282,47 @@ object Pq {
       .limit(k)
   }
 
+  /** Maintenance append: encode an accepted delta with the FROZEN
+    * codebooks and add it to the persisted inverted-file layout — the
+    * band/digest-store treatment applied to the ANN index (no
+    * retrain, no touch of existing cells' files; dynamic partition
+    * overwrite is NOT used, so concurrent cells stay intact). Pair
+    * with [[ivfPqDriftStats]] to decide when frozen codebooks have
+    * drifted enough to retrain.
+    */
+  def appendIvfPqIndex(delta: DataFrame, idx: IvfPqIndex, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    encodeIvfPq(delta, idx, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Quantization-drift monitor: per coarse cell, member counts and
+    * truncating-mean ADC reconstruction error (Σ_b min_c ‖r−cent‖²,
+    * the `pq_encode_err` kernel) for the TRAINED catalog vs a new
+    * delta encoded under the frozen codebooks. A delta error pulling
+    * away from the catalog's is the retrain signal — FAISS-style
+    * index health as one scan + one ncells-row aggregate, integer-
+    * exact for the q132 oracle.
+    */
+  def ivfPqDriftStats(catalog: DataFrame, delta: DataFrame, idx: IvfPqIndex,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def withErr(df: DataFrame, isDelta: Int): DataFrame =
+      residualsE6(df, idx.coarse, idCol, vecCol)
+        .select(col("cell"), lit(isDelta.toLong).as("__d"),
+          graft.plans.PqEncodeErrExpr.pq_encode_err(col("resid"),
+            idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub)
+            .as("__err"))
+    withErr(catalog, 0).unionByName(withErr(delta, 1))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_cat"),
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("__d") === 0L, col("__err")).otherwise(0L)).as("__ec"),
+        sum(when(col("__d") === 1L, col("__err")).otherwise(0L)).as("__ed"))
+      .select(col("cell"), col("n_cat"), col("n_delta"),
+        when(col("n_cat") > 0L, expr("__ec div n_cat")).as("avg_err_cat"),
+        when(col("n_delta") > 0L, expr("__ed div n_delta")).as("avg_err_delta"))
+  }
+
   /** Train + encode + probe in one call — the q128 shape. */
   def ivfPqTopK(corpus: DataFrame, query: DataFrame, k: Int,
       ncells: Int = 4, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,

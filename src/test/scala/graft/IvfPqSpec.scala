@@ -94,6 +94,59 @@ class IvfPqSpec extends SparkSpec {
       "pruning must exclude at least one cell's files")
   }
 
+  test("pq_encode_err matches the HOF form in both modes, on floats and e6 longs") {
+    val idx = Pq.trainIvfPq(corpus, ncells = 4, m = 8, ksub = 16)
+    val resid = Pq.residualsE6(corpus, idx.coarse)
+    def check(): Unit = {
+      val diffLong = resid.select(
+        VectorFunctions.pqEncodeErr($"resid", idx.residual.flatE6.toSeq, 8, 16).as("nk"),
+        VectorFunctions.pqEncodeErrHof($"resid", idx.residual.flatE6.toSeq, 8, 16,
+          alreadyE6 = true).as("hk"))
+        .filter($"nk" =!= $"hk")
+      assert(diffLong.count() === 0)
+      val cb = Pq.trainCodebookE6(corpus, m = 8, ksub = 16)
+      val diffFloat = corpus.select(
+        VectorFunctions.pqEncodeErr($"embedding", cb.flatE6.toSeq, 8, 16).as("nk"),
+        VectorFunctions.pqEncodeErrHof($"embedding", cb.flatE6.toSeq, 8, 16).as("hk"))
+        .filter($"nk" =!= $"hk")
+      assert(diffFloat.count() === 0)
+    }
+    check()
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  test("maintenance append under frozen codebooks: probe equals a from-scratch encode of the union") {
+    val cat = corpus.filter($"vec_id" % 10 =!= 9)
+    val del = corpus.filter($"vec_id" % 10 === 9)
+    val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
+    val qe6 = Pq.queryWeightsE6(query)
+    val path = tmpDir("ivfpq_append")
+    Pq.writeIvfPqIndex(cat, idx, path)
+    Pq.appendIvfPqIndex(del, idx, path)
+    val fromDisk = Pq.ivfPqTopKFromEncoded(
+        spark.read.parquet(path), idx, qe6, k = 20, nprobe = 2)
+      .orderBy("vec_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val fresh = Pq.ivfPqTopKFromEncoded(
+        Pq.encodeIvfPq(cat.unionByName(del), idx), idx, qe6, k = 20, nprobe = 2)
+      .orderBy("vec_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fromDisk.nonEmpty && fromDisk === fresh)
+    // drift stats cover every cell and count the full split
+    val drift = Pq.ivfPqDriftStats(cat, del, idx).collect()
+    assert(drift.map(_.getLong(1)).sum === cat.count())
+    assert(drift.map(_.getLong(2)).sum === del.count())
+  }
+
   test("2-of-4 probe finds the planted exact neighbor and beats cell-blind chance") {
     // plant an exact copy of the query vector in the corpus: its cell
     // is the query's best cell, so any nprobe >= 1 probe must rank it
