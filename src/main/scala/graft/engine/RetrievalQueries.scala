@@ -202,6 +202,40 @@ object RetrievalQueries {
         Pq.ivfPqDriftStats(cat, del, idx).orderBy("cell")
     },
 
+    // Incremental distinct-count maintenance via mergeable HLL
+    // sketches: the corpus arrives as 3 waves, each contributing one
+    // (lang, n, sketch) row; the folded store's estimate must EQUAL
+    // the whole-corpus sketch's (register-wise-max union is split-
+    // and order-independent) and sit within the lgK=12 ±5% bound of
+    // the exact count — the q61/q107 contract pattern, applied to
+    // the maintenance story: unique-doc tracking with no rescans.
+    sql("q133_hll_incremental",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_exact,
+        |       TRUE AS merge_consistent, TRUE AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+          .select(col("lang"), md5(col("text")).as("k"), col("doc_id"))
+        val waves = (0 until 3).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i))
+        val merged = graft.operators.Profiling.mergeSketches("lang",
+          waves.map(w => graft.operators.Profiling.groupSketches(w, "lang", col("k"))))
+        val whole = graft.operators.Profiling.groupSketches(docs, "lang", col("k"))
+          .select(col("lang"), hll_sketch_estimate(col("hll")).as("__est_whole"))
+        val exact = docs.groupBy("lang")
+          .agg(count_distinct(col("k")).as("n_unique_exact"))
+        merged
+          .select(col("lang"), col("n_docs"),
+            hll_sketch_estimate(col("hll")).as("__est"))
+          .join(whole, "lang").join(exact, "lang")
+          .select(col("lang"), col("n_docs"), col("n_unique_exact"),
+            (col("__est") === col("__est_whole")).as("merge_consistent"),
+            (abs(col("__est") - col("n_unique_exact")) * 100 <=
+              col("n_unique_exact") * 5).as("est_ok"))
+          .orderBy("lang")
+    },
+
     // TextRank keyword centrality: 3 integer-exact weighted-PageRank
     // iterations over the token-adjacency graph, top-16 keywords —
     // iterative graph compute done the Spark way (vocab-sized joins,

@@ -28,6 +28,33 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  // ---- mergeable-sketch cardinality maintenance (q133) ---------------
+
+  /** Per-group Datasketches-HLL sketch + row count of one ingest wave:
+    * the MERGEABLE unit an incremental pipeline persists so "how many
+    * unique documents per language" never needs a corpus rescan — each
+    * new wave contributes one tiny (group, n, sketch-binary) table and
+    * [[mergeSketches]] folds it in. HLL union is register-wise max,
+    * so merge(parts) is EXACTLY the whole-corpus sketch regardless of
+    * how the data was split or ordered — q133 pins that equality
+    * (`merge_consistent`) plus the lgK=12 ±5 % accuracy contract
+    * (`est_ok`, the q61/q107 ε-bound pattern).
+    */
+  def groupSketches(df: DataFrame, groupCol: String, key: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), hll_sketch_agg(key, lit(lgK)).as("hll"))
+
+  /** Fold wave sketch tables into one: counts add, sketches union.
+    * Group cardinality bounds every frame — this is a sketch-store
+    * maintenance op, never corpus-sized. */
+  def mergeSketches(groupCol: String, waves: Seq[DataFrame]): DataFrame = {
+    require(waves.nonEmpty, "need at least one wave")
+    waves.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(sum("n_docs").as("n_docs"), hll_union_agg(col("hll")).as("hll"))
+  }
+
   /** Unpivot the single agg row: one struct per column, exploded to
     * rows. `explode(array(struct...))` stays inside whole-stage
     * codegen and adds no shuffle (the input is one row).
