@@ -323,6 +323,22 @@ object Pq {
         when(col("n_delta") > 0L, expr("__ed div n_delta")).as("avg_err_delta"))
   }
 
+  /** (cell, ADC reconstruction error) COLUMN pair for monitoring
+    * scans — the stateless per-row form of [[ivfPqDriftStats]] that a
+    * streaming micro-batch can select without a join (the coarse
+    * assignment is evaluated twice, once per column — m=1 encode work,
+    * cheap next to the residual scan it feeds). */
+  def cellAndErr(idx: IvfPqIndex, vec: Column): (Column, Column) = {
+    val dim = idx.coarse.subdim
+    val cell = PqEncodeExpr.pq_encode(vec, idx.coarse.flatE6.toSeq, 1, idx.coarse.ksub)
+      .cast("int")
+    val resid = zip_with(toE6(vec),
+      slice(typedlit(idx.coarse.flatE6.toSeq), cell * lit(dim) + lit(1), lit(dim)),
+      (v, c) => v - c)
+    (cell, graft.plans.PqEncodeErrExpr.pq_encode_err(resid,
+      idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub))
+  }
+
   /** Train + encode + probe in one call — the q128 shape. */
   def ivfPqTopK(corpus: DataFrame, query: DataFrame, k: Int,
       ncells: Int = 4, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,

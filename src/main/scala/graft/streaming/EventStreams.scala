@@ -343,6 +343,37 @@ object EventStreams {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming ANN index-health monitor — `Pq.ivfPqDriftStats`'s
+    * continuous twin: per event-time window and coarse cell, the
+    * count and truncating-mean ADC reconstruction error of arriving
+    * embeddings under the FROZEN codebooks, with an `alert` flag when
+    * the mean pulls `alertPct`% above the catalog baseline (the
+    * retrain/investigate signal, evaluated as data arrives instead of
+    * at the next batch audit).
+    *
+    * Stateless per-row scoring (`Pq.cellAndErr` — no join, no state)
+    * into one watermarked windowed aggregate; state is ncells rows
+    * per open window. `baselineAvgErr` is indexed by cell — take it
+    * from `ivfPqDriftStats`'s `avg_err_cat` column.
+    */
+  def indexDriftStream(vecs: DataFrame, idx: graft.operators.Pq.IvfPqIndex,
+      baselineAvgErr: Seq[Long], vecCol: String = "embedding",
+      tsCol: String = "ts", window_ : String = "1 hour",
+      watermark: String = "30 minutes", alertPct: Int = 150): DataFrame = {
+    require(baselineAvgErr.length == idx.ncells,
+      s"baseline must have one entry per cell (${idx.ncells})")
+    val (cell, err) = graft.operators.Pq.cellAndErr(idx, col(vecCol))
+    vecs.select(col(tsCol), cell.as("cell"), err.as("__err"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("cell"))
+      .agg(count(lit(1)).as("n"), sum("__err").as("__es"))
+      .select(col("window"), col("cell"), col("n"),
+        expr("__es div n").as("avg_err"),
+        (expr("__es div n") * lit(100L) >
+          element_at(typedlit(baselineAvgErr), col("cell") + lit(1)) * lit(alertPct.toLong))
+          .as("alert"))
+  }
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

@@ -19,7 +19,7 @@ import graft.streaming.EventStreams
 class NearDupStreamSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -122,6 +122,46 @@ class NearDupStreamSpec extends SparkSpec {
     dropTable(table)
   }
 
+  test("streaming index-drift monitor: clean embeddings stay quiet, shifted ones alert") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import NearDupStreamSpec.Vec
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") =!= 0)
+    val idx = graft.operators.Pq.trainIvfPq(emb, ncells = 4, m = 8, ksub = 16)
+    // catalog baseline per cell (avg_err_cat over the training corpus)
+    val baseline = graft.operators.Pq.ivfPqDriftStats(emb, emb.limit(0), idx)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+    val base = (0 until 4).map(c => baseline(c))
+
+    val rows = emb.select("embedding").as[Seq[Float]].take(20)
+    val src = MemoryStream[Vec]
+    val q = EventStreams.indexDriftStream(src.toDF(), idx, base,
+        window_ = "1 hour", watermark = "30 minutes", alertPct = 150)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_out").start()
+    // hour 0: in-distribution vectors; hour 1: the same vectors scaled
+    // 3x — residuals blow up against the frozen codebooks
+    src.addData(rows.zipWithIndex.map { case (v, i) => Vec(i.toLong, ts(i % 50), v) }: _*)
+    src.addData(rows.zipWithIndex.map { case (v, i) =>
+      Vec(100L + i, ts(65 + i % 50), v.map(_ * 3.0f)) }: _*)
+    q.processAllAvailable()
+    src.addData(Vec(999L, ts(400), rows.head)) // advance watermark, flush windows
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("drift_out")
+      .select(col("window.start").cast("string").as("w"), col("cell"),
+        col("n"), col("avg_err"), col("alert"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val hour0 = out.filter(_._1.startsWith("2024-01-01 00"))
+    val hour1 = out.filter(_._1.startsWith("2024-01-01 01"))
+    assert(hour0.nonEmpty && hour1.nonEmpty, s"both windows must flush: ${out.mkString(", ")}")
+    assert(hour0.forall(!_._5), s"in-distribution hour must not alert: ${hour0.mkString(", ")}")
+    assert(hour1.exists(_._5), s"shifted hour must alert somewhere: ${hour1.mkString(", ")}")
+    assert(hour0.map(_._3).sum === 20L && hour1.map(_._3).sum === 20L)
+  }
+
   test("compactBandStore removes replayed duplicates and preserves the probe result") {
     import spark.implicits._
     val catalog = (0L until 30L).map(i => (i, mkText(i.toInt)))
@@ -159,4 +199,8 @@ class NearDupStreamSpec extends SparkSpec {
     assert(stored.nonEmpty && stored === inline)
     dropTable(table)
   }
+}
+
+object NearDupStreamSpec {
+  final case class Vec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
 }
