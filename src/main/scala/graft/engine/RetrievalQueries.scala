@@ -202,6 +202,44 @@ object RetrievalQueries {
         Pq.ivfPqDriftStats(cat, del, idx).orderBy("cell")
     },
 
+    // Video-level near-dup by frame-digest containment: exact copies
+    // (+2000000) share every 16-byte frame window; half-prefix clips
+    // (+1000000) share the aligned prefix frames and pass the 50%
+    // containment gate against min(frames). Only digests shuffle;
+    // hot frames df-capped. The oracle replays windowing (ASCII text
+    // ⇒ byte windows == char windows), distinct, cap, and gate.
+    sql("q134_frame_containment",
+      """WITH m AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, substr(text, 1, CAST(length(text) // 2 AS INT)) FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 40),
+        |fr AS (SELECT id, unnest(list_distinct(
+        |         [md5(substr(text, f * 16 + 1, 16))
+        |          FOR f IN range(0, CAST(greatest((length(text) + 15) // 16, 1) AS INT))])) AS fd
+        |       FROM m),
+        |nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM fr GROUP BY id),
+        |keep AS (SELECT fd FROM fr GROUP BY fd HAVING count(*) <= 64),
+        |fr2 AS (SELECT fr.id, fr.fd FROM fr JOIN keep USING (fd)),
+        |p AS (SELECT x.id AS id1, y.id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM fr2 x JOIN fr2 y ON x.fd = y.fd AND x.id < y.id GROUP BY 1, 2)
+        |SELECT p.id1, p.id2, p.n_shared
+        |FROM p JOIN nf a ON p.id1 = a.id JOIN nf b ON p.id2 = b.id
+        |WHERE p.n_shared * 1000 >= 500 * least(a.n, b.n)
+        |ORDER BY id1, id2""".stripMargin) {
+      (s, d) =>
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substr(text, 1, CAST(length(text) div 2 AS INT))").as("text"))
+          .unionByName(base.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        val media = graft.operators.Multimodal.synthesize(
+          base.unionByName(planted), "doc_id", "text")
+        graft.operators.Multimodal.frameNearDupCandidates(media,
+            frameBytes = 16, maxFrameDf = 64, thrPermille = 500)
+          .orderBy("id1", "id2")
+    },
+
     // Incremental distinct-count maintenance via mergeable HLL
     // sketches: the corpus arrives as 3 waves, each contributing one
     // (lang, n, sketch) row; the folded store's estimate must EQUAL

@@ -160,6 +160,55 @@ object Multimodal {
       .select("id1", "id2", "l1")
   }
 
+  /** Video-level near-dup candidates by FRAME-DIGEST containment —
+    * the sequence-aware tier above [[perceptualNearDupCandidates]]:
+    * a clipped or re-muxed copy shares most of its frame windows with
+    * the original even when whole-payload signatures differ.
+    *
+    * Pipeline (integer-exact; the q134 oracle replays it):
+    *  1. payload → fixed-`frameBytes` windows, md5 per window (the
+    *     md5/substring work rides INSIDE the frame transform — one
+    *     linear pass per payload, Σ|payload| total, no decode);
+    *     frame count = ⌈n_bytes / frameBytes⌉ as pure integer
+    *     arithmetic (no float ceil to diverge across engines);
+    *  2. distinct (video, frame-digest) pairs — a frame repeated
+    *     within one video counts once;
+    *  3. absolute df cap on frame digests (the q96 convention: a
+    *     frame shared by > `maxFrameDf` videos is title-card/black-
+    *     frame boilerplate, and capping it bounds every join group);
+    *  4. digest equi-join pairs + containment gate
+    *     shared·1000 ≥ thrPermille·min(n1, n2) — cross-multiplied,
+    *     exact.
+    *
+    * Scale shape: only 16-byte digests shuffle (payloads never leave
+    * their scan), groups are df-capped, and the per-video frame count
+    * aggregate is vocab-of-videos-sized.
+    */
+  def frameNearDupCandidates(media: DataFrame, frameBytes: Int = 16,
+      maxFrameDf: Int = 64, thrPermille: Int = 500): DataFrame = {
+    require(frameBytes >= 1 && maxFrameDf >= 2)
+    val frames = media
+      .select(col("media_id").as("id"),
+        explode(expr(
+          s"""transform(
+             |  sequence(0, CAST(greatest((coalesce(meta.n_bytes, 0) + ${frameBytes - 1}) div $frameBytes, 1) AS INT) - 1),
+             |  f -> md5(substring(payload, f * $frameBytes + 1, $frameBytes)))""".stripMargin))
+          .as("fd"))
+      .distinct()
+    val nf = frames.groupBy("id").agg(count(lit(1)).as("n"))
+    val keep = frames.groupBy("fd").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFrameDf).select("fd")
+    val fr2 = frames.join(keep, "fd")
+    fr2.alias("x").join(fr2.alias("y"),
+        col("x.fd") === col("y.fd") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nf.select(col("id").as("id1"), col("n").as("__n1")), "id1")
+      .join(nf.select(col("id").as("id2"), col("n").as("__n2")), "id2")
+      .filter(col("n_shared") * 1000 >= lit(thrPermille.toLong) * least(col("__n1"), col("__n2")))
+      .select("id1", "id2", "n_shared")
+  }
+
   /** Frame sampling stub for video-like payloads: every `stride`-th
     * byte window becomes one "frame" row (posexplode keeps lineage to
     * the source media row).
