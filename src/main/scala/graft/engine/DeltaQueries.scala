@@ -303,25 +303,30 @@ object DeltaQueries {
     // minHashCandidates over catalog ∪ delta, both directions);
     // dup_recall_ok pins that every planted exact-dup pair with a
     // delta member is found; n_new_dup_pairs is replayed exactly by
-    // the oracle from text equality.
+    // the oracle from text equality. Delta ids are NEGATIVE (orig −
+    // 1000000) so they are disjoint from corpus ids at EVERY scale —
+    // a positive offset collided with ScaleGen's 10M id stride at 10×
+    // and silently reclassified copy-copy pairs as delta-touching —
+    // and a delta-touching pair is then exactly `id1 < 0` (delta ids
+    // sort below all corpus ids, and id1 ≤ id2).
     sql("q124_incremental_neardup",
-      """WITH delta AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 40),
+      """WITH delta AS (SELECT doc_id - 1000000 AS doc_id, text FROM documents WHERE doc_id < 40),
         |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM delta),
         |g AS (SELECT text, count(*) AS n FROM corpus GROUP BY text),
         |m AS (SELECT c.doc_id, c.text FROM corpus c JOIN g ON c.text = g.text WHERE g.n BETWEEN 2 AND 8),
         |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2 FROM m x JOIN m y ON x.text = y.text AND x.doc_id < y.doc_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_new_dup_pairs, TRUE AS dup_recall_ok,
         |       TRUE AS matches_full_recompute
-        |FROM p WHERE id2 >= 1000000""".stripMargin) {
+        |FROM p WHERE id1 < 0""".stripMargin) {
       (s, d) =>
         val docs = documents(s, d).select(col("doc_id"), col("text"))
         val delta = docs.filter(col("doc_id") < 40)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .select((col("doc_id") - 1000000L).as("doc_id"), col("text"))
         val inc = Dedup.incrementalNearDupCandidates(docs, delta,
           "doc_id", "text", bands = 8, rowsPerBand = 4)
         val full = Dedup.minHashCandidates(docs.unionByName(delta),
             "doc_id", "text", bands = 8, rowsPerBand = 4)
-          .filter(col("id1") >= 1000000L || col("id2") >= 1000000L)
+          .filter(col("id1") < 0L)
         val matches = inc.exceptAll(full).unionAll(full.exceptAll(inc))
           .agg((count(lit(1)) === 0).as("matches_full_recompute"))
         val corpus = docs.unionByName(delta)
@@ -332,7 +337,7 @@ object DeltaQueries {
           .join(members.alias("y"),
             col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-          .filter(col("id2") >= 1000000L)
+          .filter(col("id1") < 0L)
         val nDup = dupPairs.agg(count(lit(1)).as("n_new_dup_pairs"))
         val recall = dupPairs
           .join(inc.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_anti")
