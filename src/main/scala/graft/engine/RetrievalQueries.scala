@@ -360,7 +360,7 @@ object RetrievalQueries {
         |f AS (SELECT dg FROM e GROUP BY dg HAVING count(*) >= 3),
         |fl AS (SELECT coalesce(list(dg), CAST([] AS VARCHAR[])) AS fls FROM f)
         |SELECT doc_id,
-        |  array_to_string(list_filter(chunks, c -> NOT list_contains(fls, md5(c))), ' ') AS cleaned,
+        |  COALESCE(array_to_string(list_filter(chunks, c -> NOT list_contains(fls, md5(c))), ' '), '') AS cleaned,
         |  CAST(len(chunks) - len(list_filter(chunks, c -> NOT list_contains(fls, md5(c)))) AS BIGINT) AS n_removed
         |FROM ch CROSS JOIN fl ORDER BY doc_id""".stripMargin) {
       (s, d) =>

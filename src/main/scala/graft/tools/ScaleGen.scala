@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * factor-10 run is a fair ~linear-scaling probe (VERDICT r3 next-round
   * #1) rather than a degenerate one:
   *
-  *  - `documents`: copy j suffixes every token with `·j` — a copy
+  *  - `documents`: copy j suffixes every token with ASCII `~j` — a copy
   *    shares NO vocabulary with any other copy, so exact-dup groups,
   *    near-dup pairs, and df distributions replicate per copy instead
   *    of exploding quadratically across copies (a verbatim 10× copy
@@ -59,7 +59,11 @@ object ScaleGen {
     copies(factor) { j =>
       if (j == 0) df
       else {
-        val sfx = lit(s"·$j")
+        // ASCII suffix: a multi-byte char here (the original `·`) made
+        // byte-count ≠ char-count on scaled copies, silently breaking
+        // every byte/char-equivalence assumption downstream (q126's
+        // byte-histogram oracle diverged at 10×)
+        val sfx = lit(s"~$j")
         val remapped = array_join(
           transform(graft.functions.TextFunctions.tokens(col("text")),
             t => concat(t, sfx)), " ")
