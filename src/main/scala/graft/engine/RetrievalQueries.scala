@@ -202,6 +202,31 @@ object RetrievalQueries {
         Pq.ivfPqDriftStats(cat, del, idx).orderBy("cell")
     },
 
+    // Bigram-LM surprisal gate (conditional upgrade of q88): add-0.5
+    // P(r|l), per-bigram micro-nat surprisal, per-doc totals; docs
+    // with < 2 tokens report 0 bigrams / NULL average.
+    sql("q135_bigram_surprisal",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |bi AS (SELECT doc_id, unnest([{'l': toks[i], 'r': toks[i+1]} FOR i IN range(1, len(toks))]) AS p FROM t),
+        |b AS (SELECT doc_id, p.l AS l, p.r AS r FROM bi),
+        |bc AS (SELECT l, r, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY l, r),
+        |cc AS (SELECT l, CAST(sum(cb) AS DOUBLE) AS cl FROM bc GROUP BY l),
+        |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM (SELECT unnest(toks) AS token FROM t)),
+        |w AS (SELECT bc.l, bc.r,
+        |        CAST(floor(-ln((cb + 0.5) / (cl + 0.5 * v.v)) * 1000000.0) AS BIGINT) AS s_e6
+        |      FROM bc JOIN cc USING (l) CROSS JOIN v),
+        |agg AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          CAST(sum(w.s_e6) AS BIGINT) AS nll_e6,
+        |          CAST(sum(w.s_e6) // count(*) AS BIGINT) AS avg_nll_e6
+        |        FROM b JOIN w USING (l, r) GROUP BY b.doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(a.nll_e6, 0) AS nll_e6, a.avg_nll_e6 AS avg_nll_e6
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.TextOps.bigramSurprisal(documents(s, d))
+          .orderBy("doc_id")
+    },
+
     // Video-level near-dup by frame-digest containment: exact copies
     // (+2000000) share every 16-byte frame window; half-prefix clips
     // (+1000000) share the aligned prefix frames and pass the 50%

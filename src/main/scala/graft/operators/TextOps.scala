@@ -563,6 +563,48 @@ object TextOps {
     ranks
   }
 
+  /** Bigram-LM surprisal (the CCNet/KenLM perplexity-filter signal,
+    * one order up from q88's unigram): add-0.5 conditional model
+    * P(r|l) = (c(l,r)+0.5)/(c(l→·)+0.5·V), per-bigram surprisal
+    * pre-floored to integer micro-nats (the q88 IEEE-ln convention),
+    * per-doc totals. Docs with < 2 tokens report 0 bigrams and a
+    * NULL average.
+    *
+    * Scale shape: the model basis is BIGRAM-VOCAB-sized (one pair
+    * hash agg — the TextRank edge shape); the probe side joins
+    * occurrences on (l, r) — unlike q88's broadcastable unigram
+    * table, a web-scale bigram table shuffle-joins, which is the
+    * standard trade for conditional models.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val withToks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val bi = withToks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), (l, r) -> struct(l, r))"))
+        .as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val bc = bi.groupBy("l", "r").agg(count(lit(1)).cast("double").as("cb"))
+    val cc = bc.groupBy("l").agg(sum("cb").as("cl"))
+    val v = withToks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").cast("double").as("v"))
+    val w = bc.join(cc, "l").crossJoin(broadcast(v))
+      .select(col("l"), col("r"),
+        floor(-log((col("cb") + 0.5) / (col("cl") + lit(0.5) * col("v"))) * 1000000.0)
+          .cast("long").as("s_e6"))
+    val agg = bi.join(w, Seq("l", "r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_e6").as("nll_e6"))
+      .select(col(idCol), col("n_bigrams"), col("nll_e6"),
+        floor(col("nll_e6") / col("n_bigrams")).cast("long").as("avg_nll_e6"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e6"), lit(0L)).as("nll_e6"),
+        col("avg_nll_e6"))
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tiebreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol) +: tiebreak.map(col)).toSeq
