@@ -60,7 +60,16 @@ object RetrievalQueries {
     * round's per-word symbol count — the same vocab-basis shape the
     * Spark operator uses).
     */
-  private def bpeEncodeOracle(n: Int): String = {
+  private def bpeEncodeOracle(n: Int): String =
+    bpeEncodeCore(n).stripSuffix(",\n") + "\n" +
+      """SELECT d.doc_id AS doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        |       COALESCE(a.n_chars, 0) AS n_chars,
+        |       COALESCE(a.n_subwords, 0) AS n_subwords
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Shared q129/q136 CTE prefix: merge rounds + per-doc subword
+    * rollup, ending mid-WITH after `agg`. */
+  private def bpeEncodeCore(n: Int): String = {
     val head =
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
         |w0 AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
@@ -79,11 +88,8 @@ object RetrievalQueries {
          |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |          CAST(sum(length(t.token)) AS BIGINT) AS n_chars,
          |          CAST(sum(s.n_sub) AS BIGINT) AS n_subwords
-         |        FROM tok t JOIN sub s USING (token) GROUP BY t.doc_id)
-         |SELECT d.doc_id AS doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
-         |       COALESCE(a.n_chars, 0) AS n_chars,
-         |       COALESCE(a.n_subwords, 0) AS n_subwords
-         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |        FROM tok t JOIN sub s USING (token) GROUP BY t.doc_id),
+         |""".stripMargin
     head + rounds + tail
   }
 
@@ -200,6 +206,34 @@ object RetrievalQueries {
         val del = emb.filter(col("vec_id") % 10 === 9)
         val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
         Pq.ivfPqDriftStats(cat, del, idx).orderBy("cell")
+    },
+
+    // End-to-end tokenizer→packing flow: the q125 merges feed q129's
+    // per-doc subword budgets, which feed the q79 two-level prefix
+    // scan into 512-subword context windows — train tokenizer, count
+    // under it, pack under it, one lineage. The oracle chains the
+    // merge-round replay into the naive global-window packing that
+    // the distributed scan must match bit-for-bit.
+    sql("q136_bpe_pack",
+      bpeEncodeCore(8) +
+      """doc AS (SELECT d.doc_id AS doc_id, COALESCE(a.n_subwords, 0) AS n_toks
+        |        FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |c AS (SELECT doc_id, n_toks,
+        |        CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |      FROM doc)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_subwords, start,
+        |       CAST(start // 512 AS BIGINT) AS pack_id,
+        |       CAST(start % 512 AS BIGINT) AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+        val merges = graft.operators.Bpe.trainMerges(docs, "text", nMerges = 8)
+        val counts = graft.operators.Bpe.encodeStats(docs, "doc_id", "text", merges)
+          .select(col("doc_id").as("id"), col("n_subwords").as("n_toks"))
+        graft.operators.Packing.packCounts(counts, ctxLen = 512, bucketSize = 100)
+          .select(col("id").as("doc_id"), col("n_toks").as("n_subwords"),
+            col("start"), col("pack_id"), col("pack_off"))
+          .orderBy("doc_id")
     },
 
     // Bigram-LM surprisal gate (conditional upgrade of q88): add-0.5
