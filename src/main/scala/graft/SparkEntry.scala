@@ -17,7 +17,7 @@ object SparkEntry {
       PipelineQueries.all ++ MoleculeQueries.all ++ ExtraQueries.all ++
       TrainingQueries.all ++ CurationQueries.all ++ CorpusQueries.all ++
       FusionQueries.all ++ DeltaQueries.all ++ DeclarativeQueries.all ++
-      SplitQueries.all ++ RetrievalQueries.all
+      SplitQueries.all ++ RetrievalQueries.all ++ WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

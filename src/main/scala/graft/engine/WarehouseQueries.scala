@@ -1,0 +1,207 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch two: corpus-and-catalog maintenance operators — the
+  * ops a 100 TB training-data platform runs BETWEEN ingest waves to
+  * keep its tables clean, searchable, and audited.
+  *
+  *  - q137: alignment-free cross-document substring dedup (the Lee et
+  *    al. suffix-dedup tier, re-expressed as distributed k-gram
+  *    digest aggregation).
+  *
+  * Scale shapes live in each operator's Scaladoc; every query here
+  * carries a full DuckDB oracle that replays the operator's procedure
+  * move-for-move.
+  */
+object WarehouseQueries {
+  import QueryDef._
+  import Tables._
+
+  /** The shared q137 planted-duplicate corpus: one 12-token phrase at
+    * the HEAD of every %7 document and at the TAIL of every %11
+    * document — same token sequence at different offsets, which the
+    * chunk-ALIGNED line dedup (q127) cannot see and the span dedup
+    * must.
+    */
+  private val plantedPhrase =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Cross-document substring-span dedup: every 8-token window
+    // appearing in >= 2 distinct documents is flagged, and all tokens
+    // covered by a flagged window are stripped corpus-wide. The
+    // planted phrase sits at token offset 0 in %7 docs and at the
+    // tail in %11 docs, so its windows share digests across
+    // misaligned positions — the alignment-free property under test.
+    // The oracle replays the gram/df/coverage/strip procedure.
+    sql("q137_span_dedup_strip",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN '$plantedPhrase ' || text
+        |         WHEN doc_id % 11 = 0 THEN text || ' $plantedPhrase'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM t WHERE len(toks) >= 8),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS dg FROM g),
+        |f AS (SELECT dg FROM (SELECT DISTINCT doc_id, dg FROM gd) GROUP BY dg HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, list(DISTINCT gd.pos + u.u) AS cv
+        |        FROM gd JOIN f USING (dg), (SELECT unnest(range(8)) AS u) u
+        |        GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id, toks,
+        |           [toks[i + 1] FOR i IN range(len(toks))
+        |            IF NOT list_contains(coalesce(cv, CAST([] AS BIGINT[])), i)] AS kp
+        |         FROM t LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, COALESCE(array_to_string(kp, ' '), '') AS cleaned,
+        |  CAST(len(toks) - len(kp) AS BIGINT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(plantedPhrase + " "), col("text")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + plantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextOps.spanDedupStrip(corpus, "doc_id", "text",
+          k = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // SCD2 dimension maintenance: the customer dimension's tracked
+    // attribute (market segment at load time, then each order's
+    // priority as an observed change) collapses into validity-interval
+    // versions — no-op observations suppressed, last version open.
+    // Both engines run the identical window procedure, so the hash
+    // compare pins the whole semantics: dedup, (ts, attr) tie order,
+    // lag suppression, lead interval close.
+    sql("q138_scd2_versions",
+      """WITH obs AS (
+        |  SELECT c_custkey AS key, TIMESTAMP '1990-01-01' AS ts, c_mktsegment AS attr FROM customer
+        |  UNION SELECT o_custkey, o_orderdate, o_orderpriority FROM orders),
+        |chg AS (SELECT key, ts, attr,
+        |          lag(attr) OVER (PARTITION BY key ORDER BY ts, attr) AS prev
+        |        FROM obs),
+        |k AS (SELECT key, ts, attr FROM chg WHERE prev IS NULL OR prev <> attr),
+        |v AS (SELECT key, attr, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY key ORDER BY ts, attr) AS valid_to
+        |      FROM k)
+        |SELECT key, attr, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM v ORDER BY key, valid_from, attr""".stripMargin) { (s, d) =>
+      val base = customer(s, d).select(col("c_custkey").as("key"),
+        lit("1990-01-01").cast("timestamp").as("ts"),
+        col("c_mktsegment").as("attr"))
+      val changes = orders(s, d).select(col("o_custkey").as("key"),
+        col("o_orderdate").as("ts"), col("o_orderpriority").as("attr"))
+      graft.operators.Scd.scd2(base.unionByName(changes),
+          keyCols = Seq("key"), tsCol = "ts", attrCols = Seq("attr"))
+        .orderBy("key", "valid_from", "attr")
+    },
+
+    // Blocked fuzzy entity resolution: every even customer arrives
+    // again as a "dirty" record whose name is deterministically
+    // perturbed (append / truncate / transpose / unchanged by
+    // custkey % 8); blocking on (nation, acctbal-bucket) bounds the
+    // candidate pairs, Levenshtein <= 2 verifies, and (dist, clean_id)
+    // picks one best match per dirty record. The oracle replays
+    // blocking, the edit-distance gate, and the tie order.
+    sql("q141_entity_link",
+      """WITH cl AS (SELECT c_custkey AS clean_id, c_name AS cn, c_nationkey AS nk,
+        |              CAST(floor(c_acctbal / 100) AS BIGINT) AS bb FROM customer),
+        |dr AS (SELECT c_custkey + 1000000 AS dirty_id,
+        |         CASE WHEN c_custkey % 8 = 0 THEN c_name || 'x'
+        |              WHEN c_custkey % 8 = 2 THEN substr(c_name, 1, length(c_name) - 1)
+        |              WHEN c_custkey % 8 = 4 THEN substr(c_name, 1, length(c_name) - 2)
+        |                     || substr(c_name, length(c_name), 1)
+        |                     || substr(c_name, length(c_name) - 1, 1)
+        |              ELSE c_name END AS dn,
+        |         c_nationkey AS nk, CAST(floor(c_acctbal / 100) AS BIGINT) AS bb
+        |       FROM customer WHERE c_custkey % 2 = 0),
+        |cand AS (SELECT dirty_id, clean_id, CAST(levenshtein(dn, cn) AS BIGINT) AS dist
+        |         FROM dr JOIN cl USING (nk, bb)
+        |         WHERE levenshtein(dn, cn) <= 2),
+        |r AS (SELECT cand.*, row_number() OVER (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn
+        |      FROM cand)
+        |SELECT dirty_id, clean_id, dist FROM r WHERE rn = 1 ORDER BY dirty_id""".stripMargin) {
+      (s, d) =>
+        val withBlock = customer(s, d)
+          .withColumn("nk", col("c_nationkey"))
+          .withColumn("bb", floor(col("c_acctbal") / 100).cast("long"))
+        val dirty = withBlock.filter(col("c_custkey") % 2 === 0)
+          .select((col("c_custkey") + 1000000L).as("dirty_id"),
+            when(col("c_custkey") % 8 === 0, concat(col("c_name"), lit("x")))
+              .when(col("c_custkey") % 8 === 2,
+                expr("substring(c_name, 1, length(c_name) - 1)"))
+              .when(col("c_custkey") % 8 === 4,
+                expr("concat(substring(c_name, 1, length(c_name) - 2), " +
+                  "substring(c_name, length(c_name), 1), " +
+                  "substring(c_name, length(c_name) - 1, 1))"))
+              .otherwise(col("c_name")).as("dname"),
+            col("nk"), col("bb"))
+        val clean = withBlock.select(col("c_custkey").as("clean_id"),
+          col("c_name").as("cname"), col("nk"), col("bb"))
+        graft.operators.Linkage.blockedLink(
+            dirty, "dirty_id", "dname", clean, "clean_id", "cname",
+            blockCols = Seq("nk", "bb"), maxDist = 2)
+          .orderBy("dirty_id")
+    },
+
+    // Mergeable quantile-histogram maintenance: order totals arrive as
+    // 4 waves, each contributing a (bin, cnt) log-histogram sketch;
+    // the folded store's p50/p90/p99 read-outs must carry the 1/16
+    // relative-error bound vs the exact order statistics, and the
+    // merged histogram must EQUAL the whole-corpus histogram (counts
+    // add — the quantile counterpart of q133's HLL union law). The
+    // binning is integer-exact, so the oracle replays the sketch AND
+    // the quantile extraction bit-for-bit — a full hash oracle, not
+    // just a contract oracle.
+    sql("q142_quantile_sketch",
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT v, CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) AS msb FROM c),
+        |h AS (SELECT msb * 16 + ((v >> CASE WHEN msb >= 4 THEN msb - 4 ELSE 0 END) & 15) AS bin,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM b GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+        |r AS (SELECT q, (q * n + 99) // 100 AS rk, n FROM qs, n),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cm FROM h),
+        |sel AS (SELECT q, rk, n, min(bin) AS bin FROM r JOIN cum ON cm >= rk GROUP BY q, rk, n),
+        |est AS (SELECT q, n AS n_total,
+        |          CASE WHEN bin // 16 < 4 THEN bin % 16
+        |               ELSE (bin % 16 + 16) * (CAST(1 AS BIGINT) << (bin // 16 - 4)) END AS est_cents
+        |        FROM sel),
+        |dv AS (SELECT v, count(*) AS c FROM c GROUP BY v),
+        |dcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM dv),
+        |ex AS (SELECT q, min(v) AS exact_cents FROM r JOIN dcum ON dcum.cm >= r.rk GROUP BY q)
+        |SELECT q, n_total, est_cents, exact_cents, TRUE AS merge_consistent,
+        |  (est_cents <= exact_cents AND exact_cents * 16 <= est_cents * 17) AS within_bound
+        |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.operators.Profiling
+      val cents = orders(s, d)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("v"))
+      val waves = (0 until 4).map(i =>
+        P.histSketch(cents.filter(pmod(col("v"), lit(4)) === i), col("v")))
+      val merged = P.mergeHists(waves)
+      val whole = P.histSketch(cents, col("v"))
+      val consistent = merged
+        .join(whole.withColumnRenamed("cnt", "cnt2"), Seq("bin"), "full")
+        .select((coalesce(col("cnt"), lit(-1L)) =!=
+          coalesce(col("cnt2"), lit(-1L))).cast("int").as("bad"))
+        .agg((sum("bad") === 0).as("merge_consistent"))
+      val est = P.histQuantiles(merged, Seq(50, 90, 99))
+      val ranks = cents.agg(count(lit(1)).as("n"))
+        .select(explode(lit(Array(50, 90, 99))).as("q"), col("n"))
+        .select(col("q").cast("long").as("q"), expr("(q * n + 99) div 100").as("rk"))
+      val dcum = cents.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cm", sum("c").over(
+          Window.orderBy("v").rowsBetween(Long.MinValue, 0)))
+      val exact = ranks.join(dcum, col("cm") >= col("rk"))
+        .groupBy("q").agg(min("v").as("exact_cents"))
+      est.join(exact, "q").crossJoin(consistent)
+        .select(col("q"), col("n_total"), col("est_cents"), col("exact_cents"),
+          col("merge_consistent"),
+          (col("est_cents") <= col("exact_cents") &&
+            col("exact_cents") * 16 <= col("est_cents") * 17).as("within_bound"))
+        .orderBy("q")
+    }
+  )
+}

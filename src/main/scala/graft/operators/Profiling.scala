@@ -55,6 +55,84 @@ object Profiling {
       .agg(sum("n_docs").as("n_docs"), hll_union_agg(col("hll")).as("hll"))
   }
 
+  // ---- mergeable quantile-histogram maintenance (q142) ---------------
+
+  /** Integer-exact log-scale histogram bin of a positive integer value
+    * (cents): `bin = msb·16 + sub` where `msb = floor(log2(v))` and
+    * `sub` is the next 4 bits below the leading bit. Values < 16 bin
+    * exactly; larger values land in bins of relative width ≤ 1/16, so
+    * a quantile read back as its bin's LOWER bound is within 1/16
+    * relative error of the true order statistic — the HDR-histogram
+    * binning law, in pure integer/exactly-replayable arithmetic.
+    *
+    * `floor(log2(v))` on a double is exact for v ≤ ~2⁴⁰ (integers in
+    * that range are exactly representable and no log2 result rounds
+    * across an integer boundary for non-powers-of-two); the e2-scaled
+    * money domain this profiles sits far below that. DuckDB evaluates
+    * the identical IEEE expression, which is what makes q142 a full
+    * hash oracle rather than a contract oracle.
+    */
+  def logBin(v: Column): Column = {
+    // column-valued shifts via exact power-of-two division (IEEE
+    // division by 2^s is exponent arithmetic — exact), because the
+    // shiftright() builtin only takes a literal shift amount
+    val d = v.cast("double")
+    val msb = floor(log2(d)).cast("long")
+    val shift = greatest(msb - 4, lit(0L)).cast("double")
+    val shifted = floor(d / pow(lit(2.0), shift)).cast("long")
+    msb * 16 + shifted.bitwiseAND(15)
+  }
+
+  /** Lower bound (same unit as the binned value) of a [[logBin]] bin —
+    * the deterministic quantile-estimate read-out. */
+  def binLowerBound(bin: Column): Column = {
+    val msb = floor(bin / 16.0).cast("long")
+    val sub = bin % 16
+    when(msb < 4, sub)
+      .otherwise((sub + 16) * pow(lit(2.0), (msb - 4).cast("double")).cast("long"))
+  }
+
+  /** One ingest wave's mergeable quantile sketch: (bin, cnt). Counts
+    * add under union, so merge(waves) EQUALS the whole-corpus sketch
+    * exactly — the quantile counterpart of [[groupSketches]]'s HLL
+    * unit. A wave sketch is ≤ |bin space| rows (a few hundred for any
+    * money-like domain) regardless of wave size.
+    */
+  def histSketch(df: DataFrame, valueCents: Column): DataFrame =
+    df.select(logBin(valueCents).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Fold wave sketches: counts add per bin. Sketch-store maintenance,
+    * never corpus-sized. */
+  def mergeHists(waves: Seq[DataFrame]): DataFrame = {
+    require(waves.nonEmpty, "need at least one wave")
+    waves.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile estimates from a merged histogram: for each q (percent),
+    * rank `r = ceil(q·N/100)` (the 1-based discrete quantile), the
+    * smallest bin whose cumulative count reaches r, read out as the
+    * bin's lower bound. The cumulative window runs over the BIN SPACE
+    * (bounded by construction — |bins| ≈ 16·log2(max), not corpus- or
+    * distinct-value-sized), so the unpartitioned window is safe at any
+    * corpus scale.
+    */
+  def histQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), "qs in 1..100")
+    val n = hist.agg(sum("cnt").as("n"))
+    val cum = hist.withColumn("cm",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)))
+    val ranks = n.select(explode(lit(qs.toArray)).as("q"), col("n"))
+      .select(col("q").cast("long").as("q"),
+        expr("(q * n + 99) div 100").as("rk"), col("n"))
+    ranks.join(cum, col("cm") >= col("rk"))
+      .groupBy("q", "rk", "n").agg(min("bin").as("bin"))
+      .select(col("q"), col("n").as("n_total"),
+        binLowerBound(col("bin")).cast("long").as("est_cents"))
+  }
+
   /** Unpivot the single agg row: one struct per column, exploded to
     * rows. `explode(array(struct...))` stays inside whole-stage
     * codegen and adds no shuffle (the input is one row).

@@ -504,6 +504,74 @@ object TextOps {
         (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Cross-document substring-span dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): flag
+    * every k-token window whose exact token sequence appears in at
+    * least `minDocs` DISTINCT documents, then remove every token
+    * covered by a flagged window — in ALL documents that carry it.
+    * Overlapping flagged windows merge naturally because removal is a
+    * position-coverage union, so a 30-token shared passage disappears
+    * as one span, not as disjoint chunks. This is the tier between
+    * `lineDedupStrip` (chunk-ALIGNED duplicates only — a shared
+    * passage at a different token offset slips through) and the
+    * boilerplate span miner (per-source top-N): alignment-free,
+    * corpus-wide, exact.
+    *
+    * Lee et al. build a monolithic suffix array; the distributed
+    * re-expression is sliding k-gram digests — same duplicates found
+    * for spans ≥ k (their "min match length"), but every stage is a
+    * hash-partitioned aggregate/join a 1000-executor cluster runs
+    * without a shared index.
+    *
+    * Scale shape:
+    *  - gram pass: k-token windows become (id, pos, digest) rows —
+    *    digests ONLY on the wire, never window text; ~|tokens| rows
+    *    (one per start position);
+    *  - doc-frequency: per-doc DISTINCT digests first (one shuffle
+    *    that also dedups within-doc repeats), then a map-side-
+    *    combinable count ≥ minDocs — never countDistinct over raw
+    *    occurrences;
+    *  - flagged digests join back to gram occurrences on the digest
+    *    key; the flagged side is |duplicated content|-sized, so AQE
+    *    broadcasts it when it fits and falls back to a shuffle join
+    *    when a template-spam corpus makes it big — no static hint;
+    *  - coverage: each flagged OCCURRENCE explodes to its k covered
+    *    positions (bounded by duplicated-content size × k, not corpus
+    *    size), collapses to a per-doc position set, and joins back to
+    *    the corpus BY ID — corpus text shuffles zero times; the strip
+    *    is a per-row index-lambda filter over the token array.
+    *
+    * Returns (id, cleaned, n_removed). Documents shorter than k
+    * tokens have no windows and pass through untouched, matching the
+    * paper's min-match-length semantics.
+    */
+  def spanDedupStrip(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
+    val toks = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, size(__toks) - $k), " +
+          s"i -> struct(i AS pos, md5(array_join(slice(__toks, i + 1, $k), ' ')) AS dg))"))
+        .as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.dg").as("__dg"))
+    val flagged = grams.select("__id", "__dg").distinct()
+      .groupBy("__dg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__dg")
+    val covered = grams.join(flagged, "__dg")
+      .select(col("__id"), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__p"))
+      .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
+    toks.join(covered, Seq("__id"), "left")
+      .withColumn("__kept",
+        when(col("__cov").isNull, col("__toks"))
+          .otherwise(expr("filter(__toks, (t, i) -> NOT array_contains(__cov, i))")))
+      .select(col("__id").as(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** TextRank keyword centrality (Mihalcea & Tarau, "TextRank:
     * Bringing Order into Text", EMNLP 2004): weighted PageRank over
     * the token-ADJACENCY graph — high-rank tokens are the corpus's

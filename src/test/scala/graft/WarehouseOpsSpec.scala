@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Linkage, Profiling, Scd, TextOps}
+
+/** Round-9 batch-two maintenance operators: alignment-free substring
+  * dedup, SCD2 versioning + as-of join, blocked fuzzy entity linkage.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- spanDedupStrip (q137) -----------------------------------------
+
+  test("spanDedupStrip removes a misaligned cross-doc span in all carriers") {
+    // The 4-token phrase "p q r s" sits at offset 0 in doc 1 and
+    // offset 2 in doc 2 — chunk-aligned dedup can't see this; span
+    // dedup must strip it from BOTH.
+    val docs = Seq(
+      (1L, "p q r s u1 u2 u3 u4"),
+      (2L, "v1 v2 p q r s w1 w2"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedupStrip(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "u1 u2 u3 u4", 4L),
+      (2L, "v1 v2 w1 w2", 4L),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8", 0L)))
+  }
+
+  test("spanDedupStrip merges overlapping flagged windows into one span") {
+    // A 6-token shared passage with k=4 flags starts 0..2 in doc 1;
+    // coverage union removes positions 0..5 as ONE span, not chunks.
+    val docs = Seq(
+      (1L, "a b c d e f t1 t2"),
+      (2L, "z9 a b c d e f z8")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedupStrip(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "t1 t2", 6L), (2L, "z9 z8", 6L)))
+  }
+
+  test("spanDedupStrip ignores within-doc repeats and short docs") {
+    // "m n o p" repeats INSIDE doc 1 only — distinct-doc df is 1, so
+    // minDocs=2 must NOT flag it; doc 2 is shorter than k and passes
+    // through untouched.
+    val docs = Seq(
+      (1L, "m n o p m n o p"),
+      (2L, "m n o")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedupStrip(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "m n o p m n o p", 0L), (2L, "m n o", 0L)))
+  }
+
+  // ---- scd2 + asOfVersion (q138) -------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2 collapses no-op observations and closes intervals") {
+    val obs = Seq(
+      (1L, ts("2020-01-01 00:00:00"), "A"),
+      (1L, ts("2020-02-01 00:00:00"), "A"), // no-op → suppressed
+      (1L, ts("2020-03-01 00:00:00"), "B"),
+      (1L, ts("2020-03-01 00:00:00"), "B"), // exact dup → dropped
+      (1L, ts("2020-04-01 00:00:00"), "A"), // reverting is a new version
+      (2L, ts("2020-01-15 00:00:00"), "X")
+    ).toDF("key", "ts", "attr")
+    val out = Scd.scd2(obs, Seq("key"), "ts", Seq("attr"))
+      .orderBy("key", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "A", ts("2020-01-01 00:00:00"), Some(ts("2020-03-01 00:00:00")), false),
+      (1L, "B", ts("2020-03-01 00:00:00"), Some(ts("2020-04-01 00:00:00")), false),
+      (1L, "A", ts("2020-04-01 00:00:00"), None, true),
+      (2L, "X", ts("2020-01-15 00:00:00"), None, true)))
+  }
+
+  test("scd2 resolves same-timestamp conflicts by attr order, deterministically") {
+    val obs = Seq(
+      (1L, ts("2020-01-01 00:00:00"), "B"),
+      (1L, ts("2020-01-01 00:00:00"), "A") // tie: A orders first
+    ).toDF("key", "ts", "attr")
+    val out = Scd.scd2(obs, Seq("key"), "ts", Seq("attr"))
+      .orderBy("valid_from", "attr")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "A", ts("2020-01-01 00:00:00"), Some(ts("2020-01-01 00:00:00")), false),
+      (1L, "B", ts("2020-01-01 00:00:00"), None, true)))
+  }
+
+  test("asOfVersion picks the version whose interval contains the fact ts") {
+    val obs = Seq(
+      (1L, ts("2020-01-01 00:00:00"), "A"),
+      (1L, ts("2020-03-01 00:00:00"), "B")
+    ).toDF("key", "ts", "attr")
+    val dim = Scd.scd2(obs, Seq("key"), "ts", Seq("attr"))
+    val facts = Seq(
+      (100L, 1L, ts("2020-02-15 00:00:00")), // inside [Jan, Mar) → A
+      (101L, 1L, ts("2020-03-01 00:00:00")), // at boundary → B (from-inclusive)
+      (102L, 1L, ts("2019-12-31 00:00:00")), // before first version → no match
+      (103L, 2L, ts("2020-06-01 00:00:00"))  // unknown key → no match
+    ).toDF("fact_id", "key", "fts")
+    val out = Scd.asOfVersion(facts, dim, Seq("key"), "fts")
+      .select(col("fact_id"), col("attr"))
+      .orderBy("fact_id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((100L, Some("A")), (101L, Some("B")),
+      (102L, None), (103L, None)))
+  }
+
+  // ---- blockedLink (q141) --------------------------------------------
+
+  test("blockedLink gates by distance, blocks candidates, breaks ties by id") {
+    val clean = Seq(
+      (1L, "smith", 10),
+      (2L, "smyth", 10),  // dist 1 from "smith" too — tie broken by id
+      (3L, "smith", 20)   // right name, wrong block → never a candidate
+    ).toDF("cid", "cname", "blk")
+    val dirty = Seq(
+      (100L, "smith", 10), // dist 0 → clean 1
+      (101L, "smythe", 10), // dist 1 to smyth(2), dist 2 to smith(1) → 2
+      (102L, "jones", 10),  // beyond maxDist from everything → absent
+      (103L, "smith", 30)   // empty block → absent
+    ).toDF("did", "dname", "blk")
+    val out = Linkage.blockedLink(dirty, "did", "dname",
+        clean, "cid", "cname", blockCols = Seq("blk"), maxDist = 2)
+      .orderBy("dirty_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((100L, 1L, 0L), (101L, 2L, 1L)))
+  }
+
+  test("blockedLink equal-distance candidates resolve to the smaller clean id") {
+    val clean = Seq((7L, "abcd", 1), (4L, "abce", 1)).toDF("cid", "cname", "blk")
+    val dirty = Seq((50L, "abcf", 1)).toDF("did", "dname", "blk")
+    val out = Linkage.blockedLink(dirty, "did", "dname",
+        clean, "cid", "cname", Seq("blk"), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((50L, 4L, 1L)))
+  }
+
+  // ---- quantile-histogram sketch (q142) ------------------------------
+
+  test("logBin bins small values exactly and keeps 1/16 relative width above") {
+    val vals = Seq(1L, 7L, 15L, 16L, 17L, 1000L, 123456L).toDF("v")
+    val out = vals.select(col("v"), Profiling.logBin(col("v")).as("bin"),
+        Profiling.binLowerBound(Profiling.logBin(col("v"))).cast("long").as("lo"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, b, l) => v -> ((b, l)) }.toMap
+    // values < 16 reconstruct exactly from their bin's lower bound
+    for (v <- Seq(1L, 7L, 15L, 16L, 17L)) assert(out(v)._2 == v)
+    // larger values: lo <= v and v - lo < lo/16 + 1 (bin width bound)
+    for (v <- Seq(1000L, 123456L)) {
+      val lo = out(v)._2
+      assert(lo <= v && (v - lo) * 16 < lo + 16)
+    }
+  }
+
+  test("merged wave sketches equal the whole-corpus sketch exactly") {
+    val vals = (1L to 500L).map(i => i * i % 7919 + 1).toDF("v")
+    val waves = (0 until 3).map(i =>
+      Profiling.histSketch(vals.filter(pmod(col("v"), lit(3)) === i), col("v")))
+    val merged = Profiling.mergeHists(waves)
+      .as[(Long, Long)].collect().toMap
+    val whole = Profiling.histSketch(vals, col("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("histQuantiles estimate is a lower bound within 1/16 of the exact rank") {
+    val vals = (1L to 1000L).map(i => (i * 2654435761L) % 100000 + 1).toDF("v")
+    val hist = Profiling.histSketch(vals, col("v"))
+    val est = Profiling.histQuantiles(hist, Seq(50, 90, 99))
+      .as[(Long, Long, Long)].collect().map { case (q, _, e) => q -> e }.toMap
+    val sorted = vals.as[Long].collect().sorted
+    for ((q, e) <- est) {
+      val exact = sorted((q * sorted.length + 99).toInt / 100 - 1)
+      assert(e <= exact && exact * 16 <= e * 17,
+        s"q=$q est=$e exact=$exact")
+    }
+  }
+}
