@@ -202,6 +202,65 @@ object WarehouseQueries {
           (col("est_cents") <= col("exact_cents") &&
             col("exact_cents") * 16 <= col("est_cents") * 17).as("within_bound"))
         .orderBy("q")
+    },
+
+    // Compression-ratio quality gate: DEFLATE ratio as an entropy
+    // proxy. DuckDB has no deflate-length function, so this is a
+    // CONTRACT oracle (the q44/q65 pattern): planted repetitive docs
+    // (one token repeated 60x) must compress strictly below EVERY
+    // natural document (separation_ok), and all ratios must sit in
+    // (0, 1.05] with at least one output byte (bounds_ok) — the
+    // oracle asserts the class counts exactly and the booleans TRUE.
+    sql("q139_compression_gate",
+      """SELECT 'natural' AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS separation_ok, TRUE AS bounds_ok
+        |FROM documents WHERE length(text) > 0
+        |UNION ALL
+        |SELECT 'repetitive', CAST(count(*) AS BIGINT), TRUE, TRUE
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY grp""".stripMargin) { (s, d) =>
+      val T = graft.operators.TextOps
+      val docs = documents(s, d)
+      val nat = T.compressionStats(
+          docs.filter(length(col("text")) > 0).select("doc_id", "text"),
+          "doc_id", "text")
+        .withColumn("grp", lit("natural"))
+      val rep = T.compressionStats(
+          docs.filter(col("doc_id") < 50)
+            .select(col("doc_id"), expr("repeat('spam ', 60)").as("text")),
+          "doc_id", "text")
+        .withColumn("grp", lit("repetitive"))
+      val all = nat.unionByName(rep)
+        .withColumn("ratio", col("deflate_bytes").cast("double") / col("raw_bytes"))
+      val sep = all.agg(
+        max(when(col("grp") === "repetitive", col("ratio"))).as("repmax"),
+        min(when(col("grp") === "natural", col("ratio"))).as("natmin"))
+      all.groupBy("grp")
+        .agg(count(lit(1)).as("n_docs"), min("ratio").as("mn"),
+          max("ratio").as("mx"), min("deflate_bytes").as("mind"))
+        .crossJoin(broadcast(sep))
+        .select(col("grp"), col("n_docs"),
+          (col("repmax") < col("natmin")).as("separation_ok"),
+          (col("mn") > 0 && col("mx") <= 1.05 && col("mind") >= 1).as("bounds_ok"))
+        .orderBy("grp")
+    },
+
+    // Inverted-index conjunctive search: posting lists (term, id, tf)
+    // built once, then an AND query over three terms — coverage test
+    // by posting count, score by summed tf. The oracle replays
+    // tokenize/postings/filter/having directly.
+    sql("q140_inverted_search",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+        |q AS (SELECT doc_id, count(*) AS n, CAST(sum(tf) AS BIGINT) AS score
+        |      FROM p WHERE tok IN ('join', 'hash', 'vector') GROUP BY doc_id)
+        |SELECT doc_id AS id, score FROM q WHERE n = 3 ORDER BY id""".stripMargin) {
+      (s, d) =>
+        val postings = graft.operators.Search.buildPostings(
+          documents(s, d), "doc_id", "text")
+        graft.operators.Search.conjunctive(postings, Seq("join", "hash", "vector"))
+          .orderBy("id")
     }
   )
 }

@@ -572,6 +572,19 @@ object TextOps {
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Per-document compression statistics: UTF-8 byte length and native
+    * DEFLATE(level 6) compressed length — the ratio is the entropy
+    * proxy behind compression-based quality gates (near-0 = machine
+    * repetition, near-1 = binary junk). See [[graft.plans.DeflateLenExpr]]
+    * for determinism and the contract-oracle rationale. Byte length
+    * comes from a binary cast (codegen'd) so multibyte text measures
+    * bytes, not chars, matching what the deflater consumes.
+    */
+  def compressionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol).cast("binary")).cast("long").as("raw_bytes"),
+      graft.plans.DeflateLenExpr.deflateLen(col(textCol)).as("deflate_bytes"))
+
   /** TextRank keyword centrality (Mihalcea & Tarau, "TextRank:
     * Bringing Order into Text", EMNLP 2004): weighted PageRank over
     * the token-ADJACENCY graph — high-rank tokens are the corpus's

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Linkage, Profiling, Scd, TextOps}
+import graft.operators.{Linkage, Profiling, Scd, Search, TextOps}
 
 /** Round-9 batch-two maintenance operators: alignment-free substring
   * dedup, SCD2 versioning + as-of join, blocked fuzzy entity linkage.
@@ -183,5 +183,86 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(e <= exact && exact * 16 <= e * 17,
         s"q=$q est=$e exact=$exact")
     }
+  }
+
+  // ---- deflate kernel (q139) -----------------------------------------
+
+  test("deflateLen matches a direct Deflater call in both execution modes") {
+    val texts = Seq("hello world hello world hello world",
+      "a b c d e f g h i j k l m n o p", "x", "spam " * 40)
+    val expected = texts.map { t =>
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(t.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    def check(): Unit = {
+      val got = texts.toDF("t")
+        .select(graft.plans.DeflateLenExpr.deflateLen(col("t")))
+        .as[Long].collect().toSeq
+      assert(got == expected)
+    }
+    check()
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check()
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  test("compressionStats separates repetition from diverse text of equal length") {
+    val rep = "spam " * 60
+    val div = (1 to 60).map(i => f"w$i%03d~").mkString(" ").take(rep.length)
+    val out = TextOps.compressionStats(
+        Seq((1L, rep), (2L, div)).toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, raw, defl) => id -> ((raw, defl)) }.toMap
+    assert(out(1L)._1 == out(2L)._1)        // same raw length by construction
+    assert(out(1L)._2 < out(2L)._2)         // repetition compresses strictly better
+    assert(out(1L)._2 >= 1 && out(2L)._2 <= out(2L)._1 + 16) // sane bounds
+  }
+
+  // ---- inverted index (q140) -----------------------------------------
+
+  test("conjunctive search requires every query term and sums tf") {
+    val docs = Seq(
+      (1L, "cat dog fish cat"),  // cat(2) dog(1) fish(1) → all 3 → score 4
+      (2L, "cat dog"),           // missing fish → absent
+      (3L, "fish dog cat bird"), // all 3 → score 3
+      (4L, "bird bird")          // none → absent
+    ).toDF("doc_id", "text")
+    val postings = Search.buildPostings(docs, "doc_id", "text")
+    val out = Search.conjunctive(postings, Seq("cat", "dog", "fish", "cat"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // the repeated query term "cat" must not break the coverage count
+    assert(out == Seq((1L, 4L), (3L, 3L)))
+  }
+
+  test("postings store probe pushes the term filter into the scan") {
+    val docs = Seq((1L, "cat dog"), (2L, "dog fish"), (3L, "cat fish"))
+      .toDF("doc_id", "text")
+    val postings = Search.buildPostings(docs, "doc_id", "text")
+    val dir = tmpDir("postings-store")
+    spark.sql("DROP TABLE IF EXISTS graft_test_postings")
+    Search.writePostingsStore(postings, "graft_test_postings",
+      s"$dir/postings", buckets = 4)
+    val store = Search.postingsStore(spark, "graft_test_postings")
+    val q = Search.conjunctive(store, Seq("cat", "fish"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter not pushed:\n$plan")
+    val inMem = Search.conjunctive(postings, Seq("cat", "fish"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(q.orderBy("id").as[(Long, Long)].collect().toSeq == inMem &&
+      inMem == Seq((3L, 2L)))
   }
 }
