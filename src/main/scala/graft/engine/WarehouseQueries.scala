@@ -261,6 +261,86 @@ object WarehouseQueries {
           documents(s, d), "doc_id", "text")
         graft.operators.Search.conjunctive(postings, Seq("join", "hash", "vector"))
           .orderBy("id")
+    },
+
+    // Incremental inverted-index maintenance: every %10 document is
+    // UPDATED (two new tokens appended) and 30 new documents insert;
+    // upsertPostings must drop the stale postings of updated ids and
+    // land the fresh ones — pinned by replaying the index build over
+    // the post-update corpus and comparing the full per-term (df,
+    // total_tf) catalog.
+    sql("q143_index_upsert",
+      """WITH eff AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT doc_id, text || ' zulu99 yankee88' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+        |t AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term FROM eff),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM p GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" zulu99 yankee88")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val index = graft.operators.Search.buildPostings(docs, "doc_id", "text")
+      graft.operators.Search.upsertPostings(index, delta, "doc_id", "text")
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        .orderBy("term")
+    },
+
+    // NCD near-dup verify: 50 planted near-copies (text + ' x') must
+    // ALL surface as (id, id+1000000) pairs with normalized
+    // compression distance <= 0.4 — compression-based similarity over
+    // the LSH candidate tier. The deflate measure has no SQL replay,
+    // so the oracle is the planted-recall contract (q44/q65 pattern).
+    sql("q144_ncd_neardup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       TRUE AS recall_ok, TRUE AS ncd_bounds_ok
+        |FROM documents WHERE doc_id < 50""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      val pairs = graft.operators.Dedup.ncdVerifiedPairs(
+        base.unionByName(planted), "doc_id", "text", maxNcdE3 = 400L)
+      val nPlanted = base.filter(col("doc_id") < 50)
+        .agg(count(lit(1)).as("n_planted"))
+      val nFound = pairs
+        .filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
+        .agg(count(lit(1)).as("n_found"))
+      val bounds = pairs.agg(coalesce(
+        min("ncd_e3") >= 0 && max("ncd_e3") <= 400, lit(false)).as("ncd_bounds_ok"))
+      nPlanted.crossJoin(nFound).crossJoin(bounds)
+        .select(col("n_planted"), col("n_found"),
+          (col("n_planted") === col("n_found")).as("recall_ok"),
+          col("ncd_bounds_ok"))
+    },
+
+    // Waterfilling budget allocation: 300-doc budget across sources —
+    // max-min fair, exact integer level + remainder, Σ alloc = budget.
+    // Full replay oracle (both engines run the identical closed-form
+    // sorted-prefix procedure).
+    sql("q145_waterfill",
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source),
+        |o AS (SELECT source, c, CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+        |        sum(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) AS p FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS t FROM o),
+        |jj AS (SELECT coalesce(max(i), 0) AS j FROM o, tot WHERE p + (k - i) * c <= 300),
+        |pj AS (SELECT j, CAST(coalesce((SELECT p FROM o WHERE i = j), 0) AS BIGINT) AS pjv FROM jj),
+        |lvl AS (SELECT j, k, t,
+        |          CASE WHEN k > j THEN (300 - pjv) // (k - j) END AS lev,
+        |          CASE WHEN k > j THEN (300 - pjv) % (k - j) END AS r
+        |        FROM pj, tot)
+        |SELECT source, c AS n_docs,
+        |  CAST(CASE WHEN t <= 300 THEN c WHEN i <= j THEN c
+        |       ELSE lev + (CASE WHEN i - j <= r THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+        |FROM o, lvl ORDER BY source""".stripMargin) { (s, d) =>
+      val counts = documents(s, d).groupBy("source").agg(count(lit(1)).as("c"))
+      graft.operators.Mixing.waterfill(counts, "source", "c", budget = 300L)
+        .orderBy("source")
     }
   )
 }

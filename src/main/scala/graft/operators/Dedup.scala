@@ -569,6 +569,47 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** Near-dup pairs verified by NORMALIZED COMPRESSION DISTANCE
+    * (Cilibrasi & Vitányi, "Clustering by Compression", IEEE-IT 2005):
+    * LSH candidates filtered by
+    *
+    *   ncd_e3 = (C(x⧺' '⧺y) − min(C(x),C(y))) · 1000 div max(C(x),C(y))
+    *
+    * with C = the native DEFLATE-length kernel. NCD sees duplication
+    * that token-set Jaccard is blind to — reordered paragraphs,
+    * repeated structure under renamed identifiers — because the
+    * compressor models SEQUENCES, not bags. Pair-bounded like
+    * [[verifiedPairs]]: candidates come from the same MinHash band
+    * tier, texts join back by id once per side, and the three
+    * deflate calls run only on candidate pairs (never corpus²).
+    * Integer e3 scaling keeps the gate deterministic; the measure
+    * itself is engine-local (no SQL replay), so q144 pins it with a
+    * planted-recall contract oracle.
+    */
+  def ncdVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      maxNcdE3: Long, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    import graft.plans.DeflateLenExpr.deflateLen
+    val cands = minHashCandidates(df, idCol, textCol, bands, rowsPerBand)
+    // compressed lengths computed ONCE per document before the pair
+    // join (the verifiedPairs treatment); only the joint C(xy) is
+    // per-pair work
+    val sides = df.select(col(idCol).as("__id"), col(textCol).as("__tx"),
+      deflateLen(col(textCol)).as("__c"))
+    cands
+      .join(sides.select(col("__id").as("id1"), col("__tx").as("__tx1"),
+        col("__c").as("__c1")), "id1")
+      .join(sides.select(col("__id").as("id2"), col("__tx").as("__tx2"),
+        col("__c").as("__c2")), "id2")
+      .withColumn("__cxy",
+        deflateLen(concat(col("__tx1"), lit(" "), col("__tx2"))))
+      .withColumn("__num",
+        (col("__cxy") - least(col("__c1"), col("__c2"))) * 1000)
+      .withColumn("__den", greatest(col("__c1"), col("__c2")))
+      .select(col("id1"), col("id2"),
+        expr("__num div __den").as("ncd_e3"))
+      .filter(col("ncd_e3") <= maxNcdE3)
+  }
+
   /** Min-id connected-component labels over a verified-pair graph
     * (`(id1, id2)` rows): returns `(id, lab)` where `lab` is the
     * smallest id transitively reachable from `id` (including itself).

@@ -137,4 +137,55 @@ object Mixing {
           format_string("%04x", floor(lit(65536.0) * p).cast("long")))
       .select(col(idCol), col(strataCol))
   }
+
+  /** Waterfilling budget allocation: split a total document budget
+    * across sources so under-represented sources keep everything and
+    * over-represented ones are capped at a common water level L —
+    * the max-min-fair allocation (the classic waterfilling solution;
+    * same law as link-capacity fair sharing), and the principled form
+    * of "cap every source at N docs" mixing rules.
+    *
+    * Exact integer semantics, deterministic and SQL-replayable:
+    * sources sort by (count asc, source asc) with prefix sums; the
+    * split point j is the largest index whose sources can all keep
+    * everything while the rest take at least c_j each:
+    * `P_j + (k−j)·c_j ≤ budget`. Then `L = (budget−P_j) div (k−j)`
+    * and the remainder `r` goes +1 to the FIRST r capped sources in
+    * sort order, so `Σ alloc = budget` exactly (when total ≥ budget;
+    * otherwise alloc = count and the budget is slack).
+    *
+    * Scale shape: runs on the (source, count) aggregate — a
+    * |sources|-sized table — so the unpartitioned windows are bounded
+    * by the source dimension, never the corpus (the q25 convention).
+    * Returns (source, n_docs, alloc).
+    */
+  def waterfill(counts: DataFrame, groupCol: String, countCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("__c"), col(groupCol))
+    val o = counts.select(col(groupCol), col(countCol).cast("long").as("__c"))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__p", sum("__c").over(ord.rowsBetween(Long.MinValue, 0)))
+    val tot = o.agg(count(lit(1)).as("__k"), sum("__c").as("__t"))
+    val j = o.crossJoin(broadcast(tot))
+      .filter(col("__p") + (col("__k") - col("__i")) * col("__c") <= budget)
+      .agg(coalesce(max("__i"), lit(0L)).as("__j"))
+    val pj = o.select(col("__i"), col("__p").as("__pj"))
+      .join(broadcast(j), col("__i") === col("__j"), "right")
+      .select(col("__j"), coalesce(col("__pj"), lit(0L)).as("__pj"))
+    // the CASE guards matter under ANSI mode: when the budget covers
+    // the total, j = k and the level expression would divide by zero
+    val lvl = pj.crossJoin(broadcast(tot))
+      .select(col("__j"), col("__k"), col("__t"),
+        expr(s"CASE WHEN __k > __j THEN ($budget - __pj) div (__k - __j) END").as("__L"),
+        expr(s"CASE WHEN __k > __j THEN ($budget - __pj) % (__k - __j) END").as("__r"))
+    o.crossJoin(broadcast(lvl))
+      .select(col(groupCol), col("__c").as("n_docs"),
+        when(col("__t") <= budget, col("__c"))
+          .when(col("__i") <= col("__j"), col("__c"))
+          .otherwise(col("__L") +
+            when(col("__i") - col("__j") <= col("__r"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc"))
+  }
 }

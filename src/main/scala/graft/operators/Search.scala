@@ -38,6 +38,27 @@ object Search {
   def postingsStore(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Incremental index maintenance under document UPDATES and inserts:
+    * postings of every id present in `deltaDocs` are replaced by the
+    * delta's freshly-built postings (an updated document must not leave
+    * stale terms behind), ids absent from the delta pass through.
+    *
+    * Scale shape: the replaced-id set is DELTA-sized and broadcasts,
+    * so the index side — the corpus-scale input — is a stateless
+    * anti-join probe with NO shuffle (the q98/q124 store-maintenance
+    * law, applied to postings). The union appends the delta postings,
+    * whose build cost is delta-sized. Equivalence contract: result ≡
+    * `buildPostings` of the post-update corpus (q143 pins it by full
+    * replay).
+    */
+  def upsertPostings(index: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val deltaPostings = buildPostings(deltaDocs, idCol, textCol)
+    val replaced = deltaDocs.select(col(idCol).as("id")).distinct()
+    index.join(broadcast(replaced), Seq("id"), "left_anti")
+      .unionByName(deltaPostings)
+  }
+
   /** Conjunctive (AND) search: ids whose posting rows cover EVERY query
     * term, scored by summed tf. The term filter pushes into the scan
     * (partition-pruned on a bucketed store), so the aggregate sees only

@@ -265,4 +265,64 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(q.orderBy("id").as[(Long, Long)].collect().toSeq == inMem &&
       inMem == Seq((3L, 2L)))
   }
+
+  test("upsertPostings drops stale terms of updated docs and equals a rebuild") {
+    val v1 = Seq((1L, "old stale words"), (2L, "keep these words"))
+      .toDF("doc_id", "text")
+    val delta = Seq((1L, "new fresh words"), (3L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val maintained = Search.upsertPostings(
+        Search.buildPostings(v1, "doc_id", "text"), delta, "doc_id", "text")
+      .select("term", "id", "tf")
+      .as[(String, Long, Long)].collect().toSet
+    val rebuilt = Search.buildPostings(
+        v1.filter(col("doc_id") =!= 1L).unionByName(delta), "doc_id", "text")
+      .select("term", "id", "tf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained == rebuilt)
+    // the updated doc's dropped terms must be gone, not shadowed
+    assert(!maintained.exists { case (t, id, _) => id == 1L && t == "stale" })
+  }
+
+  // ---- NCD near-dup (q144) -------------------------------------------
+
+  test("ncdVerifiedPairs links a near-copy and skips unrelated docs") {
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a + " x"),                             // near-copy pair
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .ncdVerifiedPairs(docs, "doc_id", "text", maxNcdE3 = 400L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 0 && pairs.head._3 <= 400)
+  }
+
+  // ---- waterfilling (q145) -------------------------------------------
+
+  test("waterfill keeps everything when the budget covers the total") {
+    val counts = Seq(("a", 10L), ("b", 20L)).toDF("src", "c")
+    val out = graft.operators.Mixing.waterfill(counts, "src", "c", budget = 100L)
+      .as[(String, Long, Long)].collect().map { case (s, _, al) => s -> al }.toMap
+    assert(out == Map("a" -> 10L, "b" -> 20L))
+  }
+
+  test("waterfill caps over-represented sources at the water level, exactly on budget") {
+    // counts 5, 30, 40, 100; budget 60 → "a" keeps 5; remaining 55 over
+    // 3 capped sources → L=18 r=1 → first capped source (+1) gets 19
+    val counts = Seq(("a", 5L), ("b", 30L), ("c", 40L), ("d", 100L))
+      .toDF("src", "c")
+    val out = graft.operators.Mixing.waterfill(counts, "src", "c", budget = 60L)
+      .as[(String, Long, Long)].collect().map { case (s, _, al) => s -> al }.toMap
+    assert(out == Map("a" -> 5L, "b" -> 19L, "c" -> 18L, "d" -> 18L))
+    assert(out.values.sum == 60L)
+  }
+
+  test("waterfill with a zero budget allocates nothing") {
+    val counts = Seq(("a", 3L), ("b", 7L)).toDF("src", "c")
+    val out = graft.operators.Mixing.waterfill(counts, "src", "c", budget = 0L)
+      .as[(String, Long, Long)].collect().map { case (s, _, al) => s -> al }.toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L))
+  }
 }
