@@ -343,6 +343,40 @@ object EventStreams {
         } finally { b.unpersist(); () }
     }
 
+  /** Streaming mergeable-sketch maintenance — q142's continuous twin:
+    * each micro-batch lands its own (bin, cnt) log-histogram sketch as
+    * an idempotent per-batch partition (a replayed batch overwrites
+    * its own directory, the exactly-once convention of
+    * [[incrementalNearDupStream]]), and the LIVE sketch is the
+    * bin-wise sum over landed partitions. Because histogram counts
+    * add exactly under merge, the maintained sketch EQUALS the batch
+    * sketch of everything landed — batch boundaries, arrival order,
+    * and replays cannot change it, which is the whole point of
+    * keeping the sketch mergeable.
+    *
+    * Each batch writes ≤ |bin space| rows (a few hundred), so the
+    * store grows by sketch-sized increments regardless of stream
+    * volume; [[readSketchStore]] folds it on read, and a periodic
+    * compaction (rewrite the fold) bounds partition count if a
+    * deployment runs forever.
+    */
+  def quantileSketchStream(rows: DataFrame, valueCol: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Profiling.histSketch(batch, col(valueCol))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
+  /** Fold the landed per-batch sketches into the live (bin, cnt)
+    * histogram — feed it to `Profiling.histQuantiles` for read-out. */
+  def readSketchStore(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    graft.operators.Profiling.mergeHists(Seq(
+      spark.read.parquet(outDir).select("bin", "cnt")))
+
   /** Streaming ANN index-health monitor — `Pq.ivfPqDriftStats`'s
     * continuous twin: per event-time window and coarse cell, the
     * count and truncating-mean ADC reconstruction error of arriving
