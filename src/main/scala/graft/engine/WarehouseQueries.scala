@@ -341,6 +341,55 @@ object WarehouseQueries {
       val counts = documents(s, d).groupBy("source").agg(count(lit(1)).as("c"))
       graft.operators.Mixing.waterfill(counts, "source", "c", budget = 300L)
         .orderBy("source")
+    },
+
+    // Bloom-pruned fact-dim join: a selective orders dim prunes the
+    // lineitem fact BEFORE the shuffle via a driver-built Bloom
+    // filter; the exact join then drops false positives, so the
+    // result — and the oracle — is simply the plain join. Revenue in
+    // integer e4 units keeps the double-summation order out of the
+    // hash compare.
+    sql("q146_bloom_join",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+        .select("o_orderkey")
+      val fact = lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      graft.operators.Salting.bloomPrunedJoin(fact, dim, "o_orderkey",
+          expectedDimKeys = 50000L)
+        .groupBy("l_returnflag")
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+
+    // PMI collocation mining: top-32 adjacent-token pairs by
+    // pointwise mutual information with a count-5 floor — micro-nat
+    // floored scores (the q88/q135 convention), replayed bit-for-bit.
+    sql("q147_pmi_collocations",
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |bi AS (SELECT unnest([{'l': toks[i], 'r': toks[i+1]} FOR i IN range(1, len(toks))]) AS p FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT p.l AS l, p.r AS r FROM bi),
+        |bc AS (SELECT l, r, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY l, r),
+        |cl AS (SELECT l, CAST(sum(cb) AS BIGINT) AS cl FROM bc GROUP BY l),
+        |cr AS (SELECT r, CAST(sum(cb) AS BIGINT) AS cr FROM bc GROUP BY r),
+        |n AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM bc),
+        |s AS (SELECT bc.l, bc.r, cb,
+        |        CAST(floor(ln(CAST(cb AS DOUBLE) * n / (CAST(cl AS DOUBLE) * cr)) * 1000000.0) AS BIGINT) AS pmi_e6
+        |      FROM bc JOIN cl USING (l) JOIN cr USING (r) CROSS JOIN n
+        |      WHERE cb >= 5)
+        |SELECT l, r, cb, pmi_e6 FROM s
+        |ORDER BY pmi_e6 DESC, l, r LIMIT 32""".stripMargin) { (s, d) =>
+      graft.operators.TextOps.pmiCollocations(documents(s, d), "text",
+        minCount = 5L, k = 32)
     }
   )
 }

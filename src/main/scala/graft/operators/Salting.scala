@@ -45,4 +45,34 @@ object Salting {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     bigSalted.join(smallExploded, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Bloom-pruned fact-dim inner equi-join: build a Bloom filter over
+    * the dim side's join keys (driver-collected, size-bounded — the
+    * `Decontaminate.buildBloom` machinery), pre-filter the FACT side
+    * with the codegen'd membership predicate, then run the exact join.
+    * The result is IDENTICAL to the plain join — Bloom false positives
+    * only let a few extra fact rows reach the join, where the exact
+    * match drops them — which is why q146's oracle is simply the plain
+    * SQL join.
+    *
+    * This is the manual form of the optimizer's runtime-filter
+    * injection, exposed as an operator for the cases Spark's
+    * InjectRuntimeFilter declines (non-selective-looking creation
+    * side, disabled conf, or a dim that is the OUTPUT of upstream
+    * graft operators the optimizer can't see through). At 100 TB the
+    * win is shuffle mass: only Bloom-surviving fact rows (≈ the true
+    * match set + fpp) are exchanged, instead of the whole fact table.
+    * Inner join only: pruning the fact side is correctness-neutral
+    * exactly when unmatched fact rows are dropped anyway.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = Decontaminate.buildBloom(
+      dim.select(col(key)).distinct(), key, expectedDimKeys, fpp)
+    val pruned = bloom match {
+      case Some(b) => fact.filter(Decontaminate.mightContain(b, col(key)))
+      case None    => fact.filter(lit(false)) // empty dim ⇒ empty inner join
+    }
+    pruned.join(dim, Seq(key))
+  }
 }

@@ -686,6 +686,47 @@ object TextOps {
         col("avg_nll_e6"))
   }
 
+  /** PMI collocation mining (Church & Hanks, "Word Association Norms,
+    * Mutual Information, and Lexicography", CL 1990): the top-k
+    * adjacent-token pairs by pointwise mutual information
+    *
+    *   pmi_e6 = floor( ln( cb·N / (cl·cr) ) · 10⁶ )
+    *
+    * with position-true margins (cl = bigrams with this LEFT token,
+    * cr = with this RIGHT token, N = all bigrams) and a `minCount`
+    * floor that both kills noise pairs (PMI's classic low-count
+    * pathology) and bounds the ranked set. Micro-nat flooring is the
+    * q88/q135 convention, so DuckDB replays the scores bit-for-bit.
+    *
+    * Scale shape: the corpus tokenizes once into the adjacent-pair
+    * hash agg (the q125/q131/q135 vocab-sized basis); margins are
+    * aggregates OF that basis, never a second corpus pass; and the
+    * top-k is TakeOrderedAndProject (k rows per partition on the
+    * wire), not a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 32): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val bi = docs.select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), (l, r) -> struct(l, r))"))
+        .as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+    val bc = bi.groupBy("l", "r").agg(count(lit(1)).as("cb"))
+    val cl = bc.groupBy("l").agg(sum("cb").as("cl"))
+    val cr = bc.groupBy("r").agg(sum("cb").as("cr"))
+    val n = bc.agg(sum("cb").as("n"))
+    bc.filter(col("cb") >= minCount)
+      .join(cl, "l").join(cr, "r").crossJoin(broadcast(n))
+      .select(col("l"), col("r"), col("cb"),
+        floor(log(col("cb").cast("double") * col("n").cast("double") /
+          (col("cl").cast("double") * col("cr").cast("double"))) * 1000000.0)
+          .cast("long").as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("l"), col("r"))
+      .limit(k)
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tiebreak: Seq[String] = Nil): DataFrame = {
     val order = (col(tsCol) +: tiebreak.map(col)).toSeq

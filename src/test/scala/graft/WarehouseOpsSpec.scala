@@ -326,6 +326,51 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0L, "b" -> 0L))
   }
 
+  // ---- bloom-pruned join (q146) --------------------------------------
+
+  test("bloomPrunedJoin equals the plain join and plans the membership filter") {
+    // a real parquet scan — a LocalRelation would let the optimizer
+    // fold the membership filter away before the plan assertion
+    val dir = tmpDir("bloom-join")
+    (1L to 500L).map(i => (i % 97, i)).toDF("k", "fv")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = Seq((3L, "a"), (11L, "b"), (42L, "c")).toDF("k", "dv")
+    val pruned = graft.operators.Salting.bloomPrunedJoin(fact, dim, "k",
+      expectedDimKeys = 10L)
+    val plain = fact.join(dim, Seq("k"))
+    assert(pruned.orderBy("k", "fv").collect().toSeq ==
+      plain.orderBy("k", "fv").collect().toSeq)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("might_contain"), "bloom membership filter not in plan")
+  }
+
+  test("bloomPrunedJoin with an empty dim yields an empty inner join") {
+    val fact = Seq((1L, "x")).toDF("k", "fv")
+    val dim = Seq.empty[(Long, String)].toDF("k", "dv")
+    assert(graft.operators.Salting.bloomPrunedJoin(fact, dim, "k", 10L)
+      .count() == 0L)
+  }
+
+  // ---- PMI collocations (q147) ---------------------------------------
+
+  test("pmiCollocations ranks an exclusive pair above promiscuous ones") {
+    // "new york" co-occur exclusively 6 times; "the" pairs with many
+    // right-hand tokens, so each "the X" bigram has lower PMI.
+    val docs = (1 to 6).map(i => (i.toLong, s"new york the w$i the city"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps
+      .pmiCollocations(docs, "text", minCount = 5L, k = 4)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.head._1 == "new" && out.head._2 == "york"
+      && out.head._3 == 6L)
+    // every surviving pair respects the count floor
+    assert(out.forall(_._3 >= 5L))
+    // exclusive pair scores strictly above any "the"-left pair present
+    val thePmi = out.filter(_._1 == "the").map(_._4)
+    assert(thePmi.forall(_ < out.head._4))
+  }
+
   // ---- streaming sketch maintenance ----------------------------------
 
   test("streamed quantile sketch equals the batch sketch of all landed rows") {
