@@ -27,6 +27,45 @@ object WarehouseQueries {
   private val plantedPhrase =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
 
+  /** The q148 oracle: unigram-LM vocab pruning unrolled as chained
+    * CTEs — word basis, substring candidates with a count floor, then
+    * `maxWordLen` greedy longest-match segmentation steps (each one a
+    * LEFT JOIN per piece length, longest wins via COALESCE order — the
+    * match at a position is tie-free because a candidate piece IS the
+    * substring it matches), usage union, utility floor. The q125
+    * unrolled-replay pattern applied to segmentation.
+    */
+  private def unigramOracle(minPieceCount: Long, minUtility: Long,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val lens = maxPieceLen to 2 by -1
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word FROM documents),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word HAVING length(word) <= $maxWordLen),
+sub AS (${(2 to maxPieceLen).map(l =>
+      s"SELECT unnest([substr(word, i + 1, $l) FOR i IN range(0, length(word) - $l + 1)]) AS piece, freq FROM w WHERE length(word) >= $l")
+      .mkString(" UNION ALL ")}),
+cand AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cp FROM sub GROUP BY piece HAVING sum(freq) >= $minPieceCount),
+s0 AS (SELECT word, freq, 0 AS pos FROM w)"""
+    for (n <- 1 to maxWordLen) {
+      val joins = lens.map(l =>
+        s"LEFT JOIN cand c$l ON length(c$l.piece) = $l AND substr(a.word, a.pos + 1, $l) = c$l.piece")
+        .mkString(" ")
+      val ps = lens.map(l => s"c$l.piece AS p$l").mkString(", ")
+      val co = lens.map(l => s"p$l").mkString(", ")
+      val adv = lens.map(l => s"WHEN p$l IS NOT NULL THEN $l").mkString(" ")
+      sb ++= s""",
+m$n AS (SELECT a.word, a.freq, a.pos, $ps
+        FROM (SELECT * FROM s${n - 1} WHERE pos < length(word)) a $joins),
+u$n AS (SELECT coalesce($co) AS piece, freq FROM m$n WHERE coalesce($co) IS NOT NULL),
+s$n AS (SELECT word, freq, pos + CASE $adv ELSE 1 END AS pos FROM m$n)"""
+    }
+    sb ++= s""",
+uu AS (${(1 to maxWordLen).map(n => s"SELECT piece, freq FROM u$n").mkString(" UNION ALL ")}),
+ut AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS utility FROM uu GROUP BY piece HAVING sum(freq) >= $minUtility)
+SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY piece"""
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Cross-document substring-span dedup: every 8-token window
@@ -390,6 +429,18 @@ object WarehouseQueries {
         |ORDER BY pmi_e6 DESC, l, r LIMIT 32""".stripMargin) { (s, d) =>
       graft.operators.TextOps.pmiCollocations(documents(s, d), "text",
         minCount = 5L, k = 32)
+    },
+
+    // Unigram-LM vocabulary pruning: substring candidates with a
+    // count-300 floor, greedy longest-match segmentation of the word
+    // basis, utility-300 prune — tokenizer training's OTHER family
+    // (start-big-and-prune), replayed end-to-end by the unrolled
+    // oracle above.
+    sql("q148_unigram_prune", unigramOracle(300L, 300L, 4, 16)) { (s, d) =>
+      graft.operators.Unigram.pruneVocab(documents(s, d), "text",
+          minPieceCount = 300L, minUtility = 300L,
+          maxPieceLen = 4, maxWordLen = 16)
+        .orderBy("piece")
     }
   )
 }

@@ -371,6 +371,42 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(thePmi.forall(_ < out.head._4))
   }
 
+  // ---- unigram-LM vocab pruning (q148) -------------------------------
+
+  test("pruneVocab: longest-match usage, shadowed candidates pruned") {
+    // words: aaab ×3, ab ×1. Substring counts (freq-weighted):
+    //   aa → 6 (two positions in aaab), ab → 4 (aaab tail + word ab),
+    //   aaa → 3, aab → 3. Floor 4 keeps {aa, ab}.
+    // Greedy segmentation: aaab → aa|ab (usage aa:3, ab:3);
+    // ab → ab (usage ab:+1). Utilities: aa=3, ab=4.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = graft.operators.Unigram.pruneVocab(docs, "text",
+        minPieceCount = 4L, minUtility = 1L, maxPieceLen = 3, maxWordLen = 8)
+      .orderBy("piece")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("aa", 6L, 3L), ("ab", 4L, 4L)))
+  }
+
+  test("pruneVocab drops candidates whose usage misses the utility floor") {
+    // same fixture, utility floor 4: aa (utility 3) is pruned even
+    // though its raw count (6) is the highest — the unigram-LM point
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val out = graft.operators.Unigram.pruneVocab(docs, "text",
+        minPieceCount = 4L, minUtility = 4L, maxPieceLen = 3, maxWordLen = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("ab", 4L, 4L)))
+  }
+
+  test("pruneVocab prefers the longest match at each position") {
+    // word "abcd" ×5: candidates include abcd (len 4) and ab/cd (len 2)
+    // with floor 5 — greedy takes abcd whole, so ab/cd get no usage
+    val docs = Seq((1L, "abcd abcd abcd abcd abcd")).toDF("doc_id", "text")
+    val out = graft.operators.Unigram.pruneVocab(docs, "text",
+        minPieceCount = 5L, minUtility = 1L, maxPieceLen = 4, maxWordLen = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("abcd", 5L, 5L)))
+  }
+
   // ---- streaming sketch maintenance ----------------------------------
 
   test("streamed quantile sketch equals the batch sketch of all landed rows") {
