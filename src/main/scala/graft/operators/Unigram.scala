@@ -26,12 +26,15 @@ import graft.functions.TextFunctions
   *    q125 hash-agg shape); training never touches corpus text again;
   *  - candidate counting is one explode of per-word substring lists
   *    over that basis + a map-side-combined sum with a count floor —
-  *    candidate space is bounded by the floor, not by the corpus;
-  *  - segmentation advances ALL words one piece per step: `maxWordLen`
-  *    steps, each a few broadcast equi-joins (candidate set is
-  *    floor-bounded, so it broadcasts) against the vocab-sized state,
-  *    checkpointed per step to keep lineage flat. No shuffle of
-  *    anything corpus-sized anywhere.
+  *    the candidate space is bounded by the floor (|cand| ≤ weighted
+  *    substring mass / minPieceCount), which is what licenses
+  *    collecting it: the set is baked into a native kernel
+  *    ([[graft.plans.GreedyPiecesExpr]]) and segmentation is ONE
+  *    codegen'd pass over the vocab-sized basis — no joins, no
+  *    per-step jobs. (A 16-step lockstep-join formulation was built
+  *    first and measured 19.4 s at the 10× corpus on pure fixed
+  *    overhead — checkpoint + 3 broadcast builds per step; the
+  *    kernel form is a single job.)
   */
 object Unigram {
 
@@ -41,12 +44,15 @@ object Unigram {
     * `utility >= minUtility` survive.
     *
     * Words longer than `maxWordLen` are dropped from the basis (the
-    * unrolled replay bound — raise it for morpheme-rich corpora; each
-    * extra step is one more cheap vocab-sized round).
+    * unrolled replay bound — raise it for morpheme-rich corpora).
+    * `maxCandidates` is the driver-collect guard (the limit+require
+    * overflow pattern): a corpus whose floor admits more candidates
+    * than this should raise the floor, not the cap.
     */
   def pruneVocab(docs: DataFrame, textCol: String,
       minPieceCount: Long = 50L, minUtility: Long = 50L,
-      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+      maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      maxCandidates: Int = 1 << 20): DataFrame = {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val words = docs
@@ -61,43 +67,21 @@ object Unigram {
             s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
             .as("piece"), col("freq"))
       }.reduce(_ unionByName _)
-      // not persisted: every use re-aggregates from the CACHED word
-      // basis — a vocab-sized hash agg inlined into each step's job,
-      // cheaper than managing another cache epoch
+      // not persisted: the collect below and the final cp join each
+      // re-run one vocab-sized aggregate over the CACHED word basis
       val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
         .filter(col("cp") >= minPieceCount)
-      // greedy longest-match segmentation, all words in lockstep: one
-      // step consumes one piece (or one uncovered char) per word
-      var state = words.select(col("word"), col("freq"),
-        lit(0).cast("int").as("pos"))
-      var usage = words.sparkSession.emptyDataFrame
-        .select(lit("").as("piece"), lit(0L).as("freq")).limit(0)
-      for (_ <- 1 to maxWordLen) {
-        var m = state.filter(col("pos") < length(col("word")))
-        for (l <- maxPieceLen to 2 by -1)
-          m = m.withColumn(s"__k$l", expr(s"substring(word, pos + 1, $l)"))
-            .join(broadcast(cand.filter(length(col("piece")) === l)
-              .select(col("piece").as(s"__p$l"))),
-              col(s"__k$l") === col(s"__p$l"), "left")
-        val picked = m.withColumn("__pick",
-            coalesce((maxPieceLen to 2 by -1).map(l => col(s"__p$l")): _*))
-          .withColumn("__adv",
-            coalesce(when(col("__pick").isNotNull, length(col("__pick"))),
-              lit(1)))
-        usage = usage.unionByName(picked.filter(col("__pick").isNotNull)
-          .select(col("__pick").as("piece"), col("freq")))
-        state = picked
-          .select(col("word"), col("freq"),
-            (col("pos") + col("__adv")).cast("int").as("pos"))
-          .localCheckpoint()
-      }
-      cand.join(usage.groupBy("piece").agg(sum("freq").as("utility")), "piece")
+      val collected = cand.select("piece").limit(maxCandidates + 1)
+        .collect().map(_.getString(0))
+      require(collected.length <= maxCandidates,
+        s"candidate set exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+      val usage = words
+        .select(explode(graft.plans.GreedyPiecesExpr.greedyPieces(
+          col("word"), collected.toSeq, maxPieceLen)).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("utility"))
         .filter(col("utility") >= minUtility)
+      cand.join(usage, "piece")
         .select(col("piece"), col("cp"), col("utility"))
-    } finally {
-      // states are checkpointed, so dropping the caches here only costs
-      // one recompute of the tiny candidate aggregate in the final plan
-      words.unpersist(); ()
-    }
+    } finally { words.unpersist(); () }
   }
 }
