@@ -441,6 +441,41 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
           minPieceCount = 300L, minUtility = 300L,
           maxPieceLen = 4, maxWordLen = 16)
         .orderBy("piece")
+    },
+
+    // Two-sample KS drift gate: snapshots alternate by doc-id block
+    // (ids are assigned round-robin by source, so a plain parity
+    // split would leave every source single-snapshot); src3's B-side
+    // lengths shift +1000 — fully disjoint ranges, D = 1 — and the
+    // gate is D > 0.6, above the worst small-sample ECDF noise a
+    // 12-vs-13 split can produce (~0.52 here) at ANY scale factor. The oracle replays the conditional counts,
+    // the per-source cumulative ECDFs, and the integer max-gap.
+    sql("q149_ks_drift",
+      """WITH s AS (SELECT source, (doc_id // 20) % 2 AS snap,
+        |             CASE WHEN source = 'src3' AND (doc_id // 20) % 2 = 1
+        |                  THEN n_chars + 1000 ELSE n_chars END AS v
+        |           FROM documents),
+        |c AS (SELECT source, v,
+        |        CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |      FROM s GROUP BY source, v),
+        |cum AS (SELECT source, v, c1, c2,
+        |          sum(c1) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+        |          sum(c2) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+        |        FROM c),
+        |t AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n_a, CAST(sum(c2) AS BIGINT) AS n_b FROM c GROUP BY source)
+        |SELECT cum.source, n_a, n_b,
+        |  CAST(max(abs(cum1 * n_b - cum2 * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum1 * n_b - cum2 * n_a)) AS BIGINT) * 10 > n_a * n_b * 6 AS drifted
+        |FROM cum JOIN t USING (source)
+        |GROUP BY cum.source, n_a, n_b ORDER BY source""".stripMargin) { (s, d) =>
+      val snaps = documents(s, d).select(col("source"),
+        expr("(doc_id div 20) % 2").as("snap"),
+        when(col("source") === "src3" && expr("(doc_id div 20) % 2") === 1,
+          col("n_chars") + 1000).otherwise(col("n_chars")).as("v"))
+      graft.operators.Profiling.ksDrift(snaps, "source", "snap", "v",
+          driftTenths = 6)
+        .orderBy("source")
     }
   )
 }

@@ -133,6 +133,47 @@ object Profiling {
         binLowerBound(col("bin")).cast("long").as("est_cents"))
   }
 
+  // ---- two-sample distribution drift (q149) --------------------------
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per group: for each
+    * `groupCol` value, the KS statistic between the `valueCol`
+    * distributions of snapshot A (`snapCol` = 0) and snapshot B
+    * (`snapCol` = 1), computed in EXACT integers — the ECDF gap at an
+    * observed value v is |cumA(v)·nB − cumB(v)·nA| / (nA·nB), so the
+    * max numerator `d_num` is integer and `drifted` compares
+    * d_num · 10 > nA · nB, i.e. D > 0.1, with no floating point
+    * anywhere. This is the ingest-gate form of drift detection: flag
+    * a source whose new wave's quality/length/score distribution
+    * moved, BEFORE admitting it (the distributional upgrade of q105's
+    * count-level corpus diff and q92's point calibration).
+    *
+    * Scale shape: one conditional-count hash aggregate per
+    * (group, value) — map-side combined, corpus never reshuffled
+    * beyond it; the ECDF windows partition by group and their size is
+    * the group's DISTINCT-VALUE count (a score/length domain, not the
+    * corpus). Output is |groups| rows.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, snapCol: String,
+      valueCol: String, driftTenths: Int = 1): DataFrame = {
+    require(driftTenths >= 1 && driftTenths <= 9, "driftTenths in 1..9")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Long.MinValue, 0)
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(snapCol) === 0, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(snapCol) === 1, 1L).otherwise(0L)).as("__c2"))
+      .withColumn("__cum1", sum("__c1").over(w))
+      .withColumn("__cum2", sum("__c2").over(w))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum("__c1").as("n_a"), sum("__c2").as("n_b"))
+    counts.join(totals, Seq(groupCol))
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg(max(abs(col("__cum1") * col("n_b") - col("__cum2") * col("n_a")))
+        .as("d_num"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num") * 10 > col("n_a") * col("n_b") * driftTenths).as("drifted"))
+  }
+
   /** Unpivot the single agg row: one struct per column, exploded to
     * rows. `explode(array(struct...))` stays inside whole-stage
     * codegen and adds no shuffle (the input is one row).

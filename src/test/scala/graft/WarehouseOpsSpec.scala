@@ -407,6 +407,34 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Seq(("abcd", 5L, 5L)))
   }
 
+  // ---- KS drift (q149) -----------------------------------------------
+
+  test("ksDrift: identical distributions score zero, disjoint score the maximum") {
+    val same = Seq.tabulate(40)(i => ("g1", i % 2, (i / 2) % 5))
+    val disj = Seq.tabulate(40)(i => ("g2", i % 2, if (i % 2 == 0) i else i + 1000))
+    val df = (same ++ disj).toDF("grp", "snap", "v")
+    val out = graft.operators.Profiling.ksDrift(df, "grp", "snap", "v",
+        driftTenths = 6)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // g1: each snapshot sees values 0..4 with equal counts → every ECDF
+    // gap is zero; g2: snapshots occupy disjoint ranges → the gap at
+    // the end of snapshot A's range is n_a·n_b (D = 1)
+    assert(out == Seq(("g1", 20L, 20L, 0L, false),
+      ("g2", 20L, 20L, 400L, true)))
+  }
+
+  test("ksDrift hand-computed: a one-element shift") {
+    // A = {1,2,3}, B = {2,3,4}: D = 1/3 at v=1 (and v=3); exact
+    // numerator max |cumA·3 − cumB·3| = 3
+    val df = Seq(("g", 0, 1), ("g", 0, 2), ("g", 0, 3),
+      ("g", 1, 2), ("g", 1, 3), ("g", 1, 4)).toDF("grp", "snap", "v")
+    val out = graft.operators.Profiling.ksDrift(df, "grp", "snap", "v",
+        driftTenths = 5)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("g", 3L, 3L, 3L, false))) // D = 1/3 < 0.5
+  }
+
   // ---- streaming sketch maintenance ----------------------------------
 
   test("streamed quantile sketch equals the batch sketch of all landed rows") {
