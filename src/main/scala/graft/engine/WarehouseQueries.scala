@@ -403,8 +403,7 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
         .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
           (floor(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev_e4"))
-      graft.operators.Salting.bloomPrunedJoin(fact, dim, "o_orderkey",
-          expectedDimKeys = 50000L)
+      graft.operators.Salting.bloomPrunedJoin(fact, dim, "o_orderkey")
         .groupBy("l_returnflag")
         .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
         .orderBy("l_returnflag")

@@ -66,9 +66,14 @@ object Salting {
     * exactly when unmatched fact rows are dropped anyway.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = Decontaminate.buildBloom(
-      dim.select(col(key)).distinct(), key, expectedDimKeys, fpp)
+      expectedDimKeys: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(key)).distinct()
+    // an UNDERSIZED filter stays correct but stops pruning (measured at
+    // the 100× corpus: a 50 k-sized filter over ~300 k real keys let the
+    // fact shuffle grow superlinear); when the caller can't bound the
+    // dim, one count job sizes it exactly — dim-sized, the cheap side
+    val expected = expectedDimKeys.getOrElse(math.max(1L, keys.count()))
+    val bloom = Decontaminate.buildBloom(keys, key, expected, fpp)
     val pruned = bloom match {
       case Some(b) => fact.filter(Decontaminate.mightContain(b, col(key)))
       case None    => fact.filter(lit(false)) // empty dim ⇒ empty inner join

@@ -337,7 +337,7 @@ class WarehouseOpsSpec extends SparkSpec {
     val fact = spark.read.parquet(s"$dir/fact")
     val dim = Seq((3L, "a"), (11L, "b"), (42L, "c")).toDF("k", "dv")
     val pruned = graft.operators.Salting.bloomPrunedJoin(fact, dim, "k",
-      expectedDimKeys = 10L)
+      expectedDimKeys = Some(10L))
     val plain = fact.join(dim, Seq("k"))
     assert(pruned.orderBy("k", "fv").collect().toSeq ==
       plain.orderBy("k", "fv").collect().toSeq)
@@ -348,7 +348,7 @@ class WarehouseOpsSpec extends SparkSpec {
   test("bloomPrunedJoin with an empty dim yields an empty inner join") {
     val fact = Seq((1L, "x")).toDF("k", "fv")
     val dim = Seq.empty[(Long, String)].toDF("k", "dv")
-    assert(graft.operators.Salting.bloomPrunedJoin(fact, dim, "k", 10L)
+    assert(graft.operators.Salting.bloomPrunedJoin(fact, dim, "k")
       .count() == 0L)
   }
 
