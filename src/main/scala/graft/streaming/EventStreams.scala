@@ -377,6 +377,62 @@ object EventStreams {
     graft.operators.Profiling.mergeHists(Seq(
       spark.read.parquet(outDir).select("bin", "cnt")))
 
+  /** Streaming SCD2 maintenance — q138's continuous twin: observations
+    * arrive as a stream, and the versioned dimension stays current
+    * per micro-batch WITHOUT recomputing untouched keys.
+    *
+    * Layout: the observation log lands idempotently per (batch,
+    * bucket) where bucket = pmod(xxhash64(key), buckets); the version
+    * store is one directory per bucket. Each batch (1) lands its
+    * observations, (2) collects its AFFECTED bucket list (delta-sized),
+    * (3) re-reads ONLY those buckets' observations (partition-pruned
+    * scan), (4) reruns `Scd.scd2` on them — change-bounded work — and
+    * (5) overwrites exactly those bucket directories. A bucket's
+    * content is a pure function of the landed observations, so batch
+    * replay is idempotent end-to-end (the landing overwrites its own
+    * batch dir, the recompute overwrites the same buckets with the
+    * same rows).
+    *
+    * This is the dimension-table instance of the store-maintenance
+    * law (q98/q124/q143): the corpus-scale artifact is only ever
+    * touched where the delta touches it.
+    */
+  def scd2Stream(obs: DataFrame, obsDir: String, verDir: String,
+      keyCol: String, tsCol: String, attrCol: String,
+      buckets: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    obs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+          .persist()
+        try {
+          b.write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$obsDir/batch_id=$batchId")
+          val affected = b.select("bucket").distinct()
+            .collect().map(_.getLong(0))
+          if (affected.nonEmpty) {
+            val obsAll = spark.read
+              .option("basePath", obsDir).parquet(obsDir)
+              .filter(col("bucket").isin(affected.toSeq: _*))
+              .persist()
+            try {
+              affected.foreach { bk =>
+                graft.operators.Scd.scd2(
+                    obsAll.filter(col("bucket") === bk), Seq(keyCol), tsCol,
+                    Seq(attrCol))
+                  .write.mode("overwrite").parquet(s"$verDir/bucket=$bk")
+              }
+            } finally { obsAll.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+    }
+
+  /** The live versioned dimension maintained by [[scd2Stream]]. */
+  def readVersions(spark: org.apache.spark.sql.SparkSession,
+      verDir: String): DataFrame =
+    spark.read.parquet(verDir).drop("bucket")
+
   /** Streaming ANN index-health monitor — `Pq.ivfPqDriftStats`'s
     * continuous twin: per event-time window and coarse cell, the
     * count and truncating-mean ADC reconstruction error of arriving

@@ -407,6 +407,44 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Seq(("abcd", 5L, 5L)))
   }
 
+  // ---- streaming SCD2 maintenance ------------------------------------
+
+  test("scd2Stream maintains the versioned dimension across batches, touching only affected buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("scd2-stream")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.EventStreams.scd2Stream(
+        input.toDF().toDF("key", "ts", "attr"),
+        s"$dir/obs", s"$dir/ver", "key", "ts", "attr", buckets = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val allObs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, String)]
+    def feed(rows: (Long, java.sql.Timestamp, String)*): Unit = {
+      allObs ++= rows; input.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      feed((1L, ts("2020-01-01 00:00:00"), "A"),
+        (2L, ts("2020-01-01 00:00:00"), "X"))
+      feed((1L, ts("2020-02-01 00:00:00"), "A"), // no-op → suppressed
+        (1L, ts("2020-03-01 00:00:00"), "B"))
+      feed((1L, ts("2020-01-15 00:00:00"), "C"), // LATE arrival, mid-chain
+        (3L, ts("2020-04-01 00:00:00"), "Z"))
+    } finally q.stop()
+    val live = graft.streaming.EventStreams.readVersions(spark, s"$dir/ver")
+      .orderBy("key", "valid_from", "attr")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    val batch = graft.operators.Scd.scd2(
+        allObs.toSeq.toDF("key", "ts", "attr"), Seq("key"), "ts", Seq("attr"))
+      .orderBy("key", "valid_from", "attr")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(live == batch)
+    // the late arrival rebuilt key 1's chain: C splits the A run
+    assert(live.filter(_._1 == 1L).map(_._2) == Seq("A", "C", "A", "B"))
+  }
+
   // ---- KS drift (q149) -----------------------------------------------
 
   test("ksDrift: identical distributions score zero, disjoint score the maximum") {
