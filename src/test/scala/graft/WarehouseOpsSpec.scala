@@ -4,7 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Linkage, Profiling, Scd, Search, TextOps}
 
 /** Round-9 batch-two maintenance operators: alignment-free substring
-  * dedup, SCD2 versioning + as-of join, blocked fuzzy entity linkage.
+  * dedup, SCD2 versioning + as-of join (batch and streaming), blocked
+  * fuzzy entity linkage, mergeable quantile sketches (batch and
+  * streaming), the deflate kernel and its gates, inverted-index build/
+  * probe/upsert, Bloom-pruned joins, PMI collocations, unigram-LM
+  * pruning, and the exact-integer KS drift gate.
   */
 class WarehouseOpsSpec extends SparkSpec {
   import spark.implicits._
