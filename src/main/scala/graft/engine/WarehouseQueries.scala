@@ -475,6 +475,43 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
       graft.operators.Profiling.ksDrift(snaps, "source", "snap", "v",
           driftTenths = 6)
         .orderBy("source")
+    },
+
+    // As-of dimension join: every order joins the SCD2 customer
+    // version (the q138 chain) in effect AT its order date —
+    // from-inclusive interval containment, so an order matches the
+    // version its own observation opened. The interval predicate
+    // filters inside version-bounded key groups; the oracle replays
+    // the chain and the containment join.
+    sql("q150_asof_dimension",
+      """WITH obs AS (
+        |  SELECT c_custkey AS key, TIMESTAMP '1990-01-01' AS ts, c_mktsegment AS attr FROM customer
+        |  UNION SELECT o_custkey, o_orderdate, o_orderpriority FROM orders),
+        |chg AS (SELECT key, ts, attr,
+        |          lag(attr) OVER (PARTITION BY key ORDER BY ts, attr) AS prev
+        |        FROM obs),
+        |k AS (SELECT key, ts, attr FROM chg WHERE prev IS NULL OR prev <> attr),
+        |v AS (SELECT key, attr, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY key ORDER BY ts, attr) AS valid_to
+        |      FROM k)
+        |SELECT v.attr, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o JOIN v ON o.o_custkey = v.key
+        |  AND o.o_orderdate >= v.valid_from
+        |  AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+        |GROUP BY v.attr ORDER BY v.attr""".stripMargin) { (s, d) =>
+      val base = customer(s, d).select(col("c_custkey").as("key"),
+        lit("1990-01-01").cast("timestamp").as("ts"),
+        col("c_mktsegment").as("attr"))
+      val changes = orders(s, d).select(col("o_custkey").as("key"),
+        col("o_orderdate").as("ts"), col("o_orderpriority").as("attr"))
+      val dim = graft.operators.Scd.scd2(base.unionByName(changes),
+        keyCols = Seq("key"), tsCol = "ts", attrCols = Seq("attr"))
+      val facts = orders(s, d).select(col("o_custkey").as("key"),
+        col("o_orderdate").as("fts"))
+      graft.operators.Scd.asOfVersion(facts, dim, Seq("key"), "fts")
+        .filter(col("attr").isNotNull)
+        .groupBy("attr").agg(count(lit(1)).as("n_orders"))
+        .orderBy("attr")
     }
   )
 }

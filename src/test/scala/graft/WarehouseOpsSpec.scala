@@ -411,6 +411,29 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Seq(("abcd", 5L, 5L)))
   }
 
+  test("GreedyPiecesExpr agrees across execution modes and handles edges") {
+    val pieces = Seq("ab", "abc", "cd", "xy")
+    val words = Seq("abcd",  // abc (len-3 beats ab) then d uncovered
+      "ababxy",              // ab, ab, xy
+      "zzz",                 // nothing matches
+      "a", "")               // shorter than any piece
+    def run(): Seq[Seq[String]] = words.toDF("w")
+      .select(graft.plans.GreedyPiecesExpr.greedyPieces(col("w"), pieces, 3))
+      .as[Seq[String]].collect().toSeq
+    val expected = Seq(Seq("abc"), Seq("ab", "ab", "xy"), Seq(), Seq(), Seq())
+    assert(run() == expected)
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   // ---- streaming SCD2 maintenance ------------------------------------
 
   test("scd2Stream maintains the versioned dimension across batches, touching only affected buckets") {
