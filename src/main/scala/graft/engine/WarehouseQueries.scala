@@ -512,6 +512,47 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
         .filter(col("attr").isNotNull)
         .groupBy("attr").agg(count(lit(1)).as("n_orders"))
         .orderBy("attr")
+    },
+
+    // Incremental substring-span dedup: the q137 planted corpus splits
+    // into catalog (2/3) and delta (1/3); the delta strips against the
+    // catalog's (dg, df) store WITHOUT touching catalog text, and the
+    // oracle replays the FULL recompute over catalog ∪ delta
+    // restricted to delta ids — the store-additivity equivalence
+    // (disjoint id sets ⇒ distinct-doc counts add) is the contract.
+    sql("q151_incremental_span_dedup",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN '$plantedPhrase ' || text
+        |         WHEN doc_id % 11 = 0 THEN text || ' $plantedPhrase'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM t WHERE len(toks) >= 8),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS dg FROM g),
+        |f AS (SELECT dg FROM (SELECT DISTINCT doc_id, dg FROM gd) GROUP BY dg HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, list(DISTINCT gd.pos + u.u) AS cv
+        |        FROM gd JOIN f USING (dg), (SELECT unnest(range(8)) AS u) u
+        |        WHERE gd.doc_id % 3 = 0
+        |        GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id, toks,
+        |           [toks[i + 1] FOR i IN range(len(toks))
+        |            IF NOT list_contains(coalesce(cv, CAST([] AS BIGINT[])), i)] AS kp
+        |         FROM t LEFT JOIN cov USING (doc_id)
+        |         WHERE t.doc_id % 3 = 0)
+        |SELECT doc_id, COALESCE(array_to_string(kp, ' '), '') AS cleaned,
+        |  CAST(len(toks) - len(kp) AS BIGINT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(plantedPhrase + " "), col("text")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + plantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      val catalog = corpus.filter(col("doc_id") % 3 =!= 0)
+      val delta = corpus.filter(col("doc_id") % 3 === 0)
+      val store = graft.operators.TextOps.gramDf(catalog, "doc_id", "text", k = 8)
+      graft.operators.TextOps.incrementalSpanDedupStrip(store, delta,
+          "doc_id", "text", k = 8, minDocs = 2)
+        .orderBy("doc_id")
     }
   )
 }

@@ -548,18 +548,32 @@ object TextOps {
   def spanDedupStrip(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
-    val toks = docs.select(col(idCol).as("__id"),
+    val toks = spanToks(docs, idCol, textCol)
+    val grams = spanGrams(toks, k)
+    val flagged = grams.select("__id", "__dg").distinct()
+      .groupBy("__dg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__dg")
+    spanCoverageStrip(toks, grams, flagged, idCol, k)
+  }
+
+  private def spanToks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
-    val grams = toks.filter(size(col("__toks")) >= k)
+
+  /** (id, pos, digest) rows — one per k-token window start. */
+  private def spanGrams(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("__toks")) >= k)
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, size(__toks) - $k), " +
           s"i -> struct(i AS pos, md5(array_join(slice(__toks, i + 1, $k), ' ')) AS dg))"))
         .as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.dg").as("__dg"))
-    val flagged = grams.select("__id", "__dg").distinct()
-      .groupBy("__dg").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select("__dg")
+
+  /** Position-coverage union + per-row index-lambda strip (the
+    * spanDedupStrip tail, shared with the incremental form). */
+  private def spanCoverageStrip(toks: DataFrame, grams: DataFrame,
+      flagged: DataFrame, idCol: String, k: Int): DataFrame = {
     val covered = grams.join(flagged, "__dg")
       .select(col("__id"), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__p"))
       .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
@@ -571,6 +585,87 @@ object TextOps {
         array_join(col("__kept"), " ").as("cleaned"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
+
+  /** Persist the per-gram distinct-doc-frequency store that backs
+    * incremental substring-span dedup: one (dg, df) row per k-gram
+    * digest seen in the catalog, bucketed AND sorted by digest (the
+    * q96/q98/q124 store treatment — probes read it exchange-free).
+    * Waves of admitted documents append via [[appendToGramDfStore]];
+    * wave doc-id sets are disjoint, so per-wave distinct-doc counts
+    * ADD, and the probe's read-side sum reconstructs the exact
+    * whole-corpus distinct-doc frequency (the additivity the q151
+    * full-recompute oracle pins).
+    */
+  def writeGramDfStore(catalog: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 8, buckets: Int = 64): Unit = {
+    gramDf(catalog, idCol, textCol, k)
+      .repartition(buckets, col("dg"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "dg").sortBy("dg")
+      .saveAsTable(table)
+    ()
+  }
+
+  /** Append one admitted wave's (dg, df) rows. Read-side sums per
+    * digest fold the waves (hash agg over the bucketed column — no
+    * exchange); rewrite via [[writeGramDfStore]] on the union to
+    * compact when partition counts grow. */
+  def appendToGramDfStore(accepted: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 8, buckets: Int = 64): Unit = {
+    gramDf(accepted, idCol, textCol, k)
+      .repartition(buckets, col("dg"))
+      .write.mode("append")
+      .bucketBy(buckets, "dg").sortBy("dg")
+      .saveAsTable(table)
+    ()
+  }
+
+  /** The (dg, df) distinct-doc frequency basis of one document set —
+    * the store's row format, also usable inline for one-shot probes. */
+  def gramDf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    spanGrams(spanToks(docs, idCol, textCol), k)
+      .select(col("__id"), col("__dg")).distinct()
+      .groupBy(col("__dg").as("dg")).agg(count(lit(1)).as("df"))
+
+  /** Incremental substring-span dedup: strip a DELTA wave against the
+    * catalog WITHOUT touching catalog text — a window is flagged when
+    * its distinct-doc count across (catalog store + delta) reaches
+    * `minDocs`, exactly as a full recompute over catalog ∪ delta would
+    * flag it (store df counts distinct catalog docs; delta ids are
+    * disjoint from catalog ids, so the counts add). Output ≡ the full
+    * recompute restricted to delta ids — the q151 oracle replays that
+    * equivalence end-to-end.
+    *
+    * `storeDf` is any (dg, df) frame: `spark.table(storeTable)` for
+    * the persisted store (store side aggregates and joins without an
+    * exchange thanks to the bucket layout), or an inline aggregate for
+    * one-shot use. Only digests PRESENT in the delta matter, so the
+    * join is delta-df-sized on the probe side regardless of catalog
+    * size.
+    */
+  def incrementalSpanDedupStrip(storeDf: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
+    val toks = spanToks(delta, idCol, textCol)
+    val grams = spanGrams(toks, k)
+    val deltaDf = grams.select("__id", "__dg").distinct()
+      .groupBy("__dg").agg(count(lit(1)).as("__ddf"))
+    val catDf = storeDf.groupBy("dg").agg(sum("df").as("__cdf"))
+    val flagged = deltaDf
+      .join(catDf, deltaDf("__dg") === catDf("dg"), "left")
+      .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) >= minDocs)
+      .select("__dg")
+    spanCoverageStrip(toks, grams, flagged, idCol, k)
+  }
+
+  /** [[incrementalSpanDedupStrip]] against a persisted
+    * [[writeGramDfStore]] table. */
+  def incrementalSpanDedupStripVsStore(spark: org.apache.spark.sql.SparkSession,
+      storeTable: String, delta: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    incrementalSpanDedupStrip(spark.table(storeTable), delta, idCol, textCol,
+      k, minDocs)
 
   /** Per-document compression statistics: UTF-8 byte length and native
     * DEFLATE(level 6) compressed length — the ratio is the entropy

@@ -318,6 +318,66 @@ class DigestStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental span-dedup vs gram-df store: equals full recompute, appends add, store exchange-free") {
+    import spark.implicits._
+    // shared 10-token phrase planted at DIFFERENT offsets across both
+    // catalog waves and the delta, so flagged windows need cross-set
+    // distinct-doc counts
+    val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val all = (0 until 60).map { i =>
+      val filler = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      val text = i % 4 match {
+        case 0 => s"$phrase $filler"
+        case 1 => s"$filler $phrase"
+        case _ => filler
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val wave1 = all.filter(col("doc_id") % 3 === 1)
+    val wave2 = all.filter(col("doc_id") % 3 === 2)
+    val delta = all.filter(col("doc_id") % 3 === 0)
+    val catalog = wave1.unionByName(wave2)
+    // ground truth: FULL recompute over catalog ∪ delta, delta rows only
+    val full = TextOps.spanDedupStrip(all, "doc_id", "text", k = 8, minDocs = 2)
+      .filter(col("doc_id") % 3 === 0).orderBy("doc_id").collect().toSeq
+    val inline = TextOps.incrementalSpanDedupStrip(
+        TextOps.gramDf(catalog, "doc_id", "text", k = 8), delta,
+        "doc_id", "text", k = 8, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(inline === full)
+    assert(full.exists(_.getLong(2) > 0), "fixture must strip something")
+    // store built as wave1 + APPENDED wave2: per-wave counts must add
+    val table = "gramdf_store_test"
+    dropTable(table)
+    TextOps.writeGramDfStore(wave1, "doc_id", "text", table, k = 8, buckets = 8)
+    TextOps.appendToGramDfStore(wave2, "doc_id", "text", table, k = 8, buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withBucketOrdering {
+      val stored = TextOps.incrementalSpanDedupStripVsStore(spark, table,
+        delta, "doc_id", "text", k = 8, minDocs = 2)
+      assert(stored.orderBy("doc_id").collect().toSeq === full)
+      // pure store lineage (the bucketed (dg, df) scan through its sum
+      // aggregate into the flag join) must never be shuffle-exchanged;
+      // the bucket layout supplies the dg partitioning
+      val plan = physical(stored)
+      def isStoreScan(p: SparkPlan): Boolean = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.tableIdentifier.exists(_.table == table)
+        case _ => false
+      }
+      val bad = plan.collect {
+        case e: ShuffleExchangeLike
+          if e.collectLeaves().forall(isStoreScan) => e.getClass.getSimpleName
+      }
+      assert(bad.isEmpty,
+        s"store lineage must not be exchanged, found $bad in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      dropTable(table)
+    }
+  }
+
   test("noveltyVsStore matches noveltyVsCatalog (differential)") {
     val all = docs(300)
     val catalog = all.filter(col("doc_id") % 10 < 7)
