@@ -553,6 +553,93 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
       graft.operators.TextOps.incrementalSpanDedupStrip(store, delta,
           "doc_id", "text", k = 8, minDocs = 2)
         .orderBy("doc_id")
+    },
+
+    // Loss-aware domain reweighting (the DoReMi skeleton): each
+    // source scores its average per-bigram surprisal under the
+    // corpus bigram LM (the q135 machinery), and a 1M-token budget
+    // splits proportionally — exact-integer weights, remainder to the
+    // highest scorers, Σ alloc = budget. The oracle chains the full
+    // LM replay into the reweight arithmetic.
+    sql("q152_domain_reweight",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |bi AS (SELECT doc_id, unnest([{'l': toks[i], 'r': toks[i+1]} FOR i IN range(1, len(toks))]) AS p FROM t),
+        |b AS (SELECT doc_id, p.l AS l, p.r AS r FROM bi),
+        |bc AS (SELECT l, r, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY l, r),
+        |cc AS (SELECT l, CAST(sum(cb) AS DOUBLE) AS cl FROM bc GROUP BY l),
+        |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM (SELECT unnest(toks) AS token FROM t)),
+        |w AS (SELECT bc.l, bc.r,
+        |        CAST(floor(-ln((cb + 0.5) / (cl + 0.5 * v.v)) * 1000000.0) AS BIGINT) AS s_e6
+        |      FROM bc JOIN cc USING (l) CROSS JOIN v),
+        |agg AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |          CAST(sum(w.s_e6) AS BIGINT) AS nll
+        |        FROM b JOIN w USING (l, r) GROUP BY b.doc_id),
+        |ds AS (SELECT d.source, CAST(sum(a.nll) AS BIGINT) AS nll, CAST(sum(a.nb) AS BIGINT) AS nb
+        |       FROM documents d JOIN agg a USING (doc_id) GROUP BY d.source),
+        |sc AS (SELECT source, nll // nb AS score FROM ds WHERE nb > 0),
+        |tot AS (SELECT CAST(sum(score) AS BIGINT) AS t FROM sc),
+        |rk AS (SELECT source, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, source) AS BIGINT) AS i,
+        |         CASE WHEN t > 0 THEN (1000000 * score) // t END AS base,
+        |         CASE WHEN t > 0 THEN (score * 1000000) // t END AS w6
+        |       FROM sc, tot),
+        |rm AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS r FROM rk)
+        |SELECT source, CAST(score AS BIGINT) AS score, CAST(w6 AS BIGINT) AS weight_e6,
+        |  CAST(base + (CASE WHEN i <= r THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        |FROM rk, rm ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val sur = graft.operators.TextOps.bigramSurprisal(docs, "doc_id", "text")
+      val scores = docs.select("doc_id", "source").join(sur, "doc_id")
+        .groupBy("source")
+        .agg(sum("nll_e6").as("nll"), sum("n_bigrams").as("nb"))
+        .filter(col("nb") > 0)
+        .select(col("source"), expr("nll div nb").as("score"))
+      graft.operators.Mixing.scoreReweight(scores, "source", "score",
+          budget = 1000000L)
+        .orderBy("source")
+    },
+
+    // Declarative data-quality expectations: six rules over orders in
+    // ONE aggregate pass — completeness, uniqueness (o_custkey
+    // honestly FAILS with its duplicate surplus), and value bounds
+    // (the tight price bound honestly fails too). The oracle computes
+    // the identical conditional aggregates.
+    sql("q153_expectations",
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dk,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS dc,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |    (CAST(floor(o_totalprice) AS BIGINT) < 0 OR CAST(floor(o_totalprice) AS BIGINT) > 1000000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |    (CAST(floor(o_totalprice) AS BIGINT) < 0 OR CAST(floor(o_totalprice) AS BIGINT) > 100000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'between' AS rule, 'o_totalprice_floor' AS "column", v1 AS metric FROM m
+        |  UNION ALL SELECT 'between', 'o_totalprice_floor', v2 FROM m
+        |  UNION ALL SELECT 'complete', 'o_orderkey', nk FROM m
+        |  UNION ALL SELECT 'complete', 'o_orderpriority', np FROM m
+        |  UNION ALL SELECT 'unique', 'o_custkey',
+        |    n - dc - nc + (CASE WHEN nc > 0 THEN 1 ELSE 0 END) FROM m
+        |  UNION ALL SELECT 'unique', 'o_orderkey',
+        |    n - dk - nk + (CASE WHEN nk > 0 THEN 1 ELSE 0 END) FROM m)
+        |SELECT rule, "column", metric, metric = 0 AS pass
+        |FROM rows_ ORDER BY rule, "column", metric""".stripMargin) { (s, d) =>
+      import graft.operators.Profiling.Expectation
+      val o = orders(s, d)
+        .withColumn("o_totalprice_floor", floor(col("o_totalprice")).cast("long"))
+      graft.operators.Profiling.expectations(o, Seq(
+        Expectation("complete", "o_orderkey"),
+        Expectation("complete", "o_orderpriority"),
+        Expectation("unique", "o_orderkey"),
+        Expectation("unique", "o_custkey"),
+        Expectation("between", "o_totalprice_floor", lo = 0L, hi = 1000000L),
+        Expectation("between", "o_totalprice_floor", lo = 0L, hi = 100000L)))
     }
   )
 }

@@ -138,6 +138,49 @@ object Mixing {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Score-proportional domain reweighting — the deterministic core of
+    * loss-aware mixing (the DoReMi idea: upweight domains the model
+    * finds hard, Xie et al. 2023, reduced to its exact-arithmetic
+    * skeleton): given one non-negative integer SCORE per group
+    * (typically a micro-nat LM surprisal aggregate — q135's output —
+    * but any difficulty/importance signal works), emit integer e6
+    * weights proportional to score and a budget allocation
+    *
+    *   alloc_g = budget · score_g div Σ score   (+1 to the first
+    *   `budget mod Σ` groups in (score desc, group) order)
+    *
+    * so Σ alloc = budget exactly and everything replays in SQL. The
+    * remainder r = budget − Σ base is strictly less than the number of
+    * positive-score groups (zero-score groups contribute no
+    * fractional part), and the (score desc, group) order ranks
+    * positive scores first, so every +1 lands on a positive-score
+    * group. Zero-score groups get exactly zero. An all-zero score
+    * vector yields NULL weights/allocs (no silent uniform fallback —
+    * the caller decides).
+    *
+    * Scale shape: runs on the |groups|-sized score table (the q145
+    * convention — corpus work happens upstream in whatever produced
+    * the scores); windows are group-bounded.
+    */
+  def scoreReweight(scores: DataFrame, groupCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val s = scores.select(col(groupCol), col(scoreCol).cast("long").as("__s"))
+    val tot = s.agg(sum("__s").as("__t"))
+    val ranked = s.crossJoin(broadcast(tot))
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__s").desc, col(groupCol))).cast("long"))
+      .withColumn("__base",
+        expr(s"CASE WHEN __t > 0 THEN ($budget * __s) div __t END"))
+    val rem = ranked.agg((lit(budget) - sum("__base")).as("__r"))
+    ranked.crossJoin(broadcast(rem))
+      .select(col(groupCol), col("__s").as("score"),
+        expr("CASE WHEN __t > 0 THEN __s * 1000000 div __t END").as("weight_e6"),
+        (col("__base") +
+          when(col("__i") <= col("__r"), lit(1L)).otherwise(lit(0L))).as("alloc"))
+  }
+
   /** Waterfilling budget allocation: split a total document budget
     * across sources so under-represented sources keep everything and
     * over-represented ones are capped at a common water level L —

@@ -133,6 +133,60 @@ object Profiling {
         binLowerBound(col("bin")).cast("long").as("est_cents"))
   }
 
+  // ---- declarative data-quality expectations (q153) ------------------
+
+  /** One data-quality expectation over a column. Kinds:
+    *  - `complete`: metric = null count, passes at 0;
+    *  - `unique`: metric = rows minus distinct values (duplicate
+    *    surplus, nulls counting as one value), passes at 0;
+    *  - `between`: metric = count of non-null values outside
+    *    [lo, hi] (inclusive, compared on the value cast to long),
+    *    passes at 0.
+    */
+  final case class Expectation(rule: String, column: String,
+    lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+
+  /** Evaluate a declarative expectation suite in ONE aggregate pass
+    * over ONE scan (the Deequ-style admission gate, reduced to exact
+    * counts): every rule compiles to a conditional aggregate, the
+    * single result row unpivots to one row per rule — the
+    * numericProfile shape. Returns (rule, column, metric, pass)
+    * ordered by (rule, column). `unique` rules use exact
+    * count(DISTINCT) (audit grade; they share the scan via Expand —
+    * swap to approx for routine runs, the q104/q107 trade).
+    *
+    * Internal aliases are index-based and the user-facing names only
+    * enter as `lit(...)` values — the q104 injection-hazard rule.
+    */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "need at least one expectation")
+    require(rules.forall(r => Seq("complete", "unique", "between").contains(r.rule)),
+      "rule kinds: complete | unique | between")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      val c = col(r.column)
+      (r.rule match {
+        case "complete" => sum(when(c.isNull, 1L).otherwise(0L))
+        case "unique"   => count(lit(1)) - count_distinct(c) -
+          sum(when(c.isNull, 1L).otherwise(0L)) +
+          max(when(c.isNull, 1L).otherwise(0L))
+        case "between"  => sum(when(c.isNotNull &&
+          (c.cast("long") < r.lo || c.cast("long") > r.hi), 1L).otherwise(0L))
+      }).as(s"__m$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.rule).as("rule"), lit(r.column).as("column"),
+        coalesce(col(s"__m$i"), lit(0L)).as("metric"))
+    }
+    row.select(explode(array(structs: _*)).as("__e"))
+      .select(col("__e.rule").as("rule"), col("__e.column").as("column"),
+        col("__e.metric").as("metric"), (col("__e.metric") === 0).as("pass"))
+      // metric joins the sort so two rules of the same kind on the same
+      // column (different bounds) still order deterministically; if
+      // their metrics tie, the rows are identical and order is moot
+      .orderBy("rule", "column", "metric")
+  }
+
   // ---- two-sample distribution drift (q149) --------------------------
 
   /** Exact two-sample Kolmogorov–Smirnov drift per group: for each

@@ -434,6 +434,52 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- score reweighting (q152) --------------------------------------
+
+  test("scoreReweight: proportional allocs, remainder to top scorers, zero stays zero") {
+    val scores = Seq(("a", 30L), ("b", 20L), ("c", 0L), ("d", 10L))
+      .toDF("grp", "s")
+    val out = graft.operators.Mixing.scoreReweight(scores, "grp", "s", budget = 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, s, w, al) => g -> ((s, w, al)) }.toMap
+    // 100 * 30/60 = 50, 20/60 → 33, 10/60 → 16, base sum 99 → +1 to the
+    // top scorer "a"
+    assert(out("a") == ((30L, 500000L, 51L)))
+    assert(out("b") == ((20L, 333333L, 33L)))
+    assert(out("c") == ((0L, 0L, 0L)))
+    assert(out("d") == ((10L, 166666L, 16L)))
+    assert(out.values.map(_._3).sum == 100L)
+  }
+
+  test("scoreReweight with all-zero scores yields NULL weights, no silent uniform") {
+    val scores = Seq(("a", 0L), ("b", 0L)).toDF("grp", "s")
+    val out = graft.operators.Mixing.scoreReweight(scores, "grp", "s", budget = 10L)
+      .select("weight_e6").collect().map(r => r.isNullAt(0))
+    assert(out.forall(identity))
+  }
+
+  // ---- expectations (q153) -------------------------------------------
+
+  test("expectations: completeness, uniqueness with nulls, bounds — one pass") {
+    import graft.operators.Profiling.Expectation
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 5L), (2L, 5L), (3L, null), (4L, null), (4L, 99L))
+      .toDF("id", "v")
+    val out = graft.operators.Profiling.expectations(df, Seq(
+        Expectation("complete", "id"),
+        Expectation("complete", "v"),     // 2 nulls → fail
+        Expectation("unique", "id"),      // one dup (4) → surplus 1 → fail
+        Expectation("unique", "v"),       // values {5,5,null,null,99}: n=5, distinct nn=2, nulls=2 → 5-2-2+1=2 → fail
+        Expectation("between", "v", lo = 0L, hi = 10L))) // 99 out of bounds → fail
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("between", "v", 1L, false),
+      ("complete", "id", 0L, true),
+      ("complete", "v", 2L, false),
+      ("unique", "id", 1L, false),
+      ("unique", "v", 2L, false)))
+  }
+
   // ---- streaming SCD2 maintenance ------------------------------------
 
   test("scd2Stream maintains the versioned dimension across batches, touching only affected buckets") {
