@@ -640,6 +640,71 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
         Expectation("unique", "o_custkey"),
         Expectation("between", "o_totalprice_floor", lo = 0L, hi = 1000000L),
         Expectation("between", "o_totalprice_floor", lo = 0L, hi = 100000L)))
+    },
+
+    // Strict-sequence funnel: view → click-after-view →
+    // purchase-after-that-click, per user; stage counts only events
+    // strictly after the previous stage's completion. The oracle
+    // replays the chained min-after aggregates.
+    sql("q154_funnel",
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_entities
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+        |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      val stages = Seq("view", "click", "purchase")
+      val f = graft.operators.Funnels.funnel(events(s, d), "user_id",
+        "event_type", "ts", stages)
+      val counts = f.agg(
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("__n2"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("__n3"))
+      counts.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+          struct(lit(i + 1L).as("stage_idx"), lit(st).as("stage"),
+            coalesce(col(s"__n${i + 1}"), lit(0L)).as("n_entities"))
+        }: _*)).as("__r"))
+        .select(col("__r.stage_idx"), col("__r.stage"), col("__r.n_entities"))
+        .orderBy("stage_idx")
+    },
+
+    // Cohort retention matrix: cohort = first-activity epoch-week,
+    // cells count distinct active users per weeks-since — exact
+    // integer week bucketing (no calendar-week engine quirks).
+    sql("q155_cohort_retention",
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+        |f AS (SELECT user_id, min(s) AS f FROM e GROUP BY user_id)
+        |SELECT f.f // 604800 AS cohort_w, (e.s - f.f) // 604800 AS week_n,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        graft.operators.Funnels.cohortRetention(events(s, d), "user_id", "ts")
+          .orderBy("cohort_w", "week_n")
+    },
+
+    // First-/last-touch attribution: every purchase credits the first
+    // and the most recent preceding view/click in the user's stream —
+    // one window, no joins; the oracle runs the identical
+    // ignore-nulls frame.
+    sql("q156_touch_attribution",
+      """SELECT user_id, ts, first_touch, last_touch FROM (
+        |  SELECT user_id, ts, event_type,
+        |    first_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY user_id, ts""".stripMargin) { (s, d) =>
+      graft.operators.Funnels.touchAttribution(events(s, d), "user_id",
+          "event_type", "ts", "event_id",
+          touchTypes = Seq("view", "click"), conversionType = "purchase")
+        .orderBy("user_id", "ts")
     }
   )
 }

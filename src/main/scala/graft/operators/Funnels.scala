@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels, cohort retention, and
+  * touch attribution — the product-analytics tier of the engine
+  * surface (q30–q32 cover windows/sessions/as-of; these are the
+  * composed forms every event warehouse ships as first-class ops).
+  * All three are exact-integer/timestamp procedures with full SQL
+  * replays.
+  */
+object Funnels {
+
+  /** Ordered funnel completion times: for each entity, stage k's time
+    * is the EARLIEST event of stage k's type STRICTLY AFTER the
+    * entity's stage-(k−1) time — the strict-sequence funnel (a click
+    * before the first view does not count). Returns one row per entity
+    * that completed at least stage 1: (entity, t1 … tn, depth) where
+    * depth is the number of completed stages and t_k is NULL beyond
+    * it.
+    *
+    * Scale shape: one aggregate per stage over the stage-FILTERED
+    * event stream (the type filter pushes into the scan), each joined
+    * to the previous stage's per-entity time — entity-sized tables
+    * after stage 1, so every join after the first is delta-shaped.
+    * K is the funnel length, a small constant.
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val e = events.select(col(entityCol).as("__e"), col(typeCol).as("__ty"),
+      col(tsCol).as("__ts"))
+    var acc = e.filter(col("__ty") === stages.head)
+      .groupBy("__e").agg(min("__ts").as("t1"))
+    for ((st, i) <- stages.zipWithIndex.drop(1)) {
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = e.filter(col("__ty") === st)
+        .join(acc.select(col("__e"), col(prev).as("__prev")), Seq("__e"))
+        .filter(col("__ts") > col("__prev"))
+        .groupBy("__e").agg(min("__ts").as(cur))
+      acc = acc.join(next, Seq("__e"), "left")
+    }
+    val depth = stages.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L)
+      .otherwise(0L)).reduce(_ + _)
+    acc.select(col("__e").as(entityCol) +:
+      stages.indices.map(i => col(s"t${i + 1}")) :+ depth.as("depth"): _*)
+  }
+
+  /** Cohort retention matrix: entities cohort by their FIRST activity
+    * epoch-week (`floor(epoch_seconds / 604800)` — no calendar-week
+    * engine quirks), and each (cohort, weeks-since) cell counts
+    * DISTINCT active entities. Returns (cohort_w, week_n, n_active).
+    *
+    * Scale shape: first-activity is one hash agg; the matrix is a
+    * second agg over events joined to it by entity — both map-side
+    * combined, output |cohorts × horizon|-sized.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val e = events.select(col(entityCol).as("__e"),
+      unix_timestamp(col(tsCol)).as("__s"))
+    val first = e.groupBy("__e").agg(min("__s").as("__f"))
+    e.join(first, "__e")
+      .select(col("__e"), expr("__f div 604800").as("cohort_w"),
+        expr("(__s - __f) div 604800").as("week_n"))
+      .groupBy("cohort_w", "week_n")
+      .agg(count_distinct(col("__e")).as("n_active"))
+  }
+
+  /** First-/last-touch attribution: each conversion event credits the
+    * first (and separately the last) PRECEDING touch event of the
+    * entity's stream. Returns one row per conversion:
+    * (entity, ts, first_touch, last_touch) — NULL touches mean the
+    * conversion had no preceding touch. Deterministic under same-
+    * timestamp events via the `tieCol` secondary order.
+    *
+    * Scale shape: one window partitioned by entity (the session/as-of
+    * convention, q31/q32) — running first/last with ignoreNulls over
+    * the touch-typed events; no joins at all.
+    */
+  def touchAttribution(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCol: String, touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need touch types")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(entityCol), col(tsCol), col("first_touch"), col("last_touch"))
+  }
+}

@@ -480,6 +480,62 @@ class WarehouseOpsSpec extends SparkSpec {
       ("unique", "v", 2L, false)))
   }
 
+  // ---- funnels / cohorts / attribution (q154-q156) ---------------------
+
+  test("funnel enforces strict event order per entity") {
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: click BEFORE first view → click stage not reached
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 3: view only
+      (3L, "view", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Funnels.funnel(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .select("user_id", "depth").orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("cohortRetention buckets by exact epoch weeks from first activity") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // cohort week W
+      (1L, ts("2024-01-09 00:00:00")), // 8 days later → week_n = 1
+      (1L, ts("2024-01-07 23:59:59")), // 6d23h later → still week_n = 0
+      (2L, ts("2024-01-16 00:00:00"))  // later cohort
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Funnels.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_w", "week_n")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w1 = out.head._1
+    assert(out == Seq((w1, 0L, 1L), (w1, 1L, 1L), (w1 + 2, 0L, 1L)))
+  }
+
+  test("touchAttribution credits first and last preceding touch, NULL when none") {
+    val events = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 12:00:00")), // first=view last=click
+      (1L, 4L, "view", ts("2024-01-01 13:00:00")),
+      (1L, 5L, "purchase", ts("2024-01-01 14:00:00")), // first=view last=view
+      (2L, 6L, "purchase", ts("2024-01-01 10:00:00"))  // no preceding touch
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.Funnels.touchAttribution(events, "user_id",
+        "event_type", "ts", "event_id", Seq("view", "click"), "purchase")
+      .orderBy("user_id", "ts")
+      .as[(Long, java.sql.Timestamp, Option[String], Option[String])]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, Some("view"), Some("click")),
+      (1L, Some("view"), Some("view")),
+      (2L, None, None)))
+  }
+
   // ---- streaming SCD2 maintenance ------------------------------------
 
   test("scd2Stream maintains the versioned dimension across batches, touching only affected buckets") {
