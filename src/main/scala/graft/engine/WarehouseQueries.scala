@@ -705,6 +705,46 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
           "event_type", "ts", "event_id",
           touchTypes = Seq("view", "click"), conversionType = "purchase")
         .orderBy("user_id", "ts")
+    },
+
+    // Prefix-filtering set-similarity join (AllPairs/PPJoin family):
+    // EXACT Jaccard >= 0.9 pairs with recall 1 by construction —
+    // only each set's rarest-token prefix enters the candidate join.
+    // 30 planted near-copies plus any organic pairs, over a 1/5
+    // corpus slice: this synthetic corpus draws every document from
+    // ONE ~45-token vocabulary, so organic J >= 0.9 pairs are
+    // corpus-quadratic by construction — the degenerate case the
+    // algorithm's rare-prefix premise is explicitly not built for
+    // (real vocabularies are corpus-sized). The oracle replays the
+    // df order, the prefix arithmetic, and the integer verify gate.
+    sql("q157_prefix_join",
+      """WITH m AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id < 30),
+        |tk AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS tok FROM m),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY tok),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS mm FROM tk GROUP BY doc_id),
+        |rk AS (SELECT tk.doc_id, tk.tok,
+        |         row_number() OVER (PARTITION BY tk.doc_id ORDER BY df, tok) AS rn, mm
+        |       FROM tk JOIN dfq USING (tok) JOIN sz USING (doc_id)),
+        |pf AS (SELECT doc_id, tok, mm FROM rk WHERE rn <= mm - (90 * mm + 99) // 100 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |           AND a.mm * 90 <= b.mm * 100 AND b.mm * 90 <= a.mm * 100),
+        |st AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS s FROM m),
+        |ver AS (SELECT id1, id2,
+        |          CAST(len(list_intersect(s1.s, s2.s)) AS BIGINT) AS inter,
+        |          CAST(len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)) AS BIGINT) AS un
+        |        FROM cand JOIN st s1 ON s1.doc_id = cand.id1 JOIN st s2 ON s2.doc_id = cand.id2)
+        |SELECT id1, id2, inter * 1000000 // un AS j_e6 FROM ver
+        |WHERE inter * 100 >= un * 90 ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select("doc_id", "text")
+      val corpus = base.filter(col("doc_id") % 5 === 0)
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+      graft.operators.Dedup.prefixFilterPairs(corpus, "doc_id", "text",
+          tPct = 90)
+        .orderBy("id1", "id2")
     }
   )
 }

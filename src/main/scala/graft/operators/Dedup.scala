@@ -610,6 +610,70 @@ object Dedup {
       .filter(col("ncd_e3") <= maxNcdE3)
   }
 
+  /** Set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    * family — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW 2007): exact Jaccard-threshold pairs WITHOUT LSH's
+    * probabilistic recall. Each document's distinct tokens rank by
+    * the GLOBAL (df asc, token) order — rarest first — and only its
+    * PREFIX (the first `m − ceil(t·m) + 1` tokens of a size-m set)
+    * enters the candidate join: two sets with Jaccard ≥ t must share
+    * a token inside both prefixes under any common total order, so
+    * recall is exactly 1 by construction. Candidates verify with the
+    * exact integer Jaccard.
+    *
+    * The complement of the LSH tier (q44): LSH trades deterministic
+    * recall for corpus-independent candidate volume; prefix filtering
+    * keeps EXACT semantics and cuts the token self-join to the
+    * rare-token prefixes — at t = 0.75 a size-m set exposes ~m/4
+    * tokens, and those are its RAREST, so join groups are small by
+    * construction (the frequent tokens that make the q38 full token
+    * join skew-prone never enter prefixes of large sets).
+    *
+    * Threshold is integer `tPct` (percent) so the prefix arithmetic
+    * — `ceil(t·m) = (tPct·m + 99) div 100` — and the verify gate
+    * — `inter·100 ≥ tPct·union` — are exact in both engines.
+    *
+    * Scale shape: one df aggregate (vocab-sized), one per-doc rank
+    * window (partitioned BY DOC — set-size-bounded, never global),
+    * a self-join on prefix tokens, then the verify join against the
+    * per-doc full-set table. All hash-partitioned; nothing
+    * corpus-quadratic.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      tPct: Int): DataFrame = {
+    require(tPct >= 1 && tPct <= 100, "tPct in 1..100")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(TextFunctions.tokenSet(col(textCol))).as("__tok"))
+    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__m"))
+    val ranked = toks.join(dfreq, "__tok").join(sizes, "__id")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+          .orderBy(col("__df"), col("__tok"))))
+      .filter(col("__rn") <= col("__m") - expr(s"($tPct * __m + 99) div 100") + 1)
+      .select(col("__id"), col("__tok"), col("__m"))
+    // the LENGTH filter rides in the join condition (recall-preserving:
+    // J >= t forces t*m1 <= m2 and t*m2 <= m1) — it prunes candidate
+    // pairs inside the join groups before the distinct
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+          col("a.__m") * tPct <= col("b.__m") * 100 &&
+          col("b.__m") * tPct <= col("a.__m") * 100)
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    val sets = df.select(col(idCol).as("__sid"),
+      TextFunctions.tokenSet(col(textCol)).as("__set"))
+    cands
+      .join(sets.select(col("__sid").as("id1"), col("__set").as("__s1")), "id1")
+      .join(sets.select(col("__sid").as("id2"), col("__set").as("__s2")), "id2")
+      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("long"))
+      .withColumn("__union",
+        (size(col("__s1")) + size(col("__s2"))).cast("long") - col("__inter"))
+      .filter(col("__inter") * 100 >= col("__union") * tPct)
+      .select(col("id1"), col("id2"),
+        expr("__inter * 1000000 div __union").as("j_e6"))
+  }
+
   /** Min-id connected-component labels over a verified-pair graph
     * (`(id1, id2)` rows): returns `(id, lab)` where `lab` is the
     * smallest id transitively reachable from `id` (including itself).

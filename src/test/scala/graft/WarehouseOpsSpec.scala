@@ -480,6 +480,36 @@ class WarehouseOpsSpec extends SparkSpec {
       ("unique", "v", 2L, false)))
   }
 
+  // ---- prefix-filtering similarity join (q157) -----------------------
+
+  test("prefixFilterPairs finds every pair at threshold with recall 1, none below") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                  // 20 tokens
+      (2L, base + " extra1"),                      // J = 20/21 ≈ 0.952 → pair
+      (3L, base + " extra1 extra2 extra3"),        // J(1,3) = 20/23 ≈ 0.87 below; J(2,3) = 21/23 ≈ 0.91 → pair
+      (4L, (30 to 55).map(i => s"zzz$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .prefixFilterPairs(docs, "doc_id", "text", tPct = 90)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (2L, 3L)))
+    assert(out.map(_._3) == Seq(20L * 1000000L / 21L, 21L * 1000000L / 23L))
+    // exhaustive cross-check: the prefix join's output equals the
+    // brute-force threshold join (recall 1, precision 1)
+    val brute = for {
+      a <- Seq((1L, base), (2L, base + " extra1"),
+        (3L, base + " extra1 extra2 extra3"))
+      b <- Seq((2L, base + " extra1"), (3L, base + " extra1 extra2 extra3"))
+      if a._1 < b._1
+      sa = a._2.split(" ").toSet; sb = b._2.split(" ").toSet
+      inter = (sa & sb).size; un = (sa | sb).size
+      if inter * 100 >= un * 90
+    } yield (a._1, b._1)
+    assert(out.map(p => (p._1, p._2)) == brute)
+  }
+
   // ---- funnels / cohorts / attribution (q154-q156) ---------------------
 
   test("funnel enforces strict event order per entity") {
