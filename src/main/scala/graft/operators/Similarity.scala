@@ -606,4 +606,50 @@ object Similarity {
       .orderBy(col("score_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** Exact-integer embedding-centroid drift per group — the VECTOR
+    * complement of the scalar KS gate (q149): for each group, the L1
+    * distance between snapshot A's and snapshot B's centroid in
+    * e6-quantized units, cross-multiplied so no division ever happens:
+    *
+    *   d_num = Σ_dims | sumA_i·nB − sumB_i·nA |,
+    *   drifted ⇔ d_num > thresholdE6 · nA · nB
+    *
+    * (d_num / (nA·nB) is the centroid-gap L1 in e6 units). Elements
+    * quantize as floor(x·10⁶) — float widens to double exactly, so
+    * both engines compute identical integers and q158 is a full hash
+    * oracle. An embedding platform runs this between ingest waves:
+    * a drifted source means its upstream encoder or content changed,
+    * and downstream ANN indexes trained on the old distribution (the
+    * q132 drift monitor's codebooks) need attention.
+    *
+    * Scale shape: one posexplode + (group, snap, dim)-keyed hash agg
+    * — map-side combined, |groups|·|snaps|·dim result; the drift join
+    * and sum are over that tiny basis. The corpus shuffles nothing
+    * but partial sums.
+    */
+  def centroidDriftE6(vecs: DataFrame, groupCol: String, snapCol: String,
+      vecCol: String, thresholdE6: Long): DataFrame = {
+    require(thresholdE6 >= 0, "thresholdE6 must be >= 0")
+    val ex = vecs.select(col(groupCol), col(snapCol).as("__snap"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col(groupCol), col("__snap"), col("__i"),
+        floor(col("__x").cast("double") * 1000000.0).cast("long").as("__v"))
+    val sums = ex.groupBy(col(groupCol), col("__snap"), col("__i"))
+      .agg(sum("__v").as("__s"))
+    val ns = vecs.groupBy(col(groupCol))
+      .agg(sum(when(col(snapCol) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(snapCol) === 1, 1L).otherwise(0L)).as("n_b"))
+    val a = sums.filter(col("__snap") === 0)
+      .select(col(groupCol), col("__i"), col("__s").as("__sa"))
+    val b = sums.filter(col("__snap") === 1)
+      .select(col(groupCol), col("__i"), col("__s").as("__sb"))
+    a.join(b, Seq(groupCol, "__i"))
+      .join(ns, Seq(groupCol))
+      .groupBy(col(groupCol), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("__sa") * col("n_b") - col("__sb") * col("n_a")))
+        .as("d_num"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num") > col("n_a") * col("n_b") * thresholdE6).as("drifted"))
+  }
 }

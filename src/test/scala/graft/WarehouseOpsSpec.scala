@@ -510,6 +510,24 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out.map(p => (p._1, p._2)) == brute)
   }
 
+  // ---- embedding centroid drift (q158) --------------------------------
+
+  test("centroidDriftE6: shifted snapshot crosses the gate, identical one scores zero") {
+    val vA = Seq(0.5, -0.25)
+    val vShift = vA.map(_ + 2.0)
+    val vecs = Seq(
+      ("same", 0, vA), ("same", 1, vA),          // identical → d_num 0
+      ("moved", 0, vA), ("moved", 1, vShift)     // L1 gap 4.0 → 4e6 > 1e6 gate
+    ).toDF("grp", "snap", "vec")
+    val out = graft.operators.Similarity
+      .centroidDriftE6(vecs, "grp", "snap", "vec", thresholdE6 = 1000000L)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("moved", 1L, 1L, 4000000L, true),
+      ("same", 1L, 1L, 0L, false)))
+  }
+
   // ---- funnels / cohorts / attribution (q154-q156) ---------------------
 
   test("funnel enforces strict event order per entity") {
