@@ -2,17 +2,31 @@ package graft.engine
 
 import org.apache.spark.sql.functions._
 
-/** Round-9 batch two: corpus-and-catalog maintenance operators — the
-  * ops a 100 TB training-data platform runs BETWEEN ingest waves to
-  * keep its tables clean, searchable, and audited.
+/** Round-9 batch two: the warehouse-maintenance and analytics tier —
+  * the ops a 100 TB training-data platform runs BETWEEN ingest waves
+  * to keep its tables clean, searchable, and audited.
   *
-  *  - q137: alignment-free cross-document substring dedup (the Lee et
-  *    al. suffix-dedup tier, re-expressed as distributed k-gram
-  *    digest aggregation).
+  *  - corpus hygiene: q137 alignment-free substring-span dedup (Lee
+  *    2022 re-expressed), q151 its incremental store-backed form,
+  *    q144 NCD compression-distance near-dup, q157 prefix-filtering
+  *    exact-recall similarity join;
+  *  - dimension/warehouse: q138 SCD2 versioning, q150 as-of joins,
+  *    q141 blocked entity resolution, q146 Bloom-pruned joins,
+  *    q153 declarative DQ expectations;
+  *  - search: q140 inverted-index build + conjunctive probe, q143
+  *    incremental index upsert;
+  *  - monitoring: q142 mergeable quantile sketches, q149 scalar KS
+  *    drift, q158 embedding-centroid drift, q139 compression-ratio
+  *    gate;
+  *  - mixing/tokenizing: q145 waterfilling, q152 loss-aware
+  *    reweighting, q147 PMI collocations, q148 unigram-LM pruning;
+  *  - event analytics: q154 strict funnels, q155 cohort retention,
+  *    q156 touch attribution.
   *
   * Scale shapes live in each operator's Scaladoc; every query here
-  * carries a full DuckDB oracle that replays the operator's procedure
-  * move-for-move.
+  * carries a DuckDB oracle that replays the operator's procedure
+  * move-for-move (q139/q144 are planted-contract oracles — the
+  * deflate measure has no SQL mirror).
   */
 object WarehouseQueries {
   import QueryDef._
