@@ -301,11 +301,13 @@ object RetrievalQueries {
 
     // Incremental distinct-count maintenance via mergeable HLL
     // sketches: the corpus arrives as 3 waves, each contributing one
-    // (lang, n, sketch) row; the folded store's estimate must EQUAL
-    // the whole-corpus sketch's (register-wise-max union is split-
-    // and order-independent) and sit within the lgK=12 ±5% bound of
-    // the exact count — the q61/q107 contract pattern, applied to
-    // the maintenance story: unique-doc tracking with no rescans.
+    // (lang, n, sketch) row; the folded store's estimate must stay
+    // within a 2% representation-noise band of the whole-corpus
+    // sketch's (exact estimate equality is NOT a library contract —
+    // see the measured promotion-boundary note below) and within the
+    // lgK=12 ±5% bound of the exact count — the q61/q107 contract
+    // pattern, applied to the maintenance story: unique-doc tracking
+    // with no rescans.
     sql("q133_hll_incremental",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_exact,
@@ -318,6 +320,19 @@ object RetrievalQueries {
           docs.filter(pmod(col("doc_id"), lit(3)) === i))
         val merged = graft.operators.Profiling.mergeSketches("lang",
           waves.map(w => graft.operators.Profiling.groupSketches(w, "lang", col("k"))))
+        // MEASURED (sf0.1, group sizes ~700–2000, the coupon/dense
+        // promotion boundary): Datasketches HLL union ESTIMATES are
+        // not split-invariant — union(%3 waves), union(%2 waves), and
+        // the raw whole sketch returned 702 / 703 / 707 for the same
+        // 702 exact keys (each path promotes representations at
+        // different points, and promotion discards coupon exactness).
+        // Exact estimate equality is therefore NOT a contract the
+        // library offers; the durable maintenance contract is (a) the
+        // folded estimate obeys the sketch's ±5 % accuracy band
+        // (est_ok) and (b) folding waves diverges from the whole-
+        // corpus sketch by at most a 2 % representation-noise band —
+        // an order of magnitude inside the accuracy band, so wave
+        // folding costs no real accuracy.
         val whole = graft.operators.Profiling.groupSketches(docs, "lang", col("k"))
           .select(col("lang"), hll_sketch_estimate(col("hll")).as("__est_whole"))
         val exact = docs.groupBy("lang")
@@ -327,7 +342,8 @@ object RetrievalQueries {
             hll_sketch_estimate(col("hll")).as("__est"))
           .join(whole, "lang").join(exact, "lang")
           .select(col("lang"), col("n_docs"), col("n_unique_exact"),
-            (col("__est") === col("__est_whole")).as("merge_consistent"),
+            (abs(col("__est") - col("__est_whole")) * 100 <=
+              col("n_unique_exact") * 2).as("merge_consistent"),
             (abs(col("__est") - col("n_unique_exact")) * 100 <=
               col("n_unique_exact") * 5).as("est_ok"))
           .orderBy("lang")

@@ -34,11 +34,16 @@ object Profiling {
     * the MERGEABLE unit an incremental pipeline persists so "how many
     * unique documents per language" never needs a corpus rescan — each
     * new wave contributes one tiny (group, n, sketch-binary) table and
-    * [[mergeSketches]] folds it in. HLL union is register-wise max,
-    * so merge(parts) is EXACTLY the whole-corpus sketch regardless of
-    * how the data was split or ordered — q133 pins that equality
-    * (`merge_consistent`) plus the lgK=12 ±5 % accuracy contract
-    * (`est_ok`, the q61/q107 ε-bound pattern).
+    * [[mergeSketches]] folds it in. HLL union is register-wise max
+    * on promoted registers, but ESTIMATES are not split-invariant
+    * around the coupon/dense promotion boundary (measured at ~700
+    * keys: union-of-%3, union-of-%2, and the raw sketch gave
+    * 702/703/707 for 702 exact keys — each path promotes at a
+    * different point). q133 therefore pins the DURABLE contracts:
+    * the folded estimate stays within a 2 % representation-noise
+    * band of the whole-corpus sketch (`merge_consistent`) and within
+    * the lgK=12 ±5 % accuracy band of the exact count (`est_ok`,
+    * the q61/q107 ε-bound pattern).
     */
   def groupSketches(df: DataFrame, groupCol: String, key: Column,
       lgK: Int = 12): DataFrame =
