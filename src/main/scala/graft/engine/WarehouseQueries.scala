@@ -795,6 +795,35 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
       graft.operators.Similarity.centroidDriftE6(snaps, "label", "snap",
           "vec", thresholdE6 = 3000000L)
         .orderBy("label")
+    },
+
+    // Top session paths: 30-minute sessions (the q31 rule), each
+    // session's type sequence slides a 3-step window, corpus-wide
+    // counts rank the top 16 — deterministic tie order everywhere.
+    // The oracle replays sessionization, the ordered collect, the
+    // slide, and the ranking.
+    sql("q159_session_paths",
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged),
+        |seqs AS (SELECT user_id, session_id,
+        |           list(event_type ORDER BY ts, event_id) AS types
+        |         FROM sessions GROUP BY user_id, session_id),
+        |paths AS (SELECT unnest([array_to_string(types[i:i+2], '>')
+        |                        FOR i IN range(1, len(types) - 1)]) AS path
+        |          FROM seqs WHERE len(types) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM paths
+        |GROUP BY path ORDER BY cnt DESC, path LIMIT 16""".stripMargin) { (s, d) =>
+      graft.operators.Funnels.topSessionPaths(events(s, d), "user_id",
+        "event_type", "ts", "event_id", gapSeconds = 1800L,
+        pathLen = 3, k = 16)
     }
   )
 }

@@ -70,6 +70,37 @@ object Funnels {
       .agg(count_distinct(col("__e")).as("n_active"))
   }
 
+  /** Top event-type paths: sessionize (gap rule, deterministic tie
+    * order), order each session's event types, slide a `pathLen`
+    * window over them, and rank the corpus-wide path counts — the
+    * "what do users actually do" path-mining staple next to the
+    * funnel's "did they do THIS".
+    *
+    * Scale shape: one session window (the q31 shape), one per-session
+    * ordered collect (session-bounded arrays), a stateless slide, one
+    * hash agg over the path space, TakeOrderedAndProject top-k.
+    * Deterministic end to end: ties in time order break on `tieCol`,
+    * ties in count break on the path string.
+    */
+  def topSessionPaths(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCol: String, gapSeconds: Long,
+      pathLen: Int = 3, k: Int = 16): DataFrame = {
+    require(pathLen >= 2 && k >= 1, "need pathLen >= 2 and k >= 1")
+    val sess = TextOps.sessionize(events, entityCol, tsCol, gapSeconds,
+      tiebreak = Seq(tieCol))
+    sess.groupBy(col(entityCol), col("session_id"))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
+        col(tieCol).as("tb"), col(typeCol).as("ty")))).as("__evs"))
+      .select(expr("transform(__evs, e -> e.ty)").as("__types"))
+      .filter(size(col("__types")) >= pathLen)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__types) - ${pathLen - 1}), " +
+          s"i -> concat_ws('>', slice(__types, i, $pathLen)))")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-/last-touch attribution: each conversion event credits the
     * first (and separately the last) PRECEDING touch event of the
     * entity's stream. Returns one row per conversion:

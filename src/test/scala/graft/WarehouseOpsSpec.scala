@@ -480,6 +480,25 @@ class WarehouseOpsSpec extends SparkSpec {
       ("unique", "v", 2L, false)))
   }
 
+  test("topSessionPaths slides within sessions only and ranks deterministically") {
+    // user 1: one session view>click>purchase>view → paths v>c>p, c>p>v
+    // user 2: session break after 'view' (2h gap) → no 3-path crosses it
+    val events = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 10:10:00")),
+      (1L, 4L, "view", ts("2024-01-01 10:15:00")),
+      (2L, 5L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 6L, "view", ts("2024-01-01 11:30:00")), // new session
+      (2L, 7L, "click", ts("2024-01-01 11:31:00")),
+      (2L, 8L, "purchase", ts("2024-01-01 11:32:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.operators.Funnels.topSessionPaths(events, "user_id",
+        "event_type", "ts", "event_id", gapSeconds = 1800L, pathLen = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("view>click>purchase", 2L), ("click>purchase>view", 1L)))
+  }
+
   // ---- prefix-filtering similarity join (q157) -----------------------
 
   test("prefixFilterPairs finds every pair at threshold with recall 1, none below") {
