@@ -25,13 +25,18 @@ object Scd {
     * version closes at the next version's `valid_from`, and the last
     * version per key is open (`valid_to` NULL, `is_current` true).
     *
-    * Determinism: exact-duplicate observations are dropped first, and
-    * all ordering is by `(ts, attrs...)` so same-timestamp conflicting
-    * observations resolve identically on every run/engine.
+    * Determinism: all ordering is by `(ts, attrs...)` so same-timestamp
+    * conflicting observations resolve identically on every run/engine.
+    * Exact-duplicate observations need no separate distinct: after the
+    * in-key sort they are ADJACENT and attribute-equal, so the lag
+    * suppression drops them with the no-ops — an explicit `.distinct()`
+    * was measured as a second full-width corpus exchange
+    * (hash-partitioned on (key, ts, attrs), unshareable with the
+    * window's (key) partitioning) buying nothing.
     *
     * Scale shape: ONE hash partitioning by key serves every step —
-    * the distinct, the lag-based change suppression, and the lead-based
-    * interval close are all windows over the same `partitionBy(keys)`,
+    * the lag-based change-and-duplicate suppression and the lead-based
+    * interval close are windows over the same `partitionBy(keys)`,
     * so Catalyst plans a single exchange and reuses its ordering
     * (windows sort within partitions; no global sort anywhere). Version
     * counts per key are change-bounded, not observation-bounded, after
@@ -47,7 +52,6 @@ object Scd {
     val attrs = struct(attrCols.map(col): _*)
     observations
       .select((keyCols ++ Seq(tsCol) ++ attrCols).map(col): _*)
-      .distinct()
       .withColumn("__prev", lag(attrs, 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= attrs)
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
