@@ -464,6 +464,71 @@ object EventStreams {
           .as("alert"))
   }
 
+  // ---- streaming strict funnel ---------------------------------------
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
+  final case class FunnelState(depth: Int, stageTsMicros: Long)
+
+  final case class FunnelUpdate(user_id: Long, depth: Long,
+    stage: String, stage_ts: java.sql.Timestamp)
+
+  /** Streaming strict-sequence funnel — q154's continuous twin: per
+    * user, keyed state tracks (completed depth, completion time), and
+    * an arriving event advances the state only when it is the NEXT
+    * stage's type with a timestamp strictly after the current stage's
+    * completion (the q154 rule evaluated per event instead of per
+    * corpus scan). Emits one update per advancement, so the funnel
+    * dashboard is current as events arrive.
+    *
+    * Arrival-order semantics: within a micro-batch events sort by
+    * (ts, then arrival), but a LATE event arriving after a later-
+    * stage event has already advanced the state cannot retroactively
+    * re-order — the batch q154 recompute is the reconciliation path
+    * (the same batch-repairs-streaming convention as scd2Stream's
+    * late-arrival rebuild). State is two fields per user, bounded by
+    * |users|.
+    */
+  class FunnelProcessor(stages: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelUpdate] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelUpdate] = {
+      var st = Option(state.get()).getOrElse(FunnelState(0, Long.MinValue))
+      val out = Seq.newBuilder[FunnelUpdate]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        if (st.depth < stages.length && e.event_type == stages(st.depth)) {
+          val us = e.ts.getTime * 1000L
+          val strictlyAfter = st.depth == 0 || us > st.stageTsMicros
+          if (strictlyAfter) {
+            st = FunnelState(st.depth + 1, us)
+            out += FunnelUpdate(key, st.depth.toLong, e.event_type, e.ts)
+          }
+        }
+      }
+      if (st.depth > 0) state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming strict funnel on the transformWithState API. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "need at least one funnel stage")
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

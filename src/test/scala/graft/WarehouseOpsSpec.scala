@@ -499,6 +499,53 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Seq(("view>click>purchase", 2L), ("click>purchase>view", 1L)))
   }
 
+  test("funnelStream advances per-user stage state across batches like the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FunnelEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[FunnelEvent]
+      val q = graft.streaming.EventStreams
+        .funnelStream(src.toDS(), Seq("view", "click", "purchase"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnel_out").start()
+      try {
+        // user 1 completes across batches; user 2's click precedes its
+        // view (strict order: never advances past view)
+        src.addData(FunnelEvent(1L, "view", ts("2024-01-01 10:00:00")),
+          FunnelEvent(2L, "click", ts("2024-01-01 09:00:00")))
+        q.processAllAvailable()
+        src.addData(FunnelEvent(1L, "click", ts("2024-01-01 11:00:00")),
+          FunnelEvent(2L, "view", ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        src.addData(FunnelEvent(1L, "purchase", ts("2024-01-01 12:00:00")),
+          FunnelEvent(2L, "purchase", ts("2024-01-01 11:00:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val depths = spark.table("funnel_out")
+        .groupBy("user_id").agg(max("depth").as("d"))
+        .orderBy("user_id").as[(Long, Long)].collect().toSeq
+      // matches the batch q154 rule on the same events
+      val batch = graft.operators.Funnels.funnel(
+          Seq((1L, "view", ts("2024-01-01 10:00:00")),
+            (1L, "click", ts("2024-01-01 11:00:00")),
+            (1L, "purchase", ts("2024-01-01 12:00:00")),
+            (2L, "click", ts("2024-01-01 09:00:00")),
+            (2L, "view", ts("2024-01-01 10:00:00")),
+            (2L, "purchase", ts("2024-01-01 11:00:00"))).toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .select("user_id", "depth").orderBy("user_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(depths == batch && depths == Seq((1L, 3L), (2L, 1L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // ---- prefix-filtering similarity join (q157) -----------------------
 
   test("prefixFilterPairs finds every pair at threshold with recall 1, none below") {
