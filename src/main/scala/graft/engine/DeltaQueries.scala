@@ -229,7 +229,7 @@ object DeltaQueries {
         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
         |WHERE c.cnt = m.mn
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
-        |      printf('%04x', CAST(floor(65536.0 * sqrt(m.mn) / sqrt(c.cnt)) AS BIGINT))
+        |      printf('%04x', least(CAST(floor(65536.0 * sqrt(m.mn) / sqrt(c.cnt)) AS BIGINT), 65535))
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         graft.operators.Mixing.temperatureSample(documents(s, d), "lang", "doc_id")
@@ -252,7 +252,7 @@ object DeltaQueries {
         |FROM documents d JOIN p ON d.lang = p.lang CROSS JOIN m
         |WHERE p.cnt = m.mn
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
-        |      printf('%04x', CAST(floor(65536.0 * (p.rt * p.rt * p.rt)) AS BIGINT))
+        |      printf('%04x', least(CAST(floor(65536.0 * (p.rt * p.rt * p.rt)) AS BIGINT), 65535))
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         graft.operators.Mixing.temperatureSampleAlpha(documents(s, d), "lang",

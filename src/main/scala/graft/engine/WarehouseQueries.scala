@@ -639,9 +639,9 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
         |  UNION ALL SELECT 'complete', 'o_orderkey', nk FROM m
         |  UNION ALL SELECT 'complete', 'o_orderpriority', np FROM m
         |  UNION ALL SELECT 'unique', 'o_custkey',
-        |    n - dc - nc + (CASE WHEN nc > 0 THEN 1 ELSE 0 END) FROM m
+        |    n - dc - (CASE WHEN nc > 0 THEN 1 ELSE 0 END) FROM m
         |  UNION ALL SELECT 'unique', 'o_orderkey',
-        |    n - dk - nk + (CASE WHEN nk > 0 THEN 1 ELSE 0 END) FROM m)
+        |    n - dk - (CASE WHEN nk > 0 THEN 1 ELSE 0 END) FROM m)
         |SELECT rule, "column", metric, metric = 0 AS pass
         |FROM rows_ ORDER BY rule, "column", metric""".stripMargin) { (s, d) =>
       import graft.operators.Profiling.Expectation
@@ -765,33 +765,46 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
     // q149: snapshots alternate by vec id, label 2's B-side vectors
     // shift +0.1 per dimension (centroid L1 gap 6.4 in e6 units vs
     // sub-1.0 sampling noise), and only it must cross the 3.0 gate.
-    // Exact integers end to end (floor(x·1e6) quantization, cross-
-    // multiplied means) — a full hash oracle.
+    // Label 5's B-side is dropped entirely (a vanished source): the
+    // full-outer path must SURFACE it with n_b = 0, d_num = 0,
+    // both_snapshots = false, drifted = true — the r9-ADVICE case an
+    // inner join silently swallowed. Exact integers end to end
+    // (floor(x·1e6) quantization, cross-multiplied means) — a full
+    // hash oracle.
     sql("q158_embedding_drift",
       """WITH s AS (SELECT label, vec_id % 2 AS snap,
         |             CASE WHEN label = 2 AND vec_id % 2 = 1
         |               THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.1)
         |               ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS vec
-        |           FROM embeddings),
+        |           FROM embeddings
+        |           WHERE NOT (label = 5 AND vec_id % 2 = 1)),
         |ex AS (SELECT label, snap, i, CAST(floor(vec[i + 1] * 1000000.0) AS BIGINT) AS v
         |       FROM s, (SELECT unnest(range(64)) AS i) r),
         |sm AS (SELECT label, snap, i, CAST(sum(v) AS BIGINT) AS sv FROM ex GROUP BY label, snap, i),
         |ns AS (SELECT label,
         |        CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |        CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        |       FROM s GROUP BY label)
-        |SELECT a.label, n_a, n_b,
-        |  CAST(sum(abs(a.sv * n_b - b.sv * n_a)) AS BIGINT) AS d_num,
-        |  CAST(sum(abs(a.sv * n_b - b.sv * n_a)) AS BIGINT) > n_a * n_b * 3000000 AS drifted
-        |FROM sm a JOIN sm b ON a.label = b.label AND a.i = b.i AND a.snap = 0 AND b.snap = 1
-        |JOIN ns ON ns.label = a.label
-        |GROUP BY a.label, n_a, n_b ORDER BY a.label""".stripMargin) { (s, d) =>
-      val snaps = embeddings(s, d).select(col("label"),
-        (col("vec_id") % 2).as("snap"),
-        when(col("label") === 2 && col("vec_id") % 2 === 1,
-          expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.1d)"))
-          .otherwise(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .as("vec"))
+        |       FROM s GROUP BY label),
+        |a AS (SELECT label, i, sv FROM sm WHERE snap = 0),
+        |b AS (SELECT label, i, sv FROM sm WHERE snap = 1),
+        |j AS (SELECT COALESCE(a.label, b.label) AS label,
+        |        COALESCE(a.sv, 0) AS sa, COALESCE(b.sv, 0) AS sb
+        |      FROM a FULL OUTER JOIN b ON a.label = b.label AND a.i = b.i)
+        |SELECT j.label, n_a, n_b,
+        |  CAST(sum(abs(sa * n_b - sb * n_a)) AS BIGINT) AS d_num,
+        |  n_a > 0 AND n_b > 0 AS both_snapshots,
+        |  n_a = 0 OR n_b = 0 OR
+        |    CAST(sum(abs(sa * n_b - sb * n_a)) AS BIGINT) > n_a * n_b * 3000000 AS drifted
+        |FROM j JOIN ns ON ns.label = j.label
+        |GROUP BY j.label, n_a, n_b ORDER BY j.label""".stripMargin) { (s, d) =>
+      val snaps = embeddings(s, d)
+        .filter(!(col("label") === 5 && col("vec_id") % 2 === 1))
+        .select(col("label"),
+          (col("vec_id") % 2).as("snap"),
+          when(col("label") === 2 && col("vec_id") % 2 === 1,
+            expr("transform(embedding, x -> CAST(x AS DOUBLE) + 0.1d)"))
+            .otherwise(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as("vec"))
       graft.operators.Similarity.centroidDriftE6(snaps, "label", "snap",
           "vec", thresholdE6 = 3000000L)
         .orderBy("label")

@@ -101,10 +101,15 @@ object Mixing {
     val minc = counts.agg(min("__cnt").as("__minc"))
     docs.join(broadcast(counts), strataCol)
       .crossJoin(broadcast(minc))
+      // clamp to 65535: a ratio that floors to exactly 65536 (cnt just
+      // above minc at astronomical counts) would render as the 5-char
+      // "10000" and lexically INVERT the 4-char prefix comparison,
+      // dropping the stratum instead of keeping it
       .filter(col("__cnt") === col("__minc") ||
         substring(md5(col(idCol).cast("string")), 1, 4) <
-          format_string("%04x",
-            floor(lit(65536.0) * sqrt(col("__minc")) / sqrt(col("__cnt"))).cast("long")))
+          format_string("%04x", least(
+            floor(lit(65536.0) * sqrt(col("__minc")) / sqrt(col("__cnt"))).cast("long"),
+            lit(65535L))))
       .select(col(idCol), col(strataCol))
   }
 
@@ -132,9 +137,12 @@ object Mixing {
     val p = (2 to alphaNum).foldLeft(root)((acc, _) => acc * root)
     docs.join(broadcast(counts), strataCol)
       .crossJoin(broadcast(minc))
+      // same 65535 clamp as temperatureSample: p rounding to exactly
+      // 1.0 for a non-min stratum must keep it, not render "10000"
       .filter(col("__cnt") === col("__minc") ||
         substring(md5(col(idCol).cast("string")), 1, 4) <
-          format_string("%04x", floor(lit(65536.0) * p).cast("long")))
+          format_string("%04x",
+            least(floor(lit(65536.0) * p).cast("long"), lit(65535L))))
       .select(col(idCol), col(strataCol))
   }
 

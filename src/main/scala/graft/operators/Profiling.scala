@@ -171,8 +171,12 @@ object Profiling {
       val c = col(r.column)
       (r.rule match {
         case "complete" => sum(when(c.isNull, 1L).otherwise(0L))
+        // rows minus distinct-with-nulls-as-one-value: count_distinct
+        // skips nulls, so add back exactly one slot iff any null exists
+        // (NOT the null count — with 1 null that over-credits and an
+        // otherwise-unique column would falsely fail; with ≥3 it
+        // understates the duplicate surplus).
         case "unique"   => count(lit(1)) - count_distinct(c) -
-          sum(when(c.isNull, 1L).otherwise(0L)) +
           max(when(c.isNull, 1L).otherwise(0L))
         case "between"  => sum(when(c.isNotNull &&
           (c.cast("long") < r.lo || c.cast("long") > r.hi), 1L).otherwise(0L))

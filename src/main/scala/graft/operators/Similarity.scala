@@ -621,7 +621,10 @@ object Similarity {
     * oracle. An embedding platform runs this between ingest waves:
     * a drifted source means its upstream encoder or content changed,
     * and downstream ANN indexes trained on the old distribution (the
-    * q132 drift monitor's codebooks) need attention.
+    * q132 drift monitor's codebooks) need attention. Groups present in
+    * only ONE snapshot (new / vanished sources) surface via a full
+    * outer join with `both_snapshots = false` and `drifted = true` —
+    * appearing or disappearing outright is maximal drift.
     *
     * Scale shape: one posexplode + (group, snap, dim)-keyed hash agg
     * — map-side combined, |groups|·|snaps|·dim result; the drift join
@@ -644,12 +647,19 @@ object Similarity {
       .select(col(groupCol), col("__i"), col("__s").as("__sa"))
     val b = sums.filter(col("__snap") === 1)
       .select(col(groupCol), col("__i"), col("__s").as("__sb"))
-    a.join(b, Seq(groupCol, "__i"))
+    // FULL outer: a group present in only one snapshot (a brand-new or
+    // vanished source — the most drifted case of all) must SURFACE,
+    // not vanish through an inner join; its cross-multiplied d_num is
+    // identically 0 (one count is 0), so `both_snapshots` marks it and
+    // forces drifted = true.
+    a.join(b, Seq(groupCol, "__i"), "full_outer")
       .join(ns, Seq(groupCol))
       .groupBy(col(groupCol), col("n_a"), col("n_b"))
-      .agg(sum(abs(col("__sa") * col("n_b") - col("__sb") * col("n_a")))
-        .as("d_num"))
+      .agg(sum(abs(coalesce(col("__sa"), lit(0L)) * col("n_b") -
+        coalesce(col("__sb"), lit(0L)) * col("n_a"))).as("d_num"))
       .select(col(groupCol), col("n_a"), col("n_b"), col("d_num"),
-        (col("d_num") > col("n_a") * col("n_b") * thresholdE6).as("drifted"))
+        (col("n_a") > 0 && col("n_b") > 0).as("both_snapshots"),
+        (col("n_a") === 0 || col("n_b") === 0 ||
+          col("d_num") > col("n_a") * col("n_b") * thresholdE6).as("drifted"))
   }
 }

@@ -702,13 +702,20 @@ object TextOps {
     * static plan — exchange reuse does NOT deduplicate it, because
     * each iteration nests the basis under a different join), and with
     * it the corpus is touched once while iterations read the cached
-    * vocab-sized table. The cache is LRU-evictable and vocab-sized;
-    * a long-lived session running many rank jobs can clearCache().
+    * vocab-sized table. The cache is dropped in `finally` (the
+    * Bpe.trainMerges discipline — no lingering RDD after the call):
+    * that requires materializing the result INSIDE the function, so
+    * the final vocab-sized rank table is collected under the
+    * `maxNodes` limit+require guard (the Unigram.maxCandidates
+    * pattern) and returned as a fully-evaluated local relation — a
+    * corpus whose token vocabulary exceeds the guard should raise it
+    * deliberately or pre-filter the vocab, not silently cache-leak.
     * Symmetrized edges mean no dangling nodes (every node has in- and
     * out-edges), so no rank mass correction term is needed.
     */
   def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
-      scale: Long = 1000000L, dampPct: Int = 85): DataFrame = {
+      scale: Long = 1000000L, dampPct: Int = 85,
+      maxNodes: Int = 1 << 22): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val pairs = docs
       .select(TextFunctions.tokens(col(textCol)).as("toks"))
@@ -724,19 +731,25 @@ object TextOps {
       .groupBy("u", "v").agg(sum("w").as("w"))
     val deg = edges.groupBy("u").agg(sum("w").as("wdeg"))
     val ew = edges.join(deg, "u").persist()
-    val base = (100 - dampPct) * scale / 100
-    // seed from the CACHED basis, not `deg` (whose lineage would
-    // rescan the corpus a second time)
-    var ranks = ew.select(col("u").as("node")).distinct()
-      .select(col("node"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = ew.join(ranks, ew("u") === ranks("node"))
-        .select(col("v"), expr("(r * w) div wdeg").as("c"))
-        .groupBy("v").agg(sum("c").as("__s"))
-        .select(col("v").as("node"),
-          (lit(base) + expr(s"($dampPct * __s) div 100")).as("r"))
-    }
-    ranks
+    try {
+      val base = (100 - dampPct) * scale / 100
+      // seed from the CACHED basis, not `deg` (whose lineage would
+      // rescan the corpus a second time)
+      var ranks = ew.select(col("u").as("node")).distinct()
+        .select(col("node"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        ranks = ew.join(ranks, ew("u") === ranks("node"))
+          .select(col("v"), expr("(r * w) div wdeg").as("c"))
+          .groupBy("v").agg(sum("c").as("__s"))
+          .select(col("v").as("node"),
+            (lit(base) + expr(s"($dampPct * __s) div 100")).as("r"))
+      }
+      val rows = ranks.limit(maxNodes + 1).collect()
+      require(rows.length <= maxNodes,
+        s"rank table exceeds maxNodes=$maxNodes — raise it or pre-filter the vocab")
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranks.schema)
+    } finally { ew.unpersist(); () }
   }
 
   /** Bigram-LM surprisal (the CCNet/KenLM perplexity-filter signal,

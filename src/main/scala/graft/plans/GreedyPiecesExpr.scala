@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Matching at a position is tie-free (a candidate piece IS the
   * substring it matches), so the kernel is a pure function of
   * (word, candidate set) — the property the q148 unrolled-CTE oracle
-  * relies on. Matching operates on Java chars; candidate pieces and
-  * words pass through the same `String` domain on both the kernel and
-  * oracle sides, so multibyte text segments identically.
+  * relies on. Matching iterates by Unicode CODE POINTS (positions and
+  * lengths alike), matching Spark SQL's `substring`/`length` (which
+  * generate the candidate set) and DuckDB's `substr`/`length` in the
+  * oracle — so supplementary-plane text (emoji) segments identically
+  * across all three engines, not just BMP.
   */
 case class GreedyPiecesExpr(child: Expression, pieces: Seq[String],
     maxPieceLen: Int) extends UnaryExpression {
@@ -50,20 +52,32 @@ case class GreedyPiecesExpr(child: Expression, pieces: Seq[String],
     s
   }
 
-  /** Per-row kernel; public so generated code can call it. */
+  /** Per-row kernel; public so generated code can call it. Positions
+    * and lengths are code points: `offs(k)` is the UTF-16 offset of
+    * code point k, so `w.substring(offs(i), offs(i+l))` is exactly the
+    * l-code-point slice Spark's `substring(word, i+1, l)` produced
+    * when building the candidate set. For BMP-only words offs(k) == k
+    * and this degenerates to the plain char loop.
+    */
   def compute(word: UTF8String): ArrayData = {
     val w = word.toString
+    val n = w.codePointCount(0, w.length)
+    val offs = new Array[Int](n + 1)
+    var k = 0
+    var o = 0
+    while (k < n) { offs(k) = o; o = w.offsetByCodePoints(o, 1); k += 1 }
+    offs(n) = w.length
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
-    while (i < w.length) {
-      var l = math.min(maxPieceLen, w.length - i)
+    while (i < n) {
+      var l = math.min(maxPieceLen, n - i)
       var matched = 0
       while (l >= 2 && matched == 0) {
-        if (pieceSet.contains(w.substring(i, i + l))) matched = l
+        if (pieceSet.contains(w.substring(offs(i), offs(i + l)))) matched = l
         l -= 1
       }
       if (matched > 0) {
-        out += UTF8String.fromString(w.substring(i, i + matched))
+        out += UTF8String.fromString(w.substring(offs(i), offs(i + matched)))
         i += matched
       } else i += 1
     }

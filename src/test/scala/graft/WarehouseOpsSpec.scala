@@ -412,15 +412,20 @@ class WarehouseOpsSpec extends SparkSpec {
   }
 
   test("GreedyPiecesExpr agrees across execution modes and handles edges") {
-    val pieces = Seq("ab", "abc", "cd", "xy")
+    // 🎉 (U+1F389) is supplementary-plane: 2 UTF-16 units but ONE code
+    // point — "🎉x" must match as a 2-code-point piece the way Spark's
+    // substring() generated it, and a char-based kernel would not.
+    val pieces = Seq("ab", "abc", "cd", "xy", "🎉x")
     val words = Seq("abcd",  // abc (len-3 beats ab) then d uncovered
       "ababxy",              // ab, ab, xy
       "zzz",                 // nothing matches
-      "a", "")               // shorter than any piece
+      "a", "",               // shorter than any piece
+      "🎉xab")     // 🎉x then ab — code-point positions
     def run(): Seq[Seq[String]] = words.toDF("w")
       .select(graft.plans.GreedyPiecesExpr.greedyPieces(col("w"), pieces, 3))
       .as[Seq[String]].collect().toSeq
-    val expected = Seq(Seq("abc"), Seq("ab", "ab", "xy"), Seq(), Seq(), Seq())
+    val expected = Seq(Seq("abc"), Seq("ab", "ab", "xy"), Seq(), Seq(), Seq(),
+      Seq("🎉x", "ab"))
     assert(run() == expected)
     val conf = spark.conf
     val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
@@ -462,14 +467,21 @@ class WarehouseOpsSpec extends SparkSpec {
 
   test("expectations: completeness, uniqueness with nulls, bounds — one pass") {
     import graft.operators.Profiling.Expectation
-    val df = Seq[(java.lang.Long, java.lang.Long)](
-      (1L, 5L), (2L, 5L), (3L, null), (4L, null), (4L, 99L))
-      .toDF("id", "v")
+    // w: exactly ONE null on otherwise-unique values → must PASS (the
+    // old n−d−nulls+anyNull arithmetic gave 1 and falsely failed);
+    // x: THREE nulls, rest distinct → nulls collapse to one value, so
+    // surplus = 2 (old arithmetic gave 1).
+    val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 5L, 10L, null), (2L, 5L, 20L, null), (3L, null, 30L, null),
+      (4L, null, 40L, 7L), (4L, 99L, null, 8L))
+      .toDF("id", "v", "w", "x")
     val out = graft.operators.Profiling.expectations(df, Seq(
         Expectation("complete", "id"),
         Expectation("complete", "v"),     // 2 nulls → fail
         Expectation("unique", "id"),      // one dup (4) → surplus 1 → fail
-        Expectation("unique", "v"),       // values {5,5,null,null,99}: n=5, distinct nn=2, nulls=2 → 5-2-2+1=2 → fail
+        Expectation("unique", "v"),       // {5,5,null,null,99}: n=5, distinct nn=2, anyNull → 5-2-1=2 → fail
+        Expectation("unique", "w"),       // {10,20,30,40,null}: 5-4-1=0 → PASS
+        Expectation("unique", "x"),       // {null,null,null,7,8}: 5-2-1=2 → fail
         Expectation("between", "v", lo = 0L, hi = 10L))) // 99 out of bounds → fail
       .as[(String, String, Long, Boolean)].collect().toSeq
     assert(out == Seq(
@@ -477,7 +489,9 @@ class WarehouseOpsSpec extends SparkSpec {
       ("complete", "id", 0L, true),
       ("complete", "v", 2L, false),
       ("unique", "id", 1L, false),
-      ("unique", "v", 2L, false)))
+      ("unique", "v", 2L, false),
+      ("unique", "w", 0L, true),
+      ("unique", "x", 2L, false)))
   }
 
   test("topSessionPaths slides within sessions only and ranks deterministically") {
@@ -583,15 +597,19 @@ class WarehouseOpsSpec extends SparkSpec {
     val vShift = vA.map(_ + 2.0)
     val vecs = Seq(
       ("same", 0, vA), ("same", 1, vA),          // identical → d_num 0
-      ("moved", 0, vA), ("moved", 1, vShift)     // L1 gap 4.0 → 4e6 > 1e6 gate
+      ("moved", 0, vA), ("moved", 1, vShift),    // L1 gap 4.0 → 4e6 > 1e6 gate
+      ("gone", 0, vA),                           // vanished source: B-side empty
+      ("new", 1, vShift)                         // brand-new source: A-side empty
     ).toDF("grp", "snap", "vec")
     val out = graft.operators.Similarity
       .centroidDriftE6(vecs, "grp", "snap", "vec", thresholdE6 = 1000000L)
       .orderBy("grp")
-      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
     assert(out == Seq(
-      ("moved", 1L, 1L, 4000000L, true),
-      ("same", 1L, 1L, 0L, false)))
+      ("gone", 1L, 0L, 0L, false, true),   // single-snapshot groups surface, marked drifted
+      ("moved", 1L, 1L, 4000000L, true, true),
+      ("new", 0L, 1L, 0L, false, true),
+      ("same", 1L, 1L, 0L, true, false)))
   }
 
   // ---- funnels / cohorts / attribution (q154-q156) ---------------------
@@ -744,5 +762,23 @@ class WarehouseOpsSpec extends SparkSpec {
     val replayed = graft.streaming.EventStreams.readSketchStore(spark, s"$dir/store")
       .as[(Long, Long)].collect().toMap
     assert(replayed == batch)
+  }
+
+  // ---- textRank cache hygiene (q131) -----------------------------------
+
+  test("textRank materializes its result and leaves no cached RDD behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "a b a b c"), (2L, "b c b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textRank(docs, "text", iters = 2)
+    // the edge basis was persisted for the iterations and must be
+    // dropped before textRank returns (r9 verdict item 5)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked cached RDDs: ${after -- before}")
+    // result is fully evaluated: ranks sum to a deterministic integer
+    // fixpoint and every graph node is present
+    val ranks = out.as[(String, Long)].collect().toMap
+    assert(ranks.keySet == Set("a", "b", "c"))
+    // b is adjacent to both a and c (higher weighted degree) → top rank
+    assert(ranks("b") > ranks("a") && ranks("b") > ranks("c"))
   }
 }
