@@ -54,7 +54,7 @@ object WarehouseQueries {
     val lens = maxPieceLen to 2 by -1
     val sb = new StringBuilder
     sb ++= s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word FROM documents),
-w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word HAVING length(word) <= $maxWordLen),
+w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word HAVING length(word) <= $maxWordLen),
 sub AS (${(2 to maxPieceLen).map(l =>
       s"SELECT unnest([substr(word, i + 1, $l) FOR i IN range(0, length(word) - $l + 1)]) AS piece, freq FROM w WHERE length(word) >= $l")
       .mkString(" UNION ALL ")}),
@@ -77,6 +77,82 @@ s$n AS (SELECT word, freq, pos + CASE $adv ELSE 1 END AS pos FROM m$n)"""
 uu AS (${(1 to maxWordLen).map(n => s"SELECT piece, freq FROM u$n").mkString(" UNION ALL ")}),
 ut AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS utility FROM uu GROUP BY piece HAVING sum(freq) >= $minUtility)
 SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY piece"""
+    sb.toString
+  }
+
+  /** The q160 oracle: unigram-LM EM training unrolled as chained CTEs
+    * — the q148 replay pattern upgraded from greedy matching to the
+    * full Viterbi DP. Per round: integer micro-nat costs from the
+    * previous counts (the q88 IEEE-ln convention), a FORWARD min-plus
+    * DP unrolled per code-point position (each step one `least` over
+    * the ≤`maxPieceLen` incoming edges), the per-word dp vector
+    * gathered into a list, then a BACKWARD walk unrolled the same way
+    * (largest step whose edge lies on a min path — the
+    * ViterbiPiecesExpr tie-break), usage summed with word frequency,
+    * add-one smoothing. DuckDB `least` ignores NULL operands exactly
+    * like Spark's, which is what lets an out-of-vocab edge drop out of
+    * the min without a CASE.
+    */
+  private def unigramEmOracle(minPieceCount: Long, maxPieceLen: Int,
+      maxWordLen: Int, rounds: Int): String = {
+    val P = maxPieceLen
+    val unk = graft.operators.Unigram.UnkCostE6
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word FROM documents),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word HAVING length(word) <= $maxWordLen),
+sub AS (${(1 to P).map(l =>
+      s"SELECT unnest([substr(word, i + 1, $l) FOR i IN range(0, length(word) - $l + 1)]) AS piece, freq FROM w WHERE length(word) >= $l")
+      .mkString(" UNION ALL ")}),
+v0 AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sub GROUP BY piece
+       HAVING length(piece) = 1 OR sum(freq) >= $minPieceCount),
+esp AS MATERIALIZED (SELECT word, pos, l, substr(word, pos - l + 1, l) AS piece FROM (${(1 to P).map(l =>
+      s"SELECT word, unnest(range($l, length(word) + 1)) AS pos, $l AS l FROM w WHERE length(word) >= $l")
+      .mkString(" UNION ALL ")}))"""
+    for (r <- 1 to rounds) {
+      val ks = (1 to P).map(l =>
+        s"min(CASE WHEN e.l = $l THEN c.cost END) AS k$l").mkString(", ")
+      sb ++= s""",
+t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v${r - 1}),
+c$r AS (SELECT piece, CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
+        FROM v${r - 1} CROSS JOIN t$r),
+ep$r AS MATERIALIZED (SELECT e.word, e.pos, $ks
+         FROM esp e LEFT JOIN c$r c ON c.piece = e.piece GROUP BY e.word, e.pos),
+d${r}_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS c FROM w)"""
+      for (i <- 1 to maxWordLen) {
+        val edges = (s"p1.c + coalesce(e.k1, $unk)") +:
+          (2 to math.min(P, i)).map(l => s"p$l.c + e.k$l")
+        val joins = (1 to math.min(P, i)).map(l =>
+          s"JOIN d${r}_${i - l} p$l ON p$l.word = a.word").mkString(" ")
+        sb ++= s""",
+d${r}_$i AS MATERIALIZED (SELECT a.word, least(${edges.mkString(", ")}) AS c
+  FROM w a JOIN ep$r e ON e.word = a.word AND e.pos = $i $joins
+  WHERE length(a.word) >= $i)"""
+      }
+      sb ++= s""",
+dp$r AS MATERIALIZED (SELECT word, list(c ORDER BY pos) AS dl FROM (${(0 to maxWordLen).map(i =>
+        s"SELECT word, $i AS pos, c FROM d${r}_$i").mkString(" UNION ALL ")}) GROUP BY word),
+s${r}_0 AS MATERIALIZED (SELECT w.word, w.freq, dl, CAST(length(w.word) AS BIGINT) AS pos FROM w JOIN dp$r USING (word))"""
+      for (k <- 1 to maxWordLen) {
+        val cases = (P to 2 by -1).map(l =>
+          s"WHEN b.pos >= $l AND e.k$l IS NOT NULL AND dl[b.pos - ${l - 1}] + e.k$l = dl[b.pos + 1] THEN $l")
+          .mkString(" ")
+        sb ++= s""",
+m${r}_$k AS MATERIALIZED (SELECT b.word, b.freq, b.dl, b.pos, CASE $cases ELSE 1 END AS step
+  FROM (SELECT * FROM s${r}_${k - 1} WHERE pos > 0) b
+  JOIN ep$r e ON e.word = b.word AND e.pos = b.pos),
+u${r}_$k AS (SELECT substr(word, pos - step + 1, step) AS piece, freq FROM m${r}_$k),
+s${r}_$k AS MATERIALIZED (SELECT word, freq, dl, pos - step AS pos FROM m${r}_$k)"""
+      }
+      sb ++= s""",
+uu$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS u FROM (${(1 to maxWordLen).map(k =>
+        s"SELECT piece, freq FROM u${r}_$k").mkString(" UNION ALL ")}) GROUP BY piece),
+v$r AS MATERIALIZED (SELECT v0.piece, CAST(coalesce(u, 0) + 1 AS BIGINT) AS cnt FROM v0 LEFT JOIN uu$r USING (piece))"""
+    }
+    sb ++= s"""
+SELECT v0.piece AS piece, v0.cnt AS cp${(1 to rounds).map(r =>
+      s", v$r.cnt AS u$r").mkString}
+FROM v0 ${(1 to rounds).map(r => s"JOIN v$r USING (piece)").mkString(" ")}
+ORDER BY piece"""
     sb.toString
   }
 
@@ -808,6 +884,18 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
       graft.operators.Similarity.centroidDriftE6(snaps, "label", "snap",
           "vec", thresholdE6 = 3000000L)
         .orderBy("label")
+    },
+
+    // Unigram-LM EM training, 2 full rounds: Viterbi E-step (min-cost
+    // DP with largest-piece tie-break), add-one M-step, vocab fixed at
+    // floored multi-char substrings + every corpus character. The
+    // oracle replays BOTH rounds move-for-move — forward DP and
+    // backward walk unrolled per code-point position — so the hash
+    // pins the entire EM trajectory, not just the final counts.
+    sql("q160_unigram_em", unigramEmOracle(300L, 4, 16, 2)) { (s, d) =>
+      graft.operators.Unigram.emTrain(documents(s, d), "text", rounds = 2,
+          minPieceCount = 300L, maxPieceLen = 4, maxWordLen = 16)
+        .orderBy("piece")
     },
 
     // Top session paths: 30-minute sessions (the q31 rule), each

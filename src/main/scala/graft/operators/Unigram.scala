@@ -84,4 +84,114 @@ object Unigram {
         .select(col("piece"), col("cp"), col("utility"))
     } finally { words.unpersist(); () }
   }
+
+  /** Sentinel cost for a single character outside the vocab. Training
+    * never hits it (every corpus character IS a vocab entry by
+    * construction), but the DP must be total; both engines use the
+    * same constant so the contract stays engine-identical either way.
+    */
+  val UnkCostE6: Long = 1000000000L
+
+  /** Full unigram-LM EM training (Kudo, ACL 2018, §3.2) over a FIXED
+    * vocabulary — the probability-re-estimation loop q148's one-shot
+    * pruning approximates. Deterministic-by-construction variant:
+    *
+    *  - the vocabulary is every corpus character plus every substring
+    *    of code-point length 2..`maxPieceLen` whose frequency-weighted
+    *    count clears `minPieceCount` (single chars are exempt from the
+    *    floor — they are the coverage fallback Kudo never prunes);
+    *  - round r's piece costs are integer micro-nats
+    *    floor(−ln(cnt_r / total_r)·10⁶) — ratio and ln computed in ONE
+    *    Spark expression over the vocab-sized counts (the q88 IEEE-ln
+    *    convention: ÷ is correctly rounded and both engines' ln agreed
+    *    on every fixture+scale sweep to date; the floor makes all
+    *    downstream arithmetic integer);
+    *  - the E-step is the VITERBI segmentation (hard counts) — the
+    *    documented deterministic approximation of lattice expected
+    *    counts ([[graft.plans.ViterbiPiecesExpr]]: min-cost DP,
+    *    largest-piece tie-break) — one codegen'd pass over the word
+    *    basis, usage summed with word frequency;
+    *  - the M-step is add-one smoothing: cnt_{r+1}(p) = usage_r(p) + 1
+    *    for EVERY vocab piece, so no probability hits zero and the
+    *    vocab stays fixed (pruning is [[pruneVocab]]'s job).
+    *
+    * Returns (piece, cp, u1 … uR): the seed count and each round's
+    * smoothed usage — the full EM trajectory, so a hash oracle pins
+    * every round, not just the last.
+    *
+    * Scale shape (the 100 TB posture): the corpus reduces ONCE to the
+    * persisted word-frequency basis; each EM round is ONE kernel pass
+    * over that vocab-bounded basis plus one vocab-sized aggregate —
+    * rounds never touch corpus text. Costs/counts are vocab-sized and
+    * collected under the `maxCandidates` limit+require guard.
+    */
+  def emTrain(docs: DataFrame, textCol: String, rounds: Int,
+      minPieceCount: Long = 50L, maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    require(rounds >= 1, "need at least one EM round")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+      .persist()
+    try {
+      // seed vocab: all single chars (no floor) + floored multi-char
+      // substrings, every count frequency-weighted
+      val subs = (1 to maxPieceLen).map { l =>
+        words.filter(length(col("word")) >= l)
+          .select(explode(expr(
+            s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
+            .as("piece"), col("freq"))
+      }.reduce(_ unionByName _)
+      val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
+        .filter(length(col("piece")) === 1 || col("cp") >= minPieceCount)
+      val seed = cand.limit(maxCandidates + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(seed.length <= maxCandidates,
+        s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+      val vocab = seed.map(_._1).toSeq.sorted
+      val schema = StructType(Seq(StructField("piece", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
+      // cost derivation runs in SPARK SQL (not driver Math.log) so the
+      // expression tree is the exact one the oracle replays in DuckDB
+      def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+        val total = counts.map(_._2).sum
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(counts.map(c =>
+            org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
+        df.select(col("piece"),
+            floor(-log(col("cnt").cast("double") / lit(total).cast("double")) * 1000000.0)
+              .cast("long").as("cost"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
+      val roundUsage = (1 to rounds).map { _ =>
+        val cm = costsOf(counts)
+        val costVec = vocab.map(cm)
+        val usage = words
+          .select(explode(graft.plans.ViterbiPiecesExpr.viterbiPieces(
+            col("word"), vocab, costVec, maxPieceLen, UnkCostE6)).as("piece"),
+            col("freq"))
+          .groupBy("piece").agg(sum("freq").as("u"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
+        counts = smoothed
+        smoothed.toMap
+      }
+      val outSchema = StructType(
+        StructField("piece", StringType, nullable = false) +:
+        StructField("cp", LongType, nullable = false) +:
+        (1 to rounds).map(r => StructField(s"u$r", LongType, nullable = false)))
+      val cp0 = seed.toMap
+      val rows = vocab.map { p =>
+        org.apache.spark.sql.Row.fromSeq(
+          p +: cp0(p) +: roundUsage.map(_.apply(p)))
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { words.unpersist(); () }
+  }
 }

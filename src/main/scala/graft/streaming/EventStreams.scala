@@ -529,6 +529,92 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
+  final case class FunnelTimedState(depth: Int, stageTsMicros: Long,
+    timerMs: Long)
+
+  /** [[FunnelProcessor]] with an EVENT-TIME expiry horizon — the
+    * production form: a funnel that has not advanced within
+    * `horizonMs` of its last stage's event time is STALLED; when the
+    * watermark passes stageTs + horizon the per-user timer fires, a
+    * terminal `(user, depth, "expired", expiryTs)` row is emitted, and
+    * the state is CLEARED. Completed funnels clear state immediately.
+    * Both exits bound state by the users ACTIVE inside one horizon —
+    * the plain [[FunnelProcessor]] keeps a row per user forever, which
+    * at 100 TB event scale is exactly the unbounded-state-store mistake
+    * watermarks exist to prevent.
+    *
+    * One timer per user, re-registered on each advancement (register
+    * is upsert-per-timestamp, so the previous timer must be DELETED or
+    * both would fire); the timer timestamp rides in the state so the
+    * delete targets the exact registered instant. Non-expired output
+    * is identical to [[funnelStream]] (spec-pinned): the timer path
+    * only ADDS terminal rows and removes state that could no longer
+    * emit anything but a restart.
+    */
+  class ExpiringFunnelProcessor(stages: Seq[String], horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelUpdate] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[FunnelTimedState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[FunnelTimedState]("funnel_t",
+        Encoders.product[FunnelTimedState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelUpdate] = {
+      val prev = Option(state.get()).getOrElse(FunnelTimedState(0, Long.MinValue, -1L))
+      var st = prev
+      val out = Seq.newBuilder[FunnelUpdate]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        if (st.depth < stages.length && e.event_type == stages(st.depth)) {
+          val us = e.ts.getTime * 1000L
+          if (st.depth == 0 || us > st.stageTsMicros) {
+            st = FunnelTimedState(st.depth + 1, us, st.timerMs)
+            out += FunnelUpdate(key, st.depth.toLong, e.event_type, e.ts)
+          }
+        }
+      }
+      if (st.depth != prev.depth) {
+        if (prev.timerMs >= 0) getHandle.deleteTimer(prev.timerMs)
+        if (st.depth >= stages.length) state.clear() // complete: done for good
+        else {
+          val t = st.stageTsMicros / 1000L + horizonMs
+          getHandle.registerTimer(t)
+          state.update(st.copy(timerMs = t))
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelUpdate] = {
+      val st = Option(state.get())
+      state.clear()
+      st.iterator.map { s =>
+        FunnelUpdate(key, s.depth.toLong, "expired",
+          new java.sql.Timestamp(expiredTimerInfo.getExpiryTimeInMs))
+      }
+    }
+  }
+
+  /** Streaming strict funnel with event-time expiry: stalled funnels
+    * emit a terminal "expired" row and free their state once the
+    * watermark (from `watermarkDelay` on the event time) passes the
+    * last advancement + `horizonMs`.
+    */
+  def funnelStreamExpiring(events: Dataset[FunnelEvent], stages: Seq[String],
+      horizonMs: Long, watermarkDelay: String = "0 seconds"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(horizonMs > 0, "horizonMs must be positive")
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new ExpiringFunnelProcessor(stages, horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
   // ---- arbitrary state: per-user cursor machine ------------------------
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
@@ -575,6 +661,53 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new CursorProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
+  /** [[CursorProcessor]] with a state TTL: a cursor idle longer than
+    * `ttl` is evicted by the state store itself (Spark's TTL is
+    * processing-time-based and requires TimeMode.ProcessingTime), so
+    * a source that stops sending — the reference's one-shot pulls that
+    * never resume — cannot pin a state row forever. Semantics under
+    * eviction: the NEXT event after expiry restarts the cursor from
+    * scratch (lastEventId −1), i.e. a replay arriving after the TTL is
+    * re-counted — the TTL is the caller's declaration that replays
+    * older than it no longer occur (the exactly-once window every
+    * dedup-with-watermark op in this file already assumes).
+    */
+  class TtlCursorProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, CursorUpdate] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[CursorState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[CursorState]("cursor_ttl",
+        Encoders.product[CursorState],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CursorUpdate] = {
+      val prev = Option(state.get()).getOrElse(CursorState(-1L, 0.0, 0L))
+      val evs = rows.toSeq.sortBy(_.event_id).filter(_.event_id > prev.lastEventId)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val next = CursorState(
+          evs.map(_.event_id).max,
+          prev.runningValue + evs.map(_.value).sum,
+          prev.n + evs.size)
+        state.update(next)
+        Iterator(CursorUpdate(key, next.lastEventId, next.runningValue, next.n))
+      }
+    }
+  }
+
+  /** Cursor machine with bounded state: idle cursors expire after `ttl`. */
+  def cursorMachineTwsTtl(events: Dataset[UserEvent],
+      ttl: java.time.Duration): Dataset[CursorUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCursorProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Append)
   }
 
   /** flatMapGroupsWithState cursor machine: per user, tracks the last

@@ -239,6 +239,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TTL cursor machine: live state dedups replays, expired state restarts the cursor") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Trigger.Once (not the default continuous trigger, and not
+      // AvailableNow): a ProcessingTime-mode TWS query free-spins
+      // no-data micro-batches — shouldRunAnotherBatch is true whenever
+      // processing time advances, each spin pays a RocksDB snapshot
+      // commit, and BOTH processAllAvailable and AvailableNow defer to
+      // it, so neither ever settles (measured: 700 s and climbing /
+      // batchId 548 at zero input rows). Trigger.Once runs exactly one
+      // micro-batch and stops; the SAME MemoryStream + checkpoint
+      // resumes across runs, and the TTL lapses on the wall clock
+      // between them — the production rerun shape.
+      def runWave(src: MemoryStream[EventStreams.UserEvent], ttl: java.time.Duration,
+          dir: String): Unit = {
+        val q = EventStreams.cursorMachineTwsTtl(src.toDS(), ttl)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+          .trigger(Trigger.Once()).start(): @annotation.nowarn("cat=deprecation")
+        assert(q.awaitTermination(120000), "single-batch run must terminate")
+      }
+      def rowsOf(dir: String): Seq[(Long, Double, Long)] =
+        spark.read.parquet(s"$dir/out").collect().toSeq
+          .map(r => (r.getAs[Long]("last_event_id"),
+            r.getAs[Double]("running_value"), r.getAs[Long]("n_events")))
+
+      // long TTL: behaves exactly like cursorMachineTws — the replay of
+      // event 11 inside the TTL window is suppressed by live state
+      val src1 = MemoryStream[EventStreams.UserEvent]
+      val d1 = tmpDir("ttl_long")
+      src1.addData(EventStreams.UserEvent(7, 10, 1.0), EventStreams.UserEvent(7, 11, 2.0))
+      runWave(src1, java.time.Duration.ofHours(1), d1)
+      src1.addData(EventStreams.UserEvent(7, 11, 99.0), EventStreams.UserEvent(7, 12, 3.0))
+      runWave(src1, java.time.Duration.ofHours(1), d1)
+      assert(rowsOf(d1).contains((12L, 6.0, 3L)),
+        s"live state must suppress the event-11 replay: ${rowsOf(d1)}")
+
+      // tiny TTL + wall-clock gap: the state store evicts the cursor, so
+      // an OLDER event id after expiry restarts counting from scratch —
+      // the bounded-state trade documented on TtlCursorProcessor
+      val src2 = MemoryStream[EventStreams.UserEvent]
+      val d2 = tmpDir("ttl_short")
+      src2.addData(EventStreams.UserEvent(8, 10, 1.0), EventStreams.UserEvent(8, 11, 2.0))
+      runWave(src2, java.time.Duration.ofMillis(50), d2)
+      Thread.sleep(500) // let the 50 ms TTL lapse in processing time
+      src2.addData(EventStreams.UserEvent(8, 5, 4.0))
+      runWave(src2, java.time.Duration.ofMillis(50), d2)
+      assert(rowsOf(d2).contains((5L, 4.0, 1L)),
+        s"expired cursor must restart (event 5 re-counted): ${rowsOf(d2)}")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("near-dup suppression state survives a query restart (checkpoint recovery)") {
     import spark.implicits._
     val in = tmpDir("nd_in")

@@ -439,6 +439,52 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("ViterbiPiecesExpr picks the min-cost path with largest-piece ties, both exec modes") {
+    // vocab: ab=10, bc=10, abc=25, a=8, b=8, c=8 (micro-costs)
+    // "abc": paths abc=25 | ab+c=18 | a+bc=18 | a+b+c=24 → min 18 twice;
+    // backward walk at pos 3 prefers the LONGER last piece → a+bc.
+    val pieces = Seq("ab", "bc", "abc", "a", "b", "c")
+    val costs = Seq(10L, 10L, 25L, 8L, 8L, 8L)
+    def run(): Seq[Seq[String]] = Seq("abc", "abab", "azb", "")
+      .toDF("w")
+      .select(graft.plans.ViterbiPiecesExpr.viterbiPieces(col("w"), pieces, costs, 3, 1000L))
+      .as[Seq[String]].collect().toSeq
+    val expected = Seq(
+      Seq("a", "bc"),        // tie broken toward bc (longest final step)
+      Seq("ab", "ab"),       // 20 < a+b+a+b=32
+      Seq("a", "z", "b"),    // z out-of-vocab → unk fallback
+      Seq())
+    assert(run() == expected)
+    val conf = spark.conf
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  test("emTrain: usage flows to the pieces Viterbi actually uses, smoothing keeps vocab") {
+    // corpus: "abab" ×4, "ab" ×2 → words basis {abab:4, ab:2}.
+    // substring counts: a=..., b=..., ab=10, ba=4, abab=4, aba=4, bab=4 …
+    // floor 5 keeps only "ab" among multi-char pieces (cp 10); all
+    // single chars stay. Round 1: cost(ab) < cost(a)+cost(b) ⇒ every
+    // word segments as ab-chains ⇒ u1(ab)=10+1, u1(a)=u1(b)=0+1.
+    val docs = Seq((1L, "abab abab ab"), (2L, "abab abab ab")).toDF("doc_id", "text")
+    val out = graft.operators.Unigram.emTrain(docs, "text", rounds = 2,
+        minPieceCount = 5L, maxPieceLen = 4, maxWordLen = 8)
+      .orderBy("piece")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("a", "ab", "b"))
+    val m = out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("ab") == ((10L, 11L, 11L)), s"ab must absorb all usage: $m")
+    assert(m("a") == ((10L, 1L, 1L)) && m("b") == ((10L, 1L, 1L)),
+      s"single chars keep the +1 floor: $m")
+  }
+
   // ---- score reweighting (q152) --------------------------------------
 
   test("scoreReweight: proportional allocs, remainder to top scorers, zero stays zero") {
@@ -554,6 +600,60 @@ class WarehouseOpsSpec extends SparkSpec {
         .select("user_id", "depth").orderBy("user_id")
         .as[(Long, Long)].collect().toSeq
       assert(depths == batch && depths == Seq((1L, 3L), (2L, 1L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("funnelStreamExpiring emits event-time terminal rows and frees stalled/completed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FunnelEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[FunnelEvent]
+      val q = graft.streaming.EventStreams
+        .funnelStreamExpiring(src.toDS(), Seq("view", "click", "purchase"),
+          horizonMs = 3600L * 1000L) // 1h stall horizon
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnel_exp_out").start()
+      try {
+        // user 1 completes inside the horizon; user 2 stalls at view
+        src.addData(FunnelEvent(1L, "view", ts("2024-01-01 10:00:00")),
+          FunnelEvent(2L, "view", ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        src.addData(FunnelEvent(1L, "click", ts("2024-01-01 10:30:00")),
+          FunnelEvent(1L, "purchase", ts("2024-01-01 10:45:00")))
+        q.processAllAvailable()
+        // watermark pusher: 12:30 > user 2's 11:00 expiry → timer fires
+        src.addData(FunnelEvent(9L, "view", ts("2024-01-01 12:30:00")))
+        q.processAllAvailable()
+        src.addData(FunnelEvent(9L, "click", ts("2024-01-01 12:31:00")))
+        q.processAllAvailable()
+        // state-freed proof, behaviorally: user 2's next event is a
+        // CLICK — with stale depth-1 state it would advance to depth 2;
+        // with cleared state it is a non-stage-0 no-op. user 1 already
+        // completed, so a fresh view RESTARTS a new journey at depth 1.
+        src.addData(FunnelEvent(2L, "click", ts("2024-01-01 12:40:00")),
+          FunnelEvent(1L, "view", ts("2024-01-01 12:41:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("funnel_exp_out")
+        .as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._4.getTime)
+      // non-expired path ≡ funnelStream: the 3 stage rows, then the restart
+      assert(u1.map(r => (r._2, r._3)) ==
+        Seq((1L, "view"), (2L, "click"), (3L, "purchase"), (1L, "view")))
+      val u2 = rows.filter(_._1 == 2L).sortBy(_._4.getTime)
+      assert(u2.map(r => (r._2, r._3)) == Seq((1L, "view"), (1L, "expired")),
+        s"stalled funnel must expire once and never advance after: $u2")
+      // terminal row carries the expiry instant: stage ts (10:00) + 1h
+      assert(u2.last._4 == ts("2024-01-01 11:00:00"))
+      // no expiry for the completed user or the in-horizon user 9
+      assert(!rows.exists(r => r._1 != 2L && r._3 == "expired"))
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
