@@ -24,28 +24,57 @@ object RetrievalQueries {
   import Tables._
 
   /** The q125 oracle: BPE training unrolled as `n` chained CTE
-    * rounds. Words ride as sentinel-delimited strings
-    * (chr(1)-separated symbols, chr(1) at both ends) because SQL
-    * `replace` on "␁l␁r␁" → "␁lr␁" IS the greedy leftmost
-    * non-overlapping merge — scan the original left to right,
-    * consume both symbols, resume after the replacement — i.e. the
-    * exact `BpeMergeExpr` kernel semantics. Each round re-splits to
-    * count adjacent pairs, takes the (cnt DESC, l, r) argmax, and
-    * applies it; the final SELECT stitches the per-round winners
-    * into the merge table.
+    * rounds. Words ride as sentinel-delimited strings — DOUBLE chr(1)
+    * between symbols, single chr(1) at the ends — because SQL
+    * `replace` on "␁l␁␁r␁" → "␁lr␁" IS the greedy leftmost
+    * non-overlapping merge: adjacent occurrences own disjoint
+    * delimiter halves, so a run like [a,b,a,b] merges to [ab,ab]
+    * exactly as `BpeMergeExpr` does. (A SINGLE-delimiter encoding is
+    * subtly wrong: consecutive matches share the middle ␁, replace
+    * consumes it with the first match, and the second occurrence is
+    * skipped — [ab,a,b]; the q161 conflict-free fixture exposed this,
+    * real corpora had never put such a run on the argmax path.) Each
+    * round re-splits to count adjacent pairs, takes the
+    * (cnt DESC, l, r) argmax, and applies it; the final SELECT
+    * stitches the per-round winners into the merge table.
     */
   private def bpeOracle(n: Int): String = {
     val head =
       """WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
         |w0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
-        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1)), chr(1)) AS d
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
         |  FROM tok GROUP BY token)""".stripMargin
     val rounds = (1 to n).map { k =>
       s"""e$k AS (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u
          |  FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
          |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM e$k GROUP BY 1, 2),
          |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail = (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    head + rounds + tail
+  }
+
+  /** The q161 oracle: [[bpeOracle]]'s strictly SEQUENTIAL rounds over
+    * the conflict-free four-alphabet fixture (each doc becomes one of
+    * "abab" "cdcd" "efef" "ghgh" by doc_id mod 4) — the yardstick the
+    * batched trainer must reproduce exactly.
+    */
+  private def bpeFixtureOracle(n: Int): String = {
+    val head =
+      """WITH tok AS (SELECT ['abab', 'cdcd', 'efef', 'ghgh'][CAST(doc_id % 4 AS INT) + 1] AS token FROM documents),
+        |w0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
+        |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""e$k AS (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u
+         |  FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+         |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM e$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
          |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n", ",\n", "\n")
     val tail = (1 to n).map(k =>
@@ -73,14 +102,14 @@ object RetrievalQueries {
     val head =
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
         |w0 AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
-        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1)), chr(1)) AS d
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
         |  FROM tok GROUP BY token)""".stripMargin
     val rounds = (1 to n).map { k =>
       s"""e$k AS (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u
          |  FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
          |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM e$k GROUP BY 1, 2),
          |b$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$k AS (SELECT w.token, w.freq, replace(w.d, chr(1) || b.l || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |w$k AS (SELECT w.token, w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
          |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n", ",\n", ",\n")
     val tail =
@@ -407,6 +436,26 @@ object RetrievalQueries {
     sql("q125_bpe_merges", bpeOracle(8)) { (s, d) =>
       import s.implicits._
       graft.operators.Bpe.trainMerges(documents(s, d), "text", nMerges = 8)
+        .toDF()
+        .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
+          col("pairCount").as("pair_count"))
+        .orderBy("round")
+    },
+
+    // Batched BPE ≡ sequential on a conflict-free corpus: the fixture
+    // maps each doc to one of four words with PAIRWISE-DISJOINT
+    // alphabets ("abab" "cdcd" "efef" "ghgh"), so every round's top
+    // candidates share no symbols, the batch acceptance rule never
+    // reorders anything, and Spark's batchSize = 4 training (2 count
+    // rounds for 8 merges) must hash-match the oracle's strictly
+    // SEQUENTIAL 8-round replay — the equivalence contract that
+    // licenses the ~B× driver-round cut at a 30k-merge vocab.
+    sql("q161_bpe_batched", bpeFixtureOracle(8)) { (s, d) =>
+      import s.implicits._
+      val fix = documents(s, d).select(
+        element_at(typedlit(Seq("abab", "cdcd", "efef", "ghgh")),
+          (col("doc_id") % 4 + 1).cast("int")).as("text"))
+      graft.operators.Bpe.trainMerges(fix, "text", nMerges = 8, batchSize = 4)
         .toDF()
         .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
           col("pairCount").as("pair_count"))

@@ -35,9 +35,26 @@ object Bpe {
     * globally most frequent adjacent pair (frequency = Σ word freq
     * over occurrences, counted greedily non-overlapping via the
     * previous rounds' applications).
+    *
+    * `batchSize` > 1 learns up to that many SYMBOL-DISJOINT merges per
+    * counting round (the fastBPE batching idea): candidates are taken
+    * in (cnt DESC, l, r) order, skipping any pair sharing a symbol
+    * with one already accepted this round. Merging a pair only changes
+    * the counts of pairs that CONTAIN one of its symbols, so the
+    * accepted pairs' counts are exactly their sequential values and
+    * their kernel applications commute. The one divergence from
+    * batchSize = 1: a pair CREATED by an earlier accepted merge (it
+    * contains the new symbol) can in principle outrank a later batch
+    * member, which strict sequential training would honor — so B = 1
+    * remains the exact-sequential default (q125) and the batched form
+    * is the measured scale path (driver rounds cut ~B×; q161 pins
+    * batched ≡ sequential on a conflict-free corpus). Each round is
+    * still ONE count job over the vocab-sized word basis.
     */
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 1): Seq[Merge] = {
     require(nMerges >= 1, "nMerges must be positive")
+    require(batchSize >= 1, "batchSize must be positive")
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -46,25 +63,39 @@ object Bpe {
       .persist()
     try {
       var cur: DataFrame = words
-      val out = Seq.newBuilder[Merge]
-      for (k <- 1 to nMerges) {
-        val best = cur.filter(size(col("syms")) >= 2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      while (out.size < nMerges) {
+        val want = math.min(batchSize, nMerges - out.size)
+        // window of 4B+16 candidates: enough to fill a disjoint batch
+        // past skips without collecting the whole pair table; a window
+        // that still can't fill the batch just costs one more round
+        val top = cur.filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(expr(
             "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), (l, r) -> struct(l, r))"))
             .as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(best.nonEmpty,
-          s"corpus exhausted after ${k - 1} merges — every word is one symbol")
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += Merge(k, l, r, c)
-        cur = cur.select(
-          graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
-          col("freq"))
+          .limit(want * 4 + 16).collect()
+        require(top.nonEmpty,
+          s"corpus exhausted after ${out.size} merges — every word is one symbol")
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val it = top.iterator
+        var accepted = 0
+        while (accepted < want && it.hasNext) {
+          val row = it.next()
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r)) {
+            out += Merge(out.size + 1, l, r, row.getLong(2))
+            used += l; used += r
+            cur = cur.select(
+              graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
+              col("freq"))
+            accepted += 1
+          }
+        }
       }
-      out.result()
+      out.toSeq
     } finally { words.unpersist(); () }
   }
 

@@ -83,4 +83,25 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(enc == Seq("lo", "we", "r"))
   }
+
+  test("batched training skips symbol-sharing candidates within a round") {
+    // pairs of "the"×9: t-h 9, h-e 9 — they share 'h', so one counting
+    // round with batchSize 2 may accept only (h,e)... ordering: counts
+    // tie at 9, lexical (h,e) < (t,h) → accept (h,e); (t,h) shares h →
+    // skipped. Next round re-counts: "the" → t,he: (t,he) 9.
+    val docs = Seq.fill(9)(Tuple1("the")).toDF("text")
+    val batched = Bpe.trainMerges(docs, "text", nMerges = 2, batchSize = 2)
+    assert(batched.map(m => (m.round, m.lhs, m.rhs, m.pairCount)) ==
+      Seq((1, "h", "e", 9L), (2, "t", "he", 9L)))
+    // the skip rule makes batched ≡ sequential here (the conflicting
+    // pair was deferred to a fresh count, not taken on stale numbers)
+    assert(batched == Bpe.trainMerges(docs, "text", nMerges = 2))
+  }
+
+  test("batchSize 1 is bit-identical to the classic sequential trainer") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).map(Tuple1(_)).toDF("text")
+    assert(Bpe.trainMerges(docs, "text", 4, batchSize = 1) ==
+      Bpe.trainMerges(docs, "text", 4))
+  }
 }
