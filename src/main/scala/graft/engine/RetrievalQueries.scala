@@ -638,6 +638,49 @@ object RetrievalQueries {
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             col("score_q"))
           .orderBy("vec_id")
+    },
+
+    // Filtered ANN: the q128 IVF-PQ probe under a metadata predicate
+    // (label % 3 = 1 — the license/source-gate shape). The label rides
+    // in the encoded index as a filterable attribute; the gate lands
+    // BEFORE top-k, so k is sized over admissible rows only (post-
+    // filtering would under-fill it). The oracle replays training,
+    // assignment, and encoding identically and applies the same gate
+    // before its LIMIT — a full hash oracle for the entire filtered
+    // retrieval path.
+    sql("q162_ivfpq_filtered",
+      ivfPqOracleCore("TRUE") +
+      """q AS (SELECT unnest([{'j': i-1,
+        |                     'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+        |                    FOR i IN range(1, len(embedding)+1)]) AS u
+        |      FROM embeddings WHERE vec_id = 0),
+        |qe AS (SELECT u.j AS j, u.v AS qv FROM q),
+        |csc AS (SELECT k.c, sum(qe.qv * k.cent) AS s
+        |        FROM ccb k JOIN qe ON k.j = qe.j GROUP BY k.c),
+        |probe AS (SELECT c, s FROM (
+        |            SELECT c, s, row_number() OVER (ORDER BY s DESC, c) AS rn
+        |            FROM csc) x WHERE rn <= 2),
+        |lut AS (SELECT k.b, k.c, sum(qe.qv * k.cent) AS l
+        |        FROM pcb k JOIN qe ON qe.j = k.b * 8 + k.bp GROUP BY k.b, k.c),
+        |sc AS (SELECT a.vec_id, a.cell, pr.s + sum(l.l) AS score
+        |       FROM cass a JOIN probe pr ON a.cell = pr.c
+        |       JOIN embeddings em ON em.vec_id = a.vec_id AND em.label % 3 = 1
+        |       JOIN enc ON enc.vec_id = a.vec_id
+        |       JOIN lut l ON enc.b = l.b AND enc.c = l.c
+        |       GROUP BY a.vec_id, a.cell, pr.s),
+        |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
+        |        FROM sc ORDER BY score DESC, vec_id LIMIT 20)
+        |SELECT vec_id, cell, score_q FROM top ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val idx = Pq.trainIvfPq(emb, ncells = 4, m = 8, ksub = 16)
+        val enc = Pq.encodeIvfPq(emb, idx, extraCols = Seq("label"))
+        Pq.ivfPqTopKFiltered(enc, idx,
+            Pq.queryWeightsE6(embeddings(s, d).filter(col("vec_id") === 0)),
+            k = 20, nprobe = 2, pred = col("label") % 3 === 1)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("score_q"))
+          .orderBy("vec_id")
     }
   )
 }

@@ -204,18 +204,19 @@ object Pq {
     * (`slice` on a computed offset) — no join against a centroid
     * table, the `kmeansAssign` broadcast-literal shape. */
   def residualsE6(corpus: DataFrame, coarse: Codebook,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): DataFrame = {
     require(coarse.m == 1, "coarse quantizer must be a single-block codebook")
     val dim = coarse.subdim
     corpus
-      .select(col(idCol),
+      .select(col(idCol) +: extraCols.map(col) :+
         PqEncodeExpr.pq_encode(col(vecCol), coarse.flatE6.toSeq, 1, coarse.ksub)
-          .cast("int").as("cell"),
-        toE6(col(vecCol)).as("__ve6"))
-      .select(col(idCol), col("cell"),
+          .cast("int").as("cell") :+
+        toE6(col(vecCol)).as("__ve6"): _*)
+      .select(col(idCol) +: extraCols.map(col) :+ col("cell") :+
         zip_with(col("__ve6"),
           slice(typedlit(coarse.flatE6.toSeq), col("cell") * lit(dim) + lit(1), lit(dim)),
-          (v, c) => v - c).as("resid"))
+          (v, c) => v - c).as("resid"): _*)
   }
 
   /** Train the coarse quantizer on full vectors, then the residual
@@ -232,22 +233,30 @@ object Pq {
       trainCodebookFromE6(resid, m, ksub, pqIters, idCol, "resid"))
   }
 
-  /** Encode to the inverted-file layout: (id, cell, codes) — one int
-    * + one packed long per vector. */
+  /** Encode to the inverted-file layout: (id, [metadata…,] cell,
+    * codes) — one int + one packed long per vector. `extraCols` ride
+    * along as FILTERABLE attributes of the index (license, source,
+    * label…): stored next to the codes, they make a metadata predicate
+    * an ordinary pushed parquet filter inside the probed cells — the
+    * "vector search with filters" layout. */
   def encodeIvfPq(corpus: DataFrame, idx: IvfPqIndex,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    residualsE6(corpus, idx.coarse, idCol, vecCol)
-      .select(col(idCol), col("cell"),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): DataFrame =
+    residualsE6(corpus, idx.coarse, idCol, vecCol, extraCols)
+      .select(col(idCol) +: extraCols.map(col) :+ col("cell") :+
         PqEncodeExpr.pq_encode(col("resid"), idx.residual.flatE6.toSeq,
-          idx.residual.m, idx.residual.ksub).as("codes"))
+          idx.residual.m, idx.residual.ksub).as("codes"): _*)
 
   /** Persist the index partitioned BY CELL: a probe's `cell IN (...)`
     * filter becomes partition pruning — only nprobe/ncells of the
     * files are ever listed or read, the on-disk analogue of FAISS's
-    * inverted lists (spec-pinned via PartitionFilters). */
+    * inverted lists (spec-pinned via PartitionFilters). `extraCols`
+    * land as data columns, so a metadata gate is a PushedFilters entry
+    * inside the surviving partitions (spec-pinned too). */
   def writeIvfPqIndex(corpus: DataFrame, idx: IvfPqIndex, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    encodeIvfPq(corpus, idx, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): Unit =
+    encodeIvfPq(corpus, idx, idCol, vecCol, extraCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** The probe set: top-`nprobe` cells by coarse inner product
@@ -267,13 +276,29 @@ object Pq {
     * filter prunes partitions before any file is read. */
   def ivfPqTopKFromEncoded(encoded: DataFrame, idx: IvfPqIndex,
       queryE6: Array[Long], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame =
+    ivfPqTopKFiltered(encoded, idx, queryE6, k, nprobe, lit(true), idCol)
+
+  /** Filtered ANN — [[ivfPqTopKFromEncoded]] under a metadata
+    * predicate (the "vector search with filters" shape every retrieval
+    * platform ships: license gate, source allowlist, freshness bound).
+    * The predicate lands BEFORE scoring, so over a
+    * [[writeIvfPqIndex]]-layout frame the plan is: partition pruning
+    * by probed cell → pushed parquet filter on the metadata column →
+    * fused ADC kernel on survivors → TakeOrderedAndProject. Post-
+    * filtering top-k instead would read every surviving row's code AND
+    * mis-size k (the classic filtered-ANN recall bug). Predicate
+    * columns must have been carried into the index via `extraCols`.
+    */
+  def ivfPqTopKFiltered(encoded: DataFrame, idx: IvfPqIndex,
+      queryE6: Array[Long], k: Int, nprobe: Int, pred: Column,
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, "k must be positive")
     val cells = probedCells(idx, queryE6, nprobe)
     val coarseScores = lutFor(idx.coarse, queryE6)
     val lut = lutFor(idx.residual, queryE6)
     encoded
-      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*) && pred)
       .select(col(idCol), col("cell"),
         (element_at(typedlit(coarseScores.toSeq), col("cell") + lit(1)) +
           PqAdcScoreExpr.pq_adc_score(col("codes"), lut.toSeq,

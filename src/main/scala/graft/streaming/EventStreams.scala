@@ -464,6 +464,56 @@ object EventStreams {
           .as("alert"))
   }
 
+  /** Streaming IVF-PQ index maintenance — the foreachBatch twin of
+    * `Pq.appendIvfPqIndex` + `Pq.ivfPqDriftStats`, with [[scd2Stream]]'s
+    * idempotent landing: every micro-batch encodes its vectors under
+    * the FROZEN codebooks and overwrites exactly its OWN
+    * `batch_id=N/cell=C` subtree of the index (a replayed batch after
+    * a crash re-lands identical files — exactly-once by layout, no
+    * dynamic partition overwrite touching sibling batches), and lands
+    * that wave's per-cell drift row (count + truncating-mean ADC
+    * reconstruction error) the same way. The cell stays the INNER
+    * partition key, so a probe over the accumulated index still
+    * partition-prunes to nprobe/ncells regardless of how many waves
+    * landed; drift rows per wave are the q132 retrain signal evaluated
+    * continuously.
+    */
+  def ivfPqMaintainStream(vecs: DataFrame, idx: graft.operators.Pq.IvfPqIndex,
+      indexDir: String, driftDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          graft.operators.Pq.encodeIvfPq(b, idx, idCol, vecCol, extraCols)
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(s"$indexDir/batch_id=$batchId")
+          val (cell, err) = graft.operators.Pq.cellAndErr(idx, col(vecCol))
+          b.select(cell.as("cell"), err.as("__err"))
+            .groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("n_delta"), sum("__err").as("__ed"))
+            .select(col("cell"), col("n_delta"),
+              expr("__ed div n_delta").as("avg_err_delta"))
+            .write.mode("overwrite").parquet(s"$driftDir/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+    }
+
+  /** The accumulated stream-maintained index, probe-ready: same
+    * (id, [extras…,] cell, codes) shape as `Pq.encodeIvfPq`, cell
+    * partition pruning intact. */
+  def readIvfPqStreamIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.option("basePath", indexDir).parquet(indexDir).drop("batch_id")
+
+  /** Per-wave drift rows landed by [[ivfPqMaintainStream]]:
+    * (batch_id, cell, n_delta, avg_err_delta). */
+  def readIvfPqDrift(spark: org.apache.spark.sql.SparkSession,
+      driftDir: String): DataFrame =
+    spark.read.option("basePath", driftDir).parquet(driftDir)
+      .select(col("batch_id").cast("long").as("batch_id"), col("cell"),
+        col("n_delta"), col("avg_err_delta"))
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

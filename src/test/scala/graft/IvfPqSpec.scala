@@ -159,4 +159,92 @@ class IvfPqSpec extends SparkSpec {
     assert(ids.head === 900001L,
       s"planted copy of the query must rank first, got $ids")
   }
+
+  test("filtered ANN: metadata gate pushes into the pruned index scan and respects the predicate") {
+    // plant TWO copies of the query: one admissible (label 1), one
+    // inadmissible (label 0). The filtered probe must rank the
+    // admissible plant first and never return a label-0 row — the
+    // pre-filter contract (a post-filter would also drop rows but
+    // under-fill k; the planted label-0 copy would have WON unfiltered,
+    // so its absence proves the gate ran before top-k).
+    val plants = query.select(lit(900001L).as("vec_id"), lit(1L).as("label"), col("embedding"))
+      .unionByName(query.select(lit(900002L).as("vec_id"), lit(0L).as("label"), col("embedding")))
+    val c = corpus.select(col("vec_id"), col("label").cast("long").as("label"),
+      col("embedding")).unionByName(plants)
+    val idx = Pq.trainIvfPq(c, ncells = 4, m = 8, ksub = 16)
+    val qe6 = Pq.queryWeightsE6(query)
+    val path = tmpDir("ivfpq_filtered")
+    Pq.writeIvfPqIndex(c, idx, path, extraCols = Seq("label"))
+    val fromDisk = Pq.ivfPqTopKFiltered(spark.read.parquet(path), idx, qe6,
+      k = 5, nprobe = 2, pred = col("label") % 2 === 1)
+    val rows = fromDisk.collect().toSeq.map(r => r.getLong(0))
+    assert(rows.head === 900001L && !rows.contains(900002L),
+      s"admissible plant first, inadmissible absent: $rows")
+    // identical to brute-force filtered ADC over the probed cells
+    val brute = Pq.ivfPqTopKFiltered(
+      Pq.encodeIvfPq(c, idx, extraCols = Seq("label")), idx, qe6,
+      k = 5, nprobe = 2, pred = col("label") % 2 === 1)
+      .collect().toSeq.map(_.getLong(0))
+    assert(rows === brute)
+    // plan shape: cell IN (...) is a PARTITION filter, the label gate a
+    // PUSHED data filter — both reach the scan
+    val plan = fromDisk.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves().collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"expected a file scan in:\n$plan")
+    assert(scans.head.partitionFilters.mkString.contains("cell"),
+      s"cell must partition-filter, plan:\n$plan")
+    assert(scans.head.metadata.getOrElse("PushedFilters", "").contains("label"),
+      s"label gate must push into the scan, got ${scans.head.metadata.get("PushedFilters")}")
+  }
+
+  test("streaming index maintenance: post-stream index equals batch encode, drift lands per wave, replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = Pq.trainIvfPq(corpus, ncells = 4, m = 8, ksub = 16)
+    val all = corpus.select($"vec_id", $"embedding").limit(60)
+      .as[IvfPqSpec.Vec].collect().toSeq
+    val waves = all.grouped(20).toSeq
+    val dir = tmpDir("ivfpq_stream")
+    val src = MemoryStream[IvfPqSpec.Vec]
+    val q = graft.streaming.EventStreams
+      .ivfPqMaintainStream(src.toDF(), idx, s"$dir/index", s"$dir/drift")
+      .option("checkpointLocation", s"$dir/cp").start()
+    try waves.foreach { w => src.addData(w: _*); q.processAllAvailable() }
+    finally q.stop()
+    // post-stream index ≡ one batch encode of the union
+    val live = graft.streaming.EventStreams
+      .readIvfPqStreamIndex(spark, s"$dir/index")
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Int, Long)].collect().toSet
+    val batch = Pq.encodeIvfPq(waves.flatten.toDF("vec_id", "embedding"), idx)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(live == batch && live.size == 60)
+    // one drift row set per wave, each covering that wave's 20 vectors
+    val drift = graft.streaming.EventStreams.readIvfPqDrift(spark, s"$dir/drift")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val perBatch = drift.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perBatch == Map(0L -> 20L, 1L -> 20L, 2L -> 20L), s"per-wave counts: $perBatch")
+    // crash-replay: re-land wave 1 under its own batch_id → nothing changes
+    Pq.encodeIvfPq(waves(1).toDF("vec_id", "embedding"), idx)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/index/batch_id=1")
+    val replayed = graft.streaming.EventStreams
+      .readIvfPqStreamIndex(spark, s"$dir/index")
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(replayed == batch)
+    // the accumulated index stays probe-ready (cell pruning intact)
+    val qe6 = Pq.queryWeightsE6(query)
+    val top = Pq.ivfPqTopKFromEncoded(
+      graft.streaming.EventStreams.readIvfPqStreamIndex(spark, s"$dir/index"),
+      idx, qe6, k = 5, nprobe = 2).collect()
+    assert(top.length == 5)
+  }
+}
+
+object IvfPqSpec {
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
 }
