@@ -898,6 +898,81 @@ ORDER BY piece"""
         .orderBy("piece")
     },
 
+    // Store-lifecycle audit — the daily ops dashboard over the three
+    // incremental stores. Planted lifecycle: catalog write + waves 1
+    // and 2, then wave 1 lands AGAIN (an at-least-once crash replay);
+    // the band store is then compacted, the other two are not. The
+    // audit must report, per store, total rows, distinct keys, the
+    // dead weight a compaction would fold (exact e6 fraction), the
+    // landed wave depth (from the bucketed layout's one-file-per-
+    // bucket-per-wave law — file metadata only), and the compaction
+    // flag. The oracle predicts every number from the planted
+    // construction: per-wave distinct digests/grams for the append-
+    // dedup stores, bands × distinct doc ids for the compacted band
+    // store, and the wave counts as planted (4 landings / 1 rewrite).
+    sql("q163_store_audit",
+      """WITH cat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |w1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |w2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |dg AS (SELECT
+        |  (SELECT count(DISTINCT md5(text)) FROM cat) AS dc,
+        |  (SELECT count(DISTINCT md5(text)) FROM w1) AS d1,
+        |  (SELECT count(DISTINCT md5(text)) FROM w2) AS d2,
+        |  (SELECT count(DISTINCT md5(text)) FROM documents) AS dall),
+        |gw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |gg AS (SELECT doc_id, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS g
+        |       FROM (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM gw WHERE len(toks) >= 8)),
+        |gr AS (SELECT
+        |  (SELECT count(DISTINCT g) FROM gg WHERE doc_id % 3 = 0) AS gc,
+        |  (SELECT count(DISTINCT g) FROM gg WHERE doc_id % 3 = 1) AS g1,
+        |  (SELECT count(DISTINCT g) FROM gg WHERE doc_id % 3 = 2) AS g2,
+        |  (SELECT count(DISTINCT g) FROM gg) AS gall),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |rows_ AS (
+        |  SELECT 'band' AS store, 8 * n AS total_rows, 8 * n AS distinct_keys,
+        |         CAST(0 AS BIGINT) AS dead_rows, CAST(0 AS BIGINT) AS dead_e6,
+        |         CAST(1 AS BIGINT) AS waves, TRUE AS compacted FROM nd
+        |  UNION ALL
+        |  SELECT 'digest', dc + d1 + d2 + d1, dall,
+        |         dc + d1 + d2 + d1 - dall,
+        |         ((dc + d1 + d2 + d1 - dall) * 1000000) // (dc + d1 + d2 + d1),
+        |         4, FALSE FROM dg
+        |  UNION ALL
+        |  SELECT 'gram_df', gc + g1 + g2 + g1, gall,
+        |         gc + g1 + g2 + g1 - gall,
+        |         ((gc + g1 + g2 + g1 - gall) * 1000000) // (gc + g1 + g2 + g1),
+        |         4, FALSE FROM gr)
+        |SELECT store, CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST(distinct_keys AS BIGINT) AS distinct_keys,
+        |  CAST(dead_rows AS BIGINT) AS dead_rows, CAST(dead_e6 AS BIGINT) AS dead_e6,
+        |  CAST(waves AS BIGINT) AS waves, compacted
+        |FROM rows_ ORDER BY store""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, Stores}
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val cat = docs.filter(col("doc_id") % 3 === 0)
+      val w1 = docs.filter(col("doc_id") % 3 === 1)
+      val w2 = docs.filter(col("doc_id") % 3 === 2)
+      val (tD, tG, tB) = ("graft_q163_digest", "graft_q163_gram", "graft_q163_band")
+      // drop locations too: a previous SESSION's tables are gone from
+      // the in-memory catalog but their warehouse dirs persist
+      Seq(tD, tG, tB, s"${tB}__compact").foreach(t => Stores.dropStoreTable(s, t))
+      Dedup.writeDigestStore(cat, "text", tD, buckets = 8)
+      Seq(w1, w2, w1).foreach(w =>
+        Dedup.appendToDigestStore(w, "text", tD, buckets = 8))
+      graft.operators.TextOps.writeGramDfStore(cat, "doc_id", "text", tG,
+        k = 8, buckets = 8)
+      Seq(w1, w2, w1).foreach(w => graft.operators.TextOps
+        .appendToGramDfStore(w, "doc_id", "text", tG, k = 8, buckets = 8))
+      Dedup.writeBandStore(cat, "doc_id", "text", tB, buckets = 8)
+      Seq(w1, w2, w1).foreach(w =>
+        Dedup.appendToBandStore(w, "doc_id", "text", tB, buckets = 8))
+      Dedup.compactBandStore(s, tB, buckets = 8)
+      Stores.auditStores(s, Seq(
+        (tB, "band", Seq("band_key", "id")),
+        (tD, "digest", Seq("digest")),
+        (tG, "gram_df", Seq("dg"))))
+    },
+
     // Top session paths: 30-minute sessions (the q31 rule), each
     // session's type sequence slides a 3-step window, corpus-wide
     // counts rank the top 16 — deterministic tie order everywhere.

@@ -393,4 +393,65 @@ class DigestStoreSpec extends SparkSpec {
     assert(stored === inline)
     dropTable(table)
   }
+
+  test("store lifecycle audit: waves from layout, dead weight from keys, compaction folds both") {
+    import spark.implicits._
+    import graft.operators.Stores
+    val d = docs(60)
+    val cat = d.filter($"doc_id" % 3 === 0)
+    val w1 = d.filter($"doc_id" % 3 === 1)
+    val table = "audit_digest"
+    dropTable(table)
+    Dedup.writeDigestStore(cat, "text", table, buckets = 4)
+    Dedup.appendToDigestStore(w1, "text", table, buckets = 4)
+    Dedup.appendToDigestStore(w1, "text", table, buckets = 4) // crash replay
+    val before = Stores.auditStore(spark, table, "digest", Seq("digest"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(before._2 == 60L && before._3 == 40L && before._4 == 20L,
+      s"20+20+20 rows, 40 distinct: $before")
+    assert(before._5 == 333333L, s"dead_e6 = 20e6 div 60: $before")
+    assert(before._6 == 3L && !before._7, s"3 landed waves, uncompacted: $before")
+    val layoutBefore = Stores.layoutAudit(spark, table, "digest")
+      .as[(String, Long, Long, Long, Boolean, Long)].head()
+    assert(layoutBefore._4 == 3L && !layoutBefore._5)
+
+    Thread.sleep(20) // so the compaction's mtime strictly advances
+    Stores.compactDigestStore(spark, table, buckets = 4)
+    val after = Stores.auditStore(spark, table, "digest", Seq("digest"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(after == (("digest", 40L, 40L, 0L, 0L, 1L, true)), s"compacted: $after")
+    val layoutAfter = Stores.layoutAudit(spark, table, "digest")
+      .as[(String, Long, Long, Long, Boolean, Long)].head()
+    assert(layoutAfter._4 == 1L && layoutAfter._5 &&
+      layoutAfter._6 > layoutBefore._6, "compaction rewrote newer files")
+    dropTable(table)
+  }
+
+  test("compactGramDfStore FOLDS per-wave df rows; probe results unchanged") {
+    import spark.implicits._
+    import graft.operators.Stores
+    val d = docs(60)
+    val cat = d.filter($"doc_id" % 3 === 0)
+    val delta = d.filter($"doc_id" % 3 === 1)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val table = "audit_gram"
+    dropTable(table)
+    TextOps.writeGramDfStore(cat, "doc_id", "text", table, k = 4, buckets = 4)
+    TextOps.appendToGramDfStore(
+      d.filter($"doc_id" % 3 === 2), "doc_id", "text", table, k = 4, buckets = 4)
+    val strippedBefore = TextOps.incrementalSpanDedupStrip(spark.table(table),
+        delta, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    Stores.compactGramDfStore(spark, table, buckets = 4)
+    // folding sums df per dg — a distinct would have dropped legitimate
+    // second-wave counts and changed probe flags
+    val audit = Stores.auditStore(spark, table, "gram_df", Seq("dg"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(audit._2 == audit._3 && audit._4 == 0L && audit._6 == 1L && audit._7)
+    val strippedAfter = TextOps.incrementalSpanDedupStrip(spark.table(table),
+        delta, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(strippedBefore.nonEmpty && strippedAfter === strippedBefore)
+    dropTable(table)
+  }
 }
