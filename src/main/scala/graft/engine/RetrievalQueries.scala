@@ -681,6 +681,65 @@ object RetrievalQueries {
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             col("score_q"))
           .orderBy("vec_id")
+    },
+
+    // Exact phrase search over the q137 planted corpus: a phrase
+    // starts at p iff every k-th term has a position at p+k, so the
+    // operator intersects k-shifted position lists — no self-joins,
+    // query-postings-sized throughout. The oracle counts contiguous
+    // 3-windows directly per document: an independent formulation of
+    // the same truth, so the hash pins the positional algebra.
+    sql("q164_phrase_search",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu ' || text
+        |         WHEN doc_id % 11 = 0 THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |o AS (SELECT doc_id, len([i FOR i IN range(0, len(toks) - 2)
+        |        IF toks[i+1] = 'beta' AND toks[i+2] = 'gamma' AND toks[i+3] = 'delta']) AS n
+        |      FROM t)
+        |SELECT doc_id AS id, CAST(n AS BIGINT) AS n_occurrences
+        |FROM o WHERE n > 0 ORDER BY id""".stripMargin) { (s, d) =>
+      val planted =
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(planted + " "), col("text")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + planted)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Search.phraseSearch(corpus, "doc_id", "text",
+          Seq("beta", "gamma", "delta"))
+        .orderBy("id")
+    },
+
+    // Tokenizer fertility by language: the q125 merges applied via
+    // q129's vocab-basis encode, rolled up per language — subwords per
+    // token and chars per subword in exact e6 (the "how efficient is
+    // this tokenizer on each language" number that drives per-language
+    // vocab sizing). Oracle: the shared BPE replay + the same rollup.
+    sql("q167_tokenizer_fertility",
+      bpeEncodeCore(8).stripSuffix(",\n") + "\n" +
+      """, l AS (SELECT d.lang, COALESCE(a.n_tokens, 0) AS n_tokens,
+        |         COALESCE(a.n_chars, 0) AS n_chars, COALESCE(a.n_subwords, 0) AS n_subwords
+        |       FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  CAST(sum(n_subwords) AS BIGINT) AS subwords,
+        |  CAST((sum(n_subwords) * 1000000) // sum(n_tokens) AS BIGINT) AS fertility_e6,
+        |  CAST((sum(n_chars) * 1000000) // sum(n_subwords) AS BIGINT) AS chars_per_sub_e6
+        |FROM l GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", nMerges = 8)
+      graft.operators.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens"),
+          sum("n_subwords").as("subwords"),
+          expr("(sum(n_subwords) * 1000000) div sum(n_tokens)").as("fertility_e6"),
+          expr("(sum(n_chars) * 1000000) div sum(n_subwords)").as("chars_per_sub_e6"))
+        .orderBy("lang")
     }
   )
 }

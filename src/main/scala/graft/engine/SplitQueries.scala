@@ -140,6 +140,42 @@ object SplitQueries {
           .orderBy("source", "lang", "split")
     },
 
+    // Leakage-SAFE split — the prevention counterpart of q118's
+    // leakage measure: assignment hashes the CONTENT, so byte-identical
+    // duplicates (planted here as +1,000,000-id copies of the first 30
+    // docs, the q124 convention) land in the same split by
+    // construction. The output rolls up per split AND carries the
+    // global cross-split leak count, which the oracle pins to the
+    // planted truth: zero texts straddle splits under the content key,
+    // where q118 shows an id-keyed split of the same corpus leaks.
+    sql("q165_content_split",
+      """WITH planted AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted),
+        |s AS (SELECT doc_id, text,
+        |        CASE WHEN substr(md5(text),1,2) < '0d' THEN 'test'
+        |             WHEN substr(md5(text),1,2) < '1a' THEN 'valid'
+        |             ELSE 'train' END AS split FROM corpus),
+        |leak AS (SELECT CAST(count(*) FILTER (n > 1) AS BIGINT) AS cross_split_leaks
+        |         FROM (SELECT text, count(DISTINCT split) AS n FROM s GROUP BY text))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts, cross_split_leaks
+        |FROM s CROSS JOIN leak GROUP BY split, cross_split_leaks
+        |ORDER BY split""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = docs.unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val split = graft.operators.Mixing.contentSplit(corpus, "text")
+        val leaks = split.groupBy("text")
+          .agg(countDistinct("split").as("__n"))
+          .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("cross_split_leaks"))
+        split.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("text").as("n_texts"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+    },
+
     // Vocabulary induction: top-K tokens by corpus frequency with
     // cumulative-coverage basis points — the table a tokenizer-prep
     // step reads to pick a vocab size (coverage knee) and that OOV

@@ -973,6 +973,33 @@ ORDER BY piece"""
         (tG, "gram_df", Seq("dg"))))
     },
 
+    // A/B exposure-conversion lift: md5-derandomized arms, strict
+    // order (a purchase before first view is not attributable — the
+    // q154 funnel rule), verdict cross-multiplied so the lift flag is
+    // pure integer arithmetic. One entity-keyed aggregate + a 1-row
+    // rollup — no window, no join.
+    sql("q166_ab_lift",
+      """WITH pe AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS fe,
+        |  max(CASE WHEN event_type = 'purchase' THEN ts END) AS lc
+        |  FROM events GROUP BY user_id HAVING fe IS NOT NULL),
+        |f AS (SELECT substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8' AS a,
+        |        (lc IS NOT NULL AND lc > fe) AS c FROM pe)
+        |SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN a AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN a AND c THEN 1 ELSE 0 END) * 1000000
+        |    // sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS rate_a_e6,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+        |  CAST(sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END) * 1000000
+        |    // sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS rate_b_e6,
+        |  sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END) * sum(CASE WHEN a THEN 1 ELSE 0 END) >
+        |  sum(CASE WHEN a AND c THEN 1 ELSE 0 END) * sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS b_lifts
+        |FROM f""".stripMargin) { (s, d) =>
+      graft.operators.Funnels.abLift(events(s, d), "user_id", "event_type",
+        "ts", exposureType = "view", conversionType = "purchase")
+    },
+
     // Top session paths: 30-minute sessions (the q31 rule), each
     // session's type sequence slides a 3-step window, corpus-wide
     // counts rank the top 16 — deterministic tie order everywhere.

@@ -126,4 +126,50 @@ object Funnels {
       .filter(col(typeCol) === conversionType)
       .select(col(entityCol), col(tsCol), col("first_touch"), col("last_touch"))
   }
+
+  /** A/B exposure-conversion lift, exact integers end to end: entities
+    * are derandomized into arms by an md5 bit of the entity key (the
+    * q69/q115 assignment convention — no RNG, stable under reruns and
+    * corpus growth), an entity is EXPOSED when it has an
+    * `exposureType` event, and CONVERTED when a `conversionType` event
+    * falls strictly after its first exposure (the strict-order funnel
+    * rule, q154 — a purchase before ever seeing the treatment is not
+    * attributable). One row out:
+    *
+    *   (n_a, conv_a, rate_a_e6, n_b, conv_b, rate_b_e6, b_lifts)
+    *
+    * with `b_lifts ⇔ conv_b·n_a > conv_a·n_b` — the rate comparison
+    * cross-multiplied so no division or float touches the verdict
+    * (the q149/q158 drift-gate arithmetic applied to experimentation).
+    *
+    * Scale shape: one entity-keyed aggregate over the events scan
+    * (min exposure ts and the conversion flag in the SAME pass via
+    * conditional aggregates re-checked against each other in a second
+    * map-side-combined pass — no window, no join), then a 2-row
+    * rollup. Statistical significance is the caller's layer; this is
+    * the exact counting machine under it.
+    */
+  def abLift(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, exposureType: String, conversionType: String): DataFrame = {
+    val perEntity = events
+      .groupBy(col(entityCol).as("__e"))
+      .agg(
+        min(when(col(typeCol) === exposureType, col(tsCol))).as("__first_exp"),
+        max(when(col(typeCol) === conversionType, col(tsCol))).as("__last_conv"))
+      .filter(col("__first_exp").isNotNull)
+      .select(
+        (substring(md5(col("__e").cast("string")), 1, 1) < "8").as("__a"),
+        (col("__last_conv").isNotNull &&
+          col("__last_conv") > col("__first_exp")).as("__c"))
+    perEntity.agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__a") && col("__c"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__a") && col("__c"), 1L).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"),
+        when(col("n_a") > 0, expr("(conv_a * 1000000) div n_a")).as("rate_a_e6"),
+        col("n_b"), col("conv_b"),
+        when(col("n_b") > 0, expr("(conv_b * 1000000) div n_b")).as("rate_b_e6"),
+        (col("conv_b") * col("n_a") > col("conv_a") * col("n_b")).as("b_lifts"))
+  }
 }

@@ -239,4 +239,21 @@ object Mixing {
             when(col("__i") - col("__j") <= col("__r"), lit(1L)).otherwise(lit(0L)))
           .as("alloc"))
   }
+
+  /** Leakage-safe train/valid/test split: the assignment hashes the
+    * CONTENT (md5 of `textCol`), not the document id, so byte-identical
+    * duplicates land in the SAME split by construction — the
+    * prevention counterpart of the q118 leakage MEASURE (an id-keyed
+    * split scatters a duplicated page across train and test, and the
+    * eval set silently memorizes). Same derandomized 2-hex-prefix gate
+    * as the q115 family ('00'..'0c' → test ≈ 5%, '0d'..'19' → valid,
+    * rest train): stateless per-row map, stable under retries and
+    * corpus growth, no RNG. Near-dups need the cluster-id variant
+    * (split on the q94 keeper label) — this is the exact-dup tier.
+    */
+  def contentSplit(docs: DataFrame, textCol: String): DataFrame = {
+    val h = substring(md5(col(textCol)), 1, 2)
+    docs.withColumn("split",
+      when(h < "0d", "test").when(h < "1a", "valid").otherwise("train"))
+  }
 }

@@ -75,4 +75,56 @@ object Search {
       .filter(col("n_terms") === qs.size)
       .select(col("id"), col("score"))
   }
+
+  /** Positional posting lists: one row per (term, id) with the SORTED
+    * token-position array — the layout phrase and proximity queries
+    * need, built like [[buildPostings]] (corpus tokenizes once, one
+    * (term, id)-keyed shuffle). Persist with [[writePostingsStore]]'s
+    * treatment when the index is long-lived.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase search: documents containing the token sequence
+    * `phrase` contiguously, with the occurrence count. A phrase starts
+    * at position p iff EVERY k-th phrase term has a posting at p + k,
+    * so the match is the intersection of the k-SHIFTED position lists
+    * — pure array arithmetic per candidate document, the classic
+    * positional-index algorithm (Manning/Raghavan/Schütze IR ch. 2)
+    * done relationally.
+    *
+    * Scale shape: the term filter lands during tokenization (before
+    * any shuffle — and as a pushed scan filter when probing a
+    * persisted positional store), so everything downstream is sized by
+    * the QUERY TERMS' postings, not the corpus: one (id, term)
+    * position-list aggregate, one id-keyed map assembly, a per-row
+    * intersection. No self-joins — a j-term phrase is j−1 shifted
+    * intersections inside one projection, not j−1 join stages.
+    * Repeated phrase terms are handled by construction (the same
+    * posting list intersects itself under different shifts).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val pos = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val byId = pos.groupBy("id", "term")
+      .agg(collect_list(col("pos")).as("ps"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("ps")))).as("m"))
+    val empty = typedlit(Seq.empty[Int])
+    val shifted = phrase.zipWithIndex.map { case (t, k) =>
+      transform(coalesce(element_at(col("m"), lit(t)), empty), p => p - lit(k))
+    }
+    byId
+      .select(col("id"),
+        size(shifted.reduce((a, b) => array_intersect(a, b)))
+          .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
 }

@@ -251,6 +251,59 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 4L), (3L, 3L)))
   }
 
+  test("phraseSearch: contiguity, repeated terms, overlaps, no self-joins") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat"),  // "the cat sat" ×2
+      (2L, "cat the sat"),                 // right terms, wrong order
+      (3L, "the cat"),                     // too short for the phrase
+      (4L, "a a a a"),                     // overlapping "a a a" → starts 0,1
+      (5L, "the cat nap sat")              // gap breaks contiguity
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Search
+      .phraseSearch(docs, "doc_id", "text", Seq("the", "cat", "sat"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)), s"only doc 1 matches, twice: $out")
+    // repeated-term phrase: the same posting list intersects itself
+    // under different shifts
+    val rep = graft.operators.Search
+      .phraseSearch(docs, "doc_id", "text", Seq("a", "a", "a"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((4L, 2L)), s"overlapping starts both count: $rep")
+    // scale-shape: the j-term phrase is ONE aggregate path, never a
+    // posting-list self-join
+    val plan = graft.operators.Search
+      .phraseSearch(docs, "doc_id", "text", Seq("the", "cat", "sat"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"phrase match must be join-free:\n$plan")
+  }
+
+  test("contentSplit co-locates byte-identical duplicates; abLift honors strict order") {
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other words"))
+      .toDF("doc_id", "text")
+    val splits = graft.operators.Mixing.contentSplit(dup, "text")
+      .groupBy("text").agg(countDistinct("split").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(splits.values.forall(_ == 1L), s"duplicates must share a split: $splits")
+
+    // abLift: u1 converts after view, u2 converts BEFORE first view
+    // (not attributable), u3 exposed never converts, u4 converts but
+    // was never exposed (excluded from both denominators)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 11:00:00")),
+      (2L, "purchase", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Funnels.abLift(ev, "user_id", "event_type", "ts",
+        "view", "purchase")
+      .as[(Long, Long, Option[Long], Long, Long, Option[Long], Boolean)].head()
+    // exposed entities: u1, u2, u3; converted: only u1
+    assert(r._1 + r._4 == 3L, s"three exposed users: $r")
+    assert(r._2 + r._5 == 1L, s"only the strict-order conversion counts: $r")
+  }
+
   test("postings store probe pushes the term filter into the scan") {
     val docs = Seq((1L, "cat dog"), (2L, "dog fish"), (3L, "cat fish"))
       .toDF("doc_id", "text")
