@@ -48,6 +48,65 @@ object CurationQueries {
           .orderBy("doc_id")
     },
 
+    // Admission waterfall: gopher → repetition → exact-dup in POLICY
+    // ORDER, every doc attributed to its first failing gate, zero-
+    // filled rows so a gate that rejects nothing still reports. The
+    // planted corpus makes every gate fire at every scale: %17 docs
+    // become a 1-word text (gopher), %13 docs a stopword-led spam run
+    // (passes gopher, trips the 0.2 trigram-dup bound), +1,000,000-id
+    // copies of the first 30 docs trip the keeper gate unless an
+    // earlier gate already claimed them — the attribution-order
+    // semantics under test.
+    sql("q170_admission_waterfall",
+      """WITH corpus0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'x'
+        |       WHEN doc_id % 13 = 0 THEN 'the spam spam spam spam spam spam spam spam spam spam spam'
+        |       ELSE text END AS text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM corpus0 UNION ALL
+        |           SELECT doc_id + 1000000, text FROM corpus0 WHERE doc_id < 30),
+        |t AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE [array_to_string(list_slice(toks, i, i+2), ' ') FOR i IN range(1, len(toks)-1)] END AS grams FROM t),
+        |g AS (SELECT t.doc_id,
+        |  (len(toks) BETWEEN 5 AND 100000
+        |   AND length(regexp_replace(text, '\s', '', 'g')) >= 2 * len(toks)
+        |   AND length(regexp_replace(text, '\s', '', 'g')) <= 12 * len(toks)
+        |   AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >= 1) AS g1,
+        |  (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) <= 0.2 AS g2
+        |  FROM t JOIN sh ON t.doc_id = sh.doc_id),
+        |k AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS g3 FROM corpus),
+        |w AS (SELECT CASE WHEN NOT g1 THEN 'gopher' WHEN NOT g2 THEN 'repetition'
+        |             WHEN NOT g3 THEN 'exact_dup' ELSE 'admitted' END AS gate
+        |      FROM g JOIN k USING (doc_id)),
+        |c AS (SELECT gate, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY gate),
+        |f AS (SELECT * FROM (VALUES (1, 'gopher'), (2, 'repetition'),
+        |                            (3, 'exact_dup'), (4, 'admitted')) AS v(stage, gate))
+        |SELECT CAST(stage AS BIGINT) AS stage, gate,
+        |  COALESCE(n, CAST(0 AS BIGINT)) AS n_docs
+        |FROM f LEFT JOIN c USING (gate) ORDER BY stage""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val spam =
+          "the spam spam spam spam spam spam spam spam spam spam spam"
+        val docs0 = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, lit("x"))
+            .when(col("doc_id") % 13 === 0, lit(spam))
+            .otherwise(col("text")).as("text"))
+        val corpus = docs0.unionByName(docs0.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val grams = graft.operators.Dedup.shingles(col("text"), 3)
+        val dupFrac = lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams).cast("double")
+        val prepared = corpus
+          .withColumn("__g1", TextFunctions.gopherKeep(col("text")))
+          .withColumn("__g2", dupFrac <= 0.2)
+          .withColumn("__g3",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))) === col("doc_id"))
+        graft.operators.Profiling.admissionWaterfall(prepared, Seq(
+          ("gopher", col("__g1")), ("repetition", col("__g2")),
+          ("exact_dup", col("__g3"))))
+    },
+
     // Gopher-rules quality gate: word-count window, mean-word-length
     // window as integer cross-multiplication, stopword presence.
     sql("q78_quality_gopher",

@@ -153,6 +153,27 @@ object DeltaQueries {
           .orderBy("vec_id")
     },
 
+    // Key-skew audit over the order fact's customer key: the heaviest
+    // 16 keys with exact e6 shares and running share, next to the
+    // key-space totals — the pre-flight table that decides salting /
+    // AQE-skew / broadcast BEFORE a join ships. TakeOrderedAndProject
+    // top-k; the ranking window runs over 16 rows, never the key space.
+    sql("q168_skew_audit",
+      """WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c QUALIFY rank <= 16)
+        |SELECT CAST(rank AS BIGINT) AS rank, CAST(k AS VARCHAR) AS key, cnt,
+        |  CAST((cnt * 1000000) // total_rows AS BIGINT) AS share_e6,
+        |  CAST((cum * 1000000) // total_rows AS BIGINT) AS cum_share_e6,
+        |  total_rows, n_keys
+        |FROM r CROSS JOIN t ORDER BY rank""".stripMargin) { (s, d) =>
+      graft.operators.Profiling.skewAudit(orders(s, d), "o_custkey", topK = 16)
+        .orderBy("rank")
+    },
+
     // One-pass column profiling of the 4 numeric lineitem measures —
     // the per-table QA drop gate (stack unpivots the single agg row).
     sql("q104_table_profile",

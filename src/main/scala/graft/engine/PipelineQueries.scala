@@ -138,6 +138,37 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // Multi-probe sign-LSH: q42's probe widened to the bits+1 buckets
+    // within Hamming distance 1 of the query's — the recall of extra
+    // hash tables without duplicating the index. Same bit arithmetic,
+    // so the oracle mirrors the probe set exactly (xor per flipped
+    // bit) and the hash pins candidate generation + exact rerank.
+    sql("q169_ann_multiprobe",
+      """WITH kb AS (
+        | SELECT vec_id, embedding,
+        |  list_sum(list_transform(range(6),
+        |    i -> CASE WHEN embedding[CAST(i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
+        | FROM embeddings),
+        |pr AS (
+        | SELECT vec_id AS qid, embedding AS qe,
+        |  unnest(list_prepend(key, [xor(key, 1 << i) FOR i IN range(6)])) AS pkey
+        | FROM kb WHERE vec_id < 10),
+        |s AS (
+        | SELECT pr.qid, c.vec_id AS cid,
+        |  list_cosine_similarity(pr.qe::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        | FROM pr JOIN kb c ON c.key = pr.pkey AND c.vec_id <> pr.qid)
+        |SELECT qid, cid, round(sim, 4) AS sim, rn FROM (
+        | SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        | FROM s) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity.annSignLshMultiProbe(emb, emb.filter(col("vec_id") < 10),
+          k = 5, bits = 6)
+        .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
     // IVF is SQL-expressible too: centroids are elementwise per-label
     // means (parallel unnest zips value with position), probes the
     // nprobe nearest centroids, exact cosine within probed lists.

@@ -176,6 +176,56 @@ object SplitQueries {
           .orderBy("split")
     },
 
+    // NEAR-dup-cluster-safe split: the q165 content key lifted to the
+    // cluster tier — planted noisy copies (+1M, and +2M CHAINED via a
+    // copy-to-copy pair, exercising the transitive CC) must land in
+    // their original's split. The pair graph is the caller's detector
+    // output (planted here, so the oracle knows every cluster exactly:
+    // keeper = doc_id mod 1,000,000); split counts, cluster counts,
+    // and the straddle count (pinned 0) replay in SQL.
+    sql("q171_cluster_split",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM base WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 2000000, text || ' x y' FROM base WHERE doc_id < 10),
+        |cl AS (SELECT doc_id, doc_id % 1000000 AS cluster FROM corpus),
+        |s AS (SELECT doc_id, cluster,
+        |        CASE WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < '0d' THEN 'test'
+        |             WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < '1a' THEN 'valid'
+        |             ELSE 'train' END AS split FROM cl),
+        |leak AS (SELECT CAST(count(*) FILTER (n > 1) AS BIGINT) AS straddling_clusters
+        |         FROM (SELECT cluster, count(DISTINCT split) AS n FROM s GROUP BY cluster))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters, straddling_clusters
+        |FROM s CROSS JOIN leak GROUP BY split, straddling_clusters
+        |ORDER BY split""".stripMargin) {
+      (s, d) =>
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionByName(base.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" x")).as("text")))
+          .unionByName(base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" x y")).as("text")))
+        // the detector's pair output, planted: original↔copy for 30,
+        // copy↔second-copy for 10 (keeper only reachable transitively)
+        val pairs = base.filter(col("doc_id") < 30)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1000000L).as("id2"))
+          .unionByName(base.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000L).as("id1"),
+              (col("doc_id") + 2000000L).as("id2")))
+        val split = graft.operators.Mixing.clusterSafeSplit(corpus, "doc_id", pairs)
+        val leaks = split.groupBy("cluster")
+          .agg(countDistinct("split").as("__n"))
+          .agg(sum(when(col("__n") > 1, 1L).otherwise(0L)).as("straddling_clusters"))
+        split.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster").as("n_clusters"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+    },
+
     // Vocabulary induction: top-K tokens by corpus frequency with
     // cumulative-coverage basis points — the table a tokenizer-prep
     // step reads to pick a vocab size (coverage knee) and that OOV

@@ -256,4 +256,34 @@ object Mixing {
     docs.withColumn("split",
       when(h < "0d", "test").when(h < "1a", "valid").otherwise("train"))
   }
+
+  /** NEAR-dup-safe split — the cluster tier above [[contentSplit]]:
+    * the split key is the connected-component KEEPER over a supplied
+    * near-dup pair graph (whatever detector produced it — MinHash
+    * candidates, SemDeDup flags, embedding pairs), so every member of
+    * a near-dup cluster lands in the same split and a paraphrased test
+    * document cannot leak its train twin. Pairs stay the caller's
+    * contract on purpose: the detector's thresholds are policy, and
+    * this operator must not re-run an LSH pass a pipeline already paid
+    * for. Docs untouched by any pair are their own singleton cluster.
+    * Assignment is the q115 derandomized 2-hex-prefix gate on the
+    * cluster id — stable under retries and corpus growth.
+    *
+    * Scale shape: CC runs on the PAIR graph (orders of magnitude
+    * smaller than the corpus — [[Dedup.nearDupKeeperLabels]]'s pointer
+    * jumping, O(log diameter) rounds); the corpus is touched by one
+    * left join against the label table and a stateless projection.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = graft.operators.Dedup.nearDupKeeperLabels(pairs)
+      .select(col("id").as("__lid"), col("lab").as("__lab"))
+    val clustered = docs
+      .join(labels, docs(idCol) === labels("__lid"), "left")
+      .withColumn("cluster", coalesce(col("__lab"), col(idCol)))
+      .drop("__lid", "__lab")
+    val h = substring(md5(col("cluster").cast("string")), 1, 2)
+    clustered.withColumn("split",
+      when(h < "0d", "test").when(h < "1a", "valid").otherwise("train"))
+  }
 }

@@ -287,4 +287,80 @@ object Profiling {
   def numericProfileApprox(df: DataFrame, cols: Seq[String],
       rsd: Double = 0.05): DataFrame =
     profileWith(df, cols, approx_count_distinct(_, rsd), "n_distinct_approx")
+
+  /** Ordered admission waterfall — the ingest dashboard that says WHY
+    * documents were rejected, not just how many: every doc is
+    * attributed to the FIRST gate whose predicate it fails (gates
+    * evaluated in the given order — the order IS the policy, since a
+    * spammy too-short doc counts against the gate that ran first), and
+    * the output is one row per gate plus the final `admitted` row,
+    * zero-filled so a gate that rejected nothing still reports (a
+    * silently vanishing gate row is how a disabled filter goes
+    * unnoticed for a quarter).
+    *
+    * Gate predicates are ordinary boolean Columns over `docs` —
+    * per-row gates (length, quality, repetition) come straight from
+    * TextFunctions; corpus-relative gates (dup-keeper, novelty) are
+    * precomputed columns the caller attaches first. One projection +
+    * one |gates|-sized aggregate: the corpus is scanned once however
+    * many gates run.
+    */
+  def admissionWaterfall(docs: DataFrame,
+      gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    require(gates.map(_._1).distinct.size == gates.size &&
+      !gates.exists(_._1 == "admitted"), "gate names must be unique, not 'admitted'")
+    val verdict = gates.tail.foldLeft(
+      when(!gates.head._2, lit(gates.head._1))) {
+        case (acc, (n, p)) => acc.when(!p, lit(n))
+      }.otherwise(lit("admitted"))
+    val counts = docs.select(verdict.as("gate"))
+      .groupBy("gate").agg(count(lit(1)).as("__n"))
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val order = (gates.map(_._1) :+ "admitted").zipWithIndex.map {
+      case (g, i) => org.apache.spark.sql.Row((i + 1).toLong, g)
+    }
+    val frame = spark.createDataFrame(java.util.Arrays.asList(order: _*),
+      StructType(Seq(StructField("stage", LongType, nullable = false),
+        StructField("gate", StringType, nullable = false))))
+    frame.join(counts, Seq("gate"), "left")
+      .select(col("stage"), col("gate"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"))
+      .orderBy("stage")
+  }
+
+  /** Key-skew audit — the pre-flight check for any join or aggregation
+    * key at 100 TB: the heaviest `topK` keys with their exact row
+    * shares and the running share (in e6), next to the key-space
+    * totals. A key whose share dwarfs 1/shuffle-partitions is the one
+    * that hot-spots a task; this table is what decides between
+    * salting, AQE skew-join, or a broadcast redesign BEFORE the job
+    * ships, instead of from its straggler graph after.
+    *
+    * Scale shape: one map-side-combined count per key, a
+    * TakeOrderedAndProject top-k (never a global sort), one 3-number
+    * rollup broadcast back. The ranking window runs AFTER the limit —
+    * over k rows, not the key space (the q116 banded-ranking concern
+    * does not arise because the heavy tail is cut first).
+    */
+  def skewAudit(df: DataFrame, keyCol: String, topK: Int = 16): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("__k"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("__k"))
+      .rowsBetween(Long.MinValue, 0)
+    counts.orderBy(col("cnt").desc, col("__k")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .select(row_number().over(w).cast("long").as("rank"),
+        col("__k").cast("string").as("key"), col("cnt"),
+        expr("(cnt * 1000000) div total_rows").as("share_e6"),
+        expr("(__cum * 1000000) div total_rows").as("cum_share_e6"),
+        col("total_rows"), col("n_keys"))
+  }
 }

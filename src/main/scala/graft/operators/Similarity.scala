@@ -66,6 +66,39 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Multi-probe sign-LSH ANN (the Lv et al., VLDB 2007 idea applied
+    * to the sign-bucket family): each query probes its OWN bucket plus
+    * every Hamming-1 neighbor (one sign flip), recovering most of the
+    * recall that extra hash tables would buy WITHOUT duplicating the
+    * corpus index — the classic trade when the index dominates storage
+    * at 100 TB. A query fans out to bits+1 probe rows; the corpus side
+    * is bucketed once and joined once (probe buckets are distinct
+    * values, so a candidate matches at most one probe — no dedup
+    * stage). Exact cosine ranks within the probed candidates, same
+    * output shape as [[annSignLsh]] (its strict superset of
+    * candidates: a near-identical vector whose single boundary
+    * dimension flipped sign is exactly what the single probe misses).
+    */
+  def annSignLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && bits >= 1 && bits <= 62, "need k >= 1, bits in [1,62]")
+    val probes = array(col("__b0") +:
+      (0 until bits).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"), signBucket(col(vecCol), bits).as("__b0"))
+      .select(col("qid"), col("qv"), col("qn"), explode(probes).as("bucket"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), signBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Embedding near-dup at 100-TB scale: sign-LSH bucketing generates
     * candidate pairs, exact cosine verifies them at `threshold`.
     * Output: (id1, id2, sim), id1 < id2 — the same shape as the exact

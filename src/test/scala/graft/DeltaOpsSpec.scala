@@ -293,4 +293,35 @@ class DeltaOpsSpec extends SparkSpec {
     // the data really exercises the zero-fill arm
     assert(longForm.exists(_._3 == 0L), "expected at least one absent (source, lang) combo")
   }
+
+  test("clusterSafeSplit: transitive cluster members share the keeper's split") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"))
+      .toDF("doc_id", "text")
+    // chain 1–2–3 (3 reachable only transitively), 10 and 11 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val out = graft.operators.Mixing.clusterSafeSplit(docs, "doc_id", pairs)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 11L)))
+    val splits = out.map(r => r._1 -> r._3).toMap
+    assert(splits(2L) == splits(1L) && splits(3L) == splits(1L),
+      s"chained members must share the keeper's split: $splits")
+  }
+
+  test("admissionWaterfall: first-failing-gate attribution and zero-filled gates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, false, true),   // fails gate A
+      (2L, false, false),  // fails BOTH → attributed to A (first)
+      (3L, true, false),   // fails gate B
+      (4L, true, true)     // admitted
+    ).toDF("id", "ga", "gb")
+    val out = graft.operators.Profiling.admissionWaterfall(docs,
+        Seq(("a", col("ga")), ("b", col("gb")), ("never", lit(true))))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 2L), (2L, "b", 1L), (3L, "never", 0L),
+      (4L, "admitted", 1L)))
+  }
 }

@@ -403,6 +403,43 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.nonEmpty && ann(0).getLong(1) === brute)
   }
 
+  test("multi-probe sign-LSH finds the Hamming-1 neighbor the single probe misses") {
+    import spark.implicits._
+    // query: strongly positive in all 4 bucketed dims; planted near-
+    // identical neighbor has dim 0 JUST below zero — cosine ~0.97 but a
+    // different sign bucket (bit 0 flipped), plus a decoy in the
+    // query's own bucket at lower cosine
+    val q = Seq((0L, Array(0.2f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.2f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(-0.01f, 1.0f, 1.0f, 1.0f)),  // boundary flip: best true neighbor
+      (2L, Array(1.0f, 0.6f, 0.6f, 0.6f))     // same bucket as query, worse cosine
+    ).toDF("vec_id", "embedding")
+    val single = Similarity.annSignLsh(corpus, q, k = 1, bits = 4)
+      .collect().map(_.getLong(1)).toSeq
+    val multi = Similarity.annSignLshMultiProbe(corpus, q, k = 1, bits = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(single == Seq(2L), s"single probe is bucket-blind to the flip: $single")
+    assert(multi == Seq(1L), s"multi-probe must recover the true neighbor: $multi")
+  }
+
+  test("skewAudit: exact shares, running share, TakeOrdered top-k (no global sort)") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("c1", "c2", "c3"))
+      .toDF("k")
+    val out = graft.operators.Profiling.skewAudit(df, "k", topK = 3)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "hot", 6L, 500000L, 500000L, 12L, 5L),
+      (2L, "warm", 3L, 250000L, 750000L, 12L, 5L),
+      (3L, "c1", 1L, 83333L, 833333L, 12L, 5L)))
+    // the top-k must be TakeOrderedAndProject, never a global sort of
+    // the key space
+    val plan = graft.operators.Profiling.skewAudit(df, "k", topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
   test("nearDupesAnn: planted near-dups found, every pair verified exact, hot buckets capped") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
