@@ -379,6 +379,38 @@ object DeltaQueries {
         Sampling.epochShards(documents(s, d), "doc_id", nShards = 8)
           .select(col("doc_id"), col("h_lcg"), col("shard"), col("pos"))
           .orderBy("doc_id")
+    },
+
+    // Contrastive negative sampling over the q103 permutation ring:
+    // each anchor's 4 negatives are its next ring neighbors in-shard
+    // (wrap), dropping self and byte-identical twins — deterministic,
+    // replayed end to end (LCG, shard, window, modular target, digest
+    // skip). Planted +1M duplicate copies exercise the skip arm.
+    sql("q172_contrastive_negatives",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id < 30),
+        |h AS (SELECT doc_id, text,
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h_lcg FROM corpus),
+        |p AS (SELECT doc_id, md5(text) AS dg, h_lcg, CAST(h_lcg % 8 AS INT) AS shard,
+        |        CAST(row_number() OVER (PARTITION BY CAST(h_lcg % 8 AS INT) ORDER BY h_lcg, doc_id) AS BIGINT) AS pos
+        |      FROM h),
+        |n AS (SELECT shard, CAST(count(*) AS BIGINT) AS sn FROM p GROUP BY shard),
+        |a AS (SELECT p.shard, p.doc_id AS anchor_id, p.pos, p.dg AS adg, n.sn,
+        |        unnest(range(1, 5)) AS neg_rank
+        |      FROM p JOIN n USING (shard)),
+        |t AS (SELECT shard, anchor_id, adg, CAST(neg_rank AS BIGINT) AS neg_rank,
+        |        (pos - 1 + neg_rank) % sn + 1 AS tpos FROM a)
+        |SELECT anchor_id, neg_rank, c.doc_id AS neg_id
+        |FROM t JOIN p c ON c.shard = t.shard AND c.pos = t.tpos
+        |WHERE c.doc_id <> anchor_id AND c.dg <> adg
+        |ORDER BY anchor_id, neg_rank""".stripMargin) {
+      (s, d) =>
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Sampling.contrastiveNegatives(corpus, "doc_id", "text", k = 4, nShards = 8)
+          .orderBy("anchor_id", "neg_rank")
     }
   )
 }

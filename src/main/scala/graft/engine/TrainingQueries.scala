@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.operators.Dedup
 
 /** Training-data curation operators beyond dedup/similarity: benchmark
@@ -154,6 +155,76 @@ object TrainingQueries {
         c.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
           .orderBy("lang", "rn")
+    },
+
+    // ASCII-tier text normalization: controls → spaces, whitespace
+    // collapse, trim, ASCII lowercase — the canonical form dedup keys
+    // on. Planted %9 suffix carries tabs, a control byte, mixed case,
+    // and a space run, so every rule fires; unplanted docs pin the
+    // changed=false arm (the corpus is already single-spaced).
+    sql("q173_normalize_text",
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0
+        |       THEN text || chr(9) || chr(9) || ' MiXeD   CASE ' || chr(1)
+        |       ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm
+        |  FROM corpus)
+        |SELECT doc_id, norm, norm <> text AS changed,
+        |  CAST(length(text) - length(norm) AS BIGINT) AS n_chars_removed
+        |FROM n ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit("\t\t MiXeD   CASE ")))
+            .otherwise(col("text")).as("text"))
+        corpus.select(col("doc_id"),
+            TextFunctions.normalizeAscii(col("text")).as("norm"),
+            (TextFunctions.normalizeAscii(col("text")) =!= col("text")).as("changed"),
+            (length(col("text")) - length(TextFunctions.normalizeAscii(col("text"))))
+              .cast("long").as("n_chars_removed"))
+          .orderBy("doc_id")
+    },
+
+    // Luhn-checked card-number scan — the precision tier above q71's
+    // shape masks: 13–19 digit tokens are candidates, the mod-10
+    // checksum separates real card shapes from arbitrary digit runs.
+    // Planted: %19 docs carry TWO valid test numbers, %23 docs one
+    // checksum-failing twin — counted apart.
+    sql("q174_card_scan",
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN text || ' 4111111111111111 4111111111111111'
+        |       WHEN doc_id % 23 = 0 THEN text || ' 4111111111111112'
+        |       ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS i FROM (
+        |          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS l FROM corpus)),
+        |c AS (SELECT doc_id, t, i FROM tok WHERE regexp_matches(t, '^[0-9]{13,19}$')),
+        |kd AS (SELECT doc_id, t, i, k,
+        |         CAST(substr(t, length(t) - CAST(k AS INT), 1) AS INT) AS dig
+        |       FROM (SELECT doc_id, t, i, unnest(range(0, length(t))) AS k FROM c)),
+        |ds AS (SELECT doc_id, t, i,
+        |         sum(CASE WHEN k % 2 = 1
+        |               THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9 ELSE dig * 2 END
+        |               ELSE dig END) AS s
+        |       FROM kd GROUP BY doc_id, t, i)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+        |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 19 === 0,
+            concat(col("text"), lit(" 4111111111111111 4111111111111111")))
+            .when(col("doc_id") % 23 === 0,
+              concat(col("text"), lit(" 4111111111111112")))
+            .otherwise(col("text")).as("text"))
+        corpus.select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .filter(col("tok").rlike("^[0-9]{13,19}$"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(TextFunctions.luhnValid(col("tok")), 1L).otherwise(0L))
+              .as("n_luhn_valid"))
+          .orderBy("doc_id")
     }
   )
 }

@@ -254,4 +254,36 @@ object TextFunctions {
         when(size(acc) > 0 && element_at(acc, -1) === lit(lhs) && x === lit(rhs),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
           .otherwise(concat(acc, array(x))))
+
+  /** Luhn checksum validity of an all-digit token (the mod-10 check
+    * every payment-card number passes) — the high-precision tier of
+    * PII detection above q71's shape regexes: a 16-digit token that
+    * ALSO passes Luhn is a card number with ~10× fewer false positives
+    * than the shape alone. Pure integer HOF arithmetic (digits
+    * right-to-left, every second doubled, >9 folds by −9), identical
+    * in any engine.
+    */
+  def luhnValid(tok: Column): Column = {
+    val rev = reverse(filter(split(tok, ""), c => c =!= lit("")))
+    val total = aggregate(
+      zip_with(rev, sequence(lit(0), size(rev) - 1), (c, k) => {
+        val d = c.cast("int")
+        val dd = when(k % 2 === 1, d * 2).otherwise(d)
+        when(dd > 9, dd - 9).otherwise(dd)
+      }),
+      lit(0), (a, x) => a + x)
+    total % 10 === 0
+  }
+
+  /** ASCII-tier deterministic text normalization: control characters
+    * become spaces, whitespace runs collapse, ends trim, ASCII
+    * lowercase — the canonical form digest/dedup layers key on when
+    * crawls disagree about formatting. Deliberately NOT full-Unicode
+    * case folding (Java's ß→ss / Turkish İ rules diverge from simple
+    * SQL lower(), the r7 upper() lesson); on ASCII the two agree
+    * byte-for-byte, which is what keeps this cross-engine exact.
+    */
+  def normalizeAscii(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")))
 }

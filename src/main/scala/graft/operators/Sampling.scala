@@ -223,4 +223,47 @@ object Sampling {
       .withColumn("shard", (col("h_lcg") % nShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Deterministic in-batch negative sampling for contrastive
+    * training: every anchor's k negatives are the NEXT k documents in
+    * its [[epochShards]] permutation ring (wrapping), skipping itself
+    * and any byte-identical duplicate of the anchor (a "negative" that
+    * IS the anchor's text is a false negative — the standard
+    * contrastive-pair hygiene rule; near-dup hygiene composes by
+    * pre-filtering the corpus or joining cluster labels instead of the
+    * digest). The LCG permutation already mixes ids, so ring neighbors
+    * are corpus-random yet fully replayable — no RNG, stable across
+    * retries, and a new epoch is a different `epoch`-salted permutation
+    * upstream (the q103 contract).
+    *
+    * Dropped collisions are NOT redrawn: an anchor next to a duplicate
+    * emits k−1 rows for that rank rather than sampling again (redraw
+    * chains are where determinism dies); callers needing exactly k
+    * oversample with a larger k.
+    *
+    * Scale shape: one permutation window per shard (the q103 shape),
+    * one shard-size rollup broadcast back, one co-keyed (shard, pos)
+    * equi-join — anchors explode ×k but both join sides arrive
+    * partitioned by the same key.
+    */
+  def contrastiveNegatives(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nShards: Int = 8): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val s = epochShards(docs, idCol, nShards)
+      .join(docs.select(col(idCol), md5(col(textCol)).as("__dg")), Seq(idCol))
+    val sizes = s.groupBy("shard").agg(count(lit(1)).as("__n"))
+    val anchors = s.join(broadcast(sizes), Seq("shard"))
+      .select(col("shard"), col(idCol).as("anchor_id"), col("pos"),
+        col("__n"), col("__dg").as("__adg"),
+        explode(sequence(lit(1), lit(k))).as("neg_rank"))
+      .withColumn("__tpos",
+        (col("pos") - 1 + col("neg_rank")) % col("__n") + 1)
+    val cands = s.select(col("shard"), col("pos").as("__tpos"),
+      col(idCol).as("neg_id"), col("__dg").as("__cdg"))
+    anchors.join(cands, Seq("shard", "__tpos"))
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("__cdg") =!= col("__adg"))
+      .select(col("anchor_id"), col("neg_rank").cast("long").as("neg_rank"),
+        col("neg_id"))
+  }
 }

@@ -347,4 +347,27 @@ class FunctionsSpec extends SparkSpec {
       conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
+
+  test("luhnValid: classic card test numbers pass, off-by-one twins fail") {
+    import spark.implicits._
+    val out = Seq("4111111111111111", "4111111111111112", "79927398713",
+        "79927398710", "0000000000000")
+      .toDF("tok")
+      .select(graft.functions.TextFunctions.luhnValid(col("tok")))
+      .as[Boolean].collect().toSeq
+    // 4111... is the canonical Visa test number; 79927398713 the
+    // textbook Luhn example; all-zeros sums to 0 mod 10 (valid shape)
+    assert(out == Seq(true, false, true, false, true))
+  }
+
+  test("normalizeAscii: controls, runs, trim, lowercase — idempotent") {
+    import spark.implicits._
+    val f = graft.functions.TextFunctions.normalizeAscii _
+    val out = Seq("  A\tB\u0001C  ", "already normal", "MiXeD   CaSe")
+      .toDF("t").select(f(col("t")).as("n")).as[String].collect().toSeq
+    assert(out == Seq("a b c", "already normal", "mixed case"))
+    val idem = Seq("  A\tB\u0001C  ").toDF("t")
+      .select(f(f(col("t")))).as[String].head()
+    assert(idem == "a b c", "normalization must be a fixpoint")
+  }
 }
