@@ -668,10 +668,12 @@ class WarehouseOpsSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val src = MemoryStream[FunnelEvent]
+      val cp = tmpDir("funnel_exp_cp")
       val q = graft.streaming.EventStreams
         .funnelStreamExpiring(src.toDS(), Seq("view", "click", "purchase"),
           horizonMs = 3600L * 1000L) // 1h stall horizon
         .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", cp)
         .queryName("funnel_exp_out").start()
       try {
         // user 1 completes inside the horizon; user 2 stalls at view
@@ -707,6 +709,17 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(u2.last._4 == ts("2024-01-01 11:00:00"))
       // no expiry for the completed user or the in-horizon user 9
       assert(!rows.exists(r => r._1 != 2L && r._3 == "expired"))
+      // state size is BOUNDED: read the store itself — only the users
+      // still inside an open funnel hold a row (9 active at depth 2,
+      // and 1's restarted journey at depth 1); completed-then-idle and
+      // expired users were cleared, where the plain funnelStream keeps
+      // one row per user forever
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "funnel_t")
+        .load(cp)
+      val liveKeys = state.select("key.*").collect().map(_.getLong(0)).toSet
+      assert(liveKeys == Set(1L, 9L),
+        s"state must hold only open funnels: $liveKeys")
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
