@@ -113,10 +113,25 @@ object Search {
     val pos = docs.select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term").isin(phrase.distinct: _*))
-    val byId = pos.groupBy("id", "term")
-      .agg(collect_list(col("pos")).as("ps"))
+      .groupBy("id", "term")
+      .agg(collect_list(col("pos")).as("positions"))
+    phraseSearchFromPostings(pos, phrase)
+  }
+
+  /** [[phraseSearch]] against a prebuilt positional index — the
+    * production probe: over a [[writePostingsStore]]-persisted
+    * [[positionalPostings]] table the term filter is a PUSHED scan
+    * predicate (bucket-pruned on term), so the query reads only the
+    * phrase terms' posting rows from a corpus-sized index.
+    */
+  def phraseSearchFromPostings(positional: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val byId = positional
+      .filter(col("term").isin(phrase.distinct: _*))
       .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("ps")))).as("m"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("m"))
     val empty = typedlit(Seq.empty[Int])
     val shifted = phrase.zipWithIndex.map { case (t, k) =>
       transform(coalesce(element_at(col("m"), lit(t)), empty), p => p - lit(k))

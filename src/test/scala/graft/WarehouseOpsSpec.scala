@@ -277,6 +277,26 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"phrase match must be join-free:\n$plan")
   }
 
+  test("phrase probe from the persisted positional store: pushed term filter, identical results") {
+    val docs = Seq((1L, "the cat sat on the cat sat"), (2L, "cat the sat"),
+      (3L, "dog dog the cat sat")).toDF("doc_id", "text")
+    val dir = tmpDir("pos-store")
+    spark.sql("DROP TABLE IF EXISTS graft_test_positional")
+    Search.writePostingsStore(
+      Search.positionalPostings(docs, "doc_id", "text"),
+      "graft_test_positional", s"$dir/pos", buckets = 4)
+    val q = Search.phraseSearchFromPostings(
+      Search.postingsStore(spark, "graft_test_positional"),
+      Seq("the", "cat", "sat"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter not pushed into the positional scan:\n$plan")
+    val inline = Search.phraseSearch(docs, "doc_id", "text", Seq("the", "cat", "sat"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(q.orderBy("id").as[(Long, Long)].collect().toSeq == inline &&
+      inline == Seq((1L, 2L), (3L, 1L)))
+  }
+
   test("contentSplit co-locates byte-identical duplicates; abLift honors strict order") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other words"))
       .toDF("doc_id", "text")
