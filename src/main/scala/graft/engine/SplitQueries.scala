@@ -181,14 +181,19 @@ object SplitQueries {
     // copy-to-copy pair, exercising the transitive CC) must land in
     // their original's split. The pair graph is the caller's detector
     // output (planted here, so the oracle knows every cluster exactly:
-    // keeper = doc_id mod 1,000,000); split counts, cluster counts,
-    // and the straddle count (pinned 0) replay in SQL.
+    // keeper = planted id minus its offset — NOT a blanket mod, which
+    // the 10× sweep caught mis-clustering ScaleGen's 10⁷-strided
+    // organic ids); split counts, cluster counts, and the straddle
+    // count (pinned 0) replay in SQL.
     sql("q171_cluster_split",
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base
         |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM base WHERE doc_id < 30
         |  UNION ALL SELECT doc_id + 2000000, text || ' x y' FROM base WHERE doc_id < 10),
-        |cl AS (SELECT doc_id, doc_id % 1000000 AS cluster FROM corpus),
+        |cl AS (SELECT doc_id,
+        |  CASE WHEN doc_id BETWEEN 1000000 AND 1000029 THEN doc_id - 1000000
+        |       WHEN doc_id BETWEEN 2000000 AND 2000009 THEN doc_id - 2000000
+        |       ELSE doc_id END AS cluster FROM corpus),
         |s AS (SELECT doc_id, cluster,
         |        CASE WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < '0d' THEN 'test'
         |             WHEN substr(md5(CAST(cluster AS VARCHAR)),1,2) < '1a' THEN 'valid'
