@@ -64,6 +64,64 @@ object CorpusQueries {
           .orderBy("doc_id")
     },
 
+    // End-to-end RAG retrieval flow — chunk → BM25 over CHUNKS →
+    // per-doc diversity cap (max 2 chunks/doc, the practical rule that
+    // stops one long document from filling the context window) →
+    // global top-12. Composes q72's chunking and q84's BM25 with the
+    // skew-audit's rank-after-cut shape: the global ranking window
+    // runs on the capped candidate set after a TakeOrdered cut, never
+    // the chunk corpus. The oracle replays every stage.
+    sql("q175_rag_retrieve",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |tokp AS (SELECT doc_id, unnest([{'p': p, 'tok': toks[p]} FOR p IN range(1, len(toks)+1)], recursive := true) FROM t),
+        |ch AS (SELECT doc_id, (p-1)//50 AS chunk_id, string_agg(tok, ' ' ORDER BY p) AS chunk_text
+        |       FROM tokp GROUP BY doc_id, chunk_id),
+        |c AS (SELECT doc_id, chunk_id, list_filter(string_split_regex(trim(chunk_text), '\s+'), x -> x <> '') AS toks FROM ch),
+        |s AS (SELECT doc_id, chunk_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |        CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf1,
+        |        CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |        CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3 FROM c),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |        CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |        CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |        CAST(sum(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM s),
+        |sc AS (SELECT doc_id, chunk_id,
+        |  (CASE WHEN tf1>0 THEN ln(1.0+(n-df1+0.5)/(df1+0.5)) * tf1*2.2/(tf1 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END +
+        |   CASE WHEN tf2>0 THEN ln(1.0+(n-df2+0.5)/(df2+0.5)) * tf2*2.2/(tf2 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END +
+        |   CASE WHEN tf3>0 THEN ln(1.0+(n-df3+0.5)/(df3+0.5)) * tf3*2.2/(tf3 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END) AS score
+        |  FROM s CROSS JOIN g WHERE tf1>0 OR tf2>0 OR tf3>0),
+        |cap AS (SELECT doc_id, chunk_id, score,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, chunk_id) AS dr
+        |        FROM sc QUALIFY dr <= 2),
+        |top AS (SELECT doc_id, chunk_id, score,
+        |          row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rank
+        |        FROM cap QUALIFY rank <= 12)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(floor(score * 10000.0) AS BIGINT) AS bm25_e4
+        |FROM top ORDER BY rank""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val chunks = TextOps.chunkTokens(documents(s, d), "doc_id", "text", 50)
+          .select((col("id") * 100000L + col("chunk_id")).as("ck"),
+            col("chunk_text"))
+        val scored = TextOps.bm25(chunks, "ck", "chunk_text",
+            terms = Seq("table", "query", "stream"), k1 = 1.2, b = 0.75)
+          .select(expr("id div 100000").as("doc_id"),
+            pmod(col("id"), lit(100000L)).as("chunk_id"), col("score"))
+        val perDoc = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("chunk_id"))
+        val capped = scored
+          .withColumn("__dr", row_number().over(perDoc))
+          .filter(col("__dr") <= 2)
+          .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+          .limit(12)
+        val rankW = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+        capped.withColumn("rank", row_number().over(rankW).cast("long"))
+          .select(col("rank"), col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            floor(col("score") * 10000.0).cast("long").as("bm25_e4"))
+          .orderBy("rank")
+    },
+
     // DSIR importance weights: target slice = lang 'en'; 256 md5
     // feature buckets; per-bucket log-ratio pre-floored to micro-units
     // so document scores are exact integers.
