@@ -124,6 +124,30 @@ object Stores {
     stores.map { case (table, name, keys) => auditStore(spark, table, name, keys) }
       .reduce(_ unionByName _).orderBy("store")
 
+  /** Wave-gap audit over a batch_id-landed directory store (the
+    * ivfPqMaintainStream / scd2Stream / sketch-store layout): batch
+    * ids present, the contiguous range they should span, and the
+    * MISSING ids inside it — a gap means a wave's landing was lost
+    * after its offsets committed (the at-least-once window every
+    * idempotent-landing store tolerates but an operator must notice
+    * and replay). Directory listing only, no data scan.
+    */
+  def waveGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch_id=").toLong).toOption)
+      .sorted
+    val missing =
+      if (ids.isEmpty) Seq.empty[Long]
+      else (ids.head to ids.last).filterNot(ids.toSet)
+    import spark.implicits._
+    Seq((ids.length.toLong,
+      if (ids.isEmpty) -1L else ids.head,
+      if (ids.isEmpty) -1L else ids.last,
+      missing))
+      .toDF("n_waves", "first_batch", "last_batch", "missing_batches")
+  }
+
   /** Layout-only staleness (NO data scan — file metadata alone): file
     * and bucket counts, wave depth, and the newest file's modification
     * time, the freshness signal an ops dashboard alerts on when a

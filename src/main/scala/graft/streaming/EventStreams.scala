@@ -21,6 +21,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Trending terms: per event-time window, token counts over a
+    * streaming document feed — the continuous twin of the q70/q116
+    * vocabulary statistics. Emits (window_start, term, n) in APPEND
+    * mode as windows close under the watermark; the top-k cut belongs
+    * on the READ side ([[topTermsPerWindow]]) because a streaming
+    * global rank per window would hold the whole open-window vocab in
+    * state — counts are mergeable, ranks are not (the q116 banded-
+    * ranking concern, streaming edition).
+    *
+    * Scale shape: tokenize → explode → watermarked windowed hash agg,
+    * partial-aggregated map-side; state is |open windows| × |active
+    * vocab| count rows, bounded by the watermark horizon.
+    */
+  def trendingTermsStream(docs: DataFrame, tsCol: String, textCol: String,
+      window_ : String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
+  /** Deterministic top-k per closed window over
+    * [[trendingTermsStream]]'s landed rows — (n DESC, term) total
+    * order, rank window partitioned by window_start (bounded by the
+    * per-window vocab, already aggregated).
+    */
+  def topTermsPerWindow(landed: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("term"))
+    landed.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Tumbling-window counts/sums with late-data drop. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "30 minutes"): DataFrame =

@@ -427,6 +427,19 @@ class DigestStoreSpec extends SparkSpec {
     dropTable(table)
   }
 
+  test("waveGaps flags missing batch landings in a batch_id store") {
+    import graft.operators.Stores
+    val dir = tmpDir("wave_gaps")
+    Seq(0L, 1L, 3L, 4L).foreach { b =>
+      val d = new java.io.File(dir, s"batch_id=$b"); d.mkdirs(); ()
+    }
+    val r = Stores.waveGaps(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 0L && r.getLong(2) == 4L)
+    assert(r.getSeq[Long](3) == Seq(2L), s"batch 2 is missing: $r")
+    val empty = Stores.waveGaps(spark, tmpDir("wave_gaps_empty")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getSeq[Long](3).isEmpty)
+  }
+
   test("compactGramDfStore FOLDS per-wave df rows; probe results unchanged") {
     import spark.implicits._
     import graft.operators.Stores

@@ -239,6 +239,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("trending terms: closed-window counts match batch, read-side top-k ranks deterministically") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val dir = tmpDir("trend")
+    val q = EventStreams
+      .trendingTermsStream(src.toDS().toDF("ts", "text"), "ts", "text",
+        window_ = "10 minutes", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .start()
+    try {
+      src.addData((ts(0), "spark spark flink"), (ts(5), "spark duck"))
+      q.processAllAvailable()
+      // watermark pusher closes the first window
+      src.addData((ts(25), "later words"))
+      q.processAllAvailable()
+      src.addData((ts(35), "tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$dir/out")
+    val w0 = EventStreams.topTermsPerWindow(landed, k = 2)
+      .filter(col("window_start") === ts(0))
+      .select("term", "n", "rank").as[(String, Long, Long)].collect().toSeq
+    // window [0,10): spark×3, duck×1, flink×1 → top-2 = spark, duck (tie → term order)
+    assert(w0 == Seq(("spark", 3L, 1L), ("duck", 1L, 2L)), s"got $w0")
+  }
+
   test("TTL cursor machine: live state dedups replays, expired state restarts the cursor") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
