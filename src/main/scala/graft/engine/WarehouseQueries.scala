@@ -94,7 +94,7 @@ SELECT cand.piece AS piece, cp, utility FROM cand JOIN ut USING (piece) ORDER BY
     * the min without a CASE.
     */
   private def unigramEmOracle(minPieceCount: Long, maxPieceLen: Int,
-      maxWordLen: Int, rounds: Int): String = {
+      maxWordLen: Int, rounds: Int, keepTop: Option[Int] = None): String = {
     val P = maxPieceLen
     val unk = graft.operators.Unigram.UnkCostE6
     val sb = new StringBuilder
@@ -145,14 +145,28 @@ s${r}_$k AS MATERIALIZED (SELECT word, freq, dl, pos - step AS pos FROM m${r}_$k
       }
       sb ++= s""",
 uu$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS u FROM (${(1 to maxWordLen).map(k =>
-        s"SELECT piece, freq FROM u${r}_$k").mkString(" UNION ALL ")}) GROUP BY piece),
+        s"SELECT piece, freq FROM u${r}_$k").mkString(" UNION ALL ")}) GROUP BY piece)"""
+      sb ++= (keepTop match {
+        case None => s""",
 v$r AS MATERIALIZED (SELECT v0.piece, CAST(coalesce(u, 0) + 1 AS BIGINT) AS cnt FROM v0 LEFT JOIN uu$r USING (piece))"""
+        case Some(kTop) => s""",
+w$r AS (SELECT v.piece, CAST(coalesce(u, 0) + 1 AS BIGINT) AS cnt
+        FROM v${r - 1} v LEFT JOIN uu$r USING (piece)),
+v$r AS MATERIALIZED (SELECT piece, cnt FROM (
+  SELECT piece, cnt,
+    row_number() OVER (PARTITION BY length(piece) = 1 ORDER BY cnt DESC, piece) AS rk
+  FROM w$r) x WHERE length(piece) = 1 OR rk <= $kTop)"""
+      })
     }
-    sb ++= s"""
+    sb ++= (keepTop match {
+      case None => s"""
 SELECT v0.piece AS piece, v0.cnt AS cp${(1 to rounds).map(r =>
-      s", v$r.cnt AS u$r").mkString}
+        s", v$r.cnt AS u$r").mkString}
 FROM v0 ${(1 to rounds).map(r => s"JOIN v$r USING (piece)").mkString(" ")}
 ORDER BY piece"""
+      case Some(_) => s"""
+SELECT piece, cnt FROM v$rounds ORDER BY piece"""
+    })
     sb.toString
   }
 
@@ -895,6 +909,21 @@ ORDER BY piece"""
     sql("q160_unigram_em", unigramEmOracle(300L, 4, 16, 2)) { (s, d) =>
       graft.operators.Unigram.emTrain(documents(s, d), "text", rounds = 2,
           minPieceCount = 300L, maxPieceLen = 4, maxWordLen = 16)
+        .orderBy("piece")
+    },
+
+    // Pruned unigram EM — the full Kudo loop: after each round's
+    // M-step only the 64 highest-usage multi-char pieces survive
+    // (single chars never pruned), and the next round's costs
+    // renormalize over the shrunken vocab. Both rounds AND both prunes
+    // replay in the oracle (the q160 DP machinery with a per-round
+    // rank gate), so the hash pins the full train-prune-retrain
+    // trajectory.
+    sql("q176_unigram_em_pruned",
+      unigramEmOracle(300L, 4, 16, 2, keepTop = Some(64))) { (s, d) =>
+      graft.operators.Unigram.emTrainPruned(documents(s, d), "text",
+          rounds = 2, keepTop = 64, minPieceCount = 300L, maxPieceLen = 4,
+          maxWordLen = 16)
         .orderBy("piece")
     },
 

@@ -194,4 +194,80 @@ object Unigram {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { words.unpersist(); () }
   }
+
+  /** [[emTrain]] with the PRUNING step that completes Kudo's loop:
+    * after each round's M-step, only the `keepTop` highest-usage
+    * MULTI-char pieces survive into the next round's vocabulary
+    * ((count DESC, piece) order — usage+1 is monotone in usage, so the
+    * rank is the usage rank); single characters are never pruned (the
+    * coverage fallback). The next round's costs renormalize over the
+    * SHRUNKEN vocab, so probability mass freed by pruned pieces flows
+    * to the survivors — the effect a post-hoc one-shot prune
+    * ([[pruneVocab]]) cannot reproduce. Returns the final
+    * (piece, cnt) vocabulary.
+    *
+    * Same scale shape as [[emTrain]]: corpus → persisted word basis
+    * once; each round is one kernel pass + vocab-sized round-trips
+    * (strictly shrinking after round 1).
+    */
+  def emTrainPruned(docs: DataFrame, textCol: String, rounds: Int,
+      keepTop: Int, minPieceCount: Long = 50L, maxPieceLen: Int = 4,
+      maxWordLen: Int = 16, maxCandidates: Int = 1 << 20): DataFrame = {
+    require(rounds >= 1, "need at least one EM round")
+    require(keepTop >= 1, "keepTop must be positive")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+      .persist()
+    try {
+      val subs = (1 to maxPieceLen).map { l =>
+        words.filter(length(col("word")) >= l)
+          .select(explode(expr(
+            s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
+            .as("piece"), col("freq"))
+      }.reduce(_ unionByName _)
+      val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
+        .filter(length(col("piece")) === 1 || col("cp") >= minPieceCount)
+      val seed = cand.limit(maxCandidates + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(seed.length <= maxCandidates,
+        s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+      val schema = StructType(Seq(StructField("piece", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false)))
+      def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+        val total = counts.map(_._2).sum
+        spark.createDataFrame(
+            java.util.Arrays.asList(counts.map(c =>
+              org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
+          .select(col("piece"),
+            floor(-log(col("cnt").cast("double") / lit(total).cast("double")) * 1000000.0)
+              .cast("long").as("cost"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
+      var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
+      for (_ <- 1 to rounds) {
+        val vocab = counts.map(_._1)
+        val cm = costsOf(counts)
+        val usage = words
+          .select(explode(graft.plans.ViterbiPiecesExpr.viterbiPieces(
+            col("word"), vocab, vocab.map(cm), maxPieceLen, UnkCostE6)).as("piece"),
+            col("freq"))
+          .groupBy("piece").agg(sum("freq").as("u"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
+        val (chars, multi) = smoothed.partition(c => isChar(c._1))
+        val kept = chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepTop)
+        counts = kept.sortBy(_._1)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(counts.map(c =>
+          org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
+    } finally { words.unpersist(); () }
+  }
 }

@@ -558,6 +558,26 @@ class WarehouseOpsSpec extends SparkSpec {
       s"single chars keep the +1 floor: $m")
   }
 
+  test("emTrainPruned: low-usage multi-char pieces die, chars survive, mass renormalizes") {
+    // multi-char survivors after floor 4: ab(10), abab(4), cd(4), cdcd?
+    // (cdcd count 2 < 4 → out). Round 1 Viterbi: 'abab' words take the
+    // whole-word piece (usage 4+1=5), 'cdcd' words take cd+cd (4+1=5),
+    // 'ab' words take ab (2+1=3). keepTop=1 keeps the (cnt DESC, piece)
+    // winner — abab ties cd at 5 and wins lexically; ab and cd are
+    // PRUNED. Round 2: 'cdcd'/'ab' words fall back to chars, which
+    // absorb the freed usage.
+    val docs = Seq((1L, "abab abab ab cdcd"), (2L, "abab abab ab cdcd")).toDF("doc_id", "text")
+    val out = graft.operators.Unigram.emTrainPruned(docs, "text",
+        rounds = 2, keepTop = 1, minPieceCount = 4L, maxPieceLen = 4, maxWordLen = 8)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    val m = out.toMap
+    val multi = out.map(_._1).filter(_.length > 1)
+    assert(multi == Seq("abab") && !m.contains("cd") && !m.contains("ab"),
+      s"exactly one multi piece survives the per-round prune: $out")
+    assert(m("c") > 1L && m("d") > 1L && m("a") > 1L && m("b") > 1L,
+      s"chars must absorb the pruned pieces' usage in round 2: $out")
+  }
+
   // ---- score reweighting (q152) --------------------------------------
 
   test("scoreReweight: proportional allocs, remainder to top scorers, zero stays zero") {
