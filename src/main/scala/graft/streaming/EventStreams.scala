@@ -544,6 +544,20 @@ object EventStreams {
       indexDir: String): DataFrame =
     spark.read.option("basePath", indexDir).parquet(indexDir).drop("batch_id")
 
+  /** TIME-TRAVEL read of the stream-maintained index: the state as of
+    * wave `maxBatchId` inclusive — the batch_id ≤ N predicate is a
+    * PARTITION filter over the outer batch_id= layer, so an as-of read
+    * lists and reads only the first N+1 waves' files (directory-level
+    * snapshot isolation for free from the idempotent landing layout;
+    * the reproduce-last-week's-probe / bisect-a-drift-regression read
+    * path).
+    */
+  def readIvfPqStreamIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, maxBatchId: Long): DataFrame =
+    spark.read.option("basePath", indexDir).parquet(indexDir)
+      .filter(col("batch_id") <= maxBatchId)
+      .drop("batch_id")
+
   /** Per-wave drift rows landed by [[ivfPqMaintainStream]]:
     * (batch_id, cell, n_delta, avg_err_delta). */
   def readIvfPqDrift(spark: org.apache.spark.sql.SparkSession,

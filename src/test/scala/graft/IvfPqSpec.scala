@@ -242,6 +242,23 @@ class IvfPqSpec extends SparkSpec {
       graft.streaming.EventStreams.readIvfPqStreamIndex(spark, s"$dir/index"),
       idx, qe6, k = 5, nprobe = 2).collect()
     assert(top.length == 5)
+    // time travel: as-of wave 1 ≡ a batch encode of waves 0–1 only,
+    // and the batch_id <= N predicate partition-prunes the outer layer
+    val asOf = graft.streaming.EventStreams
+      .readIvfPqStreamIndexAsOf(spark, s"$dir/index", maxBatchId = 1L)
+    val asOfSet = asOf.select("vec_id", "cell", "codes")
+      .as[(Long, Int, Long)].collect().toSet
+    val firstTwo = Pq.encodeIvfPq((waves(0) ++ waves(1)).toDF("vec_id", "embedding"), idx)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(asOfSet == firstTwo && asOfSet.size == 40)
+    val asOfPlan = asOf.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asOfScan = asOfPlan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s }.head
+    assert(asOfScan.partitionFilters.mkString.contains("batch_id"),
+      s"as-of predicate must partition-prune:\n$asOfPlan")
   }
 }
 
