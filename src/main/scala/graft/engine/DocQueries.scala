@@ -100,6 +100,55 @@ object DocQueries {
       (s, d) =>
         documents(s, d)
           .select(col("doc_id"), langIdMarkers(col("text")).as("detected"))
+          .orderBy("doc_id")
+    },
+
+    // Code-switch detection: q36's language ID evaluated per 50-token
+    // CHUNK (q72's split) instead of per document — a doc whose chunks
+    // disagree on language is mixed-language content the doc-level ID
+    // silently mislabels (the multilingual-curation failure mode this
+    // table exists to surface). Planted: %21 docs get a German chunk
+    // appended, so mixed=true rows exist at every scale; the oracle
+    // replays chunking, per-chunk scoring, and the doc rollup.
+    sql("q178_code_switch",
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 21 = 0
+        |       THEN text || ' der die das und ist der die das und ist'
+        |       ELSE text END AS text FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |tok AS (SELECT doc_id, unnest([{'p': p, 'tok': toks[p]} FOR p IN range(1, len(toks)+1)], recursive := true) FROM t),
+        |ch AS (SELECT doc_id, (p-1)//50 AS chunk_id, string_agg(tok, ' ' ORDER BY p) AS chunk_text
+        |       FROM tok GROUP BY doc_id, chunk_id),
+        |ct AS (SELECT doc_id, chunk_id, list_filter(string_split_regex(trim(chunk_text), '\s+'), x -> x <> '') AS toks FROM ch),
+        |sc AS (SELECT doc_id, chunk_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr
+        |  FROM ct),
+        |cl AS (SELECT doc_id, chunk_id, CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |  ELSE 'fr' END AS lang FROM sc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  min(lang) AS first_lang,
+        |  count(DISTINCT lang) > 1 AS mixed
+        |FROM cl GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val corpus = documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 21 === 0,
+            concat(col("text"), lit(" der die das und ist der die das und ist")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.TextOps.chunkTokens(corpus, "doc_id", "text", 50)
+          .select(col("id").as("doc_id"), col("chunk_id"),
+            langIdMarkers(col("chunk_text")).as("lang"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct("lang").as("n_langs"),
+            min("lang").as("first_lang"),
+            (countDistinct("lang") > 1).as("mixed"))
           .orderBy(col("doc_id"))
     },
 

@@ -169,6 +169,30 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     },
 
+    // Prefix-dimension (Matryoshka) retrieval audit: per query, how
+    // many exact top-10 neighbors survive when retrieval uses only the
+    // first 16 of 64 dimensions — the go/no-go table for a truncated
+    // (4× smaller) index with full-dim rerank. Both rankings and the
+    // intersection replay in SQL.
+    sql("q177_prefix_dim_audit",
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |f AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rn
+        |  FROM q, c WHERE cid <> qid) x WHERE rn <= 10),
+        |p AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qv[1:16], cv[1:16]) DESC, cid) AS rn
+        |  FROM q, c WHERE cid <> qid) x WHERE rn <= 10)
+        |SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(count(*) * 10000 // 10 AS BIGINT) AS overlap_bp
+        |FROM f JOIN p USING (qid, cid) GROUP BY f.qid ORDER BY qid""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d)
+        Similarity.prefixDimRetrievalAudit(emb, emb.filter(col("vec_id") < 10),
+            k = 10, prefixDim = 16)
+          .orderBy("qid")
+    },
+
     // IVF is SQL-expressible too: centroids are elementwise per-label
     // means (parallel unnest zips value with position), probes the
     // nprobe nearest centroids, exact cosine within probed lists.

@@ -66,6 +66,36 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Prefix-dimension (Matryoshka-style) retrieval audit: per query,
+    * how many of the FULL-dimension exact top-k survive when retrieval
+    * runs on only the first `prefixDim` dimensions — the measurement
+    * that decides whether a truncated index (Kusupati et al. 2022's
+    * deployment trick: store dim/4, rerank survivors at full dim) is
+    * safe for THIS embedding column, before committing 4× less index
+    * storage. Output (qid, n_overlap, overlap_bp): |top-k(full) ∩
+    * top-k(prefix)| and its basis-point fraction of k.
+    *
+    * Scale shape: two [[cosineTopK]]-shaped broadcast-query scans (the
+    * corpus is never self-joined or shuffled) + a k-row-per-query
+    * join; slicing happens in the projection, so the prefix pass reads
+    * the same column and computes on prefixDim/dim of it.
+    */
+  def prefixDimRetrievalAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && prefixDim >= 1, "k and prefixDim must be positive")
+    val full = cosineTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    val cut = (df: DataFrame) => df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as(vecCol))
+    val pre = cosineTopK(cut(corpus), cut(queries), k, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    full.join(pre, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        expr(s"(n_overlap * 10000) div $k").as("overlap_bp"))
+  }
+
   /** Multi-probe sign-LSH ANN (the Lv et al., VLDB 2007 idea applied
     * to the sign-bucket family): each query probes its OWN bucket plus
     * every Hamming-1 neighbor (one sign flip), recovering most of the
