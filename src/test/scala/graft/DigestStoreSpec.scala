@@ -440,6 +440,47 @@ class DigestStoreSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getSeq[Long](3).isEmpty)
   }
 
+  test("store metadata ops run through Hadoop FileSystem, not java.io.File") {
+    import graft.operators.Stores
+    // An explicit file: URI (which java.io.File would mangle) lists fine.
+    val dir = tmpDir("wave_gaps_uri")
+    Seq(0L, 2L).foreach { b =>
+      val d = new java.io.File(dir, s"batch_id=$b"); d.mkdirs(); ()
+    }
+    val r = Stores.waveGaps(spark, "file:" + dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getSeq[Long](3) == Seq(1L), s"via file: URI: $r")
+    // A scheme Hadoop cannot serve THROWS — it must never silently
+    // audit waves=0 (the r10-verdict HDFS/S3 failure mode).
+    intercept[Exception] {
+      Stores.waveGaps(spark, "nosuchscheme://host/stores/x").collect()
+    }
+  }
+
+  test("waveGaps fails fast on a corrupted batch_id instead of enumerating billions") {
+    import graft.operators.Stores
+    val dir = tmpDir("wave_gaps_corrupt")
+    Seq(0L, 1L, 999999999999L).foreach { b =>
+      val d = new java.io.File(dir, s"batch_id=$b"); d.mkdirs(); ()
+    }
+    val e = intercept[IllegalArgumentException] {
+      Stores.waveGaps(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("missing batch ids"), e.getMessage)
+  }
+
+  test("dropStoreTable resolves the CATALOG location (custom LOCATION, mixed case)") {
+    import spark.implicits._
+    import graft.operators.Stores
+    val custom = new java.io.File(tmpDir("custom_loc"), "ext_store")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.option("path", custom.getAbsolutePath).saveAsTable("CustomLocStore")
+    assert(custom.exists(), "external table wrote to its custom location")
+    Stores.dropStoreTable(spark, "CustomLocStore")
+    assert(!spark.catalog.tableExists("CustomLocStore"))
+    assert(!custom.exists(), "dropStoreTable must delete the CATALOG location, " +
+      "not warehouse_dir + lowercase(name)")
+  }
+
   test("compactGramDfStore FOLDS per-wave df rows; probe results unchanged") {
     import spark.implicits._
     import graft.operators.Stores
