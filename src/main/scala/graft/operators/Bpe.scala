@@ -39,7 +39,9 @@ object Bpe {
     * `batchSize` > 1 learns up to that many SYMBOL-DISJOINT merges per
     * counting round (the fastBPE batching idea): candidates are taken
     * in (cnt DESC, l, r) order, skipping any pair sharing a symbol
-    * with one already accepted this round. Merging a pair only changes
+    * with one already accepted this round — including the NEW symbol
+    * l+r an accepted merge creates, so no batch member is ever applied
+    * to symbols another member just built. Merging a pair only changes
     * the counts of pairs that CONTAIN one of its symbols, so the
     * accepted pairs' counts are exactly their sequential values and
     * their kernel applications commute. The one divergence from
@@ -87,7 +89,12 @@ object Bpe {
           val (l, r) = (row.getString(0), row.getString(1))
           if (!used(l) && !used(r)) {
             out += Merge(out.size + 1, l, r, row.getLong(2))
-            used += l; used += r
+            // the merged symbol joins the conflict set too: a candidate
+            // containing l+r (possible when the vocab already held that
+            // concatenation from earlier overlap-limited rounds) would
+            // otherwise be applied to symbols THIS merge just created,
+            // making its counted pairCount stale vs sequential
+            used += l; used += r; used += (l + r)
             cur = cur.select(
               graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
               col("freq"))

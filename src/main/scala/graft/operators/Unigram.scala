@@ -92,6 +92,73 @@ object Unigram {
     */
   val UnkCostE6: Long = 1000000000L
 
+  private val CountSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("piece",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The shared EM front half (one definition so a fix cannot miss a
+    * variant): persist the word-frequency basis, build the seed vocab
+    * (all single chars + floored multi-char substrings) under the
+    * `maxCandidates` limit+require guard, run `f` over (words, seed),
+    * and always unpersist the basis.
+    */
+  private def withEmBasis[T](docs: DataFrame, textCol: String,
+      minPieceCount: Long, maxPieceLen: Int, maxWordLen: Int,
+      maxCandidates: Int)(f: (DataFrame, Array[(String, Long)]) => T): T = {
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+      .persist()
+    try {
+      val subs = (1 to maxPieceLen).map { l =>
+        words.filter(length(col("word")) >= l)
+          .select(explode(expr(
+            s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
+            .as("piece"), col("freq"))
+      }.reduce(_ unionByName _)
+      val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
+        .filter(length(col("piece")) === 1 || col("cp") >= minPieceCount)
+      val seed = cand.limit(maxCandidates + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(seed.length <= maxCandidates,
+        s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+      f(words, seed)
+    } finally { words.unpersist(); () }
+  }
+
+  /** Round costs in integer micro-nats, derived in SPARK SQL (not
+    * driver Math.log) so the expression tree is the exact one the
+    * oracle replays in DuckDB.
+    */
+  private def costsOf(spark: org.apache.spark.sql.SparkSession,
+      counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.map(_._2).sum
+    spark.createDataFrame(
+        java.util.Arrays.asList(counts.map(c =>
+          org.apache.spark.sql.Row(c._1, c._2)): _*), CountSchema)
+      .select(col("piece"),
+        floor(-log(col("cnt").cast("double") / lit(total).cast("double")) * 1000000.0)
+          .cast("long").as("cost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** One E-step: Viterbi-segment the word basis under `cm`'s costs and
+    * return frequency-weighted piece usage.
+    */
+  private def viterbiUsage(words: DataFrame, vocab: Seq[String],
+      cm: Map[String, Long], maxPieceLen: Int): Map[String, Long] =
+    words
+      .select(explode(graft.plans.ViterbiPiecesExpr.viterbiPieces(
+        col("word"), vocab, vocab.map(cm), maxPieceLen, UnkCostE6)).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum("freq").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Full unigram-LM EM training (Kudo, ACL 2018, §3.2) over a FIXED
     * vocabulary — the probability-re-estimation loop q148's one-shot
     * pruning approximates. Deterministic-by-construction variant:
@@ -129,55 +196,14 @@ object Unigram {
       minPieceCount: Long = 50L, maxPieceLen: Int = 4, maxWordLen: Int = 16,
       maxCandidates: Int = 1 << 20): DataFrame = {
     require(rounds >= 1, "need at least one EM round")
-    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
-      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .filter(length(col("word")) <= maxWordLen)
-      .persist()
-    try {
-      // seed vocab: all single chars (no floor) + floored multi-char
-      // substrings, every count frequency-weighted
-      val subs = (1 to maxPieceLen).map { l =>
-        words.filter(length(col("word")) >= l)
-          .select(explode(expr(
-            s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
-            .as("piece"), col("freq"))
-      }.reduce(_ unionByName _)
-      val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
-        .filter(length(col("piece")) === 1 || col("cp") >= minPieceCount)
-      val seed = cand.limit(maxCandidates + 1).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      require(seed.length <= maxCandidates,
-        s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+    withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+        maxCandidates) { (words, seed) =>
       val vocab = seed.map(_._1).toSeq.sorted
-      val schema = StructType(Seq(StructField("piece", StringType, nullable = false),
-        StructField("cnt", LongType, nullable = false)))
-      // cost derivation runs in SPARK SQL (not driver Math.log) so the
-      // expression tree is the exact one the oracle replays in DuckDB
-      def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
-        val total = counts.map(_._2).sum
-        val df = spark.createDataFrame(
-          java.util.Arrays.asList(counts.map(c =>
-            org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
-        df.select(col("piece"),
-            floor(-log(col("cnt").cast("double") / lit(total).cast("double")) * 1000000.0)
-              .cast("long").as("cost"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
       var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
       val roundUsage = (1 to rounds).map { _ =>
-        val cm = costsOf(counts)
-        val costVec = vocab.map(cm)
-        val usage = words
-          .select(explode(graft.plans.ViterbiPiecesExpr.viterbiPieces(
-            col("word"), vocab, costVec, maxPieceLen, UnkCostE6)).as("piece"),
-            col("freq"))
-          .groupBy("piece").agg(sum("freq").as("u"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val usage = viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen)
         val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
         counts = smoothed
         smoothed.toMap
@@ -192,7 +218,7 @@ object Unigram {
           p +: cp0(p) +: roundUsage.map(_.apply(p)))
       }
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-    } finally { words.unpersist(); () }
+    }
   }
 
   /** [[emTrain]] with the PRUNING step that completes Kudo's loop:
@@ -215,51 +241,14 @@ object Unigram {
       maxWordLen: Int = 16, maxCandidates: Int = 1 << 20): DataFrame = {
     require(rounds >= 1, "need at least one EM round")
     require(keepTop >= 1, "keepTop must be positive")
-    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
-      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .filter(length(col("word")) <= maxWordLen)
-      .persist()
-    try {
-      val subs = (1 to maxPieceLen).map { l =>
-        words.filter(length(col("word")) >= l)
-          .select(explode(expr(
-            s"transform(sequence(0, length(word) - $l), i -> substring(word, i + 1, $l))"))
-            .as("piece"), col("freq"))
-      }.reduce(_ unionByName _)
-      val cand = subs.groupBy("piece").agg(sum("freq").as("cp"))
-        .filter(length(col("piece")) === 1 || col("cp") >= minPieceCount)
-      val seed = cand.limit(maxCandidates + 1).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      require(seed.length <= maxCandidates,
-        s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
-      val schema = StructType(Seq(StructField("piece", StringType, nullable = false),
-        StructField("cnt", LongType, nullable = false)))
-      def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
-        val total = counts.map(_._2).sum
-        spark.createDataFrame(
-            java.util.Arrays.asList(counts.map(c =>
-              org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
-          .select(col("piece"),
-            floor(-log(col("cnt").cast("double") / lit(total).cast("double")) * 1000000.0)
-              .cast("long").as("cost"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
+    withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+        maxCandidates) { (words, seed) =>
       def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
       var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
       for (_ <- 1 to rounds) {
         val vocab = counts.map(_._1)
-        val cm = costsOf(counts)
-        val usage = words
-          .select(explode(graft.plans.ViterbiPiecesExpr.viterbiPieces(
-            col("word"), vocab, vocab.map(cm), maxPieceLen, UnkCostE6)).as("piece"),
-            col("freq"))
-          .groupBy("piece").agg(sum("freq").as("u"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val usage = viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen)
         val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
         val (chars, multi) = smoothed.partition(c => isChar(c._1))
         val kept = chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepTop)
@@ -267,7 +256,7 @@ object Unigram {
       }
       spark.createDataFrame(
         java.util.Arrays.asList(counts.map(c =>
-          org.apache.spark.sql.Row(c._1, c._2)): _*), schema)
-    } finally { words.unpersist(); () }
+          org.apache.spark.sql.Row(c._1, c._2)): _*), CountSchema)
+    }
   }
 }
