@@ -334,9 +334,24 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
       val ranks = cents.agg(count(lit(1)).as("n"))
         .select(explode(lit(Array(50, 90, 99))).as("q"), col("n"))
         .select(col("q").cast("long").as("q"), expr("(q * n + 99) div 100").as("rk"))
-      val dcum = cents.groupBy("v").agg(count(lit(1)).as("c"))
-        .withColumn("cm", sum("c").over(
-          Window.orderBy("v").rowsBetween(Long.MinValue, 0)))
+      // exact arm via the banded two-level prefix (the rankVocab /
+      // packCounts shape): totalprice cents are near-unique, so a bare
+      // Window.orderBy(v) would run ~|orders| distinct values through
+      // ONE task. floor(log2(v)) is monotone in v, so band-ascending
+      // refines the value order: the cross-band count offset is a
+      // window over ≤64 band rows, and the value-level cumsum is
+      // PARTITIONED by band — same cm, no corpus-sized single task.
+      val dv = cents.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("band", when(col("v") > 0L,
+          floor(log2(col("v").cast("double"))).cast("long")).otherwise(-1L))
+      val wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = dv.groupBy("band").agg(sum("c").as("bc"))
+        .withColumn("cnt_off", coalesce(sum("bc").over(wb), lit(0L)))
+        .select("band", "cnt_off")
+      val wv = Window.partitionBy("band").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dcum = dv.join(broadcast(offsets), "band")
+        .withColumn("cm", sum("c").over(wv) + col("cnt_off"))
       val exact = ranks.join(dcum, col("cm") >= col("rk"))
         .groupBy("q").agg(min("v").as("exact_cents"))
       est.join(exact, "q").crossJoin(consistent)

@@ -987,4 +987,30 @@ class WarehouseOpsSpec extends SparkSpec {
     // b is adjacent to both a and c (higher weighted degree) → top rank
     assert(ranks("b") > ranks("a") && ranks("b") > ranks("c"))
   }
+
+  // ---- q142 exact-rank arm plan shape (r10 verdict item 4) -------------
+
+  test("q142 has no unpartitioned window over corpus-derived values") {
+    // totalprice cents are near-unique, so the exact-rank cumsum must
+    // use the banded two-level prefix: the only unpartitioned windows
+    // allowed are bounded-by-construction relations (≤64 log2 bands,
+    // ≤1024 sketch bins) that do NOT carry the value column `v`
+    def windowsIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windowsIn(a.executedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      }.flatten
+    val plan = SparkEntry.queries("q142_quantile_sketch")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    val windows = windowsIn(plan)
+    assert(windows.nonEmpty, "expected window nodes")
+    val unpartitionedOverValues = windows.filter(w =>
+      w.partitionSpec.isEmpty && w.child.output.exists(_.name == "v"))
+    assert(unpartitionedOverValues.isEmpty,
+      s"value-carrying unpartitioned window:\n$plan")
+    assert(windows.exists(w => w.partitionSpec.nonEmpty),
+      s"expected a band-partitioned cumsum window:\n$plan")
+  }
 }
