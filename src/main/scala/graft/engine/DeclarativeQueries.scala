@@ -115,5 +115,38 @@ object DeclarativeQueries {
             element_at(col("metadata"), Provenance.ConfigKey).as("cfg_hash"),
             element_at(col("metadata"), Provenance.AtKey).as("stamped_at"))
           .orderBy(col("doc_id"))
+    },
+
+    // Round-11: the ad-hoc SQL gateway (SURVEY.md §7.1 `query`
+    // command, r10 verdict item 1). The Spark side goes through the
+    // FULL CLI path — table registration from the data dir + the graft
+    // function registry + Catalyst on raw SQL text — running a
+    // representative catalog-shaped query (native-kernel tokenize,
+    // aggregate, window rank, share against a 1-row total). A hash
+    // match here pins the whole door: view registration, the
+    // ws_tokens kernel under its SQL name, and the plan Catalyst
+    // builds from text rather than from the DataFrame API.
+    sql("q179_sql_gateway",
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> x <> '')) AS BIGINT) AS n_toks FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |      CAST(sum(n_toks) AS BIGINT) AS sum_toks FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(sum(sum_toks) AS BIGINT) AS all_toks FROM g)
+        |SELECT lang, n_docs, sum_toks,
+        |  CAST(rank() OVER (ORDER BY sum_toks DESC, lang) AS BIGINT) AS rnk,
+        |  (sum_toks * 1000000) // all_toks AS share_e6
+        |FROM g, tot ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.cli.QueryCommand.run(s,
+        """WITH t AS (SELECT lang, CAST(size(ws_tokens(text)) AS BIGINT) AS n_toks
+          |           FROM documents),
+          |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |      CAST(sum(n_toks) AS BIGINT) AS sum_toks FROM t GROUP BY lang),
+          |tot AS (SELECT CAST(sum(sum_toks) AS BIGINT) AS all_toks FROM g)
+          |SELECT lang, n_docs, sum_toks,
+          |  CAST(rank() OVER (ORDER BY sum_toks DESC, lang) AS BIGINT) AS rnk,
+          |  (sum_toks * 1000000) div all_toks AS share_e6
+          |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin,
+        dataDir = Some(d))
     })
 }

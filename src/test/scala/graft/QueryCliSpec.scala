@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cli.QueryCommand
+
+/** The ad-hoc SQL `query` entry point (SURVEY.md §7.1; r10 verdict
+  * item 1): pure-SQL invocations of catalog shapes must hash-match
+  * their DataFrame forms — a join, a window, and domain functions —
+  * and the CLI plumbing (table registration, @file SQL, --out landing,
+  * TSV print) must round-trip.
+  */
+class QueryCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq,
+      s"schemas differ: ${a.schema.fieldNames.toSeq} vs ${b.schema.fieldNames.toSeq}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "SQL and DataFrame forms differ")
+  }
+
+  test("SQL join form matches the DataFrame join (q03 shape)") {
+    val viaSql = QueryCommand.run(spark,
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+      dataDir = Some(sf))
+    val viaDf = graft.engine.Tables.customer(spark, sf)
+      .join(graft.engine.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
+    same(viaSql, viaDf)
+  }
+
+  test("SQL window form matches the DataFrame window (q07 shape)") {
+    val viaSql = QueryCommand.run(spark,
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+      dataDir = Some(sf))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaDf = graft.engine.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+    same(viaSql, viaDf)
+  }
+
+  test("registered native kernels match their Column forms in SQL") {
+    val viaSql = QueryCommand.run(spark,
+      """SELECT doc_id, simhash64(text) AS sh,
+        |  CAST(size(ws_tokens(text)) AS BIGINT) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      dataDir = Some(sf))
+    val viaDf = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.plans.SimHash64Expr.simhash64(col("text")).as("sh"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+      .orderBy("doc_id")
+    same(viaSql, viaDf)
+  }
+
+  test("chemistry UDFs answer from SQL over a --table registered parquet") {
+    val dir = tmpDir("query_cli_mols")
+    Seq((1L, "CCO"), (2L, "C1=CC=CC=C1"), (3L, "not a molecule"), (4L, "CC(=O)O.[Na+]"))
+      .toDF("mol_id", "smiles").write.mode("overwrite").parquet(dir)
+    val out = QueryCommand.run(spark,
+      """SELECT mol_id, is_valid_smiles(smiles) AS ok, strip_salt(smiles) AS parent
+        |FROM molecules ORDER BY mol_id""".stripMargin,
+      tables = Seq("molecules" -> dir))
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, true), (2L, true), (3L, false), (4L, true)))
+    assert(out(3)._3 == "CC(=O)O", s"salt stripped: ${out(3)}")
+  }
+
+  test("CLI execute: @file SQL, --out parquet landing, TSV print") {
+    val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_sql"), "q.sql")
+    java.nio.file.Files.writeString(sqlFile,
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    val outDir = tmpDir("query_cli_out") + "/res"
+    var printed = Vector.empty[String]
+    QueryCommand.execute(spark,
+      Seq(s"@$sqlFile", "--data", sf, "--out", outDir), printed :+= _)
+    val landed = spark.read.parquet(outDir).orderBy("r_regionkey")
+      .as[(Long, String)].collect().toSeq
+    assert(landed.size == 5 && landed.head._2 == "AFRICA", s"landed: $landed")
+    // no --out: TSV with a header row, capped by --show
+    QueryCommand.execute(spark,
+      Seq("SELECT r_name FROM region ORDER BY r_name", "--data", sf,
+        "--show", "2"), printed :+= _)
+    val tsv = printed.last.split("\n").toSeq
+    assert(tsv == Seq("r_name", "AFRICA", "AMERICA"), s"tsv: $tsv")
+  }
+
+  test("query option parsing rejects malformed flags") {
+    intercept[IllegalArgumentException] {
+      QueryCommand.parse(Seq("SELECT 1", "--table", "nopath"))
+    }
+    intercept[IllegalArgumentException] {
+      QueryCommand.parse(Seq("SELECT 1", "--format", "xlsx"))
+    }
+    intercept[IllegalArgumentException] {
+      QueryCommand.parse(Seq("SELECT 1", "--bogus"))
+    }
+  }
+}
