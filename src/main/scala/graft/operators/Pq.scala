@@ -364,6 +364,153 @@ object Pq {
       idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub))
   }
 
+  // ---- drift-triggered residual retrain (closes the q132 loop) -------
+
+  /** Cells whose delta reconstruction error pulled away from the
+    * catalog's, per an [[ivfPqDriftStats]] frame: `n_delta > 0` and
+    * `avg_err_delta * 100 > avg_err_cat * ratioPct` — integer-exact so
+    * the q180 oracle replays the trigger decision itself. ncells-row
+    * collect.
+    */
+  def driftedCells(drift: DataFrame, ratioPct: Long = 120L): Array[Int] =
+    drift.filter(col("n_delta") > 0L && col("avg_err_cat").isNotNull &&
+        col("avg_err_delta") * lit(100L) > col("avg_err_cat") * lit(ratioPct))
+      .select(col("cell").cast("int")).collect().map(_.getInt(0)).sorted
+
+  /** Post-retrain index: the coarse quantizer and calm cells' residual
+    * codebook are UNCHANGED; `drifted` cells re-encode under
+    * `residualV2`. */
+  final case class IvfPqRetrained(idx: IvfPqIndex, residualV2: Codebook,
+      drifted: Seq[Int])
+
+  /** Retrain the residual codebook for the drifted cells with the
+    * coarse quantizer FROZEN — cell assignment, and therefore the
+    * persisted `cell=` partition layout, survives; only the drifted
+    * cells' codes change. The v2 codebook trains on the CURRENT
+    * membership (catalog + delta) of those cells: deterministic
+    * id-bucket seed + truncating-integer Lloyd rounds, the exact
+    * [[trainCodebookFromE6]] discipline, so q180 replays v2 end to
+    * end.
+    */
+  def retrainDrifted(catalog: DataFrame, delta: DataFrame, idx: IvfPqIndex,
+      ratioPct: Long = 120L, pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqRetrained = {
+    val cells = driftedCells(
+      ivfPqDriftStats(catalog, delta, idx, idCol, vecCol), ratioPct)
+    require(cells.nonEmpty,
+      "no cell crossed the drift threshold — nothing to retrain")
+    val union = catalog.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val resid = residualsE6(union, idx.coarse, idCol, vecCol)
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    IvfPqRetrained(idx,
+      trainCodebookFromE6(resid, idx.residual.m, idx.residual.ksub, pqIters,
+        idCol, "resid"),
+      cells.toSeq)
+  }
+
+  /** Rewrite ONLY the drifted cells of a persisted [[writeIvfPqIndex]]
+    * layout with v2 codes for the current corpus membership of those
+    * cells. Dynamic partition overwrite: calm cells' files are never
+    * listed, read, or replaced — byte-identical across the retrain
+    * (spec-pinned), which is what makes the operation safe to run
+    * against a live index.
+    */
+  def rewriteDriftedCells(corpus: DataFrame, rt: IvfPqRetrained, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      residualsE6(corpus, rt.idx.coarse, idCol, vecCol)
+        .filter(col("cell").isin(rt.drifted.map(Integer.valueOf): _*))
+        .select(col(idCol), col("cell"),
+          PqEncodeExpr.pq_encode(col("resid"), rt.residualV2.flatE6.toSeq,
+            rt.residualV2.m, rt.residualV2.ksub).as("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Probe a retrained index: the probe set and coarse scores come
+    * from the FROZEN coarse quantizer exactly as before; each probed
+    * row's ADC term uses its cell's codebook version (a codegen'd
+    * branch on the bounded drifted set — no join). Partition pruning
+    * by `cell` is untouched.
+    */
+  def ivfPqTopKRetrained(encoded: DataFrame, rt: IvfPqRetrained,
+      queryE6: Array[Long], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val cells = probedCells(rt.idx, queryE6, nprobe)
+    val coarseScores = lutFor(rt.idx.coarse, queryE6)
+    val lutV1 = lutFor(rt.idx.residual, queryE6)
+    val lutV2 = lutFor(rt.residualV2, queryE6)
+    encoded
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), col("cell"),
+        (element_at(typedlit(coarseScores.toSeq), col("cell") + lit(1)) +
+          when(col("cell").isin(rt.drifted.map(Integer.valueOf): _*),
+            PqAdcScoreExpr.pq_adc_score(col("codes"), lutV2.toSeq,
+              rt.residualV2.m, rt.residualV2.ksub))
+          .otherwise(PqAdcScoreExpr.pq_adc_score(col("codes"), lutV1.toSeq,
+            rt.idx.residual.m, rt.idx.residual.ksub))).as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The q180 audit: per cell — membership counts, the drift verdict,
+    * and the average per-vector encode error BEFORE (v1 everywhere)
+    * vs AFTER the retrain (v2 in drifted cells, v1 elsewhere — calm
+    * cells' codes did not change, so post ≡ pre there by construction,
+    * which the output states rather than hides). `improved` is the
+    * retrain contract: post ≤ pre on the drifted cells.
+    */
+  def retrainAudit(catalog: DataFrame, delta: DataFrame, idx: IvfPqIndex,
+      ratioPct: Long = 120L, pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val stats = ivfPqDriftStats(catalog, delta, idx, idCol, vecCol)
+    val cells = driftedCells(stats, ratioPct)
+    val union = catalog.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val resid = residualsE6(union, idx.coarse, idCol, vecCol)
+    val pre = resid
+      .select(col("cell"),
+        graft.plans.PqEncodeErrExpr.pq_encode_err(col("resid"),
+          idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub).as("__e1"))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("__n"), sum("__e1").as("__s1"))
+    val post =
+      if (cells.isEmpty) null
+      else {
+        val rt = IvfPqRetrained(idx,
+          trainCodebookFromE6(
+            resid.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*)),
+            idx.residual.m, idx.residual.ksub, pqIters, idCol, "resid"),
+          cells.toSeq)
+        resid.filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+          .select(col("cell"),
+            graft.plans.PqEncodeErrExpr.pq_encode_err(col("resid"),
+              rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
+              .as("__e2"))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(sum("__e2").as("__s2"))
+      }
+    val joined =
+      if (post == null) pre.withColumn("__s2", lit(null).cast("long"))
+      else pre.join(post, Seq("cell"), "left")
+    joined.join(stats, Seq("cell"))
+      .select(col("cell"), col("n_cat"), col("n_delta"),
+        col("__s2").isNotNull.as("drifted"),
+        expr("__s1 div __n").as("avg_err_pre"),
+        coalesce(expr("__s2 div __n"), expr("__s1 div __n")).as("avg_err_post"),
+        (coalesce(expr("__s2 div __n"), expr("__s1 div __n")) <=
+          expr("__s1 div __n")).as("improved"))
+  }
+
   /** Train + encode + probe in one call — the q128 shape. */
   def ivfPqTopK(corpus: DataFrame, query: DataFrame, k: Int,
       ncells: Int = 4, nprobe: Int = 2, m: Int = 8, ksub: Int = 16,

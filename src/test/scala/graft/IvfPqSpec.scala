@@ -124,6 +124,77 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("drift-triggered retrain: calm cells byte-identical, probe still pruned, planted drift improves") {
+    val cat = corpus.filter($"vec_id" % 10 =!= 9)
+    val del = corpus.filter($"vec_id" % 10 === 9)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double") + lit(10.0)).as("embedding"))
+    val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
+    val union = cat.select($"vec_id", $"embedding").unionByName(del)
+    val path = tmpDir("ivfpq_retrain")
+    Pq.writeIvfPqIndex(union, idx, path)
+
+    def cellBytes(c: Int): Map[String, String] = {
+      val d = new java.io.File(path, s"cell=$c")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = (0 until 4).map(c => c -> cellBytes(c)).toMap
+
+    val rt = Pq.retrainDrifted(cat, del, idx)
+    // the +10 plant lands the delta in FEW cells: some drift, some stay calm
+    assert(rt.drifted.nonEmpty && rt.drifted.size < 4, s"drifted: ${rt.drifted}")
+    Pq.rewriteDriftedCells(union, rt, path)
+    for (c <- 0 until 4) {
+      if (rt.drifted.contains(c))
+        assert(cellBytes(c) != before(c), s"drifted cell $c must re-encode")
+      else
+        assert(cellBytes(c) == before(c),
+          s"calm cell $c must be BYTE-IDENTICAL across the retrain")
+    }
+
+    // the retrain contract: planted drift improves strictly
+    val audit = Pq.retrainAudit(cat, del, idx)
+      .as[(Long, Long, Long, Boolean, Long, Long, Boolean)].collect().toSeq
+    assert(audit.forall(_._7), s"every cell must report improved: $audit")
+    audit.filter(_._4).foreach { r =>
+      assert(r._6 < r._5, s"drifted cell ${r._1} must improve strictly: $r")
+    }
+    audit.filterNot(_._4).foreach { r =>
+      assert(r._6 == r._5, s"calm cell ${r._1} post == pre: $r")
+    }
+
+    // probe over the rewritten index: still partition-pruned, and
+    // identical to the in-memory versioned encode
+    val qe6 = Pq.queryWeightsE6(query)
+    val fromDisk = Pq.ivfPqTopKRetrained(
+      spark.read.parquet(path), rt, qe6, k = 10, nprobe = 2)
+    val inMemEnc = Pq.encodeIvfPq(union, idx)
+      .filter(!$"cell".isin(rt.drifted.map(Integer.valueOf): _*))
+      .unionByName(
+        Pq.residualsE6(union, idx.coarse)
+          .filter($"cell".isin(rt.drifted.map(Integer.valueOf): _*))
+          .select($"vec_id", $"cell",
+            graft.functions.VectorFunctions.pqEncode($"resid",
+              rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
+              .as("codes")))
+    val inMem = Pq.ivfPqTopKRetrained(inMemEnc, rt, qe6, k = 10, nprobe = 2)
+    val a = fromDisk.collect().toSeq.map(r => (r.getLong(0), r.getLong(2)))
+    val b = inMem.collect().toSeq.map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.nonEmpty && a === b)
+    val plan = fromDisk.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves().collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.head.partitionFilters.mkString.contains("cell"),
+      s"retrained probe must stay partition-pruned:\n$plan")
+  }
+
   test("maintenance append under frozen codebooks: probe equals a from-scratch encode of the union") {
     val cat = corpus.filter($"vec_id" % 10 =!= 9)
     val del = corpus.filter($"vec_id" % 10 === 9)
