@@ -1023,6 +1023,51 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
         ("graft_q163_gram", "gram_df", Seq("dg"))))
     },
 
+    // Wave-layered store lifecycle (r10 verdict item 3): three waves
+    // land as wave=N partitions of a bucketed digest store — including
+    // a CORRUPTED wave 2 that is rolled back before the clean wave
+    // re-lands, and a crash REPLAY of wave 1 that replaces its
+    // partition instead of duplicating. The as-of reads then rebuild
+    // history: per wave n, rows (Σ per-wave distinct digests — the
+    // layered layout keeps cross-wave dups as separate rows) and
+    // distinct digests over waves ≤ n. The oracle predicts every
+    // number from the CLEAN construction alone — the whole point: the
+    // bad wave and the replay must leave zero trace.
+    sqlWithSetup("q184_layered_store",
+      """WITH w AS (SELECT doc_id % 3 AS wv, md5(text) AS dg FROM documents),
+        |per AS (SELECT wv, count(DISTINCT dg) AS dw FROM w GROUP BY wv),
+        |ns AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS wave)
+        |SELECT wave,
+        |  (SELECT CAST(sum(dw) AS BIGINT) FROM per WHERE wv <= wave) AS rows_asof,
+        |  (SELECT CAST(count(DISTINCT dg) AS BIGINT) FROM w WHERE wv <= wave) AS distinct_asof
+        |FROM ns ORDER BY wave""".stripMargin) { (s, d) =>
+      import graft.operators.Stores
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      def dg(df: org.apache.spark.sql.DataFrame) =
+        df.select(unhex(md5(col("text"))).as("digest")).distinct()
+      val waves = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+      val t = "graft_q184_layer"
+      Stores.dropStoreTable(s, t)
+      Stores.appendWave(dg(waves(0)), t, 0L, "digest", buckets = 8)
+      Stores.appendWave(dg(waves(1)), t, 1L, "digest", buckets = 8)
+      // bad wave 2 lands, is rolled back, clean wave 2 re-lands
+      Stores.appendWave(
+        dg(waves(2).withColumn("text", concat(col("text"), lit(" CORRUPT")))),
+        t, 2L, "digest", buckets = 8)
+      Stores.rollbackTo(s, t, 1L)
+      Stores.appendWave(dg(waves(2)), t, 2L, "digest", buckets = 8)
+      // crash replay of wave 1: partition replaced, not duplicated
+      Stores.appendWave(dg(waves(1)), t, 1L, "digest", buckets = 8)
+      ()
+    } { (s, _) =>
+      (0 to 2).map { n =>
+        graft.operators.Stores.asOf(s, "graft_q184_layer", n.toLong)
+          .agg(count(lit(1)).as("rows_asof"),
+            count_distinct(col("digest")).as("distinct_asof"))
+          .select(lit(n.toLong).as("wave"), col("rows_asof"), col("distinct_asof"))
+      }.reduce(_ unionByName _).orderBy("wave")
+    },
+
     // A/B exposure-conversion lift: md5-derandomized arms, strict
     // order (a purchase before first view is not attributable — the
     // q154 funnel rule), verdict cross-multiplied so the lift flag is
