@@ -209,6 +209,63 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
         .orderBy("doc_id")
     },
 
+    // Exact-boundary span dedup (r10 verdict item 6): min-match length
+    // DECOUPLED from the gram size. 4-gram anchors, minMatch = 6:
+    // planted shared spans of 5 tokens (minMatch − 1) must survive
+    // INTACT even though their 4-windows are shared, while 6- and
+    // 7-token spans strip with exact boundaries — the lengths that
+    // straddle the threshold. Coverage runs shorter than minMatch are
+    // un-flagged by a gaps-and-islands pass (run id = pos − per-doc
+    // rank); the oracle replays anchors, df, coverage, the run filter,
+    // and the strip.
+    sql("q181_span_dedup_minmatch",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'qz1 qz2 qz3 qz4 qz5 qz6 ' || text
+        |         WHEN doc_id % 7 = 3 THEN text || ' qz1 qz2 qz3 qz4 qz5 qz6'
+        |         WHEN doc_id % 11 = 5 THEN 'qy1 qy2 qy3 qy4 qy5 qy6 qy7 ' || text
+        |         WHEN doc_id % 11 = 8 THEN text || ' qy1 qy2 qy3 qy4 qy5 qy6 qy7'
+        |         WHEN doc_id % 13 = 2 THEN 'qx1 qx2 qx3 qx4 qx5 ' || text
+        |         WHEN doc_id % 13 = 6 THEN text || ' qx1 qx2 qx3 qx4 qx5'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
+        |f AS (SELECT dg FROM (SELECT DISTINCT doc_id, dg FROM gd) GROUP BY dg HAVING count(*) >= 2),
+        |cp AS (SELECT DISTINCT doc_id, gd.pos + u.u AS p
+        |       FROM gd JOIN f USING (dg), (SELECT unnest(range(4)) AS u) u),
+        |rn AS (SELECT doc_id, p, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cp),
+        |keep AS (SELECT doc_id, p FROM (
+        |           SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, grp) AS len
+        |           FROM rn) x WHERE len >= 6),
+        |cov AS (SELECT doc_id, list(p) AS cv FROM keep GROUP BY doc_id),
+        |kept AS (SELECT t.doc_id, toks,
+        |           [toks[i + 1] FOR i IN range(len(toks))
+        |            IF NOT list_contains(coalesce(cv, CAST([] AS BIGINT[])), i)] AS kp
+        |         FROM t LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, COALESCE(array_to_string(kp, ' '), '') AS cleaned,
+        |  CAST(len(toks) - len(kp) AS BIGINT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("qz1 qz2 qz3 qz4 qz5 qz6 "), col("text")))
+          .when(col("doc_id") % 7 === 3,
+            concat(col("text"), lit(" qz1 qz2 qz3 qz4 qz5 qz6")))
+          .when(col("doc_id") % 11 === 5,
+            concat(lit("qy1 qy2 qy3 qy4 qy5 qy6 qy7 "), col("text")))
+          .when(col("doc_id") % 11 === 8,
+            concat(col("text"), lit(" qy1 qy2 qy3 qy4 qy5 qy6 qy7")))
+          .when(col("doc_id") % 13 === 2,
+            concat(lit("qx1 qx2 qx3 qx4 qx5 "), col("text")))
+          .when(col("doc_id") % 13 === 6,
+            concat(col("text"), lit(" qx1 qx2 qx3 qx4 qx5")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextOps.spanDedupStrip(corpus, "doc_id", "text",
+          k = 4, minDocs = 2, minMatch = 6)
+        .orderBy("doc_id")
+    },
+
     // SCD2 dimension maintenance: the customer dimension's tracked
     // attribute (market segment at load time, then each order's
     // priority as an observed change) collapses into validity-interval

@@ -544,9 +544,21 @@ object TextOps {
     * Returns (id, cleaned, n_removed). Documents shorter than k
     * tokens have no windows and pass through untouched, matching the
     * paper's min-match-length semantics.
+    *
+    * `minMatch` (default = k) decouples the PAPER's min-match length
+    * from the gram size (the r10 verdict's exact-boundary item): with
+    * k-gram ANCHORS and `minMatch > k`, a covered-position run shorter
+    * than `minMatch` is un-flagged — so a shared span of length
+    * `minMatch − 1` survives intact while `minMatch` and `minMatch + 1`
+    * strip with EXACT boundaries, independent of where k falls. (With
+    * `minMatch = k` every covered run is ≥ k by construction and the
+    * filter is the identity — the historical behavior, hash-pinned by
+    * q137.) The run filter is a gaps-and-islands pass over covered
+    * positions — |duplicated content|-bounded rows, windows
+    * PARTITIONED by doc.
     */
   def spanDedupStrip(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
+      k: Int = 8, minDocs: Int = 2, minMatch: Int = 0): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
     val toks = spanToks(docs, idCol, textCol)
     val grams = spanGrams(toks, k)
@@ -554,7 +566,7 @@ object TextOps {
       .groupBy("__dg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("__dg")
-    spanCoverageStrip(toks, grams, flagged, idCol, k)
+    spanCoverageStrip(toks, grams, flagged, idCol, k, minMatch)
   }
 
   private def spanToks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -571,11 +583,28 @@ object TextOps {
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.dg").as("__dg"))
 
   /** Position-coverage union + per-row index-lambda strip (the
-    * spanDedupStrip tail, shared with the incremental form). */
+    * spanDedupStrip tail, shared with the incremental form). With
+    * `minMatch > k`, covered-position RUNS shorter than `minMatch`
+    * are dropped before the strip (gaps-and-islands: run id =
+    * position − per-doc rank — doc-partitioned windows over
+    * duplicated-content-bounded rows).
+    */
   private def spanCoverageStrip(toks: DataFrame, grams: DataFrame,
-      flagged: DataFrame, idCol: String, k: Int): DataFrame = {
-    val covered = grams.join(flagged, "__dg")
+      flagged: DataFrame, idCol: String, k: Int, minMatch: Int = 0): DataFrame = {
+    val coveredPos = grams.join(flagged, "__dg")
       .select(col("__id"), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__p"))
+    val keptPos =
+      if (minMatch <= k) coveredPos
+      else {
+        val w = Window.partitionBy("__id").orderBy("__p")
+        coveredPos.distinct()
+          .withColumn("__grp", col("__p") - row_number().over(w))
+          .withColumn("__len",
+            count(lit(1)).over(Window.partitionBy("__id", "__grp")))
+          .filter(col("__len") >= minMatch)
+          .select("__id", "__p")
+      }
+    val covered = keptPos
       .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
     toks.join(covered, Seq("__id"), "left")
       .withColumn("__kept",
@@ -645,7 +674,8 @@ object TextOps {
     * size.
     */
   def incrementalSpanDedupStrip(storeDf: DataFrame, delta: DataFrame,
-      idCol: String, textCol: String, k: Int = 8, minDocs: Int = 2): DataFrame = {
+      idCol: String, textCol: String, k: Int = 8, minDocs: Int = 2,
+      minMatch: Int = 0): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
     val toks = spanToks(delta, idCol, textCol)
     val grams = spanGrams(toks, k)
@@ -656,16 +686,16 @@ object TextOps {
       .join(catDf, deltaDf("__dg") === catDf("dg"), "left")
       .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) >= minDocs)
       .select("__dg")
-    spanCoverageStrip(toks, grams, flagged, idCol, k)
+    spanCoverageStrip(toks, grams, flagged, idCol, k, minMatch)
   }
 
   /** [[incrementalSpanDedupStrip]] against a persisted
     * [[writeGramDfStore]] table. */
   def incrementalSpanDedupStripVsStore(spark: org.apache.spark.sql.SparkSession,
       storeTable: String, delta: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame =
+      k: Int = 8, minDocs: Int = 2, minMatch: Int = 0): DataFrame =
     incrementalSpanDedupStrip(spark.table(storeTable), delta, idCol, textCol,
-      k, minDocs)
+      k, minDocs, minMatch)
 
   /** Per-document compression statistics: UTF-8 byte length and native
     * DEFLATE(level 6) compressed length — the ratio is the entropy

@@ -988,6 +988,80 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(ranks("b") > ranks("a") && ranks("b") > ranks("c"))
   }
 
+  // ---- minMatch-decoupled span dedup (q181, r10 verdict item 6) --------
+
+  test("spanDedupStrip minMatch: spans straddling the threshold strip exactly") {
+    // 4-gram anchors, minMatch 6: the 5-token shared span's windows ARE
+    // shared, but its coverage run (5) misses the threshold — intact;
+    // 6 and 7 strip with exact boundaries
+    val docs = Seq(
+      (1L, "s5a s5b s5c s5d s5e u1 u2 u3 u4 u5"),
+      (2L, "v1 v2 s5a s5b s5c s5d s5e v3 v4"),
+      (3L, "s6a s6b s6c s6d s6e s6f w1 w2 w3 w4"),
+      (4L, "x1 x2 s6a s6b s6c s6d s6e s6f"),
+      (5L, "s7a s7b s7c s7d s7e s7f s7g y1 y2 y3"),
+      (6L, "z1 s7a s7b s7c s7d s7e s7f s7g z2"),
+      (7L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n0")
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedupStrip(docs, "doc_id", "text",
+        k = 4, minDocs = 2, minMatch = 6)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out(0)._3 == 0L && out(1)._3 == 0L,
+      s"5-token span (minMatch-1) must survive: ${out.take(2)}")
+    assert(out(2) == ((3L, "w1 w2 w3 w4", 6L)) && out(3) == ((4L, "x1 x2", 6L)),
+      s"6-token span strips exactly: ${out.slice(2, 4)}")
+    assert(out(4) == ((5L, "y1 y2 y3", 7L)) && out(5) == ((6L, "z1 z2", 7L)),
+      s"7-token span strips exactly: ${out.slice(4, 6)}")
+    assert(out(6)._3 == 0L, "unshared doc untouched")
+  }
+
+  test("spanDedupStrip minMatch = k is the identity filter (historical behavior)") {
+    val docs = Seq(
+      (1L, "p q r s t u1 u2 u3"),
+      (2L, "v1 p q r s t v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val plain = TextOps.spanDedupStrip(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    val mm = TextOps.spanDedupStrip(docs, "doc_id", "text", k = 4, minDocs = 2,
+        minMatch = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(plain == mm)
+  }
+
+  test("incremental minMatch span dedup vs store equals the full recompute on delta ids") {
+    import graft.operators.Stores
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val all = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(i)
+      val base = (0 until 10 + i % 5).map(_ => words(rnd.nextInt(words.length)))
+      val text =
+        if (i % 9 == 0) "m1 m2 m3 m4 m5 m6 " + base.mkString(" ")        // 6-span
+        else if (i % 9 == 4) base.mkString(" ") + " m1 m2 m3 m4 m5 m6"
+        else if (i % 9 == 2) "h1 h2 h3 h4 h5 " + base.mkString(" ")      // 5-span
+        else if (i % 9 == 7) base.mkString(" ") + " h1 h2 h3 h4 h5"
+        else base.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val cat = all.filter($"doc_id" % 2 === 0)
+    val delta = all.filter($"doc_id" % 2 === 1)
+    val table = "minmatch_gram_store"
+    Stores.dropStoreTable(spark, table)
+    TextOps.writeGramDfStore(cat, "doc_id", "text", table, k = 4, buckets = 4)
+    val fromStore = TextOps.incrementalSpanDedupStripVsStore(spark, table,
+        delta, "doc_id", "text", k = 4, minDocs = 2, minMatch = 6)
+      .orderBy("doc_id").collect().toSeq
+    val full = TextOps.spanDedupStrip(all, "doc_id", "text",
+        k = 4, minDocs = 2, minMatch = 6)
+      .filter($"doc_id" % 2 === 1).orderBy("doc_id").collect().toSeq
+    assert(fromStore.nonEmpty && fromStore == full)
+    // the probe really fires: some delta doc stripped a span the
+    // catalog store knew about
+    assert(fromStore.exists(_.getLong(2) > 0L),
+      "expected at least one store-flagged strip in the delta")
+    Stores.dropStoreTable(spark, table)
+  }
+
   // ---- q142 exact-rank arm plan shape (r10 verdict item 4) -------------
 
   test("q142 has no unpartitioned window over corpus-derived values") {
