@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,6 +66,77 @@ object Multimodal {
         (pmod(col(idCol).cast("long"), lit(64L)) + 1).cast("int").as("width"),
         (pmod(col(idCol).cast("long"), lit(48L)) + 1).cast("int").as("height"))
         .as("meta"))
+
+  /** Deterministic STRUCTURED-payload synthesizer — the q182 fixture:
+    * REAL container header bytes (PNG signature+IHDR; JPEG with a
+    * variable-length APP0 so the marker walk is exercised; WAV with a
+    * JUNK chunk before `fmt ` so the chunk walk is) followed by
+    * pseudo body bytes. Every header field is a pure function of the
+    * id, so the DuckDB oracle predicts the parsed values from the
+    * construction (the q163 planted-lifecycle convention).
+    */
+  def synthesizeStructured(df: DataFrame, idCol: String): DataFrame = {
+    val gen = udf { id: Long => structuredPayload(id) }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", gen(col("media_id")))
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")))
+  }
+
+  private[operators] def structuredPayload(id: Long): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def be16(v: Long): Unit = { buf += (v >> 8).toByte; buf += v.toByte; () }
+    def be32(v: Long): Unit = {
+      buf += (v >> 24).toByte; buf += (v >> 16).toByte
+      buf += (v >> 8).toByte; buf += v.toByte; ()
+    }
+    def le16(v: Long): Unit = { buf += v.toByte; buf += (v >> 8).toByte; () }
+    def le32(v: Long): Unit = {
+      buf += v.toByte; buf += (v >> 8).toByte
+      buf += (v >> 16).toByte; buf += (v >> 24).toByte; ()
+    }
+    def ascii(s: String): Unit = { buf ++= s.getBytes("US-ASCII"); () }
+    def body(n: Int): Unit = { (0 until n).foreach(i => buf += ((id + i) % 251).toByte); () }
+    (id % 3) match {
+      case 0 => // PNG
+        buf ++= Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+        be32(13); ascii("IHDR")
+        be32(16 + id % 64); be32(16 + id % 48)
+        buf += 8.toByte
+        buf += Array(0, 2, 6)(((id / 3) % 3).toInt).toByte
+        buf += 0; buf += 0; buf += 0
+        be32(0) // crc not validated by the parser
+        body((1 + (id % 7)).toInt * 64)
+      case 1 => // JPEG: APP0 of id-dependent length, then SOF0
+        val app0 = 14 + (id % 8).toInt
+        val ch = if ((id / 3) % 2 == 0) 3 else 1
+        buf += 0xff.toByte; buf += 0xd8.toByte
+        buf += 0xff.toByte; buf += 0xe0.toByte
+        be16(app0 + 2L); (0 until app0).foreach(i => buf += ((id + i) % 97).toByte)
+        buf += 0xff.toByte; buf += 0xc0.toByte
+        be16(8L + 3 * ch); buf += 8.toByte
+        be16(32 + id % 100); be16(32 + id % 80)
+        buf += ch.toByte
+        (0 until 3 * ch).foreach(i => buf += i.toByte)
+        buf += 0xff.toByte; buf += 0xd9.toByte
+      case _ => // WAV: JUNK chunk, then fmt + data
+        val ch = 1 + ((id / 3) % 2).toInt
+        val rate = 8000 + (id % 4) * 4000
+        val frames = 100 + (id % 50).toInt
+        val blockAlign = ch * 2
+        val dataSz = frames.toLong * blockAlign
+        ascii("RIFF"); le32(4 + 16 + 24 + 8 + dataSz); ascii("WAVE")
+        ascii("JUNK"); le32(8); body(8)
+        ascii("fmt "); le32(16)
+        le16(1); le16(ch.toLong); le32(rate)
+        le32(rate * blockAlign); le16(blockAlign.toLong); le16(16)
+        ascii("data"); le32(dataSz); body(dataSz.toInt)
+    }
+    buf.toArray
+  }
 
   /** STUB decode + feature extraction: per-partition batch transform
     * producing a fixed-width feature vector per payload. A real
@@ -138,14 +209,45 @@ object Multimodal {
     * stage downstream of [[decodeStub]] is unchanged.
     */
   def perceptualNearDupCandidates(media: DataFrame, dim: Int = 8,
+      maxBucketSize: Int = 64, thrPermille: Int = 100): DataFrame =
+    perceptualCore(media, dim, maxBucketSize, thrPermille, lit(""))
+
+  /** [[perceptualNearDupCandidates]] BLOCKED by parsed container
+    * headers (the r10 verdict's header-aware tier): candidates must
+    * share format, channel count, and — for images — the
+    * aspect-ratio permille band (width·1000 div height), or — for
+    * audio — the sample rate. A resized twin keeps its aspect band,
+    * so it stays pairable; a cross-format or cross-geometry pair
+    * never reaches the O(m²) bucket join at all. Header parse is the
+    * native [[graft.plans.MediaHeaderExpr]] walk, one pass per
+    * payload inside the same scan.
+    */
+  def headerBlockedPerceptualCandidates(media: DataFrame, dim: Int = 8,
       maxBucketSize: Int = 64, thrPermille: Int = 100): DataFrame = {
+    val withHdr = media.withColumn("__hdr",
+      graft.plans.MediaHeaderExpr.media_header(col("payload")))
+    val block = concat_ws(":",
+      col("__hdr.fmt"),
+      coalesce(col("__hdr.channels"), lit(-1L)).cast("string"),
+      coalesce(expr("__hdr.width * 1000 div __hdr.height"),
+        col("__hdr.sample_rate"), lit(-1L)).cast("string"))
+    perceptualCore(withHdr, dim, maxBucketSize, thrPermille, block)
+  }
+
+  /** The shared perceptual pipeline; `blockCol` prepends a blocking
+    * key to the sign-bucket join key (empty string = unblocked, the
+    * historical q126 behavior — same groups, same output). */
+  private def perceptualCore(media: DataFrame, dim: Int,
+      maxBucketSize: Int, thrPermille: Int, blockCol: Column): DataFrame = {
     require(dim >= 1 && dim <= 63, "dim must fit the sign-bucket bit range")
     val withKey = decodeStub(media, dim)
       .withColumn("__n", greatest(col("meta.n_bytes"), lit(1L)))
       .withColumn("__counts",
         expr("transform(features, f -> CAST(round(f * __n) AS BIGINT))"))
-      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
-        expr(s"transform(__counts, c -> CAST(c * $dim - __n AS DOUBLE))"), dim))
+      .withColumn("__key", concat_ws("|", blockCol,
+        graft.plans.SignBucketExpr.sign_bucket(
+          expr(s"transform(__counts, c -> CAST(c * $dim - __n AS DOUBLE))"), dim)
+          .cast("string")))
       .select(col("media_id").as("id"), col("__key"), col("__counts"), col("__n"))
       .repartition(col("__key"))
     val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")

@@ -767,4 +767,84 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.map(_.getInt(0)).toSeq === Seq(32))
     assert(Multimodal.sampleFrames(media).count() >= media.count())
   }
+
+  test("media_header parses PNG/PNG-IHDR, JPEG marker walk, WAV chunk walk, garbage") {
+    import spark.implicits._
+    // synthesized structured payloads (real header bytes) parse to the
+    // id-formula values across all three formats
+    val media = Multimodal.synthesizeStructured(
+      (0L until 30L).toDF("doc_id"), "doc_id")
+    val parsed = media.select($"media_id",
+        graft.plans.MediaHeaderExpr.media_header($"payload").as("h"))
+      .orderBy("media_id").collect()
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      val h = r.getStruct(1)
+      (id % 3) match {
+        case 0 =>
+          assert(h.getString(0) == "png" && h.getLong(1) == 16 + id % 64 &&
+            h.getLong(2) == 16 + id % 48, s"png $id: $h")
+          assert(h.getLong(3) == Seq(1L, 3L, 4L)(((id / 3) % 3).toInt), s"png ch $id: $h")
+        case 1 =>
+          assert(h.getString(0) == "jpeg" && h.getLong(1) == 32 + id % 80 &&
+            h.getLong(2) == 32 + id % 100, s"jpeg $id: $h")
+          assert(h.getLong(3) == (if ((id / 3) % 2 == 0) 3L else 1L), s"jpeg ch $id: $h")
+        case _ =>
+          assert(h.getString(0) == "wav" && h.getLong(3) == 1 + (id / 3) % 2 &&
+            h.getLong(4) == 8000 + (id % 4) * 4000 &&
+            h.getLong(5) == 100 + id % 50, s"wav $id: $h")
+      }
+    }
+    // garbage bytes parse as unknown, never throw
+    val junk = Seq((1L, Array[Byte](1, 2, 3), null), (2L, null, null))
+      .toDF("media_id", "payload", "x").drop("x")
+    val u = junk.select(graft.plans.MediaHeaderExpr.media_header($"payload").as("h"))
+      .collect()
+    assert(u(0).getStruct(0).getString(0) == "unknown")
+    assert(u(1).isNullAt(0), "null payload -> null header")
+  }
+
+  test("header-blocked perceptual near-dup: resized twins pair, cross-format twins never meet") {
+    import spark.implicits._
+    // two PNG "images" with identical byte distribution at different
+    // sizes (the resized-twin shape: same aspect band 4:3, body bytes
+    // the same pattern repeated 2x) plus the SAME body wrapped as a
+    // WAV — content-identical but cross-format, so blocking must keep
+    // it out of the candidate bucket.
+    def png(w: Long, h: Long, bodyReps: Int): Array[Byte] = {
+      val head = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R').map(_.toByte) ++
+        Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+          (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+          8.toByte, 2.toByte, 0.toByte, 0.toByte, 0.toByte,
+          0.toByte, 0.toByte, 0.toByte, 0.toByte)
+      head ++ Array.fill(bodyReps)((0 until 256).map(_.toByte).toArray).flatten
+    }
+    val wavBody = {
+      val data = Array.fill(16)((0 until 256).map(_.toByte).toArray).flatten
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+        Array[Byte](1, 0, 2, 0) ++ Array[Byte](0x40, 0x1f, 0, 0) ++
+        Array[Byte](0, 0, 0, 0) ++ Array[Byte](4, 0) ++ Array[Byte](16, 0) ++
+        "data".getBytes ++ Array[Byte]((data.length & 255).toByte,
+          ((data.length >> 8) & 255).toByte, 0, 0) ++ data
+    }
+    val media = Seq(
+      (1L, png(32, 24, 16)), (2L, png(64, 48, 32)), (3L, wavBody),
+      (4L, png(32, 32, 16))) // square aspect: different band, never pairs
+      .toDF("media_id", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("application/octet-stream").as("mime"),
+        org.apache.spark.sql.functions.length($"payload").cast("long").as("n_bytes"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("height")))
+    val pairs = Multimodal.headerBlockedPerceptualCandidates(
+        media, dim = 8, maxBucketSize = 64, thrPermille = 150)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"resized twins must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"cross-format twin must be blocked: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different aspect band must be blocked: $pairs")
+  }
 }
