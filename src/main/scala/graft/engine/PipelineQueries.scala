@@ -193,6 +193,62 @@ object PipelineQueries {
           .orderBy("qid")
     },
 
+    // Two-stage Matryoshka retrieval (r10 verdict item 9 — ACTING on
+    // q177's audit): prefix-16 shortlist of 40, full-dim exact rerank
+    // to top-5. Each query gets 20 PLANTED separable neighbors (its
+    // own vector with only the LAST dimension perturbed, so the
+    // 16-dim prefix is byte-identical and stage 1 cannot miss them);
+    // the in_full_topk flag then pins the headline property — the
+    // two-stage result EQUALS the full-dimension top-k — inside the
+    // hash, alongside the full two-stage procedure replay.
+    sql("q183_matryoshka_rerank",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qv FROM base WHERE vec_id < 8),
+        |planted AS (
+        |  SELECT 1000000 + qid * 100 + i AS vec_id,
+        |         list_append(qv[1:63], qv[64] + 0.05 * i) AS e
+        |  FROM q, (SELECT unnest(range(1, 21)) AS i) ii),
+        |corpus AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM planted),
+        |short AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(qv[1:16], e[1:16]) DESC, c.vec_id) AS rn
+        |  FROM q, corpus c WHERE c.vec_id <> q.qid) x WHERE rn <= 40),
+        |ts AS (SELECT qid, cid, sim, rn FROM (
+        |  SELECT s.qid, s.cid, list_cosine_similarity(q.qv, c.e) AS sim,
+        |    row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY list_cosine_similarity(q.qv, c.e) DESC, s.cid) AS rn
+        |  FROM short s JOIN q ON q.qid = s.qid JOIN corpus c ON c.vec_id = s.cid) x
+        |  WHERE rn <= 5),
+        |full_ AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(qv, e) DESC, c.vec_id) AS rn
+        |  FROM q, corpus c WHERE c.vec_id <> q.qid) x WHERE rn <= 5)
+        |SELECT ts.qid, ts.cid, round(ts.sim, 4) AS sim, ts.rn,
+        |  (f.cid IS NOT NULL) AS in_full_topk
+        |FROM ts LEFT JOIN full_ f ON f.qid = ts.qid AND f.cid = ts.cid
+        |ORDER BY ts.qid, ts.rn""".stripMargin) { (s, d) =>
+      val embD = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      val qs = embD.filter(col("vec_id") < 8)
+      val planted = qs
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(1, 20)")).as("i"))
+        .select((lit(1000000L) + col("vec_id") * 100 + col("i")).as("vec_id"),
+          expr("concat(slice(embedding, 1, 63), " +
+            "array(element_at(embedding, 64) + 0.05 * i))").as("embedding"))
+      val corpus = embD.unionByName(planted)
+      val ts = Similarity.prefixRerankTopK(corpus, qs, k = 5,
+        prefixDim = 16, shortlist = 40)
+      val full = Similarity.cosineTopK(corpus, qs, k = 5)
+        .select(col("qid"), col("cid"), lit(true).as("in_full_topk"))
+      ts.join(full, Seq("qid", "cid"), "left")
+        .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"), col("rn"),
+          coalesce(col("in_full_topk"), lit(false)).as("in_full_topk"))
+        .orderBy("qid", "rn")
+    },
+
     // IVF is SQL-expressible too: centroids are elementwise per-label
     // means (parallel unnest zips value with position), probes the
     // nprobe nearest centroids, exact cosine within probed lists.

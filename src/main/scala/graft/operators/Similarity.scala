@@ -96,6 +96,63 @@ object Similarity {
         expr(s"(n_overlap * 10000) div $k").as("overlap_bp"))
   }
 
+  /** Two-stage Matryoshka retrieval — ACTING on what
+    * [[prefixDimRetrievalAudit]] measures (Kusupati et al. 2022's
+    * deployment trick, the r10 verdict's item 9): stage 1 scans only
+    * the first `prefixDim` dimensions to shortlist `shortlist`
+    * candidates per query (prefixDim/dim of the scan arithmetic — the
+    * 4× cheaper pass a truncated index stores); stage 2 reranks ONLY
+    * the shortlist at full dimension, exact. Same output shape as
+    * [[cosineTopK]]; equality with the full-dim top-k holds exactly
+    * when the prefix shortlist covers it (the property the audit's
+    * overlap_bp predicts, and the q183 oracle pins on planted
+    * separable data).
+    *
+    * Scale shape: stage 1 is a broadcast-query scan on sliced vectors
+    * whose per-query shortlist is kept by [[graft.functions.TopKAgg]]
+    * — a map-side-combining keep-k aggregate, NOT a ranking window:
+    * the Q·C scored-pair relation reduces to ≤ shortlist rows per
+    * query per partition BEFORE the shuffle (the window form shuffles
+    * and sorts every scored pair, which erases the whole prefix saving
+    * — measured 0.77× at 100×; the aggregate form is what makes the
+    * two-stage plan actually win). Stage 2 joins the
+    * (|queries|·shortlist)-row shortlist BACK TO THE CORPUS BY ID —
+    * the corpus is scanned, never shuffled, and the shortlist side
+    * broadcasts. At 100 TB stage 1 reads a prefixDim-truncated sidecar
+    * index; stage 2's id join is the only touch of full-width vectors.
+    */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, shortlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && prefixDim >= 1 && shortlist >= k,
+      "need k >= 1, prefixDim >= 1, shortlist >= k")
+    val qp = queries.select(col(idCol).as("qid"),
+      slice(col(vecCol), 1, prefixDim).as("qv"),
+      norm(slice(col(vecCol), 1, prefixDim)).as("qn"))
+    val cp = corpus.select(col(idCol).as("cid"),
+      slice(col(vecCol), 1, prefixDim).as("cv"),
+      norm(slice(col(vecCol), 1, prefixDim)).as("cn"))
+    val short = cp.join(broadcast(qp), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_scored(shortlist)(
+        col("sim"), col("cid")).as("__tops"))
+      .select(col("qid"), explode(col("__tops")).as("__t"))
+      .select(col("qid"), col("__t._2").as("cid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(broadcast(short), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Multi-probe sign-LSH ANN (the Lv et al., VLDB 2007 idea applied
     * to the sign-bucket family): each query probes its OWN bucket plus
     * every Hamming-1 neighbor (one sign flip), recovering most of the

@@ -768,6 +768,64 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(media).count() >= media.count())
   }
 
+  test("prefixRerankTopK: two-stage equals full-dim top-k when the prefix separates") {
+    import spark.implicits._
+    // planted clusters: 4 queries, each with 12 separable neighbors
+    // whose 8-dim prefix is IDENTICAL to the query's (only dim 16
+    // perturbed) — stage 1 cannot miss them, so two-stage == full-dim
+    val rnd = new scala.util.Random(7)
+    val qs = (0L until 4L).map(q => (q, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val corpus = (qs.flatMap { case (q, v) =>
+      (1 to 12).map { i =>
+        val p = v.clone(); p(15) = p(15) + 0.05f * i
+        (1000L + q * 100 + i, p.toSeq)
+      }
+    } ++ (0L until 200L).map(i =>
+      (2000L + i, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)) ++
+      qs.map { case (q, v) => (q, v.toSeq) }).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val two = Similarity.prefixRerankTopK(corpus, queries, k = 5,
+        prefixDim = 8, shortlist = 20)
+      .select("qid", "cid", "rn").orderBy("qid", "rn")
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = Similarity.cosineTopK(corpus, queries, k = 5)
+      .select("qid", "cid", "rn").orderBy("qid", "rn")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(two.size == 20 && two == full,
+      s"two-stage must equal full-dim on separable data:\n$two\nvs\n$full")
+    // the shortlist stage is an AGGREGATE, not a ranking window over
+    // the Q x C pair relation: no WindowExec may touch a cv/qv pair
+    val plan = Similarity.prefixRerankTopK(corpus, queries, 5, 8, 20)
+      .queryExecution.executedPlan
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          windows(a.executedPlan)
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          Seq(w.child.output.map(_.name).mkString(","))
+      }.flatten
+    val pairWindows = windows(plan).filter(cols =>
+      cols.contains("cv") || cols.contains("qv"))
+    assert(pairWindows.isEmpty,
+      s"shortlist must not rank via a pair-relation window: ${windows(plan)}")
+  }
+
+  test("TopKAgg keeps the exact (score desc, id asc) top-k under any arrival order") {
+    val agg = graft.functions.TopKAgg.topKAgg(3)
+    val items = Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.9, 2L), (0.7, 4L))
+    // single-buffer reduction
+    val all = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(all) == Seq((0.9, 1L), (0.9, 2L), (0.9, 3L)))
+    // split + merge in adversarial order
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(r.foldLeft(agg.zero)(agg.reduce),
+      l.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == Seq((0.9, 1L), (0.9, 2L), (0.9, 3L)))
+    // under-full groups pass through whole, ordered
+    val few = agg.finish(Seq((0.2, 9L), (0.8, 5L)).foldLeft(agg.zero)(agg.reduce))
+    assert(few == Seq((0.8, 5L), (0.2, 9L)))
+  }
+
   test("media_header parses PNG/PNG-IHDR, JPEG marker walk, WAV chunk walk, garbage") {
     import spark.implicits._
     // synthesized structured payloads (real header bytes) parse to the
