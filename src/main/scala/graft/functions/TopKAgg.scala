@@ -31,9 +31,14 @@ object TopKAgg {
     new Aggregator[(Double, Long), Array[Double], Seq[(Double, Long)]] {
       private val cap = k
 
-      // "a comes before b" under (score DESC, id ASC)
-      private def before(s1: Double, i1: Double, s2: Double, i2: Double): Boolean =
-        s1 > s2 || (s1 == s2 && i1 < i2)
+      // "a comes before b" under (score DESC, id ASC); Double.compare
+      // is the TOTAL order (NaN greatest, like Spark's descending
+      // double sort) so degenerate scores cannot make the result
+      // arrival-dependent
+      private def before(s1: Double, i1: Double, s2: Double, i2: Double): Boolean = {
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 
       override def zero: Array[Double] = Array.emptyDoubleArray
 

@@ -27,6 +27,26 @@ object Similarity {
     */
   val DefaultMaxBucketSize: Int = 4096
 
+  /** (qid, cid, sim) scored pairs → exact per-query top-k
+    * (qid, cid, sim, rn) under the house (sim DESC, cid ASC) total
+    * order — via the [[graft.functions.TopKAgg]] keep-k aggregate,
+    * NOT a ranking window: a `Window.partitionBy(qid)` form shuffles
+    * and sorts the ENTIRE scored-pair relation (Q·C rows at
+    * brute-force scale — the r11 Matryoshka probe measured that
+    * shuffle erasing a 4× arithmetic saving outright), while the
+    * udaf gets full partial aggregation and each partition reduces to
+    * ≤ k rows per query BEFORE the exchange. Output values and order
+    * are identical to the window form (same total order, same rn), so
+    * every pinned oracle hash is unchanged. Ids must be longs (they
+    * are, engine-wide); sims ride as exact doubles.
+    */
+  private def topKByQid(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_scored(k)(col("sim"), col("cid")).as("__tops"))
+      .select(col("qid"), posexplode(col("__tops")).as(Seq("__i", "__t")))
+      .select(col("qid"), col("__t._2").as("cid"), col("__t._1").as("sim"),
+        (col("__i") + 1).cast("long").as("rn"))
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * rows of `corpus` (excluding identical ids).
     * Output: (qid, cid, sim, rn).
@@ -39,12 +59,11 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(q), col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKByQid(
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** Sign-LSH bucketed ANN top-k: same output shape as [[cosineTopK]]
@@ -57,13 +76,12 @@ object Similarity {
       norm(col(vecCol)).as("qn"), signBucket(col(vecCol), bits).as("bucket"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), signBucket(col(vecCol), bits).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKByQid(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** Prefix-dimension (Matryoshka-style) retrieval audit: per query,
@@ -144,13 +162,12 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(short), "cid")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKByQid(
+      c.join(broadcast(short), "cid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** Multi-probe sign-LSH ANN (the Lv et al., VLDB 2007 idea applied
@@ -177,13 +194,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), explode(probes).as("bucket"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), signBucket(col(vecCol), bits).as("bucket"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKByQid(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** Embedding near-dup at 100-TB scale: sign-LSH bucketing generates
@@ -479,13 +495,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("list_id"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), col(labelCol).as("list_id"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    c.join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("list_id"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    topKByQid(
+      c.join(broadcast(probes.withColumn("qn", norm(col("qv")))), Seq("list_id"))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** STATELESS cosine-argmax assignment of every corpus vector to one
