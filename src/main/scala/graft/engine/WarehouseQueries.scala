@@ -170,6 +170,15 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
     sb.toString
   }
 
+  /** The q137/q151/q185 planted corpus: the shared phrase at offset 0
+    * in %7 docs and at the tail in %11 docs. */
+  private def q185Corpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(lit(plantedPhrase + " "), col("text")))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + plantedPhrase)))
+        .otherwise(col("text")).as("text"))
+
   val all: Seq[QueryDef] = Seq(
 
     // Cross-document substring-span dedup: every 8-token window
@@ -1123,6 +1132,67 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
             count_distinct(col("digest")).as("distinct_asof"))
           .select(lit(n.toLong).as("wave"), col("rows_asof"), col("distinct_asof"))
       }.reduce(_ unionByName _).orderBy("wave")
+    },
+
+    // Layered store × incremental span dedup: the gram-df store lands
+    // as wave=N partitions, and the SAME delta is stripped against
+    // each historical as-of view — as-of 0 sees only wave 0's grams,
+    // as-of 1 sees both, so a phrase shared delta↔wave-1 strips only
+    // under the later view. The oracle rebuilds each view's
+    // distinct-doc frequencies from the wave construction (delta docs
+    // + catalog docs with wave class ≤ n) and replays the full strip —
+    // pinning both that the as-of read equals a rebuild from waves ≤ n
+    // AND the q151 incremental equivalence on top of it.
+    sqlWithSetup("q185_layered_span_asof",
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN '$plantedPhrase ' || text
+        |         WHEN doc_id % 11 = 0 THEN text || ' $plantedPhrase'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) AS pos, toks FROM t WHERE len(toks) >= 8),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS dg FROM g),
+        |ns AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS n),
+        |f AS (SELECT ns.n, dd.dg
+        |      FROM ns CROSS JOIN (SELECT DISTINCT doc_id, dg FROM gd) dd
+        |      WHERE (dd.doc_id % 3) - 1 <= ns.n
+        |      GROUP BY ns.n, dd.dg HAVING count(*) >= 2),
+        |cov AS (SELECT f.n, gd.doc_id, list(DISTINCT gd.pos + u.u) AS cv
+        |        FROM gd JOIN f ON gd.dg = f.dg
+        |        CROSS JOIN (SELECT unnest(range(8)) AS u) u
+        |        WHERE gd.doc_id % 3 = 0
+        |        GROUP BY f.n, gd.doc_id),
+        |kept AS (SELECT ns.n AS asof_wave, t.doc_id, toks,
+        |           [toks[i + 1] FOR i IN range(len(toks))
+        |            IF NOT list_contains(coalesce(cv, CAST([] AS BIGINT[])), i)] AS kp
+        |         FROM ns CROSS JOIN t
+        |         LEFT JOIN cov ON cov.n = ns.n AND cov.doc_id = t.doc_id
+        |         WHERE t.doc_id % 3 = 0)
+        |SELECT asof_wave, doc_id, COALESCE(array_to_string(kp, ' '), '') AS cleaned,
+        |  CAST(len(toks) - len(kp) AS BIGINT) AS n_removed
+        |FROM kept ORDER BY asof_wave, doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.{Stores, TextOps}
+      val corpus = q185Corpus(s, d)
+      val t = "graft_q185_gram_layer"
+      Stores.dropStoreTable(s, t)
+      Stores.appendWave(TextOps.gramDf(
+        corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text", k = 8),
+        t, 0L, "dg", buckets = 8)
+      Stores.appendWave(TextOps.gramDf(
+        corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text", k = 8),
+        t, 1L, "dg", buckets = 8)
+      ()
+    } { (s, d) =>
+      import graft.operators.{Stores, TextOps}
+      val delta = q185Corpus(s, d).filter(col("doc_id") % 3 === 0)
+      (0 to 1).map { n =>
+        TextOps.incrementalSpanDedupStrip(
+            Stores.asOf(s, "graft_q185_gram_layer", n.toLong).select("dg", "df"),
+            delta, "doc_id", "text", k = 8, minDocs = 2)
+          .select(lit(n.toLong).as("asof_wave"), col("doc_id"),
+            col("cleaned"), col("n_removed"))
+      }.reduce(_ unionByName _).orderBy("asof_wave", "doc_id")
     },
 
     // A/B exposure-conversion lift: md5-derandomized arms, strict
