@@ -566,6 +566,72 @@ object EventStreams {
       .select(col("batch_id").cast("long").as("batch_id"), col("cell"),
         col("n_delta"), col("avg_err_delta"))
 
+  /** Close the STREAMING index lifecycle (the r11 batch retrain,
+    * `Pq.retrainDrifted`, driven by the landed drift signal instead
+    * of a fresh scan): pool the per-wave drift rows the maintenance
+    * stream wrote (wave averages re-weighted by wave size — the
+    * trigger works from what was actually landed, no re-encode of
+    * history), compare each cell against the catalog baseline with
+    * the same integer trigger as `Pq.driftedCells`, retrain the
+    * residual codebook on the drifted cells' CURRENT membership
+    * (catalog + streamed) with the coarse quantizer frozen, and
+    * rewrite ONLY those cells' files in EVERY landed wave — member
+    * ids come from the index itself and join back to the vector
+    * source by id; the write is a dynamic partition overwrite on
+    * (batch_id, cell), so calm cells and their whole wave history
+    * stay byte-identical. Returns None when no cell trips the
+    * threshold (nothing rewritten).
+    *
+    * In-place maintenance by design: byte-level as-of reads across a
+    * retrain need a snapshot of the index dir first (the same
+    * contract FAISS-style deployments run).
+    */
+  def ivfPqStreamRetrain(spark: org.apache.spark.sql.SparkSession,
+      catalog: DataFrame, streamedVecs: DataFrame,
+      idx: graft.operators.Pq.IvfPqIndex, indexDir: String, driftDir: String,
+      ratioPct: Long = 120L, pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Option[graft.operators.Pq.IvfPqRetrained] = {
+    import graft.operators.Pq
+    val baseline = Pq.ivfPqDriftStats(catalog, catalog.limit(0), idx, idCol, vecCol)
+      .select(col("cell"), col("n_cat"), col("avg_err_cat"))
+    val pooled = readIvfPqDrift(spark, driftDir)
+      .groupBy("cell")
+      .agg(sum("n_delta").as("n_delta"),
+        expr("sum(avg_err_delta * n_delta) div sum(n_delta)").as("avg_err_delta"))
+    val cells = Pq.driftedCells(baseline.join(pooled, "cell"), ratioPct)
+    if (cells.isEmpty) None
+    else {
+      val union = catalog.select(col(idCol), col(vecCol))
+        .unionByName(streamedVecs.select(col(idCol), col(vecCol)))
+      val resid = Pq.residualsE6(union, idx.coarse, idCol, vecCol)
+        .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      val rt = Pq.IvfPqRetrained(idx,
+        Pq.trainCodebookFromE6(resid, idx.residual.m, idx.residual.ksub,
+          pqIters, idCol, "resid"),
+        cells.toSeq)
+      val members = spark.read.option("basePath", indexDir).parquet(indexDir)
+        .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+        .select(col("batch_id").cast("long").as("__bid"), col(idCol))
+      val joined = members.join(streamedVecs.select(col(idCol), col(vecCol)), Seq(idCol))
+      val enc = Pq.residualsE6(joined, idx.coarse, idCol, vecCol,
+          extraCols = Seq("__bid"))
+        .select(col(idCol), col("__bid").as("batch_id"), col("cell"),
+          graft.plans.PqEncodeExpr.pq_encode(col("resid"),
+            rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
+            .as("codes"))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try enc.write.mode("overwrite").partitionBy("batch_id", "cell").parquet(indexDir)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      Some(rt)
+    }
+  }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

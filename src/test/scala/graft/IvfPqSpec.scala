@@ -331,6 +331,74 @@ class IvfPqSpec extends SparkSpec {
     assert(asOfScan.partitionFilters.mkString.contains("batch_id"),
       s"as-of predicate must partition-prune:\n$asOfPlan")
   }
+
+  test("streaming drift-triggered retrain rewrites only drifted cells across all waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = Pq.trainIvfPq(corpus, ncells = 4, m = 8, ksub = 16)
+    val base = corpus.select($"vec_id", $"embedding")
+      .limit(40).as[IvfPqSpec.Vec].collect().toSeq
+    // waves 0/1: in-distribution copies (new ids); wave 2: +10-shifted
+    // vectors — the planted drift, landing in few cells
+    val w0 = base.take(20).map(v => v.copy(vec_id = v.vec_id + 10000))
+    val w1 = base.drop(20).map(v => v.copy(vec_id = v.vec_id + 10000))
+    val w2 = base.take(20).map(v => IvfPqSpec.Vec(v.vec_id + 20000,
+      v.embedding.map(_ + 10.0f)))
+    val dir = tmpDir("ivfpq_stream_retrain")
+    val src = MemoryStream[IvfPqSpec.Vec]
+    val q = graft.streaming.EventStreams
+      .ivfPqMaintainStream(src.toDF(), idx, s"$dir/index", s"$dir/drift")
+      .option("checkpointLocation", s"$dir/cp").start()
+    try Seq(w0, w1, w2).foreach { w => src.addData(w: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    def cellBytes(batch: Long, c: Int): Map[String, String] = {
+      val d = new java.io.File(s"$dir/index/batch_id=$batch/cell=$c")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = (for (b <- 0L to 2L; c <- 0 until 4) yield (b, c) -> cellBytes(b, c)).toMap
+
+    val streamed = (w0 ++ w1 ++ w2).toDF("vec_id", "embedding")
+    val rt = graft.streaming.EventStreams.ivfPqStreamRetrain(
+      spark, corpus, streamed, idx, s"$dir/index", s"$dir/drift").get
+    assert(rt.drifted.nonEmpty && rt.drifted.size < 4, s"drifted: ${rt.drifted}")
+
+    // calm cells: byte-identical in EVERY wave; drifted cells: rewritten
+    // wherever they had members
+    for (b <- 0L to 2L; c <- 0 until 4) {
+      if (rt.drifted.contains(c)) {
+        if (before((b, c)).nonEmpty)
+          assert(cellBytes(b, c) != before((b, c)),
+            s"drifted cell $c wave $b must re-encode")
+      } else assert(cellBytes(b, c) == before((b, c)),
+        s"calm cell $c wave $b must stay byte-identical")
+    }
+    // the rewritten index equals a direct v2/v1 re-encode of the
+    // streamed vectors, and stays probe-ready under the versioned probe
+    val live = graft.streaming.EventStreams
+      .readIvfPqStreamIndex(spark, s"$dir/index")
+      .select("vec_id", "cell", "codes").as[(Long, Int, Long)].collect().toSet
+    val expectCalm = Pq.encodeIvfPq(streamed, idx)
+      .filter(!$"cell".isin(rt.drifted.map(Integer.valueOf): _*))
+      .as[(Long, Int, Long)].collect().toSet
+    val expectDrift = Pq.residualsE6(streamed, idx.coarse)
+      .filter($"cell".isin(rt.drifted.map(Integer.valueOf): _*))
+      .select($"vec_id", $"cell",
+        graft.functions.VectorFunctions.pqEncode($"resid",
+          rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
+          .as("codes"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(live == (expectCalm ++ expectDrift) && live.size == 60)
+    val top = Pq.ivfPqTopKRetrained(
+      graft.streaming.EventStreams.readIvfPqStreamIndex(spark, s"$dir/index"),
+      rt, Pq.queryWeightsE6(query), k = 5, nprobe = 2).collect()
+    assert(top.length == 5)
+  }
 }
 
 object IvfPqSpec {
