@@ -632,6 +632,24 @@ object EventStreams {
     }
   }
 
+  /** Land a stream into a WAVE-LAYERED store
+    * ([[graft.operators.Stores]]): each micro-batch becomes
+    * `wave = batchId` via the idempotent `appendWave` — a
+    * crash-replayed batch REPLACES its partition instead of
+    * duplicating (the at-least-once window closes by layout), and the
+    * store gains the full layered toolkit under streaming
+    * maintenance: partition-pruned as-of reads, wave rollback after a
+    * bad ingest, and the layer-based audit.
+    */
+  def layeredStoreStream(rows: DataFrame, table: String, keyCol: String,
+      buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Stores.appendWave(batch.toDF(), table, batchId,
+          keyCol, buckets)
+    }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

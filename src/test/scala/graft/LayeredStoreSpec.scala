@@ -126,6 +126,40 @@ class LayeredStoreSpec extends SparkSpec {
     dropTable(t)
   }
 
+  test("layeredStoreStream lands each micro-batch as an idempotent wave") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = docs(45)
+    val waves = (0 to 2).map(i =>
+      digests(d.filter($"doc_id" % 3 === i))
+        .as[Array[Byte]].collect().toSeq.map(LayeredStoreSpec.Dg(_)))
+    val t = "layer_stream"
+    dropTable(t)
+    val src = MemoryStream[LayeredStoreSpec.Dg]
+    val q = graft.streaming.EventStreams
+      .layeredStoreStream(src.toDF(), t, "digest", buckets = 4)
+      .option("checkpointLocation", tmpDir("layer_stream_cp"))
+      .start()
+    try waves.foreach { w => src.addData(w: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(Stores.storeWaves(spark, t) == Seq(0L, 1L, 2L))
+    // post-stream store == batch construction; as-of prunes history
+    val all = waves.flatten.map(x => x.digest.toSeq).toSet
+    val live = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(live == all)
+    val asOf1 = Stores.asOf(spark, t, 1L).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(asOf1 == waves.take(2).flatten.map(_.digest.toSeq).toSet)
+    // crash replay of wave 1 (the foreachBatch re-fire path) replaces,
+    // never duplicates — and the audit reads waves from the layer
+    Stores.appendWave(digests(d.filter($"doc_id" % 3 === 1)), t, 1L, "digest", 4)
+    val a = Stores.auditLayeredStore(spark, t, "digest", Seq("digest"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(a._6 == 3L && a._4 == 0L, s"3 waves, zero dead rows: $a")
+    dropTable(t)
+  }
+
   test("layered gram-df store: as-of df sums equal a rebuild's") {
     val d = docs(60)
     def gramDf(df: DataFrame): DataFrame = df
@@ -145,4 +179,8 @@ class LayeredStoreSpec extends SparkSpec {
     assert(asOf.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(asOf).isEmpty)
     dropTable(t)
   }
+}
+
+object LayeredStoreSpec {
+  final case class Dg(digest: Array[Byte])
 }
