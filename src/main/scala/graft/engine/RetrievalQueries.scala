@@ -643,6 +643,91 @@ object RetrievalQueries {
           .orderBy("media_id")
     },
 
+    // Header-BLOCKED perceptual near-dup, fully hash-oracled: the
+    // synthesized structured payloads are pure id formulas, so DuckDB
+    // rebuilds every byte list (headers AND bodies), re-derives the
+    // block key (format, channels, aspect permille / sample rate) and
+    // the occupancy-sign bucket, applies the cap, and replays the
+    // cross-scaled integer L1 gate. Planted twins (exact payload
+    // copies at id+1000000) must pair at L1 = 0 inside their block;
+    // pairs across formats/geometries cannot exist by construction.
+    sql("q186_header_blocked_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 30),
+        |payload AS (
+        |  SELECT id, base,
+        |    CASE base % 3
+        |      WHEN 0 THEN
+        |        [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+        |         0,0,0, 16 + base % 64, 0,0,0, 16 + base % 48,
+        |         8, CASE (base // 3) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END,
+        |         0,0,0, 0,0,0,0]
+        |        || [(base + i) % 251 FOR i IN range(64 * (1 + base % 7))]
+        |      WHEN 1 THEN
+        |        [255,216, 255,224, 0, 14 + base % 8 + 2]
+        |        || [(base + i) % 97 FOR i IN range(14 + base % 8)]
+        |        || [255,192, 0, 8 + 3 * (CASE (base // 3) % 2 WHEN 0 THEN 3 ELSE 1 END),
+        |            8, 0, 32 + base % 100, 0, 32 + base % 80,
+        |            CASE (base // 3) % 2 WHEN 0 THEN 3 ELSE 1 END]
+        |        || [i FOR i IN range(3 * (CASE (base // 3) % 2 WHEN 0 THEN 3 ELSE 1 END))]
+        |        || [255,217]
+        |      ELSE
+        |        [82,73,70,70]
+        |        || [(4 + 16 + 24 + 8 + (100 + base % 50) * (1 + (base // 3) % 2) * 2) % 256,
+        |            (4 + 16 + 24 + 8 + (100 + base % 50) * (1 + (base // 3) % 2) * 2) // 256 % 256,
+        |            0, 0]
+        |        || [87,65,86,69, 74,85,78,75, 8,0,0,0]
+        |        || [(base + i) % 251 FOR i IN range(8)]
+        |        || [102,109,116,32, 16,0,0,0, 1,0,
+        |            1 + (base // 3) % 2, 0,
+        |            (8000 + (base % 4) * 4000) % 256, (8000 + (base % 4) * 4000) // 256 % 256, 0, 0,
+        |            ((8000 + (base % 4) * 4000) * (1 + (base // 3) % 2) * 2) % 256,
+        |            ((8000 + (base % 4) * 4000) * (1 + (base // 3) % 2) * 2) // 256 % 256,
+        |            ((8000 + (base % 4) * 4000) * (1 + (base // 3) % 2) * 2) // 65536 % 256, 0,
+        |            (1 + (base // 3) % 2) * 2, 0, 16,0, 100,97,116,97,
+        |            ((100 + base % 50) * (1 + (base // 3) % 2) * 2) % 256,
+        |            ((100 + base % 50) * (1 + (base // 3) % 2) * 2) // 256 % 256, 0, 0]
+        |        || [(base + i) % 251 FOR i IN range((100 + base % 50) * (1 + (base // 3) % 2) * 2)]
+        |    END AS bl
+        |  FROM ids),
+        |f AS (SELECT id, base, CAST(len(bl) AS BIGINT) AS n,
+        |        [CAST(len(list_filter(bl, x -> x % 8 = b)) AS BIGINT) FOR b IN range(8)] AS c
+        |      FROM payload),
+        |blk AS (SELECT id, n, c,
+        |        CASE base % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+        |          || ':' || CAST(CASE base % 3
+        |            WHEN 0 THEN CASE (base // 3) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |            WHEN 1 THEN CASE (base // 3) % 2 WHEN 0 THEN 3 ELSE 1 END
+        |            ELSE 1 + (base // 3) % 2 END AS VARCHAR)
+        |          || ':' || CAST(CASE base % 3
+        |            WHEN 0 THEN (16 + base % 64) * 1000 // (16 + base % 48)
+        |            WHEN 1 THEN (32 + base % 80) * 1000 // (32 + base % 100)
+        |            ELSE 8000 + (base % 4) * 4000 END AS VARCHAR)
+        |          || '|' || CAST(CAST(list_sum(
+        |               [CASE WHEN c[b+1] * 8 >= n THEN 1<<b ELSE 0 END FOR b IN range(8)])
+        |               AS BIGINT) AS VARCHAR) AS key
+        |      FROM f),
+        |g AS (SELECT key FROM blk GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT blk.* FROM blk JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.c[i+1] * y.n - y.c[i+1] * x.n) FOR i IN range(8)]) AS BIGINT) AS l1,
+        |        x.n AS n1, y.n AS n2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 100 * n1 * n2
+        |ORDER BY id1, id2""".stripMargin) {
+      (s, d) =>
+        val base = documents(s, d).select(col("doc_id"))
+        val media = graft.operators.Multimodal.synthesizeStructured(base, "doc_id")
+        val twins = graft.operators.Multimodal.synthesizeStructured(
+            base.filter(col("doc_id") < 30), "doc_id")
+          .withColumn("media_id", col("media_id") + 1000000L)
+        graft.operators.Multimodal.headerBlockedPerceptualCandidates(
+            media.unionByName(twins), dim = 8, maxBucketSize = 64,
+            thrPermille = 100)
+          .orderBy("id1", "id2")
+    },
+
     // PQ ADC retrieval with a LEARNED codebook, trained, encoded and
     // queried inside the query — deterministic id-bucket seeds, one
     // integer-Lloyd round, integer-exact end to end, so DuckDB
