@@ -115,6 +115,28 @@ object Bpe {
       graft.plans.BpeMergeExpr.bpe_merge(c, m.lhs, m.rhs)
     }
 
+  /** Persist a learned merge table — the tokenizer ARTIFACT a training
+    * run ships to every downstream encode job (the lifecycle step
+    * between train-once and encode-everywhere). Plain parquet of
+    * (round, lhs, rhs, pairCount); round order IS the apply order.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("round", "lhs", "rhs", "pairCount")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact, round-ordered — `applyMerges`
+    * over the result is bit-identical to the in-memory table's. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select("round", "lhs", "rhs", "pairCount")
+      .as[Merge].collect().toSeq.sortBy(_.round)
+  }
+
   /** Corpus-encode statistics under a learned merge table: per doc,
     * (n_tokens, n_chars, n_subwords) — the tokenizer-apply step that
     * turns a merge table into corpus token budgets (q95's fill, q79's

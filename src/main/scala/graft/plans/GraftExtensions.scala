@@ -65,7 +65,9 @@ object GraftExtensions {
       require(args.size == 2, "cms_estimate(sketch, item)")
       CmsEstimateExpr(args.head, args(1)) }),
     ("sdf_props", classOf[SdfPropsExpr].getName, { args: Seq[Expression] =>
-      require(args.size == 1, "sdf_props(record)"); SdfPropsExpr(args.head) }))
+      require(args.size == 1, "sdf_props(record)"); SdfPropsExpr(args.head) }),
+    ("media_header", classOf[MediaHeaderExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "media_header(payload)"); MediaHeaderExpr(args.head) }))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

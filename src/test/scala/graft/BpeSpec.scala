@@ -104,4 +104,21 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(docs, "text", 4, batchSize = 1) ==
       Bpe.trainMerges(docs, "text", 4))
   }
+
+  test("merge-table artifact round-trips: load == save, encode identical") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).map(Tuple1(_)).toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 4)
+    val path = tmpDir("bpe_artifact") + "/merges"
+    Bpe.saveMerges(spark, merges, path)
+    val loaded = Bpe.loadMerges(spark, path)
+    assert(loaded == merges)
+    val direct = Bpe.encodeStats(docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "doc_id", "text", merges).orderBy("doc_id").collect().toSeq
+    val viaArtifact = Bpe.encodeStats(docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "doc_id", "text", loaded).orderBy("doc_id").collect().toSeq
+    assert(direct == viaArtifact)
+  }
 }
