@@ -265,7 +265,7 @@ object RetrievalQueries {
         |    CASE WHEN count(*) FILTER (WHERE vec_id % 10 = 9) > 0
         |      THEN sum(err) FILTER (WHERE vec_id % 10 = 9)
         |           // count(*) FILTER (WHERE vec_id % 10 = 9) END AS aed,
-        |    CAST(count(*) AS BIGINT) AS n_all, CAST(sum(err) AS BIGINT) AS s1
+        |    CAST(count(*) AS BIGINT) AS n_all, sum(err) AS s1
         |  FROM cass a JOIN verr USING (vec_id) GROUP BY a.cell),
         |dr AS (SELECT cell FROM stats WHERE n_delta > 0 AND aed * 100 > aec * 120),
         |rtr2 AS (SELECT r.* FROM r WHERE r.cell IN (SELECT cell FROM dr)),
@@ -287,7 +287,7 @@ object RetrievalQueries {
         |        GROUP BY r.vec_id, r.j // 8, k.c),
         |md2 AS (SELECT vec_id, b, min(dist) AS d FROM qd2 GROUP BY vec_id, b),
         |verr2 AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS err2 FROM md2 GROUP BY vec_id),
-        |post AS (SELECT a.cell, CAST(sum(err2) AS BIGINT) AS s2
+        |post AS (SELECT a.cell, sum(err2) AS s2
         |         FROM cass a JOIN verr2 USING (vec_id) GROUP BY a.cell)
         |SELECT CAST(s.cell AS BIGINT) AS cell, s.n_cat, s.n_delta,
         |  (p2.cell IS NOT NULL) AS drifted,

@@ -336,13 +336,21 @@ object Pq {
           graft.plans.PqEncodeErrExpr.pq_encode_err(col("resid"),
             idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub)
             .as("__err"))
+    // error sums ride as decimal(38,0): per-vector errors are bounded
+    // by the kernel's long arithmetic, but a CELL's sum over a large
+    // drifted delta is not (measured: long overflow at the 10× corpus
+    // under q180's planted +10 shift — DuckDB's BIGINT sum widens to
+    // HUGEINT, so only the Spark side needed the width); the divided
+    // averages are long-ranged again
     withErr(catalog, 0).unionByName(withErr(delta, 1))
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(
         sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_cat"),
         sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_delta"),
-        sum(when(col("__d") === 0L, col("__err")).otherwise(0L)).as("__ec"),
-        sum(when(col("__d") === 1L, col("__err")).otherwise(0L)).as("__ed"))
+        sum(when(col("__d") === 0L, col("__err")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__ec"),
+        sum(when(col("__d") === 1L, col("__err")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__ed"))
       .select(col("cell"), col("n_cat"), col("n_delta"),
         when(col("n_cat") > 0L, expr("__ec div n_cat")).as("avg_err_cat"),
         when(col("n_delta") > 0L, expr("__ed div n_delta")).as("avg_err_delta"))
@@ -482,7 +490,8 @@ object Pq {
         graft.plans.PqEncodeErrExpr.pq_encode_err(col("resid"),
           idx.residual.flatE6.toSeq, idx.residual.m, idx.residual.ksub).as("__e1"))
       .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("__n"), sum("__e1").as("__s1"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__e1").cast("decimal(38,0)")).as("__s1"))
     val post =
       if (cells.isEmpty) null
       else {
@@ -497,7 +506,7 @@ object Pq {
               rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
               .as("__e2"))
           .groupBy(col("cell").cast("long").as("cell"))
-          .agg(sum("__e2").as("__s2"))
+          .agg(sum(col("__e2").cast("decimal(38,0)")).as("__s2"))
       }
     val joined =
       if (post == null) pre.withColumn("__s2", lit(null).cast("long"))

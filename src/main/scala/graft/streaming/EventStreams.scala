@@ -598,7 +598,10 @@ object EventStreams {
     val pooled = readIvfPqDrift(spark, driftDir)
       .groupBy("cell")
       .agg(sum("n_delta").as("n_delta"),
-        expr("sum(avg_err_delta * n_delta) div sum(n_delta)").as("avg_err_delta"))
+        // decimal-width accumulation: a drifted cell's pooled error
+        // product overflows long at scale (the q180 10× lesson)
+        expr("sum(CAST(avg_err_delta AS DECIMAL(38,0)) * n_delta) div sum(n_delta)")
+          .as("avg_err_delta"))
     val cells = Pq.driftedCells(baseline.join(pooled, "cell"), ratioPct)
     if (cells.isEmpty) None
     else {
