@@ -236,6 +236,37 @@ object CurationQueries {
             (col("pos") + 1).cast("long").as("pos"),
             floor(col("m") * lit(1000000.0)).cast("long").as("m_e6"))
           .orderBy("list_id", "pos")
+    },
+
+    // k-anonymity / l-diversity privacy audit (Sweeney 2002 /
+    // Machanavajjhala 2006): one row per quasi-identifier class
+    // (nation × market segment) with its size, its sensitive-value
+    // diversity (account-balance 1000-unit band, cents-scaled so the
+    // band edge is integer-exact on both engines), and the k=5 / l=3
+    // flags — the release gate for people-shaped tables. One QI-keyed
+    // hash aggregate; no window, no join.
+    sql("q187_k_anonymity",
+      """WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  c_custkey % 10 AS zip,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sband
+        |  FROM customer),
+        |cls AS (SELECT nation, segment, zip,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT sband) AS BIGINT) AS n_sensitive
+        |  FROM c GROUP BY nation, segment, zip)
+        |SELECT nation, segment, zip, class_size, n_sensitive,
+        |  class_size >= 5 AS k_anonymous, n_sensitive >= 3 AS l_diverse
+        |FROM cls ORDER BY nation, segment, zip""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Profiling
+        val qi = customer(s, d).select(
+          col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+          (col("c_custkey") % 10).as("zip"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+            .as("sband"))
+        Profiling.kAnonymityAudit(qi, Seq("nation", "segment", "zip"),
+            col("sband"), k = 5, l = 3)
+          .orderBy("nation", "segment", "zip")
     }
   )
 }

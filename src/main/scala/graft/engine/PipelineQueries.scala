@@ -414,6 +414,110 @@ object PipelineQueries {
           round(element_at(col("features"), 1).cast("double") *
             greatest(length(col("payload")), lit(1))).cast("long").as("b0"))
         .orderBy(col("media_id"))
+    },
+
+    // Winnowed-fingerprint near-dup candidates (Schleimer 2003, the
+    // MOSS scheme): per doc, 4-gram md5 digests → min-per-4-window
+    // selection with rightmost tie-break → candidate pairs sharing
+    // ≥ 3 surviving fingerprints (digests in > 8 docs dropped before
+    // the self-join — the band-join discipline). Digests are md5, so
+    // unlike the seeded MinHash family (q44) the WHOLE selection is
+    // engine-replayable: the oracle re-runs gram digesting, window
+    // mins, tie-breaks, the df cap, and the pair count. Prefix-edited
+    // +1M replicas of every %19 doc plant guaranteed near-dup pairs
+    // whose gram POSITIONS are all shifted — exactly the offset
+    // robustness winnowing's local-window guarantee provides and
+    // stride sampling lacks.
+    sql("q188_winnow_candidates",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text FROM documents WHERE doc_id % 19 = 0),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
+        |ng AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+        |ex AS (SELECT gd.doc_id, gd.pos, gd.dg,
+        |         unnest(range(greatest(gd.pos - 3, 0), least(gd.pos, greatest(ng.n - 4, 0)) + 1)) AS wid
+        |       FROM gd JOIN ng USING (doc_id)),
+        |mn AS (SELECT doc_id, wid, min(dg) AS mdg FROM ex GROUP BY doc_id, wid),
+        |sel AS (SELECT e.doc_id, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |        FROM ex e JOIN mn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
+        |        GROUP BY e.doc_id, e.wid, m.mdg),
+        |fp AS (SELECT DISTINCT doc_id, dg FROM sel),
+        |keep AS (SELECT dg FROM fp GROUP BY dg HAVING count(*) <= 8),
+        |fpk AS (SELECT fp.doc_id, fp.dg FROM fp JOIN keep USING (dg))
+        |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fpk a JOIN fpk b ON a.dg = b.dg AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import graft.operators.TextOps
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("prefix edit "), col("text")).as("text")))
+      val fps = TextOps.winnowedFingerprints(planted, "doc_id", "text",
+        k = 4, w = 4)
+      TextOps.winnowedCandidatePairs(fps, "doc_id", minShared = 3, maxDf = 8)
+        .orderBy("a", "b")
+    },
+
+    // Incremental winnow-store probe: catalog fingerprints persist as
+    // a dg-bucketed store (setup, untimed); the DELTA wave — natural
+    // %3=0 docs plus prefix-edited +1M replicas of catalog %3=1 docs —
+    // winnows itself and probes the store, with the boilerplate df cap
+    // summed across store + delta. The oracle is the FULL recompute
+    // over catalog ∪ delta restricted to cross pairs — the q151
+    // store-equivalence contract for the winnowing family: probing a
+    // store must equal re-winnowing the world.
+    sqlWithSetup("q189_winnow_store_probe",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text FROM documents WHERE doc_id % 3 = 1),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
+        |ng AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+        |ex AS (SELECT gd.doc_id, gd.pos, gd.dg,
+        |         unnest(range(greatest(gd.pos - 3, 0), least(gd.pos, greatest(ng.n - 4, 0)) + 1)) AS wid
+        |       FROM gd JOIN ng USING (doc_id)),
+        |mn AS (SELECT doc_id, wid, min(dg) AS mdg FROM ex GROUP BY doc_id, wid),
+        |sel AS (SELECT e.doc_id, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |        FROM ex e JOIN mn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
+        |        GROUP BY e.doc_id, e.wid, m.mdg),
+        |fp AS (SELECT DISTINCT doc_id, dg,
+        |         CASE WHEN doc_id % 3 = 0 OR doc_id >= 1000000 THEN 1 ELSE 0 END AS cl
+        |       FROM sel),
+        |keep AS (SELECT dg FROM fp GROUP BY dg HAVING count(*) <= 8),
+        |fpk AS (SELECT fp.doc_id, fp.dg, fp.cl FROM fp JOIN keep USING (dg))
+        |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fpk a JOIN fpk b ON a.dg = b.dg AND a.cl = 0 AND b.cl = 1
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import graft.operators.{Stores, TextOps}
+      val t = "graft_q189_winnow"
+      Stores.dropStoreTable(s, t)
+      TextOps.writeWinnowStore(
+        documents(s, d).filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", t, k = 4, w = 4, buckets = 8)
+    } { (s, d) =>
+      import graft.operators.TextOps
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text")))
+      val deltaFps = TextOps.winnowedFingerprints(delta, "doc_id", "text",
+        k = 4, w = 4)
+      TextOps.winnowedCrossPairs(s.table("graft_q189_winnow"), deltaFps,
+          minShared = 3, maxDf = 8)
+        .orderBy("a", "b")
     }
   )
 }

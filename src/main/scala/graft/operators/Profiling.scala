@@ -363,4 +363,46 @@ object Profiling {
         expr("(__cum * 1000000) div total_rows").as("cum_share_e6"),
         col("total_rows"), col("n_keys"))
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the privacy-risk gate a pipeline runs before releasing a table
+    * whose rows describe people: a record is re-identifiable when its
+    * quasi-identifier combination (the columns an attacker can link
+    * from outside — region, segment, zip...) is shared by fewer than
+    * `k` rows (Sweeney 2002), and a k-anonymous class still leaks its
+    * sensitive attribute when all members share one value — `l`
+    * distinct sensitive values per class (Machanavajjhala 2006).
+    *
+    * One row per equivalence class: size, distinct sensitive values,
+    * and both flags. Rows-at-risk / minima are one aggregate over
+    * this output (see the q187 spec's summary fold).
+    *
+    * Scale shape: a single hash aggregate keyed by the QI tuple —
+    * map-side combined, no window, no join. The exact
+    * `count(DISTINCT)` adds an Expand pass (audit-grade, like
+    * [[numericProfile]]); swap `approx_count_distinct` for routine
+    * runs at 100 TB — class-size k-anonymity is unaffected.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2 && l >= 2,
+      "need quasi-identifier columns, k >= 2, l >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sensitive).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
+  /** One-row risk rollup of a [[kAnonymityAudit]] result: how many
+    * classes/rows sit below the k and l bars, plus the table's actual
+    * k (min class size) and l (min sensitive diversity). */
+  def kAnonymitySummary(audit: DataFrame): DataFrame =
+    audit.agg(count(lit(1)).as("n_classes"),
+      sum(when(!col("k_anonymous"), 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(!col("k_anonymous"), col("class_size")).otherwise(0L))
+        .as("rows_at_risk"),
+      sum(when(!col("l_diverse"), 1L).otherwise(0L)).as("classes_below_l"),
+      min("class_size").as("min_class_size"),
+      min("n_sensitive").as("min_l"))
 }

@@ -697,6 +697,114 @@ object TextOps {
     incrementalSpanDedupStrip(spark.table(storeTable), delta, idCol, textCol,
       k, minDocs, minMatch)
 
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS selection scheme): over each document's
+    * k-token gram digests, slide a window of `w` consecutive grams
+    * and keep the minimum digest per window, breaking ties by the
+    * RIGHTMOST position (the paper's robust variant). Any run of at
+    * least `w + k − 1` tokens shared between two documents is
+    * guaranteed to contribute at least one shared fingerprint, and
+    * fingerprint density is ~2/(w+1) of gram density — the selection
+    * step that makes digest-join near-dup detection cheap without
+    * the recall cliff of naive `pos % stride` sampling.
+    *
+    * Output: one row per selected (doc, pos, digest). Documents with
+    * fewer than `w` grams winnow as a single whole-doc window (one
+    * fingerprint), so no short document silently drops out.
+    *
+    * Scale shape: per-gram fan-out is ≤ `w` window memberships (a
+    * bounded explode, like the span coverage union), followed by ONE
+    * doc×window hash aggregate whose min-of-(digest, −pos) struct
+    * resolves digest and tie-break in a single map-side-combined
+    * pass — no per-doc window function, no sort. The gram-count join
+    * is an id-keyed aggregate of the same gram frame.
+    */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    val grams = spanGrams(spanToks(docs, idCol, textCol), k)
+    val nGrams = grams.groupBy("__id").agg(count(lit(1)).as("__ng"))
+    grams.join(nGrams, "__id")
+      .select(col("__id"), col("__pos"), col("__dg"),
+        explode(expr(s"sequence(greatest(__pos - ${w - 1}, 0), " +
+          s"least(__pos, greatest(__ng - $w, 0)))")).as("__wid"))
+      .groupBy(col("__id"), col("__wid"))
+      .agg(min(struct(col("__dg"), (-col("__pos")).as("__np"))).as("__m"))
+      .select(col("__id").as(idCol), (-col("__m.__np")).as("pos"),
+        col("__m.__dg").as("dg"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs from [[winnowedFingerprints]] output:
+    * join documents on shared fingerprint digests, keep pairs sharing
+    * at least `minShared`. Digests present in more than `maxDf`
+    * documents (boilerplate — headers, license blocks) are dropped
+    * BEFORE the self-join, so the pair space is bounded by
+    * `maxDf²`-per-digest, never all-pairs (the band-join discipline
+    * every near-dup family member follows).
+    */
+  def winnowedCandidatePairs(fps: DataFrame, idCol: String,
+      minShared: Int = 3, maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
+    val docDg = fps.select(col(idCol).as("__id"), col("dg")).distinct()
+    val keep = docDg.groupBy("dg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("dg")
+    val f = docDg.join(keep, "dg")
+    f.select(col("dg"), col("__id").as("a"))
+      .join(f.select(col("dg"), col("__id").as("b")), "dg")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Persist a catalog's winnowed fingerprints as a dg-bucketed store
+    * (the digest/gram-df store discipline): incremental near-dup
+    * admission then probes each DELTA wave against the store without
+    * re-winnowing — or re-reading — catalog text. Positions are not
+    * stored; pairing only needs (doc, digest). */
+  def writeWinnowStore(catalog: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 4, w: Int = 4, buckets: Int = 64): Unit = {
+    winnowedFingerprints(catalog, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("dg")).distinct()
+      .repartition(buckets, col("dg"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "dg").sortBy("dg")
+      .saveAsTable(table)
+    ()
+  }
+
+  /** Catalog×delta near-dup candidates from fingerprint frames — the
+    * INCREMENTAL form of [[winnowedCandidatePairs]]: the document
+    * frequency that feeds the boilerplate cap is summed across BOTH
+    * sides (catalog ids are disjoint from delta ids, so the counts
+    * add), making the cross-pair output exactly the full recompute
+    * over catalog ∪ delta restricted to (catalog, delta) pairs — the
+    * q151 store-equivalence contract, replayed by the q189 oracle.
+    *
+    * `catalogFps` is any (doc_id, dg) frame: `spark.table` of a
+    * [[writeWinnowStore]] table (bucket layout → the per-digest count
+    * and the probe join both run without a catalog-side exchange) or
+    * an inline [[winnowedFingerprints]] selection. Only digests
+    * PRESENT in the delta can pair, so probe cost tracks delta size
+    * regardless of catalog size.
+    */
+  def winnowedCrossPairs(catalogFps: DataFrame, deltaFps: DataFrame,
+      minShared: Int = 3, maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
+    val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
+    val dlt = deltaFps.select(col("doc_id"), col("dg")).distinct()
+    val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
+    val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
+    val keep = dDf.join(cDf, Seq("dg"), "left")
+      .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) <= maxDf)
+      .select("dg")
+    cat.select(col("dg"), col("doc_id").as("a")).join(keep, "dg")
+      .join(dlt.select(col("dg"), col("doc_id").as("b")), "dg")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-document compression statistics: UTF-8 byte length and native
     * DEFLATE(level 6) compressed length — the ratio is the entropy
     * proxy behind compression-based quality gates (near-0 = machine

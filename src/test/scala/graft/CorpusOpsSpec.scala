@@ -186,4 +186,79 @@ class CorpusOpsSpec extends SparkSpec {
     assert(t.forall(_.getLong(2) == 1L) &&
       t(0).getString(1) == words(4, "a"))
   }
+
+  test("winnowedFingerprints: density guarantee, rightmost tie-break, short-doc window") {
+    import spark.implicits._
+    // two docs sharing a w+k-1 = 7-token run at DIFFERENT offsets: the
+    // winnowing guarantee says at least one fingerprint must be shared
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared"),
+      (2L, s"$shared nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowedFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    val pairs = TextOps
+      .winnowedCandidatePairs(fps, "doc_id", minShared = 1, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+    // all-identical grams: every window ties; the RIGHTMOST position
+    // wins, so windows 0..3 over 7 grams select positions 3..6
+    val rep = Seq((9L, Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "text")
+    val sel = TextOps.winnowedFingerprints(rep, "doc_id", "text", k = 4, w = 4)
+      .select("pos").as[Long].collect().toSet
+    assert(sel == (3L to 6L).toSet)
+    // fewer than w grams: the whole doc winnows as one window
+    val short = Seq((5L, "a b c d e")).toDF("doc_id", "text")
+    assert(TextOps.winnowedFingerprints(short, "doc_id", "text",
+      k = 4, w = 4).count() == 1L)
+  }
+
+  test("winnowedCandidatePairs: df cap drops boilerplate digests before the join") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog end"
+    def clones(n: Int) = (1L to n.toLong).map((_, text)).toDF("doc_id", "text")
+    // 10 identical docs: every fingerprint digest has df 10 > cap 8 —
+    // dropped before the self-join, zero candidate pairs
+    val fps10 = TextOps.winnowedFingerprints(clones(10), "doc_id", "text",
+      k = 4, w = 4)
+    assert(TextOps.winnowedCandidatePairs(fps10, "doc_id",
+      minShared = 1, maxDf = 8).count() == 0L)
+    // 5 identical docs sit under the cap: all C(5,2) pairs surface
+    val fps5 = TextOps.winnowedFingerprints(clones(5), "doc_id", "text",
+      k = 4, w = 4)
+    assert(TextOps.winnowedCandidatePairs(fps5, "doc_id",
+      minShared = 1, maxDf = 8).count() == 10L)
+  }
+
+  test("winnowedCrossPairs: store probe ≡ full recompute on cross pairs") {
+    import spark.implicits._
+    val catalog = Seq(
+      (1L, "the winnow scheme selects minimum digests from sliding windows reliably"),
+      (2L, "completely different content about spark partitions and shuffles here"),
+      (4L, "yet another unrelated document with its own words entirely")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, "prefix edit the winnow scheme selects minimum digests from sliding windows reliably"),
+      (6L, "nothing in common with anything else in this tiny corpus")
+    ).toDF("doc_id", "text")
+    val table = "graft_test_winnow_store"
+    graft.operators.Stores.dropStoreTable(spark, table)
+    TextOps.writeWinnowStore(catalog, "doc_id", "text", table,
+      k = 4, w = 4, buckets = 2)
+    val deltaFps = TextOps.winnowedFingerprints(delta, "doc_id", "text",
+      k = 4, w = 4)
+    val probe = TextOps.winnowedCrossPairs(spark.table(table), deltaFps,
+        minShared = 1, maxDf = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(probe.keySet == Set((1L, 3L)))
+    // winnowing is per-doc and the df cap sums across both sides, so
+    // the full recompute over the union must agree pair AND weight
+    val full = TextOps.winnowedCandidatePairs(
+        TextOps.winnowedFingerprints(catalog.unionByName(delta),
+          "doc_id", "text", k = 4, w = 4),
+        "doc_id", minShared = 1, maxDf = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(full((1L, 3L)) == probe((1L, 3L)))
+    graft.operators.Stores.dropStoreTable(spark, table)
+  }
 }

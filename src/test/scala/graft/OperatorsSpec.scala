@@ -440,6 +440,28 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("kAnonymityAudit: per-class flags and the risk rollup") {
+    import spark.implicits._
+    val rows = Seq(
+      ("US", "A", 1), ("US", "A", 2), ("US", "A", 3), ("US", "A", 1),
+      ("US", "A", 2),                                  // size 5, l 3: safe
+      ("US", "B", 1), ("US", "B", 1), ("US", "B", 1),  // size 3 < k, l 1
+      ("FR", "A", 1), ("FR", "A", 2), ("FR", "A", 3), ("FR", "A", 4),
+      ("FR", "A", 5), ("FR", "A", 1)                   // size 6, l 5: safe
+    ).toDF("nation", "segment", "s")
+    val audit = graft.operators.Profiling.kAnonymityAudit(
+      rows, Seq("nation", "segment"), org.apache.spark.sql.functions.col("s"),
+      k = 5, l = 3)
+    val m = audit.collect().map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(m(("US", "A")) == ((5L, 3L, true, true)))
+    assert(m(("US", "B")) == ((3L, 1L, false, false)))
+    assert(m(("FR", "A")) == ((6L, 5L, true, true)))
+    val s = graft.operators.Profiling.kAnonymitySummary(audit).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getLong(4), s.getLong(5)) == ((3L, 1L, 3L, 1L, 3L, 1L)))
+  }
+
   test("nearDupesAnn: planted near-dups found, every pair verified exact, hot buckets capped") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
