@@ -653,6 +653,45 @@ object EventStreams {
           keyCol, buckets)
     }
 
+  /** Streaming winnow-fingerprint admission: each document micro-batch
+    * winnows itself ([[graft.operators.TextOps.winnowedFingerprints]]),
+    * probes the store AS OF THE PREVIOUS WAVE for catalog near-dup
+    * candidates (df cap summed across store + batch — the q189
+    * incremental contract), lands the candidate pairs under
+    * `pairsDir/batch_id=N`, then appends its fingerprints as
+    * `wave = batchId`. Both the as-of probe (wave ≤ batchId − 1
+    * excludes a half-landed self wave) and the idempotent
+    * `appendWave` make a crash-replayed batch reproduce its ORIGINAL
+    * pairs and replace — not duplicate — its store partition, so
+    * at-least-once redelivery is invisible in both outputs.
+    */
+  def winnowAdmitStream(docs: DataFrame, table: String, pairsDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 4, w: Int = 4, buckets: Int = 64,
+      minShared: Int = 3, maxDf: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fps = graft.operators.TextOps
+          .winnowedFingerprints(batch.toDF(), idCol, textCol, k, w)
+          .select(col(idCol).as("doc_id"), col("dg")).distinct()
+          .persist()
+        try {
+          val hasPrior = spark.catalog.tableExists(table) &&
+            graft.operators.Stores.storeWaves(spark, table).exists(_ < batchId)
+          val pairs =
+            if (!hasPrior)
+              fps.limit(0).select(col("doc_id").as("a"),
+                col("doc_id").as("b"), lit(0L).as("n_shared"))
+            else graft.operators.TextOps.winnowedCrossPairs(
+              graft.operators.Stores.asOf(spark, table, batchId - 1),
+              fps, minShared, maxDf)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+          graft.operators.Stores.appendWave(fps, table, batchId, "dg", buckets)
+        } finally { fps.unpersist(); () }
+    }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

@@ -199,6 +199,55 @@ class NearDupStreamSpec extends SparkSpec {
     assert(stored.nonEmpty && stored === inline)
     dropTable(table)
   }
+
+  test("winnowAdmitStream: per-wave pairs equal the as-of cross probe, store equals batch winnow of the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val table = "winnow_stream_store"
+    dropTable(table)
+    val pairsDir = tmpDir("winnow_pairs")
+    val src = MemoryStream[Doc]
+    val q = EventStreams.winnowAdmitStream(src.toDF(), table, pairsDir,
+        k = 4, w = 4, buckets = 4, minShared = 1, maxDf = 8)
+      .option("checkpointLocation", tmpDir("winnow_ckpt")).start()
+    val base =
+      "the winnow scheme selects minimum digests from sliding windows reliably"
+    val b1 = Seq(
+      Doc(1L, ts(1), base),
+      Doc(2L, ts(1), "completely different content about spark partitions and shuffles"))
+    val b2 = Seq(
+      Doc(11L, ts(2), s"prefix edit $base"), // near-dup of wave-0 doc 1
+      Doc(12L, ts(2), "nothing in common with anything else in this corpus"))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // wave 0 probes an empty world; wave 1 finds its planted catalog twin
+    assert(spark.read.parquet(s"$pairsDir/batch_id=0").count() == 0L)
+    val p1 = spark.read.parquet(s"$pairsDir/batch_id=1")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 11L)))
+    // streamed store == one-shot batch winnow of the union
+    val streamed = spark.table(table).select("doc_id", "dg")
+      .as[(Long, String)].collect().toSet
+    val direct = graft.operators.TextOps.winnowedFingerprints(
+        (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 4, w = 4)
+      .select($"doc_id", $"dg").distinct().as[(Long, String)].collect().toSet
+    assert(streamed == direct)
+    // a replayed wave-1 probe (as-of wave 0 — the self wave is
+    // excluded even though it already landed) reproduces its pairs
+    val again = graft.operators.TextOps.winnowedCrossPairs(
+        graft.operators.Stores.asOf(spark, table, 0L),
+        graft.operators.TextOps.winnowedFingerprints(
+          b2.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", k = 4, w = 4),
+        minShared = 1, maxDf = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(again == p1)
+    dropTable(table)
+  }
 }
 
 object NearDupStreamSpec {
