@@ -83,6 +83,39 @@ object RetrievalQueries {
     head + rounds + tail
   }
 
+  /** The q190 oracle: WordPiece training unrolled exactly as
+    * [[bpeOracle]] — same double-sentinel word encoding, same
+    * replace-is-the-merge trick — except each round's argmax is the
+    * likelihood-gain score ⌊cnt · 10¹² / (cl · cr)⌋ computed over the
+    * round's own symbol counts (s$k), with ties on
+    * (score DESC, cnt DESC, l, r). HUGEINT floor division `//`
+    * mirrors Spark's decimal `div` exactly on positives.
+    */
+  private def wordPieceOracle(n: Int): String = {
+    val head =
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |w0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
+        |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""e$k AS (SELECT freq, sy FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+         |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u FROM e$k) GROUP BY 1, 2),
+         |s$k AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+         |  FROM (SELECT freq, unnest(sy) AS sym FROM e$k) GROUP BY 1),
+         |b$k AS (SELECT p.l AS l, p.r AS r, p.cnt AS cnt,
+         |    CAST((p.cnt::HUGEINT * 1000000000000) // (sl.scnt::HUGEINT * sr.scnt) AS BIGINT) AS score_e12
+         |  FROM p$k p JOIN s$k sl ON p.l = sl.sym JOIN s$k sr ON p.r = sr.sym
+         |  ORDER BY score_e12 DESC, cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val tail = (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, l AS lhs, r AS rhs, cnt AS pair_count, score_e12 FROM b$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    head + rounds + tail
+  }
+
   /** The q129 oracle: the [[bpeOracle]] rounds with the WORD threaded
     * through (encoding depends only on the word, so the per-doc
     * rollup is a join from the exploded tokens back to the final
@@ -528,6 +561,22 @@ object RetrievalQueries {
         .toDF()
         .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
           col("pairCount").as("pair_count"))
+        .orderBy("round")
+    },
+
+    // WordPiece merge induction: same rounds as q125 but the argmax
+    // is the likelihood-gain score cnt/(cl·cr) — held exact as the
+    // ⌊·10¹²⌋ integer quotient — over the round's own symbol counts.
+    // The oracle replays every round's pair table, symbol table,
+    // scored argmax, and merge application move-for-move; any
+    // divergence in scoring, tie order, or the greedy merge kernel
+    // shifts a winner and breaks the hash.
+    sql("q190_wordpiece_merges", wordPieceOracle(6)) { (s, d) =>
+      import s.implicits._
+      graft.operators.Bpe.trainWordPiece(documents(s, d), "text", nMerges = 6)
+        .toDF()
+        .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
+          col("pairCount").as("pair_count"), col("scoreE12").as("score_e12"))
         .orderBy("round")
     },
 

@@ -106,6 +106,72 @@ object Bpe {
     } finally { words.unpersist(); () }
   }
 
+  final case class WpMerge(round: Int, lhs: String, rhs: String,
+      pairCount: Long, scoreE12: Long)
+
+  /** WordPiece merge induction (Schuster & Nakajima 2012 as practised
+    * by modern tokenizer libraries): identical round structure to
+    * [[trainMerges]] but each round's winner maximizes the
+    * LIKELIHOOD-GAIN score count(l,r) / (count(l) · count(r)) instead
+    * of the raw pair count — a pair of individually-rare symbols that
+    * almost always co-occur beats a pair of ubiquitous ones, which is
+    * why WordPiece vocabularies pick up affixes BPE's frequency argmax
+    * skips. The score is held exact as the ⌊·10¹²⌋ integer quotient
+    * (numerator ≤ min(cl, cr) · 10¹² so the e12 score fits a long;
+    * the products ride decimal(38,0)) with ties broken on
+    * (score DESC, cnt DESC, l, r) — training stays a pure function of
+    * the corpus replayable by any engine, the house determinism rule.
+    *
+    * Scale shape: per round, ONE pair aggregate + ONE symbol aggregate
+    * over the persisted word-frequency basis (both vocab-sized,
+    * map-side combined), a broadcast-joined scoring of the pair table,
+    * a 1-row driver argmax, and the stateless merge kernel — the
+    * corpus text is touched once, at basis construction, exactly as in
+    * BPE training.
+    */
+  def trainWordPiece(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[WpMerge] = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"),
+        col("freq"))
+      .persist()
+    try {
+      var cur: DataFrame = words
+      val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+      for (round <- 1 to nMerges) {
+        val pairs = cur.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), (l, r) -> struct(l, r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+        val symCnt = cur
+          .select(explode(col("syms")).as("s"), col("freq"))
+          .groupBy("s").agg(sum("freq").as("scnt"))
+        val top = pairs
+          .join(broadcast(symCnt.select(col("s").as("l"), col("scnt").as("lcnt"))), "l")
+          .join(broadcast(symCnt.select(col("s").as("r"), col("scnt").as("rcnt"))), "r")
+          .select(col("l"), col("r"), col("cnt"),
+            expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000000) div " +
+              "(CAST(lcnt AS DECIMAL(38,0)) * rcnt) AS BIGINT)").as("score_e12"))
+          .orderBy(col("score_e12").desc, col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"corpus exhausted after ${out.size} merges — every word is one symbol")
+        val row = top.head
+        val (l, r) = (row.getString(0), row.getString(1))
+        out += WpMerge(round, l, r, row.getLong(2), row.getLong(3))
+        cur = cur.select(
+          graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
+          col("freq"))
+      }
+      out.toSeq
+    } finally { words.unpersist(); () }
+  }
+
   /** Apply a learned merge table to a symbol array column in training
     * order — the ENCODE side of the tokenizer (chained stateless
     * kernel maps; per-row, zero shuffles).

@@ -121,4 +121,21 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", loaded).orderBy("doc_id").collect().toSeq
     assert(direct == viaArtifact)
   }
+
+  test("WordPiece argmax is the likelihood-gain score, not the pair count") {
+    // corpus: "xy"×6, "xz"×20, "ab"×4 → round-1 counts x=26 y=6 z=20
+    // a=b=4; pair (x,z) has the top COUNT (20) but score 1/26, while
+    // (a,b) scores 4/(4·4)=0.25 — WordPiece must take (a,b) first
+    // where BPE takes (x,z). Round 2: (x,y) and (x,z) both score
+    // exactly ⌊10¹²/26⌋ (r-symbols exclusive to their pair), so the
+    // cnt-DESC tie-break hands it to (x,z).
+    val docs = (Seq.fill(6)("xy") ++ Seq.fill(20)("xz") ++ Seq.fill(4)("ab"))
+      .map(Tuple1(_)).toDF("text")
+    val wp = Bpe.trainWordPiece(docs, "text", nMerges = 2)
+    assert(wp == Seq(
+      Bpe.WpMerge(1, "a", "b", 4L, 250000000000L),
+      Bpe.WpMerge(2, "x", "z", 20L, 38461538461L)))
+    val bpe = Bpe.trainMerges(docs, "text", nMerges = 1)
+    assert(bpe.head.lhs == "x" && bpe.head.rhs == "z")
+  }
 }
