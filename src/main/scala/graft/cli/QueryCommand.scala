@@ -93,15 +93,20 @@ object QueryCommand {
     spark.sql(sql)
   }
 
-  /** `@path` (or a bare path that exists) loads the SQL text from a
-    * file; anything else IS the SQL.
+  /** `@path` (or a bare path that exists as a regular file) loads the
+    * SQL text from a file; anything else IS the SQL. The bare-path
+    * branch keys on filesystem existence, so SQL text can never be
+    * misread as a path — a path is never valid SQL and vice versa.
     */
-  private[cli] def sqlText(arg: String): String =
-    if (arg.startsWith("@"))
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(arg.stripPrefix("@"))),
+  private[cli] def sqlText(arg: String): String = {
+    def slurp(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
+    if (arg.startsWith("@")) slurp(arg.stripPrefix("@"))
+    else if (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(arg)))
+      slurp(arg)
     else arg
+  }
 
   private[graft] def parse(args: Seq[String]): Spec = {
     require(args.nonEmpty, "usage: query <sql|@file> [--data dir] " +

@@ -91,28 +91,84 @@ object RetrievalQueries {
     * (score DESC, cnt DESC, l, r). HUGEINT floor division `//`
     * mirrors Spark's decimal `div` exactly on positives.
     */
-  private def wordPieceOracle(n: Int): String = {
+  private def wordPieceOracle(n: Int): String = wordPieceOracleFrom(n,
+    """SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents""")
+
+  /** The q193 oracle: [[wordPieceOracle]]'s strictly SEQUENTIAL rounds
+    * over the q161 conflict-free four-alphabet fixture — the yardstick
+    * the batched WordPiece trainer must reproduce exactly (scores AND
+    * winners; symbol-disjointness fixes both the pair counts and the
+    * lcnt/rcnt denominators at their sequential values).
+    */
+  private def wordPieceFixtureOracle(n: Int): String = wordPieceOracleFrom(n,
+    """SELECT ['abab', 'cdcd', 'efef', 'ghgh'][CAST(doc_id % 4 AS INT) + 1] AS token FROM documents""")
+
+  private def wordPieceOracleFrom(n: Int, tokCte: String): String = {
+    // MATERIALIZED per-round CTEs: each round references the previous
+    // one ~3× (e$k feeds p$k AND s$k, w$k re-reads w$k-1), so DuckDB's
+    // default CTE inlining re-evaluates round k-1 three times per
+    // round — 3ⁿ parquet scans, which exhausts file handles at n = 8
+    // (q193's batched-equivalence depth). Materializing pins each
+    // round to one evaluation; results are unchanged.
     val head =
-      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
-        |w0 AS (SELECT CAST(count(*) AS BIGINT) AS freq,
+      s"""WITH tok AS ($tokCte),
+        |w0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS freq,
         |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
         |  FROM tok GROUP BY token)""".stripMargin
     val rounds = (1 to n).map { k =>
-      s"""e$k AS (SELECT freq, sy FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+      s"""e$k AS MATERIALIZED (SELECT freq, sy FROM (SELECT freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
          |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u FROM e$k) GROUP BY 1, 2),
          |s$k AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
          |  FROM (SELECT freq, unnest(sy) AS sym FROM e$k) GROUP BY 1),
-         |b$k AS (SELECT p.l AS l, p.r AS r, p.cnt AS cnt,
+         |b$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, p.cnt AS cnt,
          |    CAST((p.cnt::HUGEINT * 1000000000000) // (sl.scnt::HUGEINT * sr.scnt) AS BIGINT) AS score_e12
          |  FROM p$k p JOIN s$k sl ON p.l = sl.sym JOIN s$k sr ON p.r = sr.sym
          |  ORDER BY score_e12 DESC, cnt DESC, l, r LIMIT 1),
-         |w$k AS (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |w$k AS MATERIALIZED (SELECT w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
          |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
     }.mkString(",\n", ",\n", "\n")
     val tail = (1 to n).map(k =>
       s"SELECT CAST($k AS BIGINT) AS round, l AS lhs, r AS rhs, cnt AS pair_count, score_e12 FROM b$k")
       .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    head + rounds + tail
+  }
+
+  /** The q194 oracle: the [[wordPieceOracle]] rounds with the WORD
+    * threaded through (the q129 shape — encoding depends only on the
+    * word), ending in the per-doc (n_tokens, n_chars, n_subwords)
+    * rollup. WordPiece and BPE share the greedy merge kernel, so only
+    * the per-round argmax differs from [[bpeEncodeOracle]].
+    */
+  private def wpEncodeOracle(n: Int): String = {
+    val head =
+      """WITH tok AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |w0 AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |  concat(chr(1), array_to_string([token[i] FOR i IN range(1, len(token)+1)], chr(1) || chr(1)), chr(1)) AS d
+        |  FROM tok GROUP BY token)""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""e$k AS MATERIALIZED (SELECT token, freq, sy FROM (SELECT token, freq, list_filter(string_split(d, chr(1)), x -> x <> '') AS sy FROM w${k - 1})),
+         |p$k AS (SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy))]) AS u FROM e$k) GROUP BY 1, 2),
+         |s$k AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS scnt
+         |  FROM (SELECT freq, unnest(sy) AS sym FROM e$k) GROUP BY 1),
+         |b$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, p.cnt AS cnt,
+         |    CAST((p.cnt::HUGEINT * 1000000000000) // (sl.scnt::HUGEINT * sr.scnt) AS BIGINT) AS score_e12
+         |  FROM p$k p JOIN s$k sl ON p.l = sl.sym JOIN s$k sr ON p.r = sr.sym
+         |  ORDER BY score_e12 DESC, cnt DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT w.token, w.freq, replace(w.d, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1), chr(1) || b.l || b.r || chr(1)) AS d
+         |  FROM w${k - 1} w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    val tail =
+      s"""sub AS (SELECT token, CAST(len(list_filter(string_split(d, chr(1)), x -> x <> '')) AS BIGINT) AS n_sub FROM w$n),
+         |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(length(t.token)) AS BIGINT) AS n_chars,
+         |          CAST(sum(s.n_sub) AS BIGINT) AS n_subwords
+         |        FROM tok t JOIN sub s USING (token) GROUP BY t.doc_id)
+         |SELECT d.doc_id AS doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         |       COALESCE(a.n_chars, 0) AS n_chars,
+         |       COALESCE(a.n_subwords, 0) AS n_subwords
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
     head + rounds + tail
   }
 
@@ -578,6 +634,39 @@ object RetrievalQueries {
         .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
           col("pairCount").as("pair_count"), col("scoreE12").as("score_e12"))
         .orderBy("round")
+    },
+
+    // Batched WordPiece ≡ sequential on the q161 conflict-free
+    // fixture: symbol-disjoint acceptance pins BOTH the pair counts
+    // and the lcnt/rcnt score denominators at their sequential values,
+    // so batchSize = 4 training (2 scoring rounds for 8 merges) must
+    // hash-match the oracle's strictly SEQUENTIAL 8-round replay —
+    // scores included. The equivalence licenses the ~B× round cut a
+    // 30k-merge WordPiece vocab needs.
+    sql("q193_wordpiece_batched", wordPieceFixtureOracle(8)) { (s, d) =>
+      import s.implicits._
+      val fix = documents(s, d).select(
+        element_at(typedlit(Seq("abab", "cdcd", "efef", "ghgh")),
+          (col("doc_id") % 4 + 1).cast("int")).as("text"))
+      graft.operators.Bpe.trainWordPiece(fix, "text", nMerges = 8, batchSize = 4)
+        .toDF()
+        .select(col("round").cast("long").as("round"), col("lhs"), col("rhs"),
+          col("pairCount").as("pair_count"), col("scoreE12").as("score_e12"))
+        .orderBy("round")
+    },
+
+    // WordPiece ENCODE parity (the q129 shape under a WordPiece merge
+    // table): train 6 merges, then per-doc token/char/subword budgets
+    // via the shared vocab-basis encode — WordPiece and BPE share the
+    // greedy merge kernel, so `encodeStats` is reused verbatim through
+    // `wpAsMerges`; the oracle replays the WP argmax rounds with the
+    // word threaded through and rolls up identically.
+    sql("q194_wordpiece_encode_stats", wpEncodeOracle(6)) { (s, d) =>
+      val docs = documents(s, d)
+      val merges = graft.operators.Bpe.wpAsMerges(
+        graft.operators.Bpe.trainWordPiece(docs, "text", nMerges = 6))
+      graft.operators.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
     },
 
     // C4-style line-level corpus dedup: every 5th document gets an

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions.udaf
   *
   * Buffer: interleaved `[score0, id0, score1, id1, …]` in one
   * `Array[Double]`, ordered best-first. Ids ride as doubles — exact
-  * for |id| < 2^53, enforced at the Column boundary by the caller's
-  * long ids (vec/doc ids are far below that everywhere in this
-  * engine). Ties on score resolve to the smaller id, matching every
+  * for |id| < 2^53, ENFORCED in `reduce` (an id outside the mantissa
+  * range throws rather than silently corrupting; vec/doc ids are far
+  * below that everywhere in this engine, but a future caller feeding
+  * xxhash64-derived ids must not pass). Ties on score resolve to the
+  * smaller id, matching every
   * retrieval window's (sim DESC, cid) total order.
   */
 object TopKAgg {
@@ -46,6 +48,12 @@ object TopKAgg {
         val n = buf.length / 2
         val score = in._1
         val id = in._2.toDouble
+        // ids ride the buffer as doubles — refuse ids the mantissa can't
+        // hold rather than silently corrupting candidates (64-bit hash
+        // ids like xxhash64 are a plausible future caller)
+        if (id.toLong != in._2)
+          throw new IllegalArgumentException(
+            s"TopKAgg id ${in._2} exceeds 2^53: not exactly representable as Double")
         if (n == cap && !before(score, id, buf(2 * n - 2), buf(2 * n - 1))) buf
         else {
           var pos = 0

@@ -128,10 +128,25 @@ object Bpe {
     * a 1-row driver argmax, and the stateless merge kernel — the
     * corpus text is touched once, at basis construction, exactly as in
     * BPE training.
+    *
+    * `batchSize` > 1 accepts up to that many SYMBOL-DISJOINT merges per
+    * scoring round under [[trainMerges]]'s conflict rule (the accepted
+    * l, r, AND the new l+r all poison later candidates). The argument
+    * carries over WITH the scores: merging (l, r) only changes pair
+    * counts of pairs containing l/r/l+r and symbol counts of l, r, and
+    * l+r — a disjoint later candidate's cnt, lcnt, and rcnt are all
+    * exactly their sequential values, so its e12 score is too. The one
+    * divergence stays the same as BPE's: a pair CREATED this round
+    * (it contains the new symbol) could outrank a later batch member
+    * under strict sequential replay — so B = 1 remains the
+    * exact-sequential default (q190) and the batched form is the
+    * measured scale path (a 30k-vocab training runs ~B× fewer of the
+    * three-job rounds).
     */
   def trainWordPiece(docs: DataFrame, textCol: String,
-      nMerges: Int): Seq[WpMerge] = {
+      nMerges: Int, batchSize: Int = 1): Seq[WpMerge] = {
     require(nMerges >= 1, "nMerges must be positive")
+    require(batchSize >= 1, "batchSize must be positive")
     val words = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -141,7 +156,8 @@ object Bpe {
     try {
       var cur: DataFrame = words
       val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
-      for (round <- 1 to nMerges) {
+      while (out.size < nMerges) {
+        val want = math.min(batchSize, nMerges - out.size)
         val pairs = cur.filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(expr(
             "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), (l, r) -> struct(l, r))"))
@@ -151,6 +167,9 @@ object Bpe {
         val symCnt = cur
           .select(explode(col("syms")).as("s"), col("freq"))
           .groupBy("s").agg(sum("freq").as("scnt"))
+        // window of 4B+16 candidates: enough to fill a disjoint batch
+        // past skips without collecting the whole pair table (the
+        // trainMerges sizing; a short round just costs one more round)
         val top = pairs
           .join(broadcast(symCnt.select(col("s").as("l"), col("scnt").as("lcnt"))), "l")
           .join(broadcast(symCnt.select(col("s").as("r"), col("scnt").as("rcnt"))), "r")
@@ -158,19 +177,36 @@ object Bpe {
             expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000000000) div " +
               "(CAST(lcnt AS DECIMAL(38,0)) * rcnt) AS BIGINT)").as("score_e12"))
           .orderBy(col("score_e12").desc, col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
+          .limit(want * 4 + 16).collect()
         require(top.nonEmpty,
           s"corpus exhausted after ${out.size} merges — every word is one symbol")
-        val row = top.head
-        val (l, r) = (row.getString(0), row.getString(1))
-        out += WpMerge(round, l, r, row.getLong(2), row.getLong(3))
-        cur = cur.select(
-          graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
-          col("freq"))
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val it = top.iterator
+        var accepted = 0
+        while (accepted < want && it.hasNext) {
+          val row = it.next()
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r)) {
+            out += WpMerge(out.size + 1, l, r, row.getLong(2), row.getLong(3))
+            used += l; used += r; used += (l + r)
+            cur = cur.select(
+              graft.plans.BpeMergeExpr.bpe_merge(col("syms"), l, r).as("syms"),
+              col("freq"))
+            accepted += 1
+          }
+        }
       }
       out.toSeq
     } finally { words.unpersist(); () }
   }
+
+  /** A WordPiece merge table viewed as apply-order merges — WordPiece
+    * and BPE share the greedy non-overlapping merge kernel, so the
+    * ENCODE side ([[applyMerges]], [[encodeStats]], [[saveMerges]])
+    * is format-agnostic; only the training argmax differs.
+    */
+  def wpAsMerges(wp: Seq[WpMerge]): Seq[Merge] =
+    wp.map(m => Merge(m.round, m.lhs, m.rhs, m.pairCount))
 
   /** Apply a learned merge table to a symbol array column in training
     * order — the ENCODE side of the tokenizer (chained stateless

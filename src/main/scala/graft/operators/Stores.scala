@@ -43,8 +43,15 @@ object Stores {
     val catalog = spark.sessionState.catalog
     if (catalog.tableExists(ident)) new Path(catalog.getTableMetadata(ident).location)
     else {
+      // mirror the managed-table layout a CREATE would choose: a
+      // non-default database nests as <warehouse>/<db>.db/<table>
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      new Path(new Path(wh), ident.table.toLowerCase(java.util.Locale.ROOT))
+      val base = ident.database.filter(_ != "default") match {
+        case Some(db) =>
+          new Path(new Path(wh), db.toLowerCase(java.util.Locale.ROOT) + ".db")
+        case None => new Path(wh)
+      }
+      new Path(base, ident.table.toLowerCase(java.util.Locale.ROOT))
     }
   }
 

@@ -99,7 +99,15 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
           rate = le32(p + 12)
           blockAlign = le16(p + 20)
         } else if (id == "data") dataSz = sz
-        p += 8 + sz.toInt + (sz.toInt & 1)
+        // Advance in Long space: `sz` is an unsigned 32-bit size (up to
+        // 4294967295), so Int arithmetic wraps negative for sizes >= 2^31
+        // (a crafted 0xFFFFFFF8 size would make the step exactly 0 — an
+        // infinite loop on the executor). A declared size that overruns
+        // the payload ends the walk; whatever was parsed so far stands
+        // (a truncated final `data` chunk still yields its frame count).
+        val next = p.toLong + 8L + sz + (sz & 1L)
+        if (next <= p || next > b.length.toLong) p = b.length
+        else p = next.toInt
       }
       if (channels > 0 && rate > 0 && blockAlign > 0 && dataSz >= 0)
         return row("wav", null, null, channels, rate, dataSz / blockAlign)

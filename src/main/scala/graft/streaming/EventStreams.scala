@@ -616,21 +616,40 @@ object EventStreams {
       val members = spark.read.option("basePath", indexDir).parquet(indexDir)
         .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
         .select(col("batch_id").cast("long").as("__bid"), col(idCol))
-      val joined = members.join(streamedVecs.select(col(idCol), col(vecCol)), Seq(idCol))
-      val enc = Pq.residualsE6(joined, idx.coarse, idCol, vecCol,
-          extraCols = Seq("__bid"))
-        .select(col(idCol), col("__bid").as("batch_id"), col("cell"),
-          graft.plans.PqEncodeExpr.pq_encode(col("resid"),
-            rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
-            .as("codes"))
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try enc.write.mode("overwrite").partitionBy("batch_id", "cell").parquet(indexDir)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      // Embedding lookup for the rewrite: the stream wins for ids it
+      // carries, the catalog backfills the rest — an index can hold
+      // catalog-landed members the stream never re-delivered, and a
+      // dynamic partition overwrite would PERMANENTLY drop any member
+      // the inner join misses. The count guard makes that loss an
+      // error instead of silence.
+      val streamed = streamedVecs.select(col(idCol), col(vecCol))
+      val lookup = streamed.unionByName(
+        catalog.select(col(idCol), col(vecCol))
+          .join(streamed.select(idCol), Seq(idCol), "left_anti"))
+      val joined = (members.join(lookup, Seq(idCol))).cache()
+      try {
+        val nMembers = members.count()
+        val nJoined = joined.count()
+        if (nJoined != nMembers)
+          throw new IllegalStateException(
+            s"ivfPqStreamRetrain: ${nMembers - nJoined} of $nMembers drifted-cell " +
+              "index members have no embedding in the stream or catalog — " +
+              "refusing to overwrite their partitions (rows would be lost)")
+        val enc = Pq.residualsE6(joined, idx.coarse, idCol, vecCol,
+            extraCols = Seq("__bid"))
+          .select(col(idCol), col("__bid").as("batch_id"), col("cell"),
+            graft.plans.PqEncodeExpr.pq_encode(col("resid"),
+              rt.residualV2.flatE6.toSeq, rt.residualV2.m, rt.residualV2.ksub)
+              .as("codes"))
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try enc.write.mode("overwrite").partitionBy("batch_id", "cell").parquet(indexDir)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      } finally { joined.unpersist(); () }
       Some(rt)
     }
   }

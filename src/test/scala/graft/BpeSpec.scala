@@ -138,4 +138,43 @@ class BpeSpec extends SparkSpec {
     val bpe = Bpe.trainMerges(docs, "text", nMerges = 1)
     assert(bpe.head.lhs == "x" && bpe.head.rhs == "z")
   }
+
+  test("batched WordPiece ≡ sequential on a conflict-free corpus; B=1 bit-identical") {
+    // four pairwise-disjoint alphabets — symbol-disjoint acceptance
+    // pins counts AND score denominators at their sequential values
+    val docs = (Seq.fill(5)("abab") ++ Seq.fill(6)("cdcd") ++
+      Seq.fill(7)("efef") ++ Seq.fill(8)("ghgh")).map(Tuple1(_)).toDF("text")
+    val seqT = Bpe.trainWordPiece(docs, "text", nMerges = 8)
+    val batT = Bpe.trainWordPiece(docs, "text", nMerges = 8, batchSize = 4)
+    assert(batT == seqT, s"batched $batT vs sequential $seqT")
+    // B = 1 through the batched code path is the classic trainer
+    val mixed = (Seq.fill(6)("xy") ++ Seq.fill(20)("xz") ++ Seq.fill(4)("ab"))
+      .map(Tuple1(_)).toDF("text")
+    assert(Bpe.trainWordPiece(mixed, "text", 2, batchSize = 1) ==
+      Bpe.trainWordPiece(mixed, "text", 2))
+    // conflict skip: shared symbols defer to a fresh scoring round
+    val the = Seq.fill(9)(Tuple1("the")).toDF("text")
+    val b2 = Bpe.trainWordPiece(the, "text", nMerges = 2, batchSize = 2)
+    assert(b2.map(m => (m.round, m.lhs, m.rhs)) ==
+      Seq((1, "h", "e"), (2, "t", "he")))
+  }
+
+  test("WordPiece encode stats reuse the shared merge kernel via wpAsMerges") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).map(Tuple1(_)).toDF("text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val wp = Bpe.trainWordPiece(docs, "text", nMerges = 3)
+    val stats = Bpe.encodeStats(docs, "doc_id", "text", Bpe.wpAsMerges(wp))
+      .orderBy("doc_id").collect()
+    // every doc is one word: n_tokens = 1, n_chars = word length,
+    // n_subwords = |applyMerges(chars)| — recompute directly per word
+    val direct = docs.select(col("doc_id"), col("text"),
+        size(Bpe.applyMerges(expr("filter(split(text, ''), x -> x <> '')"),
+          Bpe.wpAsMerges(wp))).cast("long").as("n_sub"))
+      .orderBy("doc_id").collect()
+    stats.zip(direct).foreach { case (s, d) =>
+      assert(s.getLong(1) == 1L && s.getLong(2) == d.getString(1).length.toLong &&
+        s.getLong(3) == d.getLong(2), s"stats $s vs direct $d")
+    }
+  }
 }

@@ -846,6 +846,12 @@ class OperatorsSpec extends SparkSpec {
     // under-full groups pass through whole, ordered
     val few = agg.finish(Seq((0.2, 9L), (0.8, 5L)).foldLeft(agg.zero)(agg.reduce))
     assert(few == Seq((0.8, 5L), (0.2, 9L)))
+    // ids beyond 2^53 (e.g. xxhash64-derived) would corrupt silently in
+    // the double buffer — the aggregator must refuse them instead
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, (0.5, (1L << 53) + 1L))
+    }
+    assert(agg.finish(agg.reduce(agg.zero, (0.5, 1L << 53))) == Seq((0.5, 1L << 53)))
   }
 
   test("media_header parses PNG/PNG-IHDR, JPEG marker walk, WAV chunk walk, garbage") {
@@ -882,6 +888,56 @@ class OperatorsSpec extends SparkSpec {
       .collect()
     assert(u(0).getStruct(0).getString(0) == "unknown")
     assert(u(1).isNullAt(0), "null payload -> null header")
+  }
+
+  test("media_header fuzz: corrupt RIFF chunk sizes never hang or throw") {
+    import spark.implicits._
+    def riff(chunks: Array[Byte]*): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+        chunks.flatten.toArray
+    def chunk(id: String, szLe: Array[Byte], body: Array[Byte]): Array[Byte] =
+      id.getBytes ++ szLe ++ body
+    // the hang case: declared size 0xFFFFFFF8 wraps to -8 as Int, making
+    // the naive advance exactly 0 — must terminate and parse as unknown
+    val hang = riff(chunk("JUNK",
+      Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte), Array.fill(8)(0.toByte)))
+    // the negative-offset case: size 0x80000010 drives p negative as Int
+    val neg = riff(chunk("JUNK",
+      Array(0x10, 0x00, 0x00, 0x80).map(_.toByte), Array.fill(8)(0.toByte)))
+    // a size that overruns the payload but stays positive as Int
+    val overrun = riff(chunk("JUNK",
+      Array(0x00, 0x00, 0x00, 0x7f).map(_.toByte), Array.fill(8)(0.toByte)))
+    val expr = graft.plans.MediaHeaderExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array.empty[Byte]))
+    for (bad <- Seq(hang, neg, overrun)) {
+      val h = expr.compute(bad)
+      assert(h.getUTF8String(0).toString == "unknown", s"corrupt RIFF must be unknown")
+    }
+    // through the DataFrame path too (codegen), with a wall-clock bound
+    val t0 = System.nanoTime()
+    val rows = Seq((1L, hang), (2L, neg), (3L, overrun))
+      .toDF("media_id", "payload")
+      .select(graft.plans.MediaHeaderExpr.media_header($"payload").as("h"))
+      .collect()
+    assert(rows.forall(_.getStruct(0).getString(0) == "unknown"))
+    assert((System.nanoTime() - t0) < 30e9, "corrupt RIFF walk must terminate fast")
+    // a truncated final data chunk (declared size past the payload end)
+    // still yields its frame count — the walk stops, the parse stands
+    val truncated = riff(
+      chunk("fmt ", Array[Byte](16, 0, 0, 0),
+        Array[Byte](1, 0, 2, 0) ++ Array[Byte](0x40, 0x1f, 0, 0) ++
+          Array[Byte](0, 0, 0, 0) ++ Array[Byte](4, 0) ++ Array[Byte](16, 0)),
+      chunk("data", Array[Byte](0, 4, 0, 0), Array.fill(16)(0.toByte)))
+    val t = expr.compute(truncated)
+    assert(t.getUTF8String(0).toString == "wav" && t.getLong(5) == 1024 / 4, s"$t")
+    // random fuzz: seeded junk, raw and wrapped in a RIFF/WAVE shell,
+    // must all parse (as anything) without hanging or throwing
+    val rng = new scala.util.Random(42)
+    (0 until 2000).foreach { i =>
+      val body = Array.fill(rng.nextInt(96))(rng.nextInt(256).toByte)
+      expr.compute(body)
+      expr.compute(riff(body))
+    }
   }
 
   test("header-blocked perceptual near-dup: resized twins pair, cross-format twins never meet") {

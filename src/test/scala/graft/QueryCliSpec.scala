@@ -103,6 +103,15 @@ class QueryCliSpec extends SparkSpec {
     assert(tsv == Seq("r_name", "AFRICA", "AMERICA"), s"tsv: $tsv")
   }
 
+  test("bare existing path loads SQL from file; SQL text is never a path") {
+    val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
+    java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
+    val spec = QueryCommand.parse(Seq(sqlFile.toString))
+    assert(spec.sql == "SELECT 41 + 1 AS v")
+    // plain SQL (no such file) passes through untouched
+    assert(QueryCommand.parse(Seq("SELECT 2 AS v")).sql == "SELECT 2 AS v")
+  }
+
   test("query option parsing rejects malformed flags") {
     intercept[IllegalArgumentException] {
       QueryCommand.parse(Seq("SELECT 1", "--table", "nopath"))
