@@ -267,6 +267,57 @@ object CurationQueries {
         Profiling.kAnonymityAudit(qi, Seq("nation", "segment", "zip"),
             col("sband"), k = 5, l = 3)
           .orderBy("nation", "segment", "zip")
+    },
+
+    // k-anonymity ENFORCEMENT (q187's audit turned into action, the
+    // audit→transform pattern the drift-retrain loop set): global
+    // full-domain generalization over two ladders — nation → region
+    // (div 5) → '*' and zip → zip-prefix (div 10) → '*' — picks the
+    // MINIMAL level whose residual risk fits the 20‰ suppression
+    // budget, suppresses the residual classes, and releases with the
+    // chosen level attached. The oracle replays the per-level risk
+    // scoring, the argmin, and the suppression join move-for-move, so
+    // a divergence in either the ladder arithmetic or the budget rule
+    // breaks the hash. k=5 / l=2 over the q187 cents-exact
+    // account-balance band.
+    sql("q192_k_anonymize",
+      """WITH base AS (SELECT c_custkey,
+        |  CAST(c_nationkey AS VARCHAR) AS n0, CAST(c_nationkey // 5 AS VARCHAR) AS n1, '*' AS n2,
+        |  CAST(c_custkey % 100 AS VARCHAR) AS z0, CAST((c_custkey % 100) // 10 AS VARCHAR) AS z1, '*' AS z2,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sband
+        |  FROM customer),
+        |lv AS (SELECT g, c_custkey, sband,
+        |    CASE g WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nq,
+        |    CASE g WHEN 0 THEN z0 WHEN 1 THEN z1 ELSE z2 END AS zq
+        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS g)),
+        |cls AS (SELECT g, nq, zq, count(*) AS sz, count(DISTINCT sband) AS ns
+        |  FROM lv GROUP BY 1, 2, 3),
+        |risk AS (SELECT g, sum(CASE WHEN sz < 5 OR ns < 2 THEN sz ELSE 0 END) AS at_risk,
+        |  sum(sz) AS total FROM cls GROUP BY g),
+        |chosen AS (SELECT coalesce(min(g) FILTER (WHERE at_risk * 1000 <= 20 * total), 2) AS g
+        |  FROM risk)
+        |SELECT l.c_custkey, l.nq AS nation_gen, l.zq AS zip_gen,
+        |  CAST(l.sband AS BIGINT) AS sband,
+        |  CAST(c.g AS BIGINT) AS gen_level
+        |FROM lv l JOIN chosen c ON l.g = c.g
+        |JOIN cls ON cls.g = l.g AND cls.nq = l.nq AND cls.zq = l.zq
+        |WHERE cls.sz >= 5 AND cls.ns >= 2
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Profiling
+        val base = customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"), (col("c_custkey") % 100).as("zip"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+            .as("sband"))
+        Profiling.kAnonymize(base,
+          ladders = Seq(
+            "nation_gen" -> Seq(col("c_nationkey").cast("string"),
+              expr("c_nationkey div 5").cast("string"), lit("*")),
+            "zip_gen" -> Seq(col("zip").cast("string"),
+              expr("zip div 10").cast("string"), lit("*"))),
+          sensitiveCol = "sband", k = 5, l = 2, maxSuppressPerMille = 20L)
+          .drop("c_nationkey", "zip")
+          .orderBy("c_custkey")
     }
   )
 }

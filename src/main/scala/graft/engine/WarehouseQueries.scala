@@ -1134,6 +1134,41 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
       }.reduce(_ unionByName _).orderBy("wave")
     },
 
+    // Layered-store COMPACTION with an as-of horizon (q184's missing
+    // lifecycle end): five waves land, then waves <= 2 fold into one
+    // base partition. The timed reads rebuild history AT AND ABOVE the
+    // horizon — which the fold must leave row-identical (the folded
+    // rows re-land under the highest folded wave id) — and the oracle
+    // predicts every number from the clean five-wave construction
+    // alone, so any fold that loses, duplicates, or re-waves a row
+    // breaks the hash.
+    sqlWithSetup("q195_compacted_asof",
+      """WITH w AS (SELECT doc_id % 5 AS wv, md5(text) AS dg FROM documents),
+        |per AS (SELECT wv, count(DISTINCT dg) AS dw FROM w GROUP BY wv),
+        |ns AS (SELECT CAST(unnest([2, 3, 4]) AS BIGINT) AS wave)
+        |SELECT wave,
+        |  (SELECT CAST(sum(dw) AS BIGINT) FROM per WHERE wv <= wave) AS rows_asof,
+        |  (SELECT CAST(count(DISTINCT dg) AS BIGINT) FROM w WHERE wv <= wave) AS distinct_asof
+        |FROM ns ORDER BY wave""".stripMargin) { (s, d) =>
+      import graft.operators.Stores
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      def dg(df: org.apache.spark.sql.DataFrame) =
+        df.select(unhex(md5(col("text"))).as("digest")).distinct()
+      val t = "graft_q195_layer"
+      Stores.dropStoreTable(s, t)
+      (0 to 4).foreach(i => Stores.appendWave(
+        dg(docs.filter(col("doc_id") % 5 === i)), t, i.toLong, "digest", buckets = 8))
+      Stores.compactWaves(s, t, horizon = 2L, "digest", buckets = 8)
+      ()
+    } { (s, _) =>
+      (2 to 4).map { n =>
+        graft.operators.Stores.asOf(s, "graft_q195_layer", n.toLong)
+          .agg(count(lit(1)).as("rows_asof"),
+            count_distinct(col("digest")).as("distinct_asof"))
+          .select(lit(n.toLong).as("wave"), col("rows_asof"), col("distinct_asof"))
+      }.reduce(_ unionByName _).orderBy("wave")
+    },
+
     // Layered store × incremental span dedup: the gram-df store lands
     // as wave=N partitions, and the SAME delta is stripped against
     // each historical as-of view — as-of 0 sees only wave 0's grams,

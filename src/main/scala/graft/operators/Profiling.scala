@@ -405,4 +405,83 @@ object Profiling {
       sum(when(!col("l_diverse"), 1L).otherwise(0L)).as("classes_below_l"),
       min("class_size").as("min_class_size"),
       min("n_sensitive").as("min_l"))
+
+  /** k-anonymity / l-diversity ENFORCEMENT — the action the
+    * [[kAnonymityAudit]] gate calls for (the audit→transform pattern
+    * the drift-retrain loop established): produce a RELEASE of `df`
+    * that passes the audit, by global-recoding generalization
+    * (Samarati 2001's full-domain model) plus record suppression.
+    *
+    * Each ladder is `(outputName, levels)` — level 0 the finest
+    * (string-typed) quasi-identifier form, each later level strictly
+    * coarser (zip → zip3 → '*', value → band → '*'). One GLOBAL level
+    * `g` applies to every ladder (clamped to each ladder's depth):
+    * the minimal g whose residual risk — rows in classes failing
+    * size ≥ k or diversity ≥ l — is within `maxSuppressPerMille` of
+    * the table is chosen, those residual rows are SUPPRESSED, and the
+    * release is k-anonymous and l-diverse by construction. If no
+    * level fits the budget the coarsest is taken (suppression still
+    * guarantees the audit, just over budget — the caller sees the
+    * level in `gen_level` and the loss by row count).
+    *
+    * Output: `df`'s non-ladder columns pass through, each ladder
+    * contributes its generalized column under its own name, plus the
+    * chosen `gen_level`. Rows whose class still violates are dropped;
+    * rows with a NULL quasi-identifier are conservatively suppressed
+    * (a null-keyed class is a linkage risk, not an equivalence class).
+    *
+    * Scale shape: level selection is ONE pass — the row's QI tuple is
+    * materialized at every level (L small) and exploded into a single
+    * (level, class) hash aggregate, whose L-row rollup is the only
+    * driver collect. The release is one projection + one QI-keyed
+    * aggregate joined back on the class key (both sides hash-partition
+    * on the same key; no window, no sort). Audit-exact
+    * `count(DISTINCT)` — swap approx for routine 100 TB runs as in
+    * [[kAnonymityAudit]].
+    */
+  def kAnonymize(df: DataFrame, ladders: Seq[(String, Seq[Column])],
+      sensitiveCol: String, k: Int, l: Int,
+      maxSuppressPerMille: Long = 10L): DataFrame = {
+    require(ladders.nonEmpty && ladders.forall(_._2.nonEmpty),
+      "need at least one ladder with at least one level")
+    require(k >= 2 && l >= 1 && maxSuppressPerMille >= 0,
+      "need k >= 2, l >= 1, non-negative suppression budget")
+    val nLevels = ladders.map(_._2.length).max
+    def qiAt(g: Int): Seq[Column] =
+      ladders.map { case (_, lv) => lv(math.min(g, lv.length - 1)) }
+    // one pass over df scores every level: null QI keys to a sentinel
+    // the real domain (string-cast values) cannot produce
+    val lvlKey = array((0 until nLevels).map { g =>
+      struct(lit(g).as("g"),
+        concat_ws("\u0001",
+          qiAt(g).map(c => coalesce(c.cast("string"), lit("\u0000"))): _*).as("key"))
+    }: _*)
+    val risk = df
+      .select(explode(lvlKey).as("lk"), col(sensitiveCol).as("__s"))
+      .groupBy(col("lk.g").as("g"), col("lk.key").as("key"))
+      .agg(count(lit(1)).as("sz"), count_distinct(col("__s")).as("ns"))
+      .groupBy("g")
+      .agg(sum(when(col("sz") < k || col("ns") < l, col("sz")).otherwise(0L))
+        .as("at_risk"), sum("sz").as("total"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chosen = (0 until nLevels).find { g =>
+      val (atRisk, total) = risk(g)
+      atRisk * 1000L <= maxSuppressPerMille * total
+    }.getOrElse(nLevels - 1)
+    val qiNames = ladders.map(_._1)
+    val passthrough = df.columns.filterNot(qiNames.contains).map(col).toSeq
+    val gen = df.select(passthrough ++ ladders.map { case (n, lv) =>
+      lv(math.min(chosen, lv.length - 1)).cast("string").as(n) }: _*)
+    val ok = gen
+      .groupBy(qiNames.map(col): _*)
+      .agg(count(lit(1)).as("__sz"), count_distinct(col(sensitiveCol)).as("__ns"))
+      .filter(col("__sz") >= k && col("__ns") >= l)
+      .select(qiNames.map(n => col(n).as(s"__ok_$n")): _*)
+    // null-safe equality so a null-keyed class behaves exactly as the
+    // groupBy formed it (nulls equal) — release and audit agree
+    gen.join(ok, qiNames.map(n => gen(n) <=> ok(s"__ok_$n")).reduce(_ && _))
+      .select(gen.columns.map(gen(_)): _*)
+      .withColumn("gen_level", lit(chosen.toLong))
+  }
 }

@@ -260,6 +260,47 @@ object Stores {
   def asOf(spark: SparkSession, table: String, wave: Long): DataFrame =
     spark.table(table).filter(col("wave") <= wave)
 
+  /** Fold every wave at or below `horizon` into ONE base partition —
+    * the compaction that keeps a long-lived layered store's wave count
+    * bounded (waves otherwise grow one per ingest forever) while
+    * preserving the layered contracts ABOVE the horizon:
+    *
+    *  - as-of reads at any `wave >= horizon` are row-identical to the
+    *    pre-compaction store (the folded rows re-land under the
+    *    HIGHEST folded wave id, which is <= any such read's cutoff);
+    *  - rollback to any `wave >= horizon` still works partition-wise;
+    *  - history granularity BELOW the horizon is deliberately given
+    *    up — an as-of strictly below the highest folded wave now sees
+    *    the whole folded base (the standard snapshot-retention trade).
+    *
+    * The fold is layout-only: the row multiset is preserved exactly
+    * (cross-wave duplicate keys stay duplicate rows, as the layered
+    * audit counts them), rows just re-land bucketed in one partition.
+    * No-op when fewer than two waves sit at or below the horizon.
+    *
+    * Scale shape: one partition-pruned read of the folded waves (later
+    * waves' files are never listed), one bucketed write, partition
+    * drops — through a temp table because Spark refuses to overwrite
+    * a table its own plan reads (the [[compactDigestStore]] dance).
+    */
+  def compactWaves(spark: SparkSession, table: String, horizon: Long,
+      keyCol: String, buckets: Int = 64): Unit = {
+    val folded = storeWaves(spark, table).filter(_ <= horizon)
+    if (folded.size >= 2) {
+      val base = folded.max
+      val tmp = s"${table}__compact"
+      dropStoreTable(spark, tmp)
+      spark.table(table).filter(col("wave") <= horizon).drop("wave")
+        .repartition(buckets, col(keyCol))
+        .write.mode("overwrite")
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .saveAsTable(tmp)
+      folded.foreach(w => dropWave(spark, table, w))
+      appendWave(spark.table(tmp), table, base, keyCol, buckets)
+      dropStoreTable(spark, tmp)
+    }
+  }
+
   /** [[auditStore]] for a LAYERED store: `waves` comes from the
     * partition layer (the authoritative landing record — file counts
     * would double-count a replaced wave's rewrite), and `compacted`

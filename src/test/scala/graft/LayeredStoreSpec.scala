@@ -160,6 +160,47 @@ class LayeredStoreSpec extends SparkSpec {
     dropTable(t)
   }
 
+  test("compactWaves folds waves <= horizon; as-of >= horizon and rollback survive") {
+    val d = docs(100)
+    val waves = (0 to 4).map(i => d.filter($"doc_id" % 5 === i))
+    val t = "layer_compact"
+    dropTable(t)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Stores.appendWave(digests(w), t, i.toLong, "digest", buckets = 4) }
+    // pre-compaction as-of snapshots for every wave >= horizon
+    val preAsOf = (2 to 4).map(n =>
+      Stores.asOf(spark, t, n.toLong).select("digest")
+        .as[Array[Byte]].collect().map(_.toSeq).sorted(
+          Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq).toSeq
+    val preTotal = spark.table(t).count()
+
+    Stores.compactWaves(spark, t, horizon = 2L, "digest", buckets = 4)
+    // waves 0,1,2 folded into base wave 2; 3 and 4 untouched
+    assert(Stores.storeWaves(spark, t) == Seq(2L, 3L, 4L))
+    // row multiset preserved exactly (layout-only fold)
+    assert(spark.table(t).count() == preTotal)
+    (2 to 4).zip(preAsOf).foreach { case (n, pre) =>
+      val post = Stores.asOf(spark, t, n.toLong).select("digest")
+        .as[Array[Byte]].collect().map(_.toSeq).sorted(
+          Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
+      assert(post == pre, s"as-of $n must be identical across compaction")
+    }
+    // the audit sees the fold
+    val a = Stores.auditLayeredStore(spark, t, "digest", Seq("digest"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(a._6 == 3L, s"3 layers after the fold: $a")
+    // rollback above the horizon still surgical
+    Stores.rollbackTo(spark, t, 3L)
+    assert(Stores.storeWaves(spark, t) == Seq(2L, 3L))
+    // appends keep working on the compacted store
+    Stores.appendWave(digests(waves(4)), t, 5L, "digest", buckets = 4)
+    assert(Stores.storeWaves(spark, t) == Seq(2L, 3L, 5L))
+    // a horizon covering < 2 waves is a no-op
+    Stores.compactWaves(spark, t, horizon = 2L, "digest", buckets = 4)
+    assert(Stores.storeWaves(spark, t) == Seq(2L, 3L, 5L))
+    dropTable(t)
+  }
+
   test("layered gram-df store: as-of df sums equal a rebuild's") {
     val d = docs(60)
     def gramDf(df: DataFrame): DataFrame = df

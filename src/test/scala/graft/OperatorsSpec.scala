@@ -462,6 +462,42 @@ class OperatorsSpec extends SparkSpec {
       s.getLong(4), s.getLong(5)) == ((3L, 1L, 3L, 1L, 3L, 1L)))
   }
 
+  test("kAnonymize: minimal passing level chosen, residual rows suppressed, re-audit green") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // zips 11/12/13: 2 rows each (fail k=3 raw, merge into a passing
+    // zip-prefix "1" class of 6); zip 20: 4 rows, 2 sensitive values
+    // (passes raw); zip 35: 2 rows that STAY below k even at the
+    // prefix level ("3" has only these 2) → suppressed at level 1
+    val rows = (Seq((11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (13, 2),
+      (20, 1), (20, 2), (20, 1), (20, 2), (35, 1), (35, 2)))
+      .zipWithIndex.map { case ((z, s), i) => (i.toLong, z, s) }
+      .toDF("id", "zip", "s")
+    val released = graft.operators.Profiling.kAnonymize(rows,
+      ladders = Seq("zip_gen" -> Seq(col("zip").cast("string"),
+        expr("zip div 10").cast("string"), lit("*"))),
+      sensitiveCol = "s", k = 3, l = 2, maxSuppressPerMille = 200L)
+    // level 0 risk 8/12 > 20%; level 1 risk 2/12 ≤ 20% → minimal level 1
+    assert(released.select("gen_level").distinct().as[Long].collect().toSeq == Seq(1L))
+    // exactly the two zip-35 rows are suppressed (predicted count)
+    val kept = released.select("id").as[Long].collect().toSet
+    assert(kept.size == 10 && !kept.contains(10L) && !kept.contains(11L), s"kept: $kept")
+    // the release re-audits clean in the same job
+    val summary = graft.operators.Profiling.kAnonymitySummary(
+      graft.operators.Profiling.kAnonymityAudit(
+        released, Seq("zip_gen"), col("s"), k = 3, l = 2)).head()
+    assert(summary.getLong(1) == 0L && summary.getLong(2) == 0L &&
+      summary.getLong(3) == 0L, s"re-audit: $summary")
+    // l-diversity-only violation is suppressed too (single-level ladder)
+    val lRows = Seq((40, 7), (40, 7), (40, 7), (50, 1), (50, 2), (50, 1))
+      .toDF("zip", "s")
+    val lRel = graft.operators.Profiling.kAnonymize(lRows,
+      ladders = Seq("zip_gen" -> Seq(col("zip").cast("string"))),
+      sensitiveCol = "s", k = 3, l = 2, maxSuppressPerMille = 500L)
+    assert(lRel.select("zip_gen").as[String].collect().toSet == Set("50"),
+      "the l-violating class must be suppressed")
+  }
+
   test("nearDupesAnn: planted near-dups found, every pair verified exact, hot buckets capped") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
