@@ -73,6 +73,11 @@ object QueryCommand {
     */
   def registerFunctions(spark: SparkSession): Unit = {
     graft.plans.GraftExtensions.register(spark)
+    // table-valued probes over persisted artifacts (saved IVF-PQ
+    // index, winnow store, layered store, SCD2 dimension) — the
+    // operator library's flagship relations, reachable as
+    // `SELECT ... FROM graft_ivfpq_topk('path', 'qtab', 20, 2)` etc.
+    graft.plans.GraftTableFunctions.register(spark)
     spark.udf.register("is_valid_smiles", (s: String) => Chemistry.isValid(s))
     spark.udf.register("molecular_weight", (s: String) => Chemistry.molecularWeight(s))
     spark.udf.register("normalize_smiles", (s: String) => Chemistry.normalize(s))

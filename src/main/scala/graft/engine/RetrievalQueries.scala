@@ -967,6 +967,95 @@ object RetrievalQueries {
           .orderBy("vec_id")
     },
 
+    // The SQL DOOR to the operator library (r11 verdict item 3): the
+    // flagship persisted-artifact probes run from PURE SQL TEXT through
+    // the query CLI's table-valued functions — an ANN top-k over a
+    // SAVED IVF-PQ index opened by path alone (codebooks ship inside
+    // the index dir) and a winnow-store near-dup probe over a saved
+    // fingerprint store — and must hash-match the full replay. The
+    // TVFs return the Scala surface's exact logical plans, so the
+    // probe partition-prunes to its cells and the winnow probe keeps
+    // its df cap (spec-pinned from SQL in QueryCliSpec).
+    sqlWithSetup("q191_sql_door",
+      ivfPqOracleCore("TRUE") +
+      """q AS (SELECT unnest([{'j': i-1,
+        |                     'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+        |                    FOR i IN range(1, len(embedding)+1)]) AS u
+        |      FROM embeddings WHERE vec_id = 0),
+        |qe AS (SELECT u.j AS j, u.v AS qv FROM q),
+        |csc AS (SELECT k.c, sum(qe.qv * k.cent) AS s
+        |        FROM ccb k JOIN qe ON k.j = qe.j GROUP BY k.c),
+        |probe AS (SELECT c, s FROM (
+        |            SELECT c, s, row_number() OVER (ORDER BY s DESC, c) AS rn
+        |            FROM csc) x WHERE rn <= 2),
+        |lut AS (SELECT k.b, k.c, sum(qe.qv * k.cent) AS l
+        |        FROM pcb k JOIN qe ON qe.j = k.b * 8 + k.bp GROUP BY k.b, k.c),
+        |sc AS (SELECT a.vec_id, a.cell, pr.s + sum(l.l) AS score
+        |       FROM cass a JOIN probe pr ON a.cell = pr.c
+        |       JOIN enc ON enc.vec_id = a.vec_id
+        |       JOIN lut l ON enc.b = l.b AND enc.c = l.c
+        |       GROUP BY a.vec_id, a.cell, pr.s),
+        |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
+        |        FROM sc ORDER BY score DESC, vec_id LIMIT 20),
+        |wcorpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text FROM documents WHERE doc_id % 3 = 1),
+        |wt AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM wcorpus),
+        |wg AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM wt WHERE len(toks) >= 4),
+        |wgd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM wg),
+        |wng AS (SELECT doc_id, count(*) AS n FROM wgd GROUP BY doc_id),
+        |wex AS (SELECT wgd.doc_id, wgd.pos, wgd.dg,
+        |          unnest(range(greatest(wgd.pos - 3, 0), least(wgd.pos, greatest(wng.n - 4, 0)) + 1)) AS wid
+        |        FROM wgd JOIN wng USING (doc_id)),
+        |wmn AS (SELECT doc_id, wid, min(dg) AS mdg FROM wex GROUP BY doc_id, wid),
+        |wsel AS (SELECT e.doc_id, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |         FROM wex e JOIN wmn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
+        |         GROUP BY e.doc_id, e.wid, m.mdg),
+        |wfp AS (SELECT DISTINCT doc_id, dg,
+        |          CASE WHEN doc_id % 3 = 0 OR doc_id >= 1000000 THEN 1 ELSE 0 END AS cl
+        |        FROM wsel),
+        |wkeep AS (SELECT dg FROM wfp GROUP BY dg HAVING count(*) <= 8),
+        |wfpk AS (SELECT wfp.doc_id, wfp.dg, wfp.cl FROM wfp JOIN wkeep USING (dg)),
+        |wp AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM wfpk a JOIN wfpk b ON a.dg = b.dg AND a.cl = 0 AND b.cl = 1
+        |       GROUP BY a.doc_id, b.doc_id
+        |       HAVING count(*) >= 3)
+        |SELECT src, id1, id2, val FROM (
+        |  SELECT 'ann' AS src, vec_id AS id1, cell AS id2, score_q AS val FROM top
+        |  UNION ALL
+        |  SELECT 'winnow' AS src, a AS id1, b AS id2, n_shared AS val FROM wp)
+        |ORDER BY src, id1, id2""".stripMargin) { (s, d) =>
+      import graft.operators.{Stores, TextOps}
+      val emb = embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idx = Pq.trainIvfPq(corpus, ncells = 4, m = 8, ksub = 16)
+      Pq.writeIvfPqIndex(corpus, idx,
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_q191_index")
+      emb.filter(col("vec_id") === 0).createOrReplaceTempView("graft_q191_query")
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      Stores.dropStoreTable(s, "graft_q191_winnow")
+      TextOps.writeWinnowStore(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", "graft_q191_winnow", k = 4, w = 4, buckets = 8)
+      docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text")))
+        .createOrReplaceTempView("graft_q191_delta")
+    } { (s, d) =>
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q191_index"
+      graft.cli.QueryCommand.run(s,
+        s"""SELECT src, id1, id2, val FROM (
+           |  SELECT 'ann' AS src, vec_id AS id1, CAST(cell AS BIGINT) AS id2, score_q AS val
+           |  FROM graft_ivfpq_topk('$dir', 'graft_q191_query', 20, 2)
+           |  UNION ALL
+           |  SELECT 'winnow' AS src, a AS id1, b AS id2, n_shared AS val
+           |  FROM graft_winnow_pairs('graft_q191_winnow', 'graft_q191_delta', 3, 8))
+           |ORDER BY src, id1, id2""".stripMargin, dataDir = Some(d))
+    },
+
     // Filtered ANN: the q128 IVF-PQ probe under a metadata predicate
     // (label % 3 = 1 — the license/source-gate shape). The label rides
     // in the encoded index as a filterable attribute; the gate lands

@@ -255,9 +255,43 @@ object Pq {
     * inside the surviving partitions (spec-pinned too). */
   def writeIvfPqIndex(corpus: DataFrame, idx: IvfPqIndex, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      extraCols: Seq[String] = Nil): Unit =
+      extraCols: Seq[String] = Nil): Unit = {
     encodeIvfPq(corpus, idx, idCol, vecCol, extraCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveIvfPqMeta(corpus.sparkSession, idx, path)
+  }
+
+  /** Persist the index's CODEBOOKS next to its codes, under the
+    * `_codebooks` subdirectory (underscore-prefixed paths are invisible
+    * to Spark's file index, so the codes scan and its partition
+    * discovery never see it) — a shipped index must carry everything a
+    * fresh session needs to probe it, which is what lets the SQL door
+    * (`graft_ivfpq_topk`) open a saved index by path alone.
+    */
+  def saveIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      idx: IvfPqIndex, path: String): Unit = {
+    import spark.implicits._
+    Seq(("coarse", idx.coarse.m, idx.coarse.ksub, idx.coarse.subdim,
+        idx.coarse.flatE6.toSeq),
+      ("residual", idx.residual.m, idx.residual.ksub, idx.residual.subdim,
+        idx.residual.flatE6.toSeq))
+      .toDF("which", "m", "ksub", "subdim", "flat_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Load a [[saveIvfPqMeta]] artifact — probing a saved index needs
+    * only its path. */
+  def loadIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/_codebooks")
+      .select("which", "m", "ksub", "subdim", "flat_e6")
+      .as[(String, Int, Int, Int, Seq[Long])].collect()
+      .map(r => r._1 -> Codebook(r._2, r._3, r._4, r._5.toArray)).toMap
+    require(rows.keySet == Set("coarse", "residual"),
+      s"malformed _codebooks at $path: ${rows.keySet}")
+    IvfPqIndex(rows("coarse"), rows("residual"))
+  }
 
   /** The probe set: top-`nprobe` cells by coarse inner product
     * ⟨q, cent_c⟩ (ties to the smaller cell id) — driver-side over

@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * for this engine (Catalyst covers §4), so none is injected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    GraftTableFunctions.descriptors.foreach(e.injectTableFunction)
+  }
 }
 
 object GraftExtensions {

@@ -103,6 +103,88 @@ class QueryCliSpec extends SparkSpec {
     assert(tsv == Seq("r_name", "AFRICA", "AMERICA"), s"tsv: $tsv")
   }
 
+  test("SQL door to the operator library: ANN probe over a saved index, partition-pruned from SQL") {
+    import graft.operators.Pq
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val idx = Pq.trainIvfPq(corpus, ncells = 4, m = 8, ksub = 16)
+    val dir = tmpDir("query_cli_ivfpq") + "/index"
+    Pq.writeIvfPqIndex(corpus, idx, dir)
+    emb.filter(col("vec_id") === 0).createOrReplaceTempView("cli_ann_query")
+    val sqlText =
+      s"SELECT vec_id, cell, score_q FROM graft_ivfpq_topk('$dir', 'cli_ann_query', 20, 2)"
+    val viaSql = QueryCommand.run(spark, sqlText)
+    val viaScala = Pq.ivfPqTopKFromEncoded(spark.read.parquet(dir),
+      Pq.loadIvfPqMeta(spark, dir),
+      Pq.queryWeightsE6(emb.filter(col("vec_id") === 0)), k = 20, nprobe = 2)
+    same(viaSql.orderBy("vec_id"), viaScala.orderBy("vec_id"))
+    // the probe's cell bound must reach the scan as PARTITION pruning
+    // in the plan built FROM SQL TEXT
+    viaSql.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    val sc = scans(viaSql.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString.contains("query_cli_ivfpq"))
+    assert(sc.nonEmpty && sc.head.partitionFilters.mkString.contains("cell"),
+      s"SQL plan must prune index partitions: ${viaSql.queryExecution.executedPlan}")
+  }
+
+  test("SQL door: winnow store probe and layered as-of from SQL text match Scala") {
+    import graft.operators.{Stores, TextOps}
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val t = "cli_winnow_store"
+    Stores.dropStoreTable(spark, t)
+    TextOps.writeWinnowStore(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", t, k = 4, w = 4, buckets = 4)
+    docs.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("cli_winnow_delta")
+    val viaSql = QueryCommand.run(spark,
+      s"SELECT a, b, n_shared FROM graft_winnow_pairs('$t', 'cli_winnow_delta', 3, 8) ORDER BY a, b")
+    val viaScala = TextOps.winnowedCrossPairs(spark.table(t),
+        TextOps.winnowedFingerprints(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", 4, 4), minShared = 3, maxDf = 8)
+      .orderBy("a", "b")
+    same(viaSql, viaScala)
+    Stores.dropStoreTable(spark, t)
+    // layered as-of from SQL: partition-pruned wave read
+    val lt = "cli_layer_store"
+    Stores.dropStoreTable(spark, lt)
+    (0 to 2).foreach { i =>
+      Stores.appendWave(
+        docs.filter(col("doc_id") % 3 === i)
+          .select(unhex(md5(col("text"))).as("digest")).distinct(),
+        lt, i.toLong, "digest", buckets = 4)
+    }
+    val asofSql = QueryCommand.run(spark,
+      s"SELECT count(*) AS n FROM graft_store_asof('$lt', 1)")
+    val expected = Stores.asOf(spark, lt, 1L).count()
+    assert(asofSql.head().getLong(0) == expected)
+    Stores.dropStoreTable(spark, lt)
+  }
+
+  test("SQL door: SCD2 as-of join from SQL text matches the Scala operator") {
+    import spark.implicits._
+    val obs = Seq((1L, "2020-01-01", "A"), (1L, "2020-06-01", "B"),
+      (2L, "2020-01-01", "X"))
+      .toDF("key", "ts", "attr")
+      .select($"key", $"ts".cast("timestamp").as("ts"), $"attr")
+    graft.operators.Scd.scd2(obs, Seq("key"), "ts", Seq("attr"))
+      .createOrReplaceTempView("cli_scd2_dim")
+    Seq((1L, "2020-03-01"), (1L, "2020-07-01"), (2L, "2021-01-01"))
+      .toDF("key", "fts")
+      .select($"key", $"fts".cast("timestamp").as("fts"))
+      .createOrReplaceTempView("cli_scd2_facts")
+    val viaSql = QueryCommand.run(spark,
+      """SELECT fts, attr FROM graft_scd2_asof('cli_scd2_facts', 'cli_scd2_dim', 'key', 'fts')
+        |ORDER BY fts""".stripMargin)
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    assert(viaSql.map(_._2) == Seq("A", "B", "X"), s"as-of versions: $viaSql")
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
