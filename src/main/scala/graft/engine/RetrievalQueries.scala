@@ -1099,6 +1099,57 @@ object RetrievalQueries {
           .orderBy("vec_id")
     },
 
+    // PCM-TRUE perceptual near-dup (the q186 feature upgrade): for
+    // 16-bit PCM WAVs the signature is the per-band sample-energy
+    // profile located via the chunk walk, not the whole-payload byte
+    // histogram — so a VOLUME-SCALED twin (+1M, every sample × 2)
+    // pairs at cross-scaled L1 = 0 (bytes differ everywhere; the
+    // histogram tier cannot see it), and a RE-ENCODED header variant
+    // (+2M, different JUNK chunk around the same PCM) pairs too
+    // (container bytes never enter the profile). Every payload byte
+    // is an id formula, so the oracle rebuilds energies, sign
+    // buckets, the cap, and the L1 gate from the construction.
+    sql("q196_pcm_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 1 AS scale FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, 2 FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id < 30),
+        |e AS (SELECT id, base,
+        |        [CAST(list_sum([abs((base * 31 + i * 17) % 2001 - 1000) * scale
+        |                        FOR i IN range(64 + base % 33)
+        |                        IF i * 8 // (64 + base % 33) = b]) AS BIGINT)
+        |         FOR b IN range(8)] AS e
+        |      FROM ids),
+        |t AS (SELECT id, base, e, CAST(list_sum(e) AS BIGINT) AS t FROM e),
+        |k AS (SELECT id, e, t,
+        |        '1:' || CAST(8000 + (base % 4) * 4000 AS VARCHAR) || '|' ||
+        |        CAST(CAST(list_sum([CASE WHEN e[b+1] * 8 >= t THEN 1<<b ELSE 0 END
+        |                            FOR b IN range(8)]) AS BIGINT) AS VARCHAR) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.e[i+1] * y.t - y.e[i+1] * x.t) FOR i IN range(8)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("hv"))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(2).as("scale"), lit(false).as("hv")))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("hv")))
+      val media = graft.operators.Multimodal.synthesizeWavPcm(
+        ids, "id", "base", "scale", "hv")
+      graft.operators.Multimodal.pcmPerceptualCandidates(media,
+          bands = 8, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
     // Exact phrase search over the q137 planted corpus: a phrase
     // starts at p iff every k-th term has a position at p+k, so the
     // operator intersects k-shifted position lists — no self-joins,

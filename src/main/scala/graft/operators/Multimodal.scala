@@ -234,6 +234,105 @@ object Multimodal {
     perceptualCore(withHdr, dim, maxBucketSize, thrPermille, block)
   }
 
+  /** CONTENT-TRUE perceptual near-dup for 16-bit PCM WAV payloads —
+    * the feature upgrade the header tier (q182/q186) enables: instead
+    * of the whole-payload byte histogram, the signature comes from the
+    * per-band PCM ENERGY PROFILE ([[graft.plans.PcmEnergyExpr]] — the
+    * `data` chunk's samples split into `bands` time segments,
+    * Σ|sample| each, integer-exact). What that buys over bytes:
+    *
+    *  - a VOLUME-SCALED copy (every sample × c) scales every band by
+    *    c, so the occupancy-sign bucket and the cross-scaled L1
+    *    (Σ_b |e1[b]·T2 − e2[b]·T1|, T = total energy) are invariant —
+    *    L1 is exactly 0, where the byte histogram sees different
+    *    bytes and misses the twin;
+    *  - a RE-ENCODED container (junk chunks, chunk order) around the
+    *    same PCM contributes nothing — only the located data bytes
+    *    enter the profile.
+    *
+    * Blocking: channels and sample rate from the header walk (the
+    * q186 rule — cross-geometry audio never meets). Non-PCM payloads
+    * return null features and stay on the byte-histogram tier
+    * ([[headerBlockedPerceptualCandidates]]); this operator handles
+    * the uncompressed-audio slice of the corpus.
+    *
+    * Scale shape identical to the histogram tier: one header+energy
+    * pass inside the scan, bands-length longs on the wire, sign-bucket
+    * keyed self-join hot-capped, integer L1 gate — no decode deps, no
+    * all-pairs.
+    */
+  def pcmPerceptualCandidates(media: DataFrame, bands: Int = 8,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    require(bands >= 1 && bands <= 63, "bands must fit the sign-bucket bit range")
+    val withKey = media
+      .withColumn("__hdr", graft.plans.MediaHeaderExpr.media_header(col("payload")))
+      .withColumn("__e", graft.plans.PcmEnergyExpr.pcm_energy(col("payload"), bands))
+      .filter(col("__hdr.fmt") === "wav" && col("__e").isNotNull)
+      .withColumn("__t", expr("aggregate(__e, 0L, (acc, v) -> acc + v)"))
+      .filter(col("__t") >= 1L)
+      .withColumn("__key", concat_ws("|",
+        concat_ws(":", col("__hdr.channels").cast("string"),
+          col("__hdr.sample_rate").cast("string")),
+        graft.plans.SignBucketExpr.sign_bucket(
+          expr(s"transform(__e, v -> CAST(v * $bands - __t AS DOUBLE))"), bands)
+          .cast("string")))
+      .select(col("media_id").as("id"), col("__key"), col("__e"), col("__t"))
+      .repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__e").as("e1"), col("b.__e").as("e2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(e1, e2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <= lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** Deterministic 16-bit PCM WAV payload — the q196 fixture: mono,
+    * id-dependent sample rate, `64 + id % 33` samples with
+    * sample(i) = ((id·31 + i·17) mod 2001) − 1000, all stored × `scale`
+    * (the volume knob), behind a JUNK chunk whose content the
+    * `headerVariant` flag changes (the re-encode knob: same PCM,
+    * different container bytes). Every byte is a pure id formula, so
+    * the oracle rebuilds the energy pipeline from the construction.
+    */
+  /** Synthesize [[wavPcmPayload]] WAVs from a (media_id, base id,
+    * volume scale, header-variant flag) frame — the q196 fixture
+    * builder. */
+  def synthesizeWavPcm(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, variantCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, hv: Boolean) =>
+      wavPcmPayload(base, scale, hv) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(variantCol)).as("payload"))
+  }
+
+  private[graft] def wavPcmPayload(id: Long, scale: Int,
+      headerVariant: Boolean): Array[Byte] = {
+    val ns = (64 + id % 33).toInt
+    val rate = 8000 + (id % 4) * 4000
+    val junk = if (headerVariant) Array.fill(12)(0x55.toByte)
+      else (0 until 8).map(i => ((id + i) % 251).toByte).toArray
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def le16(v: Long): Unit = { buf += v.toByte; buf += (v >> 8).toByte; () }
+    def le32(v: Long): Unit = {
+      buf += v.toByte; buf += (v >> 8).toByte
+      buf += (v >> 16).toByte; buf += (v >> 24).toByte; ()
+    }
+    def ascii(s: String): Unit = { buf ++= s.getBytes("US-ASCII"); () }
+    ascii("RIFF"); le32(4L + 8 + junk.length + 24 + 8 + ns * 2); ascii("WAVE")
+    ascii("JUNK"); le32(junk.length.toLong); buf ++= junk
+    ascii("fmt "); le32(16L)
+    le16(1L); le16(1L); le32(rate); le32(rate * 2); le16(2L); le16(16L)
+    ascii("data"); le32(ns * 2L)
+    (0 until ns).foreach { i =>
+      le16((((id * 31 + i * 17) % 2001 - 1000) * scale) & 0xffffL)
+    }
+    buf.toArray
+  }
+
   /** The shared perceptual pipeline; `blockCol` prepends a blocking
     * key to the sign-bucket join key (empty string = unblocked, the
     * historical q126 behavior — same groups, same output). */

@@ -69,7 +69,10 @@ object GraftExtensions {
     ("sdf_props", classOf[SdfPropsExpr].getName, { args: Seq[Expression] =>
       require(args.size == 1, "sdf_props(record)"); SdfPropsExpr(args.head) }),
     ("media_header", classOf[MediaHeaderExpr].getName, { args: Seq[Expression] =>
-      require(args.size == 1, "media_header(payload)"); MediaHeaderExpr(args.head) }))
+      require(args.size == 1, "media_header(payload)"); MediaHeaderExpr(args.head) }),
+    ("pcm_energy", classOf[PcmEnergyExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "pcm_energy(payload, bands)")
+      PcmEnergyExpr(args.head, intLit(args(1), "bands")) }))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

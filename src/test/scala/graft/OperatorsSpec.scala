@@ -976,6 +976,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PCM-true perceptual near-dup: volume twin and re-encoded header pair; byte histogram can't") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.wavPcmPayload(7L, 1, headerVariant = false)),
+      (2L, Multimodal.wavPcmPayload(7L, 2, headerVariant = false)),  // volume x2
+      (3L, Multimodal.wavPcmPayload(7L, 1, headerVariant = true)),   // re-encoded container
+      (4L, Multimodal.wavPcmPayload(8L, 1, headerVariant = false)))  // different content
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.pcmPerceptualCandidates(media,
+        bands = 8, maxBucketSize = 64, thrPermille = 10)
+      .select("id1", "id2", "l1").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // volume-scaled twin: exactly invariant (cross-scaled L1 = 0)
+    assert(pairs.get((1L, 2L)).contains(0L), s"volume twin must pair at 0: $pairs")
+    // re-encoded header variant around the same PCM: identical profile
+    assert(pairs.get((1L, 3L)).contains(0L) && pairs.get((2L, 3L)).contains(0L),
+      s"header variant must pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different PCM content must not pair: $pairs")
+    // the byte-histogram tier misses the volume twin (different bytes
+    // everywhere) — the contrast that motivates the PCM tier
+    val metaMedia = media.withColumn("meta", org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.lit("audio/wav").as("mime"),
+      org.apache.spark.sql.functions.length($"payload").cast("long").as("n_bytes"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("height")))
+    val bytePairs = Multimodal.headerBlockedPerceptualCandidates(metaMedia,
+        dim = 8, maxBucketSize = 64, thrPermille = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!bytePairs.contains((1L, 2L)),
+      s"byte histogram must NOT see the volume twin at thr 10: $bytePairs")
+    // non-WAV payloads yield null energy and are excluded, not errors
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")
+    assert(Multimodal.pcmPerceptualCandidates(junk).count() == 0)
+  }
+
   test("header-blocked perceptual near-dup: resized twins pair, cross-format twins never meet") {
     import spark.implicits._
     // two PNG "images" with identical byte distribution at different
