@@ -473,25 +473,26 @@ object PipelineQueries {
     // store must equal re-winnowing the world.
     sqlWithSetup("q189_winnow_store_probe",
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  SELECT doc_id, text, 0 AS cl FROM documents WHERE doc_id % 3 <> 0
         |  UNION ALL
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'prefix edit ' || text FROM documents WHERE doc_id % 3 = 1),
-        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
-        |g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
-        |gd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text, 1 FROM documents WHERE doc_id % 3 = 1),
+        |t AS (SELECT doc_id, cl, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, cl, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+        |gd AS (SELECT doc_id, cl, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
         |ng AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
-        |ex AS (SELECT gd.doc_id, gd.pos, gd.dg,
+        |ex AS (SELECT gd.doc_id, gd.cl, gd.pos, gd.dg,
         |         unnest(range(greatest(gd.pos - 3, 0), least(gd.pos, greatest(ng.n - 4, 0)) + 1)) AS wid
         |       FROM gd JOIN ng USING (doc_id)),
         |mn AS (SELECT doc_id, wid, min(dg) AS mdg FROM ex GROUP BY doc_id, wid),
-        |sel AS (SELECT e.doc_id, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |sel AS (SELECT e.doc_id, e.cl, e.wid, m.mdg AS dg, max(e.pos) AS pos
         |        FROM ex e JOIN mn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
-        |        GROUP BY e.doc_id, e.wid, m.mdg),
-        |fp AS (SELECT DISTINCT doc_id, dg,
-        |         CASE WHEN doc_id % 3 = 0 OR doc_id >= 1000000 THEN 1 ELSE 0 END AS cl
-        |       FROM sel),
+        |        GROUP BY e.doc_id, e.cl, e.wid, m.mdg),
+        |-- the side CLASS rides the construction (a magnitude rule like
+        |-- doc_id >= 1000000 misreads 10x ScaleGen's strided catalog ids
+        |-- as delta replicas -- sweep-caught, the q171 lesson again)
+        |fp AS (SELECT DISTINCT doc_id, dg, cl FROM sel),
         |keep AS (SELECT dg FROM fp GROUP BY dg HAVING count(*) <= 8),
         |fpk AS (SELECT fp.doc_id, fp.dg, fp.cl FROM fp JOIN keep USING (dg))
         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared

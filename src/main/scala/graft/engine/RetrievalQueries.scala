@@ -998,25 +998,25 @@ object RetrievalQueries {
         |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
         |        FROM sc ORDER BY score DESC, vec_id LIMIT 20),
         |wcorpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  SELECT doc_id, text, 0 AS cl FROM documents WHERE doc_id % 3 <> 0
         |  UNION ALL
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'prefix edit ' || text FROM documents WHERE doc_id % 3 = 1),
-        |wt AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM wcorpus),
-        |wg AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM wt WHERE len(toks) >= 4),
-        |wgd AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM wg),
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text, 1 FROM documents WHERE doc_id % 3 = 1),
+        |wt AS (SELECT doc_id, cl, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM wcorpus),
+        |wg AS (SELECT doc_id, cl, unnest(range(0, len(toks) - 3)) AS pos, toks FROM wt WHERE len(toks) >= 4),
+        |wgd AS (SELECT doc_id, cl, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM wg),
         |wng AS (SELECT doc_id, count(*) AS n FROM wgd GROUP BY doc_id),
-        |wex AS (SELECT wgd.doc_id, wgd.pos, wgd.dg,
+        |wex AS (SELECT wgd.doc_id, wgd.cl, wgd.pos, wgd.dg,
         |          unnest(range(greatest(wgd.pos - 3, 0), least(wgd.pos, greatest(wng.n - 4, 0)) + 1)) AS wid
         |        FROM wgd JOIN wng USING (doc_id)),
         |wmn AS (SELECT doc_id, wid, min(dg) AS mdg FROM wex GROUP BY doc_id, wid),
-        |wsel AS (SELECT e.doc_id, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |wsel AS (SELECT e.doc_id, e.cl, e.wid, m.mdg AS dg, max(e.pos) AS pos
         |         FROM wex e JOIN wmn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
-        |         GROUP BY e.doc_id, e.wid, m.mdg),
-        |wfp AS (SELECT DISTINCT doc_id, dg,
-        |          CASE WHEN doc_id % 3 = 0 OR doc_id >= 1000000 THEN 1 ELSE 0 END AS cl
-        |        FROM wsel),
+        |         GROUP BY e.doc_id, e.cl, e.wid, m.mdg),
+        |-- class rides the construction, never a magnitude rule (the
+        |-- q189 10x-sweep lesson: strided catalog ids exceed 1000000)
+        |wfp AS (SELECT DISTINCT doc_id, dg, cl FROM wsel),
         |wkeep AS (SELECT dg FROM wfp GROUP BY dg HAVING count(*) <= 8),
         |wfpk AS (SELECT wfp.doc_id, wfp.dg, wfp.cl FROM wfp JOIN wkeep USING (dg)),
         |wp AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared

@@ -25,13 +25,19 @@ object BpeBatchProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     })
+    // third arg "wp" probes WordPiece (likelihood-gain argmax) instead
+    // of classic BPE — same batching contract, same job-count story
+    val wordPiece = args.length > 2 && args(2) == "wp"
     val docs = graft.engine.Tables.documents(spark, sfDir)
     docs.count() // warm footers
     def run(label: String, b: Int): Seq[graft.operators.Bpe.Merge] = {
       Thread.sleep(500) // let listener events drain before baselining
       val j0 = jobs.get()
       val t0 = System.nanoTime()
-      val m = graft.operators.Bpe.trainMerges(docs, "text", nMerges, batchSize = b)
+      val m =
+        if (wordPiece) graft.operators.Bpe.wpAsMerges(
+          graft.operators.Bpe.trainWordPiece(docs, "text", nMerges, batchSize = b))
+        else graft.operators.Bpe.trainMerges(docs, "text", nMerges, batchSize = b)
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       println(f"$label%-14s merges=$nMerges wall=$dt%.2fs driver_jobs=${jobs.get() - j0}")
