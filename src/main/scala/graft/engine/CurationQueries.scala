@@ -318,6 +318,91 @@ object CurationQueries {
           sensitiveCol = "sband", k = 5, l = 2, maxSuppressPerMille = 20L)
           .drop("c_nationkey", "zip")
           .orderBy("c_custkey")
+    },
+
+    // INTRA-document repetition strip (the Gopher repetition signals
+    // q78 measures, acted on): every 4th document gets its own first
+    // 8-token chunk PREPENDED, so chunk 0 and chunk 1 are identical
+    // and exactly one chunk strips (prepending keeps the 8-token
+    // alignment — an appended plant would fire only when the token
+    // count divides evenly); natural within-doc repeats strip too.
+    // One codegen'd per-row projection, zero shuffles — the oracle
+    // replays chunking and the keep-first filter per document.
+    sql("q197_intradoc_repetition",
+      """WITH t0 AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk FROM documents),
+        |corpus AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 AND len(tk) > 0
+        |      THEN array_to_string(list_slice(tk, 1, 8), ' ') || ' ' || array_to_string(tk, ' ')
+        |      ELSE array_to_string(tk, ' ') END AS text
+        |  FROM t0),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |ch AS (SELECT doc_id,
+        |         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE [array_to_string(list_slice(toks, 1 + 8*i, 8*i + 8), ' ')
+        |                 FOR i IN range(0, CAST(ceil(len(toks) / 8.0) AS INT))] END AS chunks
+        |       FROM t),
+        |k AS (SELECT doc_id, chunks,
+        |        [chunks[i+1] FOR i IN range(len(chunks))
+        |         IF list_position(chunks, chunks[i+1]) = i + 1] AS kept
+        |      FROM ch)
+        |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS cleaned,
+        |  CAST(len(chunks) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0 &&
+            size(graft.functions.TextFunctions.tokens(col("text"))) > 0,
+          concat(
+            array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 8), " "),
+            lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextOps.intraDocRepetitionStrip(corpus,
+          "doc_id", "text", lineTokens = 8)
+        .orderBy("doc_id")
+    },
+
+    // t-closeness audit (Li 2007) — the third privacy leg after
+    // q187's k/l flags: per (nation, segment) class, the integer-exact
+    // EMD of its account-balance-band distribution vs the table's
+    // (cross-multiplied proportions, cumulative over the ordered band
+    // axis, Σ|cum|), flagged against t = 300‰. The oracle replays the
+    // grid (zero terms for bands a class lacks — required for the
+    // cumulative to be right), the per-class cumulative, and the
+    // scaled flag comparison.
+    sql("q198_t_closeness",
+      """WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sband
+        |  FROM customer),
+        |tot AS (SELECT count(*) AS N, count(DISTINCT sband) AS m FROM c),
+        |g AS (SELECT sband, count(*) AS gc FROM c GROUP BY sband),
+        |cl AS (SELECT nation, segment, count(*) AS n FROM c GROUP BY 1, 2),
+        |cv AS (SELECT nation, segment, sband, count(*) AS cc FROM c GROUP BY 1, 2, 3),
+        |grid AS (SELECT cl.nation, cl.segment, cl.n, g.sband, g.gc,
+        |           COALESCE(cv.cc, 0) AS cc
+        |         FROM cl CROSS JOIN g
+        |         LEFT JOIN cv ON cv.nation = cl.nation AND cv.segment = cl.segment
+        |           AND cv.sband = g.sband),
+        |cum AS (SELECT nation, segment, n,
+        |          sum(cc::HUGEINT * (SELECT N FROM tot) - gc::HUGEINT * n)
+        |            OVER (PARTITION BY nation, segment ORDER BY sband
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM grid),
+        |emd AS (SELECT nation, segment, n, sum(abs(cum)) AS emd_num
+        |        FROM cum GROUP BY 1, 2, 3)
+        |SELECT nation, segment, CAST(n AS BIGINT) AS class_size,
+        |  CAST(emd_num AS BIGINT) AS emd_num,
+        |  emd_num * 1000 <= 300 * ((SELECT m FROM tot) - 1) * n * (SELECT N FROM tot) AS t_close
+        |FROM emd ORDER BY nation, segment""".stripMargin) { (s, d) =>
+      import graft.operators.Profiling
+      val qi = customer(s, d).select(
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+          .as("sband"))
+      Profiling.tClosenessAudit(qi, Seq("nation", "segment"), col("sband"),
+          tPermille = 300L)
+        .select(col("nation"), col("segment"), col("class_size"),
+          col("emd_num").cast("long").as("emd_num"), col("t_close"))
+        .orderBy("nation", "segment")
     }
   )
 }

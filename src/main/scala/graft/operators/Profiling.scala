@@ -406,6 +406,57 @@ object Profiling {
       min("class_size").as("min_class_size"),
       min("n_sensitive").as("min_l"))
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007) — the
+    * third leg of the privacy trio: a k-anonymous, l-diverse class
+    * still leaks when its SENSITIVE DISTRIBUTION skews far from the
+    * table's (everyone in the class is rich). For an ORDERED sensitive
+    * attribute the class-vs-table distance is the Earth Mover's
+    * Distance = (1/(m−1))·Σᵢ |Σ_{j≤i} (pⱼ − qⱼ)| over the m ordered
+    * values, held integer-exact here by cross-multiplying the
+    * proportions: diffᵥ = cᵥ·N − gᵥ·n (class count c of n rows vs
+    * global count g of N), so
+    * `emd_num` = Σᵢ |cum diff| = EMD·(m−1)·n·N, and the flag compares
+    * `emd_num`·1000 ≤ t‰·(m−1)·n·N — no floats, DuckDB-replayable.
+    * Products ride DECIMAL(38,0) (the q180 overflow lesson: n·N
+    * exceeds long at petabyte row counts).
+    *
+    * Scale shape: three hash aggregates (per-class, per-value,
+    * per-class-value) over one scan shape, a classes×m GRID (classes
+    * missing a value need their cᵥ = 0 term for the cumulative to be
+    * right), and a window over the m-row value axis PARTITIONED BY
+    * CLASS — bounded by construction, the q25 convention. Sensitive
+    * values are assumed non-null (filter first; a null has no
+    * position on the ordered axis).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      tPermille: Long): DataFrame = {
+    require(qiCols.nonEmpty && tPermille >= 0,
+      "need quasi-identifier columns and a non-negative t budget")
+    val base = df.select(qiCols.map(col) :+ sensitive.as("__s"): _*)
+    val tot = base.agg(count(lit(1)).as("__N"), count_distinct(col("__s")).as("__m"))
+    val g = base.groupBy("__s").agg(count(lit(1)).as("__g"))
+    val cl = base.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("class_size"))
+    val cv = base.groupBy(qiCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val grid = cl.crossJoin(broadcast(g))
+      .join(cv, qiCols :+ "__s", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, 0)
+    grid
+      .withColumn("__diff", expr(
+        "CAST(__c AS DECIMAL(38,0)) * __N - CAST(__g AS DECIMAL(38,0)) * class_size"))
+      .withColumn("__cum", sum(col("__diff")).over(w))
+      .groupBy(qiCols.map(col) :+ col("class_size") :+ col("__N") :+ col("__m"): _*)
+      .agg(sum(abs(col("__cum"))).as("emd_num"))
+      .withColumn("t_close", expr(
+        s"emd_num * 1000 <= $tPermille * (__m - 1) * class_size * __N"))
+      .drop("__N", "__m")
+  }
+
   /** k-anonymity / l-diversity ENFORCEMENT — the action the
     * [[kAnonymityAudit]] gate calls for (the audit→transform pattern
     * the drift-retrain loop established): produce a RELEASE of `df`

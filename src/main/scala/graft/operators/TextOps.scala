@@ -504,6 +504,42 @@ object TextOps {
         (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** INTRA-document repetition strip — the transform behind the
+    * Gopher repetition signals (q78 measures dup-chunk fractions;
+    * this removes them): within each document, split into `lineTokens`
+    * aligned token chunks and keep only the FIRST occurrence of each
+    * distinct chunk, preserving order — the "remove repeated
+    * lines/paragraphs inside the page" cleanup every web-crawl
+    * pipeline runs before corpus-level dedup (machine-generated pages
+    * repeat their own content far more often than they repeat other
+    * pages').
+    *
+    * Scale shape: the whole operator is ONE codegen'd per-row
+    * projection — chunking and the keep-first filter are array HOFs
+    * over the document's own chunks (the first-occurrence test is
+    * `array_position`, O(chunks²) per doc on a doc-bounded array).
+    * Zero shuffles, zero state, embarrassing parallelism at any
+    * corpus size; contrast [[lineDedupStrip]], whose df aggregate is
+    * corpus-wide by design.
+    */
+  def intraDocRepetitionStrip(docs: DataFrame, idCol: String,
+      textCol: String, lineTokens: Int = 8): DataFrame = {
+    require(lineTokens >= 1, "need lineTokens >= 1")
+    val L = lineTokens
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__chunks",
+        when(size(col("__toks")) === 0, expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(
+            s"transform(sequence(0, CAST(ceil(size(__toks) / $L.0) AS INT) - 1), " +
+              s"i -> array_join(slice(__toks, i * $L + 1, $L), ' '))")))
+      .withColumn("__kept",
+        expr("filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Cross-document substring-span dedup (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022): flag
     * every k-token window whose exact token sequence appears in at

@@ -462,6 +462,55 @@ class OperatorsSpec extends SparkSpec {
       s.getLong(4), s.getLong(5)) == ((3L, 1L, 3L, 1L, 3L, 1L)))
   }
 
+  test("intraDocRepetitionStrip keeps first occurrences in order, zero shuffles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b c d e"),            // chunk repeat: one strip
+      (2L, "x y z"),                        // no repeats
+      (3L, ""),                             // empty doc
+      (4L, "p q p q p q p q p q p q")       // three identical chunks -> keep 1
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.intraDocRepetitionStrip(
+        docs, "doc_id", "text", lineTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out(0) == ((1L, "a b c d e", 1L)), s"${out(0)}")
+    assert(out(1) == ((2L, "x y z", 0L)))
+    assert(out(2) == ((3L, "", 0L)))
+    assert(out(3) == ((4L, "p q p q", 2L)), s"${out(3)}")
+    // one per-row projection: no exchange anywhere in the plan
+    val plan = graft.operators.TextOps.intraDocRepetitionStrip(
+      docs, "doc_id", "text", 4).queryExecution.executedPlan
+    val ex = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(ex.isEmpty, s"intra-doc strip must not shuffle:\n$plan")
+  }
+
+  test("tClosenessAudit: integer EMD vs the table distribution, flags at t") {
+    import spark.implicits._
+    // table: 12 rows, sensitive 1/2 split 6/6 (q = 1/2, 1/2).
+    // class A (2/2) matches the table exactly -> EMD 0. class B (4/0)
+    // is fully skewed: cum diff at v=1 is c*N - g*n = 4*12 - 6*4 = 24,
+    // back to 0 at v=2 -> emd_num 24 over (m-1)*n*N = 48 -> EMD = 1/2.
+    val rows = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 2),
+      ("B", 1), ("B", 1), ("B", 1), ("B", 1),
+      ("C", 2), ("C", 2), ("C", 2), ("C", 2)).toDF("grp", "s")
+    val audit = graft.operators.Profiling.tClosenessAudit(
+        rows, Seq("grp"), col("s"), tPermille = 400L)
+      .orderBy("grp").collect()
+    assert(audit(0).getString(0) == "A" &&
+      audit(0).getDecimal(2).longValueExact() == 0L && audit(0).getBoolean(3))
+    assert(audit(1).getString(0) == "B" &&
+      audit(1).getDecimal(2).longValueExact() == 24L && !audit(1).getBoolean(3),
+      s"B: EMD 1/2 > 0.400 must flag: ${audit(1)}")
+    assert(audit(2).getString(0) == "C" &&
+      audit(2).getDecimal(2).longValueExact() == 24L && !audit(2).getBoolean(3))
+    // at t = 500 permille the skewed class passes exactly (24*1000 <= 500*48)
+    val relaxed = graft.operators.Profiling.tClosenessAudit(
+        rows, Seq("grp"), col("s"), tPermille = 500L)
+      .filter(col("grp") === "B").head()
+    assert(relaxed.getBoolean(3), "EMD exactly t must pass (<=)")
+  }
+
   test("kAnonymize: minimal passing level chosen, residual rows suppressed, re-audit green") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, lit}
