@@ -403,6 +403,81 @@ object CurationQueries {
         .select(col("nation"), col("segment"), col("class_size"),
           col("emd_num").cast("long").as("emd_num"), col("t_close"))
         .orderBy("nation", "segment")
+    },
+
+    // URL-level dedup over the native canonicalization kernel: every
+    // doc gets a synthesized URL whose MESSY SURFACE varies by
+    // doc_id % 5 (uppercase scheme/host + www + :80 + utm param +
+    // fragment; trailing slash; gclid tracking; plain) but whose
+    // CANONICAL form is a pure id formula — docs sharing
+    // (host, path, params) ids collapse to one keeper (min doc_id).
+    // The oracle predicts the canonical string and the keeper directly
+    // from the construction (the q182 planted convention: any kernel
+    // divergence — case, port, www, param scrub/sort, slash, fragment
+    // — breaks the string hash).
+    sql("q199_url_dedup",
+      """WITH u AS (SELECT doc_id,
+        |  'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/p/'
+        |   || CAST(doc_id % 97 AS VARCHAR)
+        |   || '?a=' || CAST(doc_id % 7 AS VARCHAR)
+        |   || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS canon
+        |  FROM documents),
+        |k AS (SELECT canon, min(doc_id) AS keeper FROM u GROUP BY canon)
+        |SELECT u.doc_id, u.canon, u.doc_id = k.keeper AS is_kept
+        |FROM u JOIN k USING (canon) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val host = concat(lit("site"), (col("doc_id") % 40).cast("string"),
+        lit(".example.com"))
+      val path = concat(lit("/p/"), (col("doc_id") % 97).cast("string"))
+      val pa = concat(lit("a="), (col("doc_id") % 7).cast("string"))
+      val pb = concat(lit("b="), (col("doc_id") % 3).cast("string"))
+      val raw = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://WWW."), upper(host), lit(":80"), path,
+            lit("?utm_source=feed&"), pb, lit("&"), pa, lit("#top")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://"), host, path, lit("/?"), pa, lit("&"), pb))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://"), host, path, lit("?gclid=zzz&"), pb, lit("&"), pa))
+        .otherwise(concat(lit("http://"), host, path, lit("?"), pa, lit("&"), pb))
+      graft.operators.TextOps.urlDedup(
+          documents(s, d).select(col("doc_id"), raw.as("url")), "doc_id", "url")
+        .select(col("doc_id"), col("canon"), col("is_kept"))
+        .orderBy("doc_id")
+    },
+
+    // Release DATA CARD: per-language + rolled-up total in ONE
+    // aggregate pass (ROLLUP's Expand tags both group levels into the
+    // same shuffle) — doc/token counts, exact-distinct texts, e6 dup
+    // rate, short-doc count, integer mean tokens. Every 9th document's
+    // text is replaced by one shared boilerplate string, driving a
+    // predictable duplicate rate (and a short-doc count) into every
+    // language's card row; the oracle replays the plant and the
+    // rollup.
+    sql("q200_data_card",
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN 'release boilerplate placeholder row' ELSE text END AS text,
+        |    lang
+        |  FROM documents),
+        |t AS (SELECT lang, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        |        md5(text) AS dg FROM base),
+        |card AS (SELECT COALESCE(lang, '__all__') AS scope,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN n < 32 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+        |  FROM t GROUP BY ROLLUP (lang))
+        |SELECT scope, n_docs, n_tokens, n_distinct,
+        |  (n_docs - n_distinct) * 1000000 // n_docs AS dup_e6,
+        |  short_docs, n_tokens // n_docs AS mean_tokens
+        |FROM card ORDER BY scope""".stripMargin) { (s, d) =>
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          lit("release boilerplate placeholder row"))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      graft.operators.Profiling.dataCard(planted, "text", "lang",
+          shortTokens = 32)
+        .orderBy("scope")
     }
   )
 }

@@ -406,6 +406,43 @@ object Profiling {
       min("class_size").as("min_class_size"),
       min("n_sensitive").as("min_l"))
 
+  /** Corpus RELEASE DATA CARD — the one-table summary a dataset ships
+    * with (the "datasheets for datasets" practice): per language AND a
+    * rolled-up total, the document count, token count, exact-distinct
+    * text count, duplicate-row rate (e6), short-doc count, and integer
+    * mean tokens. Everything integer-exact; the total row comes from
+    * ROLLUP, so the whole card is ONE aggregate pass (Expand tags the
+    * per-lang and total groups into the same shuffle — no second scan
+    * for the footer row).
+    *
+    * Scale shape: one hash aggregate over (lang) rollup groups; the
+    * exact distinct adds the audit-grade Expand (swap
+    * `approx_count_distinct` for routine 100 TB runs, the
+    * [[kAnonymityAudit]] convention). Digests, not text, enter the
+    * distinct.
+    */
+  def dataCard(docs: DataFrame, textCol: String, langCol: String,
+      shortTokens: Int = 32): DataFrame = {
+    val agg = docs
+      .select(col(langCol).as("__lang"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("__n"),
+        md5(col(textCol)).as("__dg"))
+      .rollup("__lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__n").as("n_tokens"),
+        count_distinct(col("__dg")).as("n_distinct"),
+        sum(when(col("__n") < shortTokens, 1L).otherwise(0L)).as("short_docs"))
+    // resolve the grouping column through the aggregate frame itself:
+    // a self-joined input otherwise leaves two __lang lineage
+    // candidates and the analyzer refuses the bare name
+    agg.select(coalesce(agg("__lang"), lit("__all__")).as("scope"),
+      col("n_docs"), col("n_tokens"), col("n_distinct"),
+      expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_e6"),
+      col("short_docs"),
+      expr("n_tokens div n_docs").as("mean_tokens"))
+  }
+
   /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, "t-Closeness:
     * Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007) — the
     * third leg of the privacy trio: a k-anonymous, l-diverse class

@@ -504,6 +504,28 @@ object TextOps {
         (size(col("__chunks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** URL-level dedup — the cheapest dedup tier in a web-crawl
+    * pipeline, run BEFORE any content hashing: canonicalize each URL
+    * ([[graft.plans.UrlCanonExpr]] — case, www, default ports,
+    * fragments, tracking params, param order, trailing slash) and keep
+    * the smallest id per canonical form. Output: every input row with
+    * its `canon` and an `is_kept` verdict (the keeper is
+    * deterministic, so re-crawls keep the same representative).
+    *
+    * Scale shape: the canonical form is one codegen'd kernel pass
+    * inside the scan; dedup is one hash aggregate on `canon` plus a
+    * co-keyed join back — both shuffle on the same key, no window,
+    * no sort.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withCanon = df.withColumn("canon",
+      graft.plans.UrlCanonExpr.url_canon(col(urlCol)))
+    val keepers = withCanon.groupBy("canon").agg(min(col(idCol)).as("__keeper"))
+    withCanon.join(keepers, Seq("canon"))
+      .withColumn("is_kept", col(idCol) === col("__keeper"))
+      .drop("__keeper")
+  }
+
   /** INTRA-document repetition strip — the transform behind the
     * Gopher repetition signals (q78 measures dup-chunk fractions;
     * this removes them): within each document, split into `lineTokens`

@@ -72,7 +72,9 @@ object GraftExtensions {
       require(args.size == 1, "media_header(payload)"); MediaHeaderExpr(args.head) }),
     ("pcm_energy", classOf[PcmEnergyExpr].getName, { args: Seq[Expression] =>
       require(args.size == 2, "pcm_energy(payload, bands)")
-      PcmEnergyExpr(args.head, intLit(args(1), "bands")) }))
+      PcmEnergyExpr(args.head, intLit(args(1), "bands")) }),
+    ("url_canon", classOf[UrlCanonExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 1, "url_canon(url)"); UrlCanonExpr(args.head) }))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

@@ -462,6 +462,34 @@ class OperatorsSpec extends SparkSpec {
       s.getLong(4), s.getLong(5)) == ((3L, 1L, 3L, 1L, 3L, 1L)))
   }
 
+  test("url_canon: case/www/ports/fragment/tracking/param-order/slash all normalize; garbage is stable") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(graft.plans.UrlCanonExpr.url_canon($"u")).as[String].head()
+    val want = "http://x.com/p?a=1&b=2"
+    for (messy <- Seq(
+      "HTTP://WWW.X.COM:80/p?b=2&a=1#frag",
+      "http://x.com/p/?utm_source=f&a=1&b=2",
+      "http://x.com/p?gclid=z&b=2&a=1",
+      "  http://x.com/p?a=1&b=2  "))
+      assert(canon(messy) == want, s"'$messy' -> '${canon(messy)}'")
+    assert(canon("https://X.com:443/") == "https://x.com/")
+    assert(canon("https://x.com:8443/") == "https://x.com:8443/", "non-default port survives")
+    assert(canon("http://x.com") == "http://x.com/", "empty path becomes root")
+    assert(canon("http://x.com/?utm_campaign=c") == "http://x.com/", "all params scrubbed")
+    // garbage: no scheme, junk — trimmed lowercase, never an error
+    assert(canon("Not A URL") == "not a url")
+    assert(canon("://x") == "://x")
+    assert(canon("mailto:a@b.c") == "mailto:a@b.c")
+    // dedup wrapper: one keeper per canonical, deterministic min id
+    val urls = Seq((3L, "HTTP://WWW.X.COM/p?a=1"), (1L, "http://x.com/p/?a=1&utm_s=1"),
+      (2L, "http://y.com/")).toDF("id", "url")
+    val out = graft.operators.TextOps.urlDedup(urls, "id", "url")
+      .select("id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 3L -> false, 2L -> true), s"$out")
+  }
+
   test("intraDocRepetitionStrip keeps first occurrences in order, zero shuffles") {
     import spark.implicits._
     val docs = Seq(
