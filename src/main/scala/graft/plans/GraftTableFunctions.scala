@@ -98,12 +98,26 @@ object GraftTableFunctions {
       Seq(strLit(args(2), "keyCol")), strLit(args(3), "factTsCol")))
   }
 
+  private[plans] def buildSpanStrip(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 2 && args.size <= 5,
+      "graft_span_strip(gramStoreTable, deltaDocsTable[, k, minDocs[, minMatch]])")
+    val spark = SparkSession.active
+    val store = spark.table(strLit(args.head, "gramStoreTable"))
+    val delta = spark.table(strLit(args(1), "deltaDocsTable"))
+    val k = if (args.size > 2) intLit(args(2), "k") else 8
+    val minDocs = if (args.size > 3) intLit(args(3), "minDocs") else 2
+    val minMatch = if (args.size > 4) intLit(args(4), "minMatch") else 0
+    plan(graft.operators.TextOps.incrementalSpanDedupStrip(
+      store.select("dg", "df"), delta, "doc_id", "text", k, minDocs, minMatch))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
     ("graft_winnow_pairs", buildWinnowPairs _),
     ("graft_store_asof", buildStoreAsOf _),
-    ("graft_scd2_asof", buildScd2AsOf _))
+    ("graft_scd2_asof", buildScd2AsOf _),
+    ("graft_span_strip", buildSpanStrip _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

@@ -166,6 +166,24 @@ class QueryCliSpec extends SparkSpec {
     Stores.dropStoreTable(spark, lt)
   }
 
+  test("SQL door: span-dedup strip over a saved gram store from SQL text") {
+    import graft.operators.{Stores, TextOps}
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val t = "cli_gram_store"
+    Stores.dropStoreTable(spark, t)
+    TextOps.writeGramDfStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", t, k = 8, buckets = 4)
+    docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("cli_span_delta")
+    val viaSql = QueryCommand.run(spark,
+      s"SELECT doc_id, cleaned, n_removed FROM graft_span_strip('$t', 'cli_span_delta', 8, 2) ORDER BY doc_id")
+    val viaScala = TextOps.incrementalSpanDedupStripVsStore(spark, t,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, minDocs = 2)
+      .select("doc_id", "cleaned", "n_removed").orderBy("doc_id")
+    same(viaSql, viaScala)
+    Stores.dropStoreTable(spark, t)
+  }
+
   test("SQL door: SCD2 as-of join from SQL text matches the Scala operator") {
     import spark.implicits._
     val obs = Seq((1L, "2020-01-01", "A"), (1L, "2020-06-01", "B"),
