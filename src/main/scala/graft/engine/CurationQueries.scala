@@ -316,7 +316,6 @@ object CurationQueries {
             "zip_gen" -> Seq(col("zip").cast("string"),
               expr("zip div 10").cast("string"), lit("*"))),
           sensitiveCol = "sband", k = 5, l = 2, maxSuppressPerMille = 20L)
-          .drop("c_nationkey", "zip")
           .orderBy("c_custkey")
     },
 
@@ -460,7 +459,8 @@ object CurationQueries {
         |  FROM documents),
         |t AS (SELECT lang, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
         |        md5(text) AS dg FROM base),
-        |card AS (SELECT COALESCE(lang, '__all__') AS scope,
+        |card AS (SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+        |      ELSE COALESCE(lang, '__null__') END AS scope,
         |    CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(n) AS BIGINT) AS n_tokens,
         |    CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,

@@ -1147,6 +1147,7 @@ object RetrievalQueries {
         ids, "id", "base", "scale", "hv")
       graft.operators.Multimodal.pcmPerceptualCandidates(media,
           bands = 8, maxBucketSize = 64, thrPermille = 10)
+        .select(col("id1"), col("id2"), col("l1").cast("long").as("l1"))
         .orderBy("id1", "id2")
     },
 

@@ -285,8 +285,15 @@ object Multimodal {
         col("a.__e").as("e1"), col("b.__e").as("e2"),
         col("a.__t").as("t1"), col("b.__t").as("t2"))
       .withColumn("l1", expr(
-        "aggregate(zip_with(e1, e2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
-      .filter(col("l1") * 1000 <= lit(thrPermille.toLong) * col("t1") * col("t2"))
+        // Cross-multiplied terms ride DECIMAL(38,0) (the q180/q198
+        // overflow convention): band energy × total energy reaches
+        // ~1e27 for minutes-long 16-bit PCM, far past Long range —
+        // Long arithmetic here would wrap silently (ANSI off) on
+        // exactly the corpora this operator targets.
+        "aggregate(zip_with(e1, e2, (x, y) -> abs(CAST(x AS DECIMAL(38,0)) * t2 - CAST(y AS DECIMAL(38,0)) * t1)), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1").cast("decimal(38,0)") * col("t2"))
       .select("id1", "id2", "l1")
   }
 

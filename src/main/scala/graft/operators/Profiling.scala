@@ -413,7 +413,9 @@ object Profiling {
     * mean tokens. Everything integer-exact; the total row comes from
     * ROLLUP, so the whole card is ONE aggregate pass (Expand tags the
     * per-lang and total groups into the same shuffle — no second scan
-    * for the footer row).
+    * for the footer row). The total row is scoped `__all__` via
+    * `grouping()` — NOT by null-detection, which would conflate it
+    * with a genuine null-language group (scoped `__null__`).
     *
     * Scale shape: one hash aggregate over (lang) rollup groups; the
     * exact distinct adds the audit-grade Expand (swap
@@ -432,11 +434,17 @@ object Profiling {
       .agg(count(lit(1)).as("n_docs"),
         sum("__n").as("n_tokens"),
         count_distinct(col("__dg")).as("n_distinct"),
-        sum(when(col("__n") < shortTokens, 1L).otherwise(0L)).as("short_docs"))
+        sum(when(col("__n") < shortTokens, 1L).otherwise(0L)).as("short_docs"),
+        // the ROLLUP total row and a GENUINE null-language group both
+        // surface __lang as null — grouping() is the only
+        // disambiguator, so the total is tagged here, not inferred
+        // from the null
+        grouping(col("__lang")).as("__total"))
     // resolve the grouping column through the aggregate frame itself:
     // a self-joined input otherwise leaves two __lang lineage
     // candidates and the analyzer refuses the bare name
-    agg.select(coalesce(agg("__lang"), lit("__all__")).as("scope"),
+    agg.select(when(col("__total") === 1, lit("__all__"))
+        .otherwise(coalesce(agg("__lang"), lit("__null__"))).as("scope"),
       col("n_docs"), col("n_tokens"), col("n_distinct"),
       expr("((n_docs - n_distinct) * 1000000) div n_docs").as("dup_e6"),
       col("short_docs"),
@@ -512,11 +520,19 @@ object Profiling {
     * guarantees the audit, just over budget — the caller sees the
     * level in `gen_level` and the loss by row count).
     *
-    * Output: `df`'s non-ladder columns pass through, each ladder
-    * contributes its generalized column under its own name, plus the
-    * chosen `gen_level`. Rows whose class still violates are dropped;
-    * rows with a NULL quasi-identifier are conservatively suppressed
-    * (a null-keyed class is a linkage risk, not an equivalence class).
+    * Output: `df`'s columns pass through EXCEPT the ladder output
+    * names AND every source column a ladder level references — a
+    * release that carries the raw quasi-identifier next to its
+    * generalized form is not k-anonymous at all, so the fine-grained
+    * QI cannot ride along by default. Each ladder contributes its
+    * generalized column under its own name, plus the chosen
+    * `gen_level`. Rows whose class still violates are dropped; rows
+    * whose generalized quasi-identifier AT THE CHOSEN LEVEL is NULL
+    * are conservatively suppressed (a null-keyed class is a linkage
+    * risk, not an equivalence class), and null-keyed classes count
+    * against the suppression budget during level selection — once a
+    * coarser level maps the row to a non-null value (a `'*'` top), it
+    * re-enters the release like any other row.
     *
     * Scale shape: level selection is ONE pass — the row's QI tuple is
     * materialized at every level (L small) and exploded into a single
@@ -549,7 +565,10 @@ object Profiling {
       .groupBy(col("lk.g").as("g"), col("lk.key").as("key"))
       .agg(count(lit(1)).as("sz"), count_distinct(col("__s")).as("ns"))
       .groupBy("g")
-      .agg(sum(when(col("sz") < k || col("ns") < l, col("sz")).otherwise(0L))
+      // a null-keyed class (sentinel in the key) is at risk by fiat:
+      // those rows are suppressed at this level, not released
+      .agg(sum(when(col("sz") < k || col("ns") < l ||
+          col("key").contains("\u0000"), col("sz")).otherwise(0L))
         .as("at_risk"), sum("sz").as("total"))
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -558,9 +577,21 @@ object Profiling {
       atRisk * 1000L <= maxSuppressPerMille * total
     }.getOrElse(nLevels - 1)
     val qiNames = ladders.map(_._1)
-    val passthrough = df.columns.filterNot(qiNames.contains).map(col).toSeq
+    // every source column a ladder level references is excluded from
+    // passthrough — the raw QI must not ride along with its
+    // generalized form (that release would not be k-anonymous at all).
+    // Resolving the levels against df (analysis only, no job) catches
+    // col(), expr("..."), and computed forms alike.
+    val ladderSources: Set[String] = df.select(ladders.flatMap(_._2): _*)
+      .queryExecution.analyzed.expressions
+      .flatMap(_.references.map(_.name)).toSet
+    val passthrough = df.columns.filterNot(qiNames.contains)
+      .filterNot(ladderSources.contains).map(col).toSeq
     val gen = df.select(passthrough ++ ladders.map { case (n, lv) =>
-      lv(math.min(chosen, lv.length - 1)).cast("string").as(n) }: _*)
+        lv(math.min(chosen, lv.length - 1)).cast("string").as(n) }: _*)
+      // null-suppression at the chosen level (mirrors the sentinel
+      // flagging in the risk score): a null generalized QI is dropped
+      .filter(qiNames.map(col(_).isNotNull).reduce(_ && _))
     val ok = gen
       .groupBy(qiNames.map(col): _*)
       .agg(count(lit(1)).as("__sz"), count_distinct(col(sensitiveCol)).as("__ns"))

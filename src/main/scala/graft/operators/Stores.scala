@@ -282,21 +282,50 @@ object Stores {
     * waves' files are never listed), one bucketed write, partition
     * drops — through a temp table because Spark refuses to overwrite
     * a table its own plan reads (the [[compactDigestStore]] dance).
+    * Crash-safe: the temp fold is committed (base wave recorded as a
+    * table property) BEFORE the store is touched, so an interrupted
+    * run leaves at worst duplicate rows — never missing ones — and
+    * the next call resumes the fold from the temp table exactly.
     */
   def compactWaves(spark: SparkSession, table: String, horizon: Long,
       keyCol: String, buckets: Int = 64): Unit = {
+    val tmp = s"${table}__compact"
+    // CRASH-SAFE ORDER: the fold lands in tmp first and records its
+    // base wave as a table property (set AFTER the write commits, so
+    // property-present == fold-complete); the store is only mutated
+    // once tmp is authoritative — re-land under base (an idempotent
+    // partition replace), THEN drop the other folded waves. A crash
+    // anywhere leaves the store readable with at worst DUPLICATE rows
+    // (base fold + not-yet-dropped waves), never missing ones, and the
+    // next compactWaves call finishes the interrupted fold from tmp
+    // exactly (replaying tmp over base dedupes the crash state — a
+    // naive re-fold of the duplicated store would bake duplicates in).
+    if (spark.catalog.tableExists(tmp)) {
+      val recordedBase = spark.sql(s"SHOW TBLPROPERTIES $tmp")
+        .collect().find(_.getString(0) == "graft.compact.base")
+        .map(_.getString(1).toLong)
+      recordedBase match {
+        case Some(base) =>
+          appendWave(spark.table(tmp), table, base, keyCol, buckets)
+          storeWaves(spark, table).filter(_ < base)
+            .foreach(w => dropWave(spark, table, w))
+        case None => // write crashed before the property commit: the
+          // fold never became authoritative — discard and start fresh
+      }
+      dropStoreTable(spark, tmp)
+    }
     val folded = storeWaves(spark, table).filter(_ <= horizon)
     if (folded.size >= 2) {
       val base = folded.max
-      val tmp = s"${table}__compact"
-      dropStoreTable(spark, tmp)
       spark.table(table).filter(col("wave") <= horizon).drop("wave")
         .repartition(buckets, col(keyCol))
         .write.mode("overwrite")
         .bucketBy(buckets, keyCol).sortBy(keyCol)
         .saveAsTable(tmp)
-      folded.foreach(w => dropWave(spark, table, w))
+      spark.sql(
+        s"ALTER TABLE $tmp SET TBLPROPERTIES ('graft.compact.base'='$base')")
       appendWave(spark.table(tmp), table, base, keyCol, buckets)
+      folded.filter(_ != base).foreach(w => dropWave(spark, table, w))
       dropStoreTable(spark, tmp)
     }
   }

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * IVF-PQ index, a winnow fingerprint store, a wave-layered store, an
   * SCD2 dimension) become relations a pure-SQL client can SELECT from,
   * mirroring how the reference exposes its derived artifacts to report
-  * queries (/root/reference/src/open_molecule_data_pipeline/analysis/
+  * queries (/root/reference/src/open_molecule_data_pipeline/ingestion/
   * runner.py:317-385) — except these are full relational inputs, not
   * fixed reports.
   *

@@ -201,6 +201,56 @@ class LayeredStoreSpec extends SparkSpec {
     dropTable(t)
   }
 
+  test("compactWaves crash recovery: interrupted fold resumes exactly, never bakes duplicates") {
+    val d = docs(90)
+    val waves = (0 to 3).map(i => d.filter($"doc_id" % 4 === i))
+    val t = "layer_crash"
+    val tmp = s"${t}__compact"
+    dropTable(t); dropTable(tmp)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Stores.appendWave(digests(w), t, i.toLong, "digest", buckets = 4) }
+    val preRows = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).sorted(
+        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
+
+    // Simulate a crash AFTER the base re-land but BEFORE the wave
+    // drops: replay compactWaves' own steps — committed tmp fold with
+    // its base property, base partition replaced — then stop.
+    spark.table(t).filter($"wave" <= 2L).drop("wave")
+      .repartition(4, $"digest")
+      .write.mode("overwrite").bucketBy(4, "digest").sortBy("digest")
+      .saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('graft.compact.base'='2')")
+    Stores.appendWave(spark.table(tmp), t, 2L, "digest", buckets = 4)
+    // crash state: readable, duplicated (waves 0,1 present AND folded
+    // into 2) — duplicate-rather-than-missing semantics
+    assert(spark.table(t).count() > preRows.size.toLong)
+
+    // the next compactWaves call (ANY horizon) finishes the fold from
+    // tmp first — the exact pre-crash multiset, not a re-fold of the
+    // duplicated store
+    Stores.compactWaves(spark, t, horizon = 2L, "digest", buckets = 4)
+    assert(Stores.storeWaves(spark, t) == Seq(2L, 3L))
+    val postRows = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).sorted(
+        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
+    assert(postRows == preRows, "recovery must restore the exact multiset")
+    assert(!spark.catalog.tableExists(tmp))
+
+    // a tmp WITHOUT the property is an uncommitted fold: discarded,
+    // and the normal fold proceeds from the intact store
+    spark.table(t).limit(3).drop("wave").write.mode("overwrite")
+      .bucketBy(4, "digest").sortBy("digest").saveAsTable(tmp)
+    Stores.compactWaves(spark, t, horizon = 3L, "digest", buckets = 4)
+    assert(Stores.storeWaves(spark, t) == Seq(3L))
+    val post2 = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).sorted(
+        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
+    assert(post2 == preRows)
+    assert(!spark.catalog.tableExists(tmp))
+    dropTable(t)
+  }
+
   test("layered gram-df store: as-of df sums equal a rebuild's") {
     val d = docs(60)
     def gramDf(df: DataFrame): DataFrame = df

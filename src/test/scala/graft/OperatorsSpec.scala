@@ -573,6 +573,57 @@ class OperatorsSpec extends SparkSpec {
       sensitiveCol = "s", k = 3, l = 2, maxSuppressPerMille = 500L)
     assert(lRel.select("zip_gen").as[String].collect().toSet == Set("50"),
       "the l-violating class must be suppressed")
+    // the raw quasi-identifier source column must NOT ride along with
+    // its generalized form — that release would not be k-anonymous
+    assert(!released.columns.contains("zip") && !lRel.columns.contains("zip"),
+      s"raw QI source must be excluded from passthrough: ${released.columns.toSeq}")
+  }
+
+  test("kAnonymize: null quasi-identifiers are suppressed, not released as a class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // four null-zip rows form a big, diverse class — under the old
+    // null-safe-join behavior they'd be RELEASED at level 0; the
+    // contract says a null-keyed class is a linkage risk and must be
+    // suppressed (budget 500‰ admits level 0 with them at risk)
+    val rows = Seq(
+      (0L, Some(11), 1), (1L, Some(11), 2), (2L, Some(11), 1),
+      (3L, None, 1), (4L, None, 2), (5L, None, 1), (6L, None, 2))
+      .toDF("id", "zip", "s")
+    val rel = graft.operators.Profiling.kAnonymize(rows,
+      ladders = Seq("zip_gen" -> Seq(col("zip").cast("string"),
+        expr("zip div 10").cast("string"), lit("*"))),
+      sensitiveCol = "s", k = 3, l = 2, maxSuppressPerMille = 600L)
+    assert(rel.select("gen_level").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(rel.select("id").as[Long].collect().toSet == Set(0L, 1L, 2L),
+      "null-QI rows must be suppressed at a level where they stay null")
+    // at the coarsest level the null maps to '*' (non-null) and the
+    // rows legitimately re-enter: tighten the budget so level 2 wins
+    val rel2 = graft.operators.Profiling.kAnonymize(rows,
+      ladders = Seq("zip_gen" -> Seq(col("zip").cast("string"),
+        col("zip").cast("string"), lit("*"))),
+      sensitiveCol = "s", k = 5, l = 2, maxSuppressPerMille = 0L)
+    assert(rel2.select("gen_level").distinct().as[Long].collect().toSeq == Seq(2L))
+    assert(rel2.count() == 7L,
+      "once generalized to '*' the former-null rows are releasable")
+  }
+
+  test("dataCard: ROLLUP total row is distinguishable from a genuine null-language group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", Some("en")),
+      (2L, "alpha beta gamma", Some("en")),
+      (3L, "un deux trois", Some("fr")),
+      (4L, "sin idioma conocido", None),
+      (5L, "sin idioma conocido", None))
+      .toDF("doc_id", "text", "lang")
+    val card = graft.operators.Profiling.dataCard(docs, "text", "lang",
+        shortTokens = 32)
+      .select($"scope", $"n_docs").as[(String, Long)].collect().toMap
+    // grouping() tags the total; a null lang group gets its own scope —
+    // coalesce-only logic would emit two indistinguishable rows here
+    assert(card == Map("__all__" -> 5L, "en" -> 2L, "fr" -> 1L,
+      "__null__" -> 2L), s"card scopes wrong: $card")
   }
 
   test("nearDupesAnn: planted near-dups found, every pair verified exact, hot buckets capped") {
@@ -1063,7 +1114,8 @@ class OperatorsSpec extends SparkSpec {
       .toDF("media_id", "payload")
     val pairs = Multimodal.pcmPerceptualCandidates(media,
         bands = 8, maxBucketSize = 64, thrPermille = 10)
-      .select("id1", "id2", "l1").as[(Long, Long, Long)].collect()
+      .select($"id1", $"id2", $"l1".cast("long").as("l1"))
+      .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     // volume-scaled twin: exactly invariant (cross-scaled L1 = 0)
     assert(pairs.get((1L, 2L)).contains(0L), s"volume twin must pair at 0: $pairs")
@@ -1087,6 +1139,58 @@ class OperatorsSpec extends SparkSpec {
     // non-WAV payloads yield null energy and are excluded, not errors
     val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")
     assert(Multimodal.pcmPerceptualCandidates(junk).count() == 0)
+  }
+
+  test("PCM near-dup survives minutes-long audio: cross-scaled gate must not overflow Long") {
+    import spark.implicits._
+    // 2M samples at |amp| ~1000-2000 → total energy t ≈ 2-4e9, so
+    // t1·t2 ≈ 1e19 > Long.MaxValue and e[b]·t ≈ 1e18-1e19: the gate's
+    // cross-multiplied terms MUST ride DECIMAL(38,0) or the filter
+    // comparison wraps negative and silently drops true twins —
+    // exactly the corpora (real-length audio) the operator targets.
+    // Half-loud/half-quiet signal: bands 0-3 sit clearly above the
+    // mean and 4-7 below, so the sign bucket is stable under both the
+    // volume scale and the 8-sample perturbation (a constant signal
+    // would put every band exactly ON the mean — a degenerate bucket
+    // boundary the perturbation flips).
+    val ns = 2000000
+    def longWav(scale: Int, tweak: Boolean): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + ns * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(36 + ns * 2); buf.put("WAVE".getBytes)
+      buf.put("fmt ".getBytes); buf.putInt(16)
+      buf.putShort(1); buf.putShort(1); buf.putInt(8000); buf.putInt(16000)
+      buf.putShort(2); buf.putShort(16)
+      buf.put("data".getBytes); buf.putInt(ns * 2)
+      var i = 0
+      while (i < ns) {
+        val amp = (if (i < ns / 2) 2000 else 1000) * scale
+        val v = if (tweak && i < 8) amp + 1 else amp
+        buf.putShort(v.toShort); i += 1
+      }
+      buf.array()
+    }
+    val media = Seq(
+      (1L, longWav(1, tweak = false)),
+      (2L, longWav(2, tweak = false)),   // volume x2: cross-scaled L1 = 0
+      (3L, longWav(1, tweak = true)))    // 8 samples off by 1: tiny true L1
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.pcmPerceptualCandidates(media,
+        bands = 8, maxBucketSize = 64, thrPermille = 10)
+      .select($"id1", $"id2", $"l1".cast("decimal(38,0)").as("l1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> BigInt(r.getDecimal(2).toBigInteger)).toMap
+    // t1 = 3e9, t2 = 6e9: t1·t2 ≈ 1.8e19 > Long.MaxValue — the Long
+    // gate wraps here; only the decimal gate can admit these twins
+    assert(pairs.get((1L, 2L)).contains(BigInt(0)),
+      s"minutes-long volume twin must pair at exactly 0: $pairs")
+    // the perturbed twin: expected l1 from exact BigInt replay —
+    // e3[0] = e1[0]+8, t3 = t1+8, so band 0 contributes 8·(t1−e1[0])
+    // and each other band 8·e1[b]; total 16·(t1−e1[0])
+    val e10 = BigInt(ns / 8) * 2000
+    val t1 = BigInt(4) * (BigInt(ns / 8) * 2000) + BigInt(4) * (BigInt(ns / 8) * 1000)
+    val expected = (t1 - e10) * 16
+    assert(pairs.get((1L, 3L)).contains(expected),
+      s"perturbed twin must carry the exact decimal L1 $expected: $pairs")
   }
 
   test("header-blocked perceptual near-dup: resized twins pair, cross-format twins never meet") {
