@@ -91,8 +91,28 @@ object Bench {
         if (r.isNullAt(0)) 0L else r.getLong(0)
       } else { df.foreach(_ => ()); -2L }
     }
+    // STALL CANARY (r12 judge finding: a contiguous execution-order
+    // block measured 1.5–6.8× slower on the driver box with identical
+    // code — a transient environment stall is indistinguishable from a
+    // per-query regression in the artifact). The fix is to make the
+    // environment visible IN the artifact: re-run the catalog's first
+    // query (untimed w.r.t. the headline) at each pass start and every
+    // ~20 queries, and record each draw with its position. A stalled
+    // window now shows up as inflated canary draws bracketing the
+    // affected block; stable canaries around a slow query mean the
+    // query itself regressed.
+    val canaryDef = SparkEntry.catalog.sortBy(_.name).headOption
+    val canaries = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
+    def runCanary(pass: Int, after: String): Unit = canaryDef.foreach { c =>
+      val t0 = System.nanoTime()
+      try { evaluate(c.fn(spark, sfDir)); () } catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] canary ${c.name} after=$after (pass $pass) $dt%.2fs")
+      canaries += ((pass, after, dt))
+    }
     val passes = (1 to 2).map { pass =>
-      selected.map { case (name, fn) =>
+      runCanary(pass, "<pass-start>")
+      selected.zipWithIndex.map { case ((name, fn), i) =>
         if (setupSecs.get(name).exists(_.isInfinity)) name -> Double.PositiveInfinity
         else {
           System.err.println(s"[bench] start $name (pass $pass)")
@@ -104,6 +124,7 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1L, false) }
           val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
           System.err.println(f"[bench] done  $name out=$n $dt%.2fs")
+          if (i % 20 == 19) runCanary(pass, name)
           name -> dt
         }
       }
@@ -148,6 +169,15 @@ object Bench {
     val perQuery = baseNode()
     val qs = perQuery.putObject("queries")
     results.foreach { case (k, v) => qs.put(k, dec(v)) }
+    // canary draws, in execution order: (pass, position, seconds) —
+    // the environment-health trace next to the numbers it validates
+    if (canaries.nonEmpty) {
+      val ca = perQuery.putArray("canary")
+      canaries.foreach { case (pass, after, dt) =>
+        val o = ca.addObject()
+        o.put("pass", pass); o.put("after", after); o.put("sec", dec(dt))
+      }
+    }
     // untimed fixture costs, reported next to (never inside) the
     // queries they precede
     if (setupSecs.nonEmpty) {
