@@ -1056,6 +1056,107 @@ object RetrievalQueries {
            |ORDER BY src, id1, id2""".stripMargin, dataDir = Some(d))
     },
 
+    // SQL DOOR phase 2, retrieval leg (r12 verdict item 2): the
+    // RETRAINED per-cell-versioned IVF-PQ probe from PURE SQL TEXT.
+    // Setup replays the full q180 lifecycle — v1 index on the catalog,
+    // planted-drift delta (+10.0 per element), drift-triggered v2
+    // retrain, drifted-cell rewrite — then persists EVERYTHING into
+    // the index dir (codes + _codebooks + _retrain), so the SQL-text
+    // probe opens the retrained index by path alone. The oracle
+    // replays v1 training, drift detection, v2 training, BOTH
+    // encodings, and the version-branched ADC probe integer-exact.
+    sqlWithSetup("q202_sql_door_retrained",
+      ivfPqOracleCore("vec_id % 10 <> 9",
+        vExpr = "CASE WHEN vec_id % 10 = 9 " +
+          "THEN (CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0 " +
+          "ELSE CAST(embedding[i] AS DOUBLE) * 1000000.0 END") +
+      """md AS (SELECT vec_id, b, min(dist) AS d FROM pd2 GROUP BY vec_id, b),
+        |verr AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS err FROM md GROUP BY vec_id),
+        |stats AS (SELECT a.cell,
+        |    CAST(count(*) FILTER (WHERE vec_id % 10 = 9) AS BIGINT) AS n_delta,
+        |    CASE WHEN count(*) FILTER (WHERE vec_id % 10 <> 9) > 0
+        |      THEN sum(err) FILTER (WHERE vec_id % 10 <> 9)
+        |           // count(*) FILTER (WHERE vec_id % 10 <> 9) END AS aec,
+        |    CASE WHEN count(*) FILTER (WHERE vec_id % 10 = 9) > 0
+        |      THEN sum(err) FILTER (WHERE vec_id % 10 = 9)
+        |           // count(*) FILTER (WHERE vec_id % 10 = 9) END AS aed
+        |  FROM cass a JOIN verr USING (vec_id) GROUP BY a.cell),
+        |dr AS (SELECT cell FROM stats WHERE n_delta > 0 AND aed * 100 > aec * 120),
+        |rtr2 AS (SELECT r.* FROM r WHERE r.cell IN (SELECT cell FROM dr)),
+        |ps2 AS (SELECT j // 8 AS b, vec_id % 16 AS c, j % 8 AS bp, sum(v) // count(*) AS cent
+        |        FROM rtr2 GROUP BY j // 8, vec_id % 16, j % 8),
+        |qd1 AS (SELECT r.vec_id, r.j // 8 AS b, s.c, sum((r.v - s.cent) * (r.v - s.cent)) AS dist
+        |        FROM rtr2 r JOIN ps2 s ON r.j // 8 = s.b AND r.j % 8 = s.bp
+        |        GROUP BY r.vec_id, r.j // 8, s.c),
+        |qa1 AS (SELECT vec_id, b, c FROM (
+        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+        |          FROM qd1) x WHERE rn = 1),
+        |qr1 AS (SELECT r.j // 8 AS b, a.c, r.j % 8 AS bp, sum(r.v) // count(*) AS cent
+        |        FROM rtr2 r JOIN qa1 a ON r.vec_id = a.vec_id AND r.j // 8 = a.b
+        |        GROUP BY r.j // 8, a.c, r.j % 8),
+        |qcb AS (SELECT s.b, s.c, s.bp, COALESCE(q1.cent, s.cent) AS cent
+        |        FROM ps2 s LEFT JOIN qr1 q1 ON s.b = q1.b AND s.c = q1.c AND s.bp = q1.bp),
+        |qd2 AS (SELECT r.vec_id, r.j // 8 AS b, k.c, sum((r.v - k.cent) * (r.v - k.cent)) AS dist
+        |        FROM rtr2 r JOIN qcb k ON r.j // 8 = k.b AND r.j % 8 = k.bp
+        |        GROUP BY r.vec_id, r.j // 8, k.c),
+        |enc2 AS (SELECT vec_id, b, c FROM (
+        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
+        |          FROM qd2) x WHERE rn = 1),
+        |q AS (SELECT unnest([{'j': i-1,
+        |                     'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)}
+        |                    FOR i IN range(1, len(embedding)+1)]) AS u
+        |      FROM embeddings WHERE vec_id = 0),
+        |qe AS (SELECT u.j AS j, u.v AS qv FROM q),
+        |csc AS (SELECT k.c, sum(qe.qv * k.cent) AS s
+        |        FROM ccb k JOIN qe ON k.j = qe.j GROUP BY k.c),
+        |probe AS (SELECT c, s FROM (
+        |            SELECT c, s, row_number() OVER (ORDER BY s DESC, c) AS rn
+        |            FROM csc) x WHERE rn <= 2),
+        |lut1 AS (SELECT k.b, k.c, sum(qe.qv * k.cent) AS l
+        |         FROM pcb k JOIN qe ON qe.j = k.b * 8 + k.bp GROUP BY k.b, k.c),
+        |lut2 AS (SELECT k.b, k.c, sum(qe.qv * k.cent) AS l
+        |         FROM qcb k JOIN qe ON qe.j = k.b * 8 + k.bp GROUP BY k.b, k.c),
+        |sc1 AS (SELECT a.vec_id, a.cell, pr.s + sum(l.l) AS score
+        |        FROM cass a JOIN probe pr ON a.cell = pr.c
+        |        JOIN enc ON enc.vec_id = a.vec_id
+        |        JOIN lut1 l ON enc.b = l.b AND enc.c = l.c
+        |        WHERE a.cell NOT IN (SELECT cell FROM dr)
+        |        GROUP BY a.vec_id, a.cell, pr.s),
+        |sc2 AS (SELECT a.vec_id, a.cell, pr.s + sum(l.l) AS score
+        |        FROM cass a JOIN probe pr ON a.cell = pr.c
+        |        JOIN enc2 ON enc2.vec_id = a.vec_id
+        |        JOIN lut2 l ON enc2.b = l.b AND enc2.c = l.c
+        |        WHERE a.cell IN (SELECT cell FROM dr)
+        |        GROUP BY a.vec_id, a.cell, pr.s),
+        |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
+        |        FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2)
+        |        ORDER BY score DESC, vec_id LIMIT 20)
+        |SELECT vec_id, cell, score_q FROM top ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
+          .select("vec_id", "embedding")
+        val cat = emb.filter(col("vec_id") % 10 =!= 9)
+        val del = emb.filter(col("vec_id") % 10 === 9)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") + lit(10.0))
+              .as("embedding"))
+        val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
+        val union = cat.unionByName(del)
+        val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q202_index"
+        Pq.writeIvfPqIndex(union, idx, dir)
+        val rt = Pq.retrainDrifted(cat, del, idx, ratioPct = 120L)
+        Pq.rewriteDriftedCells(union, rt, dir)
+        Pq.saveRetrainedMeta(s, rt, dir)
+        embeddings(s, d).filter(col("vec_id") === 0)
+          .createOrReplaceTempView("graft_q202_query")
+    } { (s, d) =>
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q202_index"
+      graft.cli.QueryCommand.run(s,
+        s"""SELECT vec_id, CAST(cell AS BIGINT) AS cell, score_q
+           |FROM graft_ivfpq_topk_retrained('$dir', 'graft_q202_query', 20, 2)
+           |ORDER BY vec_id""".stripMargin, dataDir = Some(d))
+    },
+
     // Filtered ANN: the q128 IVF-PQ probe under a metadata predicate
     // (label % 3 = 1 — the license/source-gate shape). The label rides
     // in the encoded index as a filterable attribute; the gate lands

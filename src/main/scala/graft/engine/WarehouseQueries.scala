@@ -514,6 +514,87 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
         .orderBy("term")
     },
 
+    // SQL DOOR phase 2 (r12 verdict item 2): the dedup/search/ranking
+    // artifact probes run from PURE SQL TEXT — a digest-store
+    // incremental exact-dedup probe (the q98 flow), a conjunctive
+    // inverted-index search, and BM25 over a saved postings +
+    // doc-length pair — and must hash-match the full DuckDB replay.
+    // The TVFs return the Scala surface's exact logical plans: the
+    // dedup store side stays bucket-sorted with no exchange, the
+    // postings term filter reaches the scan (both spec-pinned FROM
+    // SQL in QueryCliSpec). Delta plant: odd docs are novel, every
+    // %10==0 catalog doc is re-offered under a new id (dropped
+    // against the store), and every odd %9==1 doc arrives twice
+    // (min-id keeper wins).
+    sqlWithSetup("q201_sql_door_curation",
+      """WITH cat AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0),
+        |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 2 = 1 AND doc_id % 9 = 1),
+        |dd AS (SELECT doc_id, md5(text) AS dg FROM delta),
+        |keep AS (SELECT dg, min(doc_id) AS kid FROM dd GROUP BY dg),
+        |ded AS (SELECT d.doc_id AS id FROM dd d JOIN keep k ON d.doc_id = k.kid
+        |        WHERE d.dg NOT IN (SELECT dg FROM cat)),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |p AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+        |srch AS (SELECT doc_id AS id, CAST(sum(tf) AS BIGINT) AS score
+        |         FROM p WHERE tok IN ('join', 'hash', 'vector') GROUP BY doc_id
+        |         HAVING count(*) = 3),
+        |s2 AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |        CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf1,
+        |        CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf2,
+        |        CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf3 FROM t),
+        |g2 AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |        CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |        CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+        |        CAST(sum(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM s2),
+        |bm AS (SELECT doc_id AS id,
+        | CAST(floor((
+        |   CASE WHEN tf1>0 THEN ln(1.0+(n-df1+0.5)/(df1+0.5)) * tf1*2.2/(tf1 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END +
+        |   CASE WHEN tf2>0 THEN ln(1.0+(n-df2+0.5)/(df2+0.5)) * tf2*2.2/(tf2 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END +
+        |   CASE WHEN tf3>0 THEN ln(1.0+(n-df3+0.5)/(df3+0.5)) * tf3*2.2/(tf3 + 1.2*(0.25+0.75*dl/avgdl)) ELSE 0.0 END
+        | ) * 10000.0) AS BIGINT) AS val
+        | FROM s2 CROSS JOIN g2 WHERE tf1>0 OR tf2>0 OR tf3>0)
+        |SELECT src, id, val FROM (
+        |  SELECT 'dedup' AS src, id, CAST(0 AS BIGINT) AS val FROM ded
+        |  UNION ALL SELECT 'search', id, score FROM srch
+        |  UNION ALL SELECT 'bm25', id, val FROM bm)
+        |ORDER BY src, id""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, Search, Stores, TextOps}
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      Stores.dropStoreTable(s, "graft_q201_digests")
+      Dedup.writeDigestStore(docs.filter(col("doc_id") % 2 === 0), "text",
+        "graft_q201_digests", buckets = 8)
+      docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 &&
+            col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .createOrReplaceTempView("graft_q201_delta")
+      Stores.dropStoreTable(s, "graft_q201_postings")
+      Search.writePostingsStore(Search.buildPostings(docs, "doc_id", "text"),
+        "graft_q201_postings",
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_q201_postings",
+        buckets = 8)
+      Stores.dropStoreTable(s, "graft_q201_doclens")
+      TextOps.docLengths(docs, "doc_id", "text")
+        .write.mode("overwrite").saveAsTable("graft_q201_doclens")
+    } { (s, d) =>
+      graft.cli.QueryCommand.run(s,
+        """SELECT src, id, val FROM (
+          |  SELECT 'dedup' AS src, doc_id AS id, CAST(0 AS BIGINT) AS val
+          |  FROM graft_dedup_delta('graft_q201_digests', 'graft_q201_delta', 'doc_id', 'text')
+          |  UNION ALL
+          |  SELECT 'search' AS src, id, score AS val
+          |  FROM graft_search_conjunctive('graft_q201_postings', 'join hash vector')
+          |  UNION ALL
+          |  SELECT 'bm25' AS src, id, CAST(floor(score * 10000.0) AS BIGINT) AS val
+          |  FROM graft_bm25('graft_q201_postings', 'graft_q201_doclens', 'table query stream')
+          |) ORDER BY src, id""".stripMargin, dataDir = Some(d))
+    },
+
     // NCD near-dup verify: 50 planted near-copies (text + ' x') must
     // ALL surface as (id, id+1000000) pairs with normalized
     // compression distance <= 0.4 — compression-based similarity over

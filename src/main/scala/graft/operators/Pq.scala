@@ -477,6 +477,39 @@ object Pq {
     }
   }
 
+  /** Persist a retrain's OUTPUT next to the index it upgraded, under
+    * `$path/_retrain` (underscore-prefixed like `_codebooks`, so the
+    * codes scan and partition discovery never see it): the v2 residual
+    * codebook plus the drifted-cell set. After [[rewriteDriftedCells]]
+    * + this call the index directory is self-contained again — a
+    * fresh session (or the SQL door's `graft_ivfpq_topk_retrained`)
+    * probes the retrained index by path alone.
+    */
+  def saveRetrainedMeta(spark: org.apache.spark.sql.SparkSession,
+      rt: IvfPqRetrained, path: String): Unit = {
+    import spark.implicits._
+    Seq((rt.residualV2.m, rt.residualV2.ksub, rt.residualV2.subdim,
+        rt.residualV2.flatE6.toSeq, rt.drifted.map(_.toLong)))
+      .toDF("m", "ksub", "subdim", "flat_e6", "drifted")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_retrain")
+  }
+
+  /** Load a [[writeIvfPqIndex]] + [[rewriteDriftedCells]] +
+    * [[saveRetrainedMeta]] directory back into the probe-side struct —
+    * a retrained index needs only its path, like [[loadIvfPqMeta]]. */
+  def loadIvfPqRetrained(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqRetrained = {
+    import spark.implicits._
+    val idx = loadIvfPqMeta(spark, path)
+    val rows = spark.read.parquet(s"$path/_retrain")
+      .select("m", "ksub", "subdim", "flat_e6", "drifted")
+      .as[(Int, Int, Int, Seq[Long], Seq[Long])].collect()
+    require(rows.length == 1, s"malformed _retrain at $path: ${rows.length} rows")
+    val (m, ksub, subdim, flat, drifted) = rows.head
+    IvfPqRetrained(idx, Codebook(m, ksub, subdim, flat.toArray),
+      drifted.map(_.toInt))
+  }
+
   /** Probe a retrained index: the probe set and coarse scores come
     * from the FROZEN coarse quantizer exactly as before; each probed
     * row's ADC term uses its cell's codebook version (a codegen'd

@@ -296,6 +296,62 @@ object TextOps {
         perTerm.reduce(_ + _).as("score")): _*)
   }
 
+  /** Per-document token length — the doc-side stats artifact BM25
+    * needs next to a postings store: `(id, dl)`. Built once per
+    * corpus; [[bm25FromStores]] reads it instead of rescanning text.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(graft.functions.TextFunctions.tokens(col(textCol)))
+        .cast("long").as("dl"))
+
+  /** Okapi BM25 over SAVED ARTIFACTS — a postings store `(term, id,
+    * tf)` ([[Search.buildPostings]]) plus a doc-length store `(id,
+    * dl)` ([[docLengths]]) — instead of the corpus text: the serving
+    * path for a long-lived index, and the SQL door's `graft_bm25`.
+    * Score-identical to [[bm25]] over the same corpus (the per-term
+    * expression is copied verbatim and summed in term order, so even
+    * the float rounding matches — differential-spec-pinned).
+    *
+    * Scale shape: the term filter reaches the postings scan (bucketed
+    * store ⇒ |terms| posting lists, corpus-independent), one id-keyed
+    * pivot aggregate over those rows, a join with the doc-length
+    * store, and two broadcast one-row frames (global stats, per-term
+    * df). Nothing rescans text; nothing touches unmatched documents
+    * except the (id, dl) store's scalar aggregate.
+    */
+  def bm25FromStores(postings: DataFrame, docLens: DataFrame,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms == terms.distinct, "query terms must be distinct")
+    val p = postings.filter(col("term").isin(terms: _*))
+    // per-doc tf vector: matched posting rows pivot on the literal
+    // term list — only docs with >= 1 matched term appear, which IS
+    // bm25's any-hit filter
+    val tfs = p.groupBy("id").pivot("term", terms).agg(first(col("tf")))
+      .select((col("id") +: terms.zipWithIndex.map { case (t, i) =>
+        coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__tf$i") }): _*)
+    // per-term document frequency: one posting row per (term, id)
+    val dfs = p.groupBy().pivot("term", terms).agg(count(lit(1)))
+      .select(terms.zipWithIndex.map { case (t, i) =>
+        coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__df$i") }: _*)
+    val g = docLens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("dl").cast("double")).as("__avgdl"))
+    val s = tfs
+      .join(docLens.select(col("id"), col("dl").cast("double").as("__dl")), Seq("id"))
+      .crossJoin(broadcast(g)).crossJoin(broadcast(dfs))
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"__tf$i"); val df = col(s"__df$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+          tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    s.select((col("id") +:
+      terms.indices.map(i => col(s"__tf$i").cast("long").as(s"tf_${terms(i)}")) :+
+      perTerm.reduce(_ + _).as("score")): _*)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): tokens are
     * feature-hashed into 256 buckets (md5 first byte), the per-bucket

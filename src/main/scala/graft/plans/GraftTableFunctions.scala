@@ -111,13 +111,73 @@ object GraftTableFunctions {
       store.select("dg", "df"), delta, "doc_id", "text", k, minDocs, minMatch))
   }
 
+  private def termsLit(e: Expression, what: String): Seq[String] = {
+    val ts = strLit(e, what).split("\\s+").toSeq.filter(_.nonEmpty)
+    require(ts.nonEmpty, s"$what must name at least one term")
+    ts
+  }
+
+  private[plans] def buildIvfPqTopKRetrained(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "graft_ivfpq_topk_retrained(indexDir, queryTable, k, nprobe)")
+    val spark = SparkSession.active
+    val dir = strLit(args.head, "indexDir")
+    // the v2 codebook and drifted-cell set ship inside the index dir
+    // (saveRetrainedMeta), so the retrained probe, like the v1 probe,
+    // opens by path alone
+    val rt = graft.operators.Pq.loadIvfPqRetrained(spark, dir)
+    val qe6 = graft.operators.Pq.queryWeightsE6(
+      spark.table(strLit(args(1), "queryTable")))
+    plan(graft.operators.Pq.ivfPqTopKRetrained(
+      spark.read.parquet(dir), rt, qe6,
+      intLit(args(2), "k"), intLit(args(3), "nprobe")))
+  }
+
+  private[plans] def buildDedupDelta(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "graft_dedup_delta(digestStoreTable, deltaTable, idCol, textCol)")
+    val spark = SparkSession.active
+    plan(graft.operators.Dedup.incrementalExactVsStore(spark,
+      strLit(args.head, "digestStoreTable"),
+      spark.table(strLit(args(1), "deltaTable")),
+      strLit(args(2), "idCol"), strLit(args(3), "textCol")))
+  }
+
+  private[plans] def buildSearchConjunctive(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2,
+      "graft_search_conjunctive(postingsTable, 'term1 term2 ...')")
+    val spark = SparkSession.active
+    plan(graft.operators.Search.conjunctive(
+      spark.table(strLit(args.head, "postingsTable")),
+      termsLit(args(1), "terms")))
+  }
+
+  private[plans] def buildBm25(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 3 && args.size <= 5,
+      "graft_bm25(postingsTable, docLensTable, 'terms'[, k1_permille, b_permille])")
+    val spark = SparkSession.active
+    // k1/b arrive as per-mille integers (1200 = 1.2): integer literals
+    // are the TVF argument convention, and the permille form keeps the
+    // reconstructed double exact for the usual parameter grid
+    val k1 = if (args.size > 3) intLit(args(3), "k1_permille") / 1000.0 else 1.2
+    val b = if (args.size > 4) intLit(args(4), "b_permille") / 1000.0 else 0.75
+    plan(graft.operators.TextOps.bm25FromStores(
+      spark.table(strLit(args.head, "postingsTable")),
+      spark.table(strLit(args(1), "docLensTable")),
+      termsLit(args(2), "terms"), k1, b))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
     ("graft_winnow_pairs", buildWinnowPairs _),
     ("graft_store_asof", buildStoreAsOf _),
     ("graft_scd2_asof", buildScd2AsOf _),
-    ("graft_span_strip", buildSpanStrip _))
+    ("graft_span_strip", buildSpanStrip _),
+    ("graft_ivfpq_topk_retrained", buildIvfPqTopKRetrained _),
+    ("graft_dedup_delta", buildDedupDelta _),
+    ("graft_search_conjunctive", buildSearchConjunctive _),
+    ("graft_bm25", buildBm25 _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

@@ -203,6 +203,108 @@ class QueryCliSpec extends SparkSpec {
     assert(viaSql.map(_._2) == Seq("A", "B", "X"), s"as-of versions: $viaSql")
   }
 
+  test("SQL door phase 2: retrained IVF-PQ probe from SQL text, partition-pruned") {
+    import graft.operators.Pq
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val cat = emb.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 9)
+    val del = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + lit(10.0))
+          .as("embedding"))
+    val idx = Pq.trainIvfPq(cat, ncells = 4, m = 8, ksub = 16)
+    val union = cat.unionByName(del)
+    val dir = tmpDir("query_cli_retrained") + "/index"
+    Pq.writeIvfPqIndex(union, idx, dir)
+    val rt = Pq.retrainDrifted(cat, del, idx, ratioPct = 120L)
+    Pq.rewriteDriftedCells(union, rt, dir)
+    Pq.saveRetrainedMeta(spark, rt, dir)
+    // the persisted _retrain meta round-trips the probe-side struct
+    val loaded = Pq.loadIvfPqRetrained(spark, dir)
+    assert(loaded.drifted == rt.drifted &&
+      loaded.residualV2.flatE6.toSeq == rt.residualV2.flatE6.toSeq,
+      "loadIvfPqRetrained must round-trip saveRetrainedMeta")
+    emb.filter(col("vec_id") === 0).createOrReplaceTempView("cli_rt_query")
+    val viaSql = QueryCommand.run(spark,
+      s"SELECT vec_id, cell, score_q FROM graft_ivfpq_topk_retrained('$dir', 'cli_rt_query', 20, 2)")
+    val qe6 = Pq.queryWeightsE6(emb.filter(col("vec_id") === 0))
+    val viaScala = Pq.ivfPqTopKRetrained(spark.read.parquet(dir), rt, qe6,
+      k = 20, nprobe = 2)
+    same(viaSql.orderBy("vec_id"), viaScala.orderBy("vec_id"))
+    // pruning must survive the SQL boundary (the graft_ivfpq_topk pin)
+    viaSql.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    val sc = scans(viaSql.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString.contains("query_cli_retrained"))
+    assert(sc.nonEmpty && sc.head.partitionFilters.mkString.contains("cell"),
+      s"retrained SQL probe must prune index partitions: ${viaSql.queryExecution.executedPlan}")
+  }
+
+  test("SQL door phase 2: dedup store, conjunctive search, and BM25 from SQL text match Scala") {
+    import graft.operators.{Dedup, Search, Stores, TextOps}
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // digest-store dedup probe
+    val dt = "cli_digest_store"
+    Stores.dropStoreTable(spark, dt)
+    Dedup.writeDigestStore(docs.filter(col("doc_id") % 2 === 0), "text", dt,
+      buckets = 4)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    delta.createOrReplaceTempView("cli_dedup_delta")
+    val dedupSql = QueryCommand.run(spark,
+      s"SELECT doc_id, text FROM graft_dedup_delta('$dt', 'cli_dedup_delta', 'doc_id', 'text') ORDER BY doc_id")
+    same(dedupSql, Dedup.incrementalExactVsStore(spark, dt, delta,
+      "doc_id", "text").orderBy("doc_id"))
+    Stores.dropStoreTable(spark, dt)
+    // postings store: conjunctive AND bm25 serve from the same artifact
+    val pt = "cli_postings_store"
+    Stores.dropStoreTable(spark, pt)
+    Search.writePostingsStore(Search.buildPostings(docs, "doc_id", "text"),
+      pt, tmpDir("query_cli_postings") + "/postings", buckets = 4)
+    Stores.dropStoreTable(spark, "cli_doclens")
+    TextOps.docLengths(docs, "doc_id", "text")
+      .write.mode("overwrite").saveAsTable("cli_doclens")
+    val srchSql = QueryCommand.run(spark,
+      s"SELECT id, score FROM graft_search_conjunctive('$pt', 'join hash vector') ORDER BY id")
+    same(srchSql, Search.conjunctive(
+      Search.buildPostings(docs, "doc_id", "text"),
+      Seq("join", "hash", "vector")).orderBy("id"))
+    // the term filter must reach the postings scan from SQL text
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    val scan = scans(srchSql.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString.contains("postings"))
+    assert(scan.nonEmpty && scan.head.dataFilters.mkString.contains("term"),
+      s"term filter must reach the postings scan: ${srchSql.queryExecution.executedPlan}")
+    // BM25 over the saved artifacts ≡ BM25 over the corpus text
+    // (floored to e4 — the score is a float; the e4 grid is the
+    // catalog's oracle convention for it)
+    val bmSql = QueryCommand.run(spark,
+      s"""SELECT id, tf_table, tf_query, tf_stream,
+         |  CAST(floor(score * 10000.0) AS BIGINT) AS bm25_e4
+         |FROM graft_bm25('$pt', 'cli_doclens', 'table query stream')
+         |ORDER BY id""".stripMargin)
+    val bmScala = TextOps.bm25(docs, "doc_id", "text",
+        Seq("table", "query", "stream"))
+      .select(col("id"), col("tf_table"), col("tf_query"), col("tf_stream"),
+        floor(col("score") * lit(10000.0)).cast("long").as("bm25_e4"))
+      .orderBy("id")
+    same(bmSql, bmScala)
+    Stores.dropStoreTable(spark, pt)
+    Stores.dropStoreTable(spark, "cli_doclens")
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
