@@ -1252,6 +1252,60 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // PIXEL-TRUE perceptual near-dup for PNG (r12 verdict item 3 —
+    // the q196 move for the visual tier): the signature is the
+    // decoded grid×grid block-mean luminance profile (IDAT inflate +
+    // per-row defilter in a native kernel), so a RE-ENCODED twin
+    // (+1M: RGBA, all five scanline filters cycled, max deflate —
+    // not one shared compressed byte) and a NEAREST-NEIGHBOR RESIZED
+    // twin (+2M: 32×32 from 16×16) both pair at L1 = 0 where the
+    // q186 byte histogram sees nothing. Every pixel is an id
+    // formula, so the oracle rebuilds block means, sign buckets, the
+    // cap, and the gate from the construction WITHOUT decoding —
+    // the decode kernel is correct iff the hashes meet.
+    sql("q203_png_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id < 30),
+        |f AS (SELECT id,
+        |  [CAST(list_sum([
+        |     (77 * ((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256)
+        |      + 150 * ((((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256) * 3) % 256)
+        |      + 29 * ((((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256) * 5) % 256)) // 256
+        |     FOR i IN range(256)
+        |     IF (i % 16) // 4 = b % 4 AND (i // 16) // 4 = b // 4]) * 1000 // 16 AS BIGINT)
+        |   FOR b IN range(16)] AS f
+        |  FROM ids),
+        |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+        |k AS (SELECT id, f, t,
+        |        CAST(list_sum([CASE WHEN f[b+1] * 16 >= t THEN 1<<b ELSE 0 END
+        |                       FOR b IN range(16)]) AS BIGINT) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(16)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("variant"))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("variant")))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("base"),
+            lit(2).as("scale"), lit(false).as("variant")))
+      val media = graft.operators.Multimodal.synthesizePng(
+        ids, "id", "base", "scale", "variant")
+      graft.operators.Multimodal.pngPerceptualCandidates(media,
+          grid = 4, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
     // Exact phrase search over the q137 planted corpus: a phrase
     // starts at p iff every k-th term has a position at p+k, so the
     // operator intersects k-shifted position lists — no self-joins,

@@ -340,6 +340,166 @@ object Multimodal {
     buf.toArray
   }
 
+  /** PIXEL-TRUE perceptual near-dup for PNG (the q186 feature upgrade
+    * for images, the [[pcmPerceptualCandidates]] twin for the visual
+    * tier): the signature is the [[graft.plans.PngBlockMeanExpr]]
+    * grid×grid block-mean luminance profile — decoded pixels, not
+    * payload bytes — so a RE-ENCODED twin (different scanline
+    * filters, different deflate level, an added alpha channel: every
+    * compressed byte differs) pairs at L1 = 0, and an integral
+    * nearest-neighbor RESIZED twin (grid-divisible dimensions) pairs
+    * exactly too, while the byte-histogram tier misses both. Formats
+    * the kernel can't decode (JPEG, interlaced or 16-bit PNG) return
+    * null features and simply stay on the q186 histogram tier.
+    *
+    * Scale shape identical to the PCM tier: one decode pass inside
+    * the scan, grid² longs on the wire, sign-bucket-keyed self-join
+    * hot-capped, integer L1 gate. The cross-multiplied gate is
+    * Long-safe BY CONSTRUCTION here (mean_e3 ≤ 255 000 and
+    * t ≤ 49·255 000, so every product stays ≤ ~2e17) — the PCM tier's
+    * DECIMAL(38,0) treatment is not needed because the feature is a
+    * bounded mean, not an unbounded sum.
+    */
+  def pngPerceptualCandidates(media: DataFrame, grid: Int = 4,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
+    val n = grid * grid
+    val withKey = media
+      .withColumn("__f",
+        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid))
+      .filter(col("__f").isNotNull)
+      .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
+      .filter(col("__t") >= 1L)
+      // no format/dimension term in the key: the profile is
+      // resolution-normalized, so resized twins MUST share a bucket
+      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
+        expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
+      .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
+      .repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__f").as("f1"), col("b.__f").as("f2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** Synthesize [[pngPayload]] PNGs from a (media_id, base id,
+    * nearest-neighbor scale, re-encode-variant flag) frame — the q203
+    * fixture builder. The variant flag flips EVERY compressed byte
+    * (alpha channel added, scanline filters cycled through all five
+    * spec types, max deflate level) around the identical pixels. */
+  def synthesizePng(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, variantCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, variant: Boolean) =>
+      pngPayload(base, scale, variant) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(variantCol)).as("payload"))
+  }
+
+  /** Deterministic PNG payload — the q203 fixture: a 16×16 base image
+    * with v(x,y) = (id·31 + x·(7 + id mod 11) + y·(13 + id mod 17))
+    * mod 256 and RGB = (v, 3v mod 256, 5v mod 256), nearest-neighbor
+    * upscaled by `scale`. The id rides the x/y SLOPES, not just the
+    * offset — an offset-only formula collapses to 256 distinct images
+    * and saturates the hot-bucket cap at scale (the q196 lesson);
+    * with the slopes, ids collide only at Δ ≡ 0 mod 256·11·17. `variant = false` encodes RGB, all-zero filters,
+    * deflate level 1; `variant = true` encodes RGBA (alpha 255),
+    * filter type y mod 5 per row (exercising None/Sub/Up/Average/
+    * Paeth), deflate level 9, and splits the stream across two IDAT
+    * chunks — same pixels, not one shared compressed byte. Every
+    * pixel is a pure id formula, so the oracle rebuilds the
+    * block-mean pipeline from the construction without decoding.
+    */
+  private[graft] def pngPayload(id: Long, scale: Int,
+      variant: Boolean): Array[Byte] = {
+    val base = 16
+    val w = base * scale; val h = base * scale
+    val ch = if (variant) 4 else 3
+    val rowBytes = w * ch
+    def px(x: Int, y: Int): Int =
+      (((id * 31 + (x / scale) * (7 + id % 11) +
+        (y / scale) * (13 + id % 17)) % 256) + 256).toInt % 256
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h) {
+      val rs = y * (1 + rowBytes)
+      raw(rs) = (if (variant) y % 5 else 0).toByte
+      for (x <- 0 until w) {
+        val v = px(x, y)
+        val o = rs + 1 + x * ch
+        raw(o) = v.toByte
+        raw(o + 1) = ((v * 3) % 256).toByte
+        raw(o + 2) = ((v * 5) % 256).toByte
+        if (variant) raw(o + 3) = 0xff.toByte
+      }
+    }
+    // apply the declared per-row filter over the raw neighbor values
+    val filt = new Array[Byte](raw.length)
+    for (y <- 0 until h) {
+      val rs = y * (1 + rowBytes)
+      val ft = raw(rs) & 0xff
+      filt(rs) = raw(rs)
+      for (x <- 0 until rowBytes) {
+        val cur = raw(rs + 1 + x) & 0xff
+        val a = if (x >= ch) raw(rs + 1 + x - ch) & 0xff else 0
+        val up = if (y > 0) raw(rs - rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x >= ch) raw(rs - rowBytes + x - ch) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case _ =>
+            val pv = a + up - c
+            val pa = math.abs(pv - a); val pb = math.abs(pv - up)
+            val pc = math.abs(pv - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        filt(rs + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater(if (variant) 9 else 1)
+    defl.setInput(filt); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    val comp = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data, 0, data.length); be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = (if (variant) 6 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    if (variant) { // two IDAT chunks: the decoder must concatenate
+      val split = comp.length / 2
+      chunk("IDAT", comp.take(split)); chunk("IDAT", comp.drop(split))
+    } else chunk("IDAT", comp)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** The shared perceptual pipeline; `blockCol` prepends a blocking
     * key to the sign-bucket join key (empty string = unblocked, the
     * historical q126 behavior — same groups, same output). */

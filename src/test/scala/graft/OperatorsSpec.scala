@@ -1193,6 +1193,132 @@ class OperatorsSpec extends SparkSpec {
       s"perturbed twin must carry the exact decimal L1 $expected: $pairs")
   }
 
+  test("PNG pixel-true near-dup: re-encoded and resized twins pair at 0; byte histogram misses both") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.pngPayload(7L, 1, variant = false)),
+      (2L, Multimodal.pngPayload(7L, 1, variant = true)),  // re-encoded: RGBA, cycled filters, level 9, split IDAT
+      (3L, Multimodal.pngPayload(7L, 2, variant = false)), // resized: 32x32 NN upscale
+      (4L, Multimodal.pngPayload(8L, 1, variant = false))) // different image
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.pngPerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L),
+      s"the twin triangle must pair at exactly 0 and nothing else: $pairs")
+    // the byte-histogram tier sees none of it: the re-encode changed
+    // every compressed byte, the resize changed the blocking dims
+    val metaMedia = media.withColumn("meta", org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.lit("image/png").as("mime"),
+      org.apache.spark.sql.functions.length($"payload").cast("long").as("n_bytes"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("height")))
+    val hist = Multimodal.headerBlockedPerceptualCandidates(metaMedia)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(!hist.contains((1L, 2L)) && !hist.contains((1L, 3L)),
+      s"histogram tier must miss the content twins: $hist")
+  }
+
+  test("PNG block means: kernel decode equals the pixel-formula replay (all five filters)") {
+    import spark.implicits._
+    // variant=true exercises Sub/Up/Average/Paeth + alpha + two IDAT
+    // chunks; scale 2 exercises the resolution normalization
+    def expected(id: Long, grid: Int): Seq[Long] = {
+      def lum(x: Int, y: Int): Long = {
+        val v = ((id * 31 + x * (7 + id % 11) + y * (13 + id % 17)) % 256).toInt
+        (77 * v + 150 * ((v * 3) % 256) + 29 * ((v * 5) % 256)) >> 8
+      }
+      (0 until grid * grid).map { b =>
+        val bx = b % grid; val by = b / grid
+        val px = for {
+          y <- by * (16 / grid) until (by + 1) * (16 / grid)
+          x <- bx * (16 / grid) until (bx + 1) * (16 / grid)
+        } yield lum(x, y)
+        px.sum * 1000L / px.size
+      }
+    }
+    val media = Seq(
+      (1L, Multimodal.pngPayload(11L, 1, variant = true)),
+      (2L, Multimodal.pngPayload(11L, 2, variant = false)),
+      (3L, Multimodal.pngPayload(12L, 1, variant = false)))
+      .toDF("media_id", "payload")
+    val got = media.select($"media_id",
+        graft.plans.PngBlockMeanExpr.png_block_means($"payload", 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == expected(11L, 4), s"variant decode: ${got(1L)}")
+    assert(got(2L) == expected(11L, 4), "NN-upscaled means must be exactly the base means")
+    assert(got(3L) == expected(12L, 4))
+  }
+
+  test("PNG block means: corrupt and hostile payloads return null fast, never hang") {
+    import spark.implicits._
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(w: Int, h: Int, depth: Int, ct: Int, interlace: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      out.write(sig, 0, 8); be32(13L); out.write("IHDR".getBytes, 0, 4)
+      be32(w.toLong); be32(h.toLong)
+      out.write(depth); out.write(ct); out.write(0); out.write(0); out.write(interlace)
+      be32(0L) // wrong CRC — deliberately not verified
+      out.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    val junk = Array.fill(512)(rnd.nextInt(256).toByte)
+    val good = Multimodal.pngPayload(5L, 1, variant = false)
+    val hostile = Seq[(Long, Array[Byte])](
+      (1L, junk),                                     // not a PNG
+      (2L, good.take(40)),                            // truncated mid-IHDR-ish
+      (3L, ihdr(16384, 16384, 8, 6, 0) ++ junk),      // zip-bomb IHDR: 1 GiB raw, capped
+      (4L, ihdr(16, 16, 8, 3, 0) ++ junk),            // palette type: unsupported
+      (5L, ihdr(16, 16, 8, 2, 1) ++ junk),            // interlaced: unsupported
+      (6L, ihdr(0, 16, 8, 2, 0) ++ junk),             // zero width
+      // declared IDAT length 0xFFFFFFF8 — the WAV-walk hang shape
+      (7L, ihdr(16, 16, 8, 2, 0) ++
+        Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xf8.toByte) ++
+        "IDAT".getBytes ++ junk),
+      // valid walk, garbage zlib
+      (8L, {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(ihdr(16, 16, 8, 2, 0), 0, ihdr(16, 16, 8, 2, 0).length)
+        out.write(Array[Byte](0, 0, 0, 16), 0, 4); out.write("IDAT".getBytes, 0, 4)
+        out.write(junk, 0, 16); out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+        out.toByteArray
+      }),
+      // bad filter byte: stored uncompressed-ish via real deflate of a 7
+      (9L, {
+        val rawBytes = Array.fill(16 * (1 + 48))(0.toByte)
+        rawBytes(0) = 7 // filter type out of range
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(rawBytes); defl.finish()
+        val zout = new java.io.ByteArrayOutputStream()
+        val zb = new Array[Byte](8192)
+        while (!defl.finished()) zout.write(zb, 0, defl.deflate(zb))
+        defl.end()
+        val comp = zout.toByteArray
+        val out = new java.io.ByteArrayOutputStream()
+        val hd = ihdr(16, 16, 8, 2, 0)
+        out.write(hd, 0, hd.length)
+        def be32(v: Long): Unit = {
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+        }
+        be32(comp.length.toLong); out.write("IDAT".getBytes, 0, 4)
+        out.write(comp, 0, comp.length); be32(0L)
+        out.toByteArray
+      }))
+      .toDF("media_id", "payload")
+    val t0 = System.nanoTime()
+    val feats = hostile.select(
+        graft.plans.PngBlockMeanExpr.png_block_means($"payload", 4).as("f"))
+      .filter($"f".isNotNull).count()
+    assert(feats == 0L, "every hostile payload must decode to null")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "corrupt payloads must fail fast")
+    assert(Multimodal.pngPerceptualCandidates(hostile).count() == 0)
+  }
+
   test("header-blocked perceptual near-dup: resized twins pair, cross-format twins never meet") {
     import spark.implicits._
     // two PNG "images" with identical byte distribution at different
