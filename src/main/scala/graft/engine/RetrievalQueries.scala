@@ -1306,6 +1306,59 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
+    // signature space derived from the corpus size — bands = max(8,
+    // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive
+    // ANY corpus scale with default parameters instead of silently
+    // saturating the hot-bucket cap at 100× (SCALE.md's r12 note).
+    // The oracle replays the derivation itself (count → ceil-log2 →
+    // bands) and then the whole banded pipeline at that width.
+    sql("q204_pcm_neardup_auto",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base, 1 AS scale FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, 2 FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT doc_id + 2000000, doc_id, 1 FROM documents WHERE doc_id < 30),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |bd AS (SELECT GREATEST(8, list_min([b FOR b IN range(63)
+        |         IF (CAST(1 AS BIGINT) << b) >= GREATEST(1, (n + 15) // 16)])) AS bands
+        |       FROM nn),
+        |e AS (SELECT id, base, bands,
+        |        [CAST(list_sum([abs((base * 31 + i * 17) % 2001 - 1000) * scale
+        |                        FOR i IN range(64 + base % 33)
+        |                        IF i * bands // (64 + base % 33) = b]) AS BIGINT)
+        |         FOR b IN range(bands)] AS e
+        |      FROM ids CROSS JOIN bd),
+        |t AS (SELECT id, base, bands, e, CAST(list_sum(e) AS BIGINT) AS t FROM e),
+        |k AS (SELECT id, e, t,
+        |        '1:' || CAST(8000 + (base % 4) * 4000 AS VARCHAR) || '|' ||
+        |        CAST(CAST(list_sum([CASE WHEN e[b+1] * bands >= t THEN 1<<b ELSE 0 END
+        |                            FOR b IN range(bands)]) AS BIGINT) AS VARCHAR) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.e[i+1] * y.t - y.e[i+1] * x.t) FOR i IN range(len(x.e))]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("hv"))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(2).as("scale"), lit(false).as("hv")))
+        .unionByName(base.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("hv")))
+      val media = graft.operators.Multimodal.synthesizeWavPcm(
+        ids, "id", "base", "scale", "hv")
+      graft.operators.Multimodal.pcmPerceptualCandidatesAuto(media,
+          targetBucketSize = 16, maxBucketSize = 64, thrPermille = 10)
+        .select(col("id1"), col("id2"), col("l1").cast("long").as("l1"))
+        .orderBy("id1", "id2")
+    },
+
     // Exact phrase search over the q137 planted corpus: a phrase
     // starts at p iff every k-th term has a position at p+k, so the
     // operator intersects k-shifted position lists — no self-joins,

@@ -340,6 +340,30 @@ object Multimodal {
     buf.toArray
   }
 
+  /** [[pcmPerceptualCandidates]] with `bands` derived from the corpus
+    * size — the r12 saturation fix: at the fixed default (bands = 8,
+    * ~1 024 signature buckets) a 500 k-payload corpus drives every
+    * bucket past the hot cap and the run silently returns ZERO
+    * candidates (documented in SCALE.md's round-12 100× note). The
+    * [[Similarity.autoBits]] pattern holds the EXPECTED per-bucket
+    * population constant instead: bands = max(8, autoBits(n,
+    * targetBucketSize, 63)), floored at the historical default so
+    * small corpora keep their exact q196 behavior. Sizing reads
+    * |media| (one count() job — or pass `knownCount` to stay lazy,
+    * the [[Similarity.nearDupesAnnAuto]] contract); rows that fail
+    * PCM decode only shrink buckets below the target, never inflate
+    * them. More bands never lose a TRUE twin: identical PCM yields
+    * the identical profile at any band count — the resolution only
+    * sharpens which non-twins stop colliding.
+    */
+  def pcmPerceptualCandidatesAuto(media: DataFrame,
+      targetBucketSize: Int = 16, maxBucketSize: Int = 64,
+      thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(media.count())
+    val bands = math.max(8, Similarity.autoBits(n, targetBucketSize, 63))
+    pcmPerceptualCandidates(media, bands, maxBucketSize, thrPermille)
+  }
+
   /** PIXEL-TRUE perceptual near-dup for PNG (the q186 feature upgrade
     * for images, the [[pcmPerceptualCandidates]] twin for the visual
     * tier): the signature is the [[graft.plans.PngBlockMeanExpr]]

@@ -1193,6 +1193,31 @@ class OperatorsSpec extends SparkSpec {
       s"perturbed twin must carry the exact decimal L1 $expected: $pairs")
   }
 
+  test("pcmPerceptualCandidatesAuto: bands ride the corpus size; twins survive any width") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.wavPcmPayload(7L, 1, headerVariant = false)),
+      (2L, Multimodal.wavPcmPayload(7L, 2, headerVariant = false)),
+      (3L, Multimodal.wavPcmPayload(7L, 1, headerVariant = true)),
+      (4L, Multimodal.wavPcmPayload(8L, 1, headerVariant = false)))
+      .toDF("media_id", "payload")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select($"id1", $"id2", $"l1".cast("long").as("l1"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // small corpus: the floor keeps the exact q196 default (bands = 8)
+    val auto = pairs(Multimodal.pcmPerceptualCandidatesAuto(media))
+    val fixed = pairs(Multimodal.pcmPerceptualCandidates(media, bands = 8))
+    assert(auto == fixed, s"small-corpus auto must equal the bands=8 default: $auto vs $fixed")
+    // a (simulated) million-payload corpus widens the signature space —
+    // ceil-log2(1e6/16) = 16 bands — and the true twins still pair,
+    // because identical PCM gives the identical profile at any width
+    val wide = pairs(Multimodal.pcmPerceptualCandidatesAuto(media,
+      knownCount = Some(1000000L)))
+    assert(wide.get((1L, 2L)).contains(0L) && wide.get((1L, 3L)).contains(0L),
+      s"twins must survive the widened space: $wide")
+    assert(graft.operators.Similarity.autoBits(1000000L, 16, 63) == 16)
+  }
+
   test("PNG pixel-true near-dup: re-encoded and resized twins pair at 0; byte histogram misses both") {
     import spark.implicits._
     val media = Seq(
