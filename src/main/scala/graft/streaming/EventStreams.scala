@@ -711,6 +711,80 @@ object EventStreams {
         } finally { fps.unpersist(); () }
     }
 
+  /** Streaming CURATION FRONT — streamed documents get the same
+    * cleanup as the batch path BEFORE winnow admission, so batch and
+    * streaming curation stay ONE pipeline:
+    *
+    *  1. URL-canonical dedup ([[graft.operators.TextOps.urlDedup]]'s
+    *     `url_canon` kernel): one keeper per canonical URL within the
+    *     batch (min id), then an as-of anti-join against the CANON
+    *     STORE drops docs whose canonical URL was already admitted by
+    *     an earlier wave;
+    *  2. intra-document repetition strip
+    *     ([[graft.operators.TextOps.intraDocRepetitionStrip]] — one
+    *     per-row HOF projection, zero shuffles) over the survivors;
+    *  3. the [[winnowAdmitStream]] admission flow over the CLEANED
+    *     text: fingerprints, catalog near-dup pairs as of the
+    *     previous wave, pair landing, fingerprint wave append.
+    *
+    * Both stores land waves idempotently and both probes read as of
+    * the PREVIOUS wave (a half-landed self wave is invisible), so a
+    * crash-replayed batch reproduces its original admissions and
+    * REPLACES — never duplicates — its partitions: the
+    * winnowAdmitStream contract extended to the canon layer. The
+    * canonical-URL store carries 16-byte digests, not URLs (the
+    * digest-store convention — nothing user-readable at rest, half
+    * the bytes).
+    *
+    * Scale shape: the canon probe is a batch-sized anti-join against
+    * a dg-bucketed layered store (only the delta shuffles); the strip
+    * adds no shuffle; the winnow leg is unchanged.
+    */
+  def curatedAdmitStream(docs: DataFrame, canonTable: String,
+      winnowTable: String, pairsDir: String,
+      idCol: String = "doc_id", urlCol: String = "url",
+      textCol: String = "text",
+      k: Int = 4, w: Int = 4, buckets: Int = 64,
+      minShared: Int = 3, maxDf: Int = 8, lineTokens: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Stores, TextOps}
+        // 1a. within-batch canonical-URL dedup (min-id keeper)
+        val urlKept = TextOps.urlDedup(batch.toDF(), idCol, urlCol)
+          .filter(col("is_kept"))
+          .withColumn("dg", unhex(md5(col("canon"))))
+        // 1b. cross-wave: canonical URLs admitted by earlier waves drop
+        val hasCanon = spark.catalog.tableExists(canonTable) &&
+          Stores.storeWaves(spark, canonTable).exists(_ < batchId)
+        val fresh = (if (hasCanon)
+            urlKept.join(Stores.asOf(spark, canonTable, batchId - 1)
+              .select("dg"), Seq("dg"), "left_anti")
+          else urlKept).persist()
+        try {
+          // 2. repetition strip; 3. winnow admission over cleaned text
+          val cleaned = TextOps.intraDocRepetitionStrip(
+            fresh, idCol, textCol, lineTokens)
+          val fps = TextOps
+            .winnowedFingerprints(cleaned, idCol, "cleaned", k, w)
+            .select(col(idCol).as("doc_id"), col("dg")).distinct()
+          val hasPrior = spark.catalog.tableExists(winnowTable) &&
+            Stores.storeWaves(spark, winnowTable).exists(_ < batchId)
+          val pairs =
+            if (!hasPrior)
+              fps.limit(0).select(col("doc_id").as("a"),
+                col("doc_id").as("b"), lit(0L).as("n_shared"))
+            else TextOps.winnowedCrossPairs(
+              Stores.asOf(spark, winnowTable, batchId - 1),
+              fps, minShared, maxDf)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+          Stores.appendWave(fps, winnowTable, batchId, "dg", buckets)
+          Stores.appendWave(fresh.select("dg").distinct(), canonTable,
+            batchId, "dg", buckets)
+        } finally { fresh.unpersist(); () }
+    }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

@@ -248,8 +248,102 @@ class NearDupStreamSpec extends SparkSpec {
     assert(again == p1)
     dropTable(table)
   }
+
+  test("curatedAdmitStream: url dedup + repetition strip front the admission; ≡ batch-sequential replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import NearDupStreamSpec.CuratedDoc
+    import graft.operators.{Stores, TextOps}
+    val canonT = "curated_canon_store"; val winnowT = "curated_winnow_store"
+    dropTable(canonT); dropTable(winnowT)
+    val pairsDir = tmpDir("curated_pairs")
+    val src = MemoryStream[CuratedDoc]
+    val q = EventStreams.curatedAdmitStream(src.toDF(), canonT, winnowT,
+        pairsDir, k = 4, w = 4, buckets = 4, minShared = 1, maxDf = 8,
+        lineTokens = 4)
+      .option("checkpointLocation", tmpDir("curated_ckpt")).start()
+    val base =
+      "the winnow scheme selects minimum digests from sliding windows reliably"
+    // chunk-aligned self-repetition: strips back to exactly `twin`
+    val twin = "prefix edit more " + base // 13 tokens -> chunks of 4
+    def repeatChunks(text: String): String = {
+      val toks = text.split(" ")
+      toks.grouped(4).flatMap(c => Seq(c, c)).map(_.mkString(" ")).mkString(" ")
+    }
+    // three spellings of ONE canonical URL (case/www/:80/tracking
+    // params/order/fragment — the q199 variants)
+    val uA1 = "HTTP://WWW.example.com:80/p0?utm_source=feed&b=2&a=1#top"
+    val uA2 = "http://example.com/p0/?a=1&b=2"
+    val uA3 = "http://example.com/p0?gclid=zzz&b=2&a=1"
+    val b1 = Seq(
+      CuratedDoc(1L, ts(1), uA1, base),
+      // same canonical URL, same batch: min-id keeper wins, 2 drops
+      CuratedDoc(2L, ts(1), uA2,
+        "completely different content about spark partitions and shuffles"),
+      CuratedDoc(3L, ts(1), "http://example.com/p3",
+        "nothing in common with anything else in this corpus"))
+    val b2 = Seq(
+      // same canonical URL as wave 0's keeper: the canon store drops it
+      CuratedDoc(11L, ts(2), uA3,
+        "would near dup " + base + " but the url gate never lets it in"),
+      // self-repetitive page whose STRIP is a near-dup of doc 1
+      CuratedDoc(12L, ts(2), "http://example.com/p12", repeatChunks(twin)),
+      CuratedDoc(13L, ts(2), "http://example.com/p13",
+        "yet another unrelated document concerning buckets and joins"))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // wave 0 probes an empty world; wave 1 finds ONLY the stripped twin
+    // (doc 11 was canon-gated out before fingerprinting)
+    assert(spark.read.parquet(s"$pairsDir/batch_id=0").count() == 0L)
+    val p1 = spark.read.parquet(s"$pairsDir/batch_id=1")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 12L)), s"wave-1 pairs: $p1")
+    // ≡ batch-sequential replay: the same three steps applied batch
+    // after batch with the BATCH operators
+    def admitted(batch: Seq[CuratedDoc], seen: Set[Seq[Byte]]): Seq[(Long, String, Seq[Byte])] =
+      TextOps.urlDedup(
+          batch.map(d => (d.doc_id, d.url, d.text)).toDF("doc_id", "url", "text"),
+          "doc_id", "url")
+        .filter($"is_kept")
+        .select($"doc_id", $"text", unhex(md5($"canon")).as("dg"))
+        .as[(Long, String, Array[Byte])].collect().toSeq
+        .map(r => (r._1, r._2, r._3.toSeq))
+        .filterNot(r => seen.contains(r._3))
+    val a1 = admitted(b1, Set.empty)
+    val a2 = admitted(b2, a1.map(_._3).toSet)
+    val cleanedUnion = TextOps.intraDocRepetitionStrip(
+      (a1 ++ a2).map(r => (r._1, r._2)).toDF("doc_id", "text"),
+      "doc_id", "text", lineTokens = 4)
+    val directFps = TextOps.winnowedFingerprints(cleanedUnion,
+        "doc_id", "cleaned", k = 4, w = 4)
+      .select($"doc_id", $"dg").distinct().as[(Long, String)].collect().toSet
+    val streamedFps = spark.table(winnowT).select("doc_id", "dg")
+      .as[(Long, String)].collect().toSet
+    assert(streamedFps == directFps,
+      "streamed winnow store must equal the batch replay of the curated union")
+    val streamedCanon = spark.table(canonT).select("dg")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(streamedCanon == (a1 ++ a2).map(_._3).toSet,
+      "canon store must hold exactly the admitted canonical digests")
+    // idempotent wave landing: a replayed wave 1 replaces, never grows
+    val before = spark.table(winnowT).count()
+    val replayFps = TextOps.winnowedFingerprints(
+        TextOps.intraDocRepetitionStrip(
+          a2.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+          "doc_id", "text", lineTokens = 4),
+        "doc_id", "cleaned", k = 4, w = 4)
+      .select($"doc_id", $"dg").distinct()
+    Stores.appendWave(replayFps, winnowT, 1L, "dg", buckets = 4)
+    assert(spark.table(winnowT).count() == before,
+      "a crash-replayed wave must replace its partition, not duplicate it")
+    dropTable(canonT); dropTable(winnowT)
+  }
 }
 
 object NearDupStreamSpec {
   final case class Vec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
+  final case class CuratedDoc(doc_id: Long, ts: java.sql.Timestamp,
+    url: String, text: String)
 }
