@@ -478,6 +478,59 @@ object CurationQueries {
       graft.operators.Profiling.dataCard(planted, "text", "lang",
           shortTokens = 32)
         .orderBy("scope")
+    },
+
+    // (ε)-DP release of the data card (r12 verdict item 6): the
+    // two-sided geometric mechanism at α = 1/2 (ε = ln 2 per count)
+    // on the Δ=1 count columns, with a SEEDED integer-exact noise
+    // draw — v = first 48 md5 bits of seed:scope:column, inverse-CDF
+    // walked with exact Long thresholds — so the oracle replays the
+    // exact noise, not its distribution. Δ-unbounded columns
+    // (n_tokens, mean_tokens) are withheld; dup_e6 is recomputed
+    // from the noised counts (post-processing, no extra ε). Total
+    // budget 6·ln 2 (2 rows per doc × 3 counts).
+    sql("q205_dp_data_card",
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN 'release boilerplate placeholder row' ELSE text END AS text,
+        |    lang
+        |  FROM documents),
+        |t AS (SELECT lang, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        |        md5(text) AS dg FROM base),
+        |card AS (SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+        |      ELSE COALESCE(lang, '__null__') END AS scope,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN n < 32 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+        |  FROM t GROUP BY ROLLUP (lang)),
+        |nz AS (SELECT scope, n_docs, n_distinct, short_docs,
+        |  COALESCE(list_min([zz FOR zz IN range(-40, 41)
+        |    IF 3 * list_sum([(strpos('0123456789abcdef', substr(md5('7:' || scope || ':n_docs'), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(12-i))) FOR i IN range(1,13)])
+        |       < (CASE WHEN zz < 0 THEN (CAST(1 AS BIGINT) << (49+zz)) ELSE 3*(CAST(1 AS BIGINT) << 48) - (CAST(1 AS BIGINT) << (48-zz)) END)]), 40) AS z_docs,
+        |  COALESCE(list_min([zz FOR zz IN range(-40, 41)
+        |    IF 3 * list_sum([(strpos('0123456789abcdef', substr(md5('7:' || scope || ':n_distinct'), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(12-i))) FOR i IN range(1,13)])
+        |       < (CASE WHEN zz < 0 THEN (CAST(1 AS BIGINT) << (49+zz)) ELSE 3*(CAST(1 AS BIGINT) << 48) - (CAST(1 AS BIGINT) << (48-zz)) END)]), 40) AS z_dist,
+        |  COALESCE(list_min([zz FOR zz IN range(-40, 41)
+        |    IF 3 * list_sum([(strpos('0123456789abcdef', substr(md5('7:' || scope || ':short_docs'), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(12-i))) FOR i IN range(1,13)])
+        |       < (CASE WHEN zz < 0 THEN (CAST(1 AS BIGINT) << (49+zz)) ELSE 3*(CAST(1 AS BIGINT) << 48) - (CAST(1 AS BIGINT) << (48-zz)) END)]), 40) AS z_short
+        |  FROM card),
+        |rel AS (SELECT scope,
+        |  GREATEST(0, n_docs + z_docs) AS n_docs_dp,
+        |  GREATEST(0, n_distinct + z_dist) AS n_distinct_dp,
+        |  GREATEST(0, short_docs + z_short) AS short_docs_dp FROM nz)
+        |SELECT scope, n_docs_dp, n_distinct_dp, short_docs_dp,
+        |  CASE WHEN n_docs_dp > 0
+        |    THEN GREATEST(0, n_docs_dp - n_distinct_dp) * 1000000 // n_docs_dp
+        |    ELSE 0 END AS dup_e6_dp
+        |FROM rel ORDER BY scope""".stripMargin) { (s, d) =>
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          lit("release boilerplate placeholder row"))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      graft.operators.Profiling.dpDataCard(planted, "text", "lang",
+          shortTokens = 32, seed = 7L)
+        .orderBy("scope")
     }
   )
 }

@@ -451,6 +451,68 @@ object Profiling {
       expr("n_tokens div n_docs").as("mean_tokens"))
   }
 
+  /** DIFFERENTIALLY-PRIVATE release of the [[dataCard]]'s count
+    * columns — the two-sided GEOMETRIC mechanism (Ghosh, Roughgarden
+    * & Sundararajan, "Universally Utility-Maximizing Privacy
+    * Mechanisms", STOC 2009: the discrete, integer-valued optimal
+    * mechanism for counts), at α = 1/2, i.e. ε = ln 2 PER RELEASED
+    * COUNT: P(Z = z) = (1/3)·2^(−|z|).
+    *
+    * The noise draw is SEEDED AND EXACT, fitting the engine's oracle
+    * discipline where a float Laplace could not: the uniform source
+    * is the first 12 hex chars of md5(seed:scope:column) — a 48-bit
+    * integer v — and the inverse CDF is walked with INTEGER
+    * thresholds (3·M·F(z) = 2^(49+z) for z < 0, 3·2^48 − 2^(48−z)
+    * for z ≥ 0, both exact in Long), so DuckDB replays the identical
+    * draw digit for digit. |z| is truncated at 40 (residual mass
+    * (1/3)·2^(−40) ≈ 3e−13 — the deterministic-tail trade, stated
+    * rather than hidden).
+    *
+    * Released: n_docs, n_distinct, short_docs (each Δ = 1: one
+    * document moves each count by at most 1), clamped at 0, plus
+    * dup_e6 RECOMPUTED from the noised counts (post-processing —
+    * no extra ε). NOT released: n_tokens and mean_tokens, whose
+    * per-document sensitivity is unbounded (a single document can
+    * carry any token count) — a Δ-unbounded column under a Δ=1
+    * mechanism would be a privacy hole, not a release.
+    *
+    * ε accounting: one document contributes to its own language row
+    * AND the `__all__` rollup row, so the release costs
+    * 2 rows × 3 counts × ln 2 = 6·ln 2 ≈ 4.16 total (sequential
+    * composition; languages partition the corpus, so per-language
+    * rows compose in parallel).
+    *
+    * Scale shape: the mechanism runs on the AGGREGATED card (≤
+    * |languages|+1 rows), so the per-row 81-step threshold walk — a
+    * zip_with over literal arrays — is driver-negligible; the heavy
+    * lifting stays [[dataCard]]'s single ROLLUP pass.
+    */
+  def dpDataCard(docs: DataFrame, textCol: String, langCol: String,
+      shortTokens: Int = 32, seed: Long = 0L): DataFrame = {
+    val card = dataCard(docs, textCol, langCol, shortTokens)
+    val thresholds = typedlit((-40 to 40).map(z =>
+      if (z < 0) 1L << (49 + z) else 3L * (1L << 48) - (1L << (48 - z))))
+    val zvals = typedlit((-40 to 40).map(_.toLong))
+    def dp(colName: String): Column = {
+      val v = conv(substring(md5(concat_ws(":",
+        lit(seed.toString), col("scope"), lit(colName))), 1, 12), 16, 10)
+        .cast("long")
+      val z = coalesce(
+        array_min(zip_with(thresholds, zvals,
+          (t, zz) => when(v * 3 < t, zz))),
+        lit(40L))
+      greatest(lit(0L), col(colName) + z)
+    }
+    card.select(col("scope"),
+      dp("n_docs").as("n_docs_dp"),
+      dp("n_distinct").as("n_distinct_dp"),
+      dp("short_docs").as("short_docs_dp"))
+      .withColumn("dup_e6_dp",
+        when(col("n_docs_dp") > 0,
+          expr("(greatest(0L, n_docs_dp - n_distinct_dp) * 1000000) div n_docs_dp"))
+          .otherwise(0L))
+  }
+
   /** t-CLOSENESS audit (Li, Li & Venkatasubramanian, "t-Closeness:
     * Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007) — the
     * third leg of the privacy trio: a k-anonymous, l-diverse class

@@ -608,6 +608,49 @@ class OperatorsSpec extends SparkSpec {
       "once generalized to '*' the former-null rows are releasable")
   }
 
+  test("dpDataCard: seeded geometric noise is deterministic, seed-sensitive, and well-shaped") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"document body number $i with some words", s"l${i % 4}"))
+      .toDF("doc_id", "text", "lang")
+    val r1 = graft.operators.Profiling.dpDataCard(docs, "text", "lang", seed = 7L)
+      .orderBy("scope").collect().map(_.toSeq).toSeq
+    val r2 = graft.operators.Profiling.dpDataCard(docs, "text", "lang", seed = 7L)
+      .orderBy("scope").collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "same seed must reproduce the identical release")
+    val r3 = graft.operators.Profiling.dpDataCard(docs, "text", "lang", seed = 8L)
+      .orderBy("scope").collect().map(_.toSeq).toSeq
+    assert(r1 != r3, "a different seed must draw different noise")
+    // withheld columns stay withheld; released counts never go negative
+    val cols = graft.operators.Profiling.dpDataCard(docs, "text", "lang", seed = 7L).columns.toSeq
+    assert(cols == Seq("scope", "n_docs_dp", "n_distinct_dp", "short_docs_dp", "dup_e6_dp"))
+    assert(!cols.exists(_.contains("token")), "unbounded-sensitivity columns must be withheld")
+    // mechanism shape over many independent draws: replay the exact
+    // threshold walk per key and check P(z=0) ~ 1/3, symmetry, bounds
+    def draw(key: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(6)
+      val v = h.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val z = (-40 to 40).find { zz =>
+        val t = if (zz < 0) 1L << (49 + zz) else 3L * (1L << 48) - (1L << (48 - zz))
+        3 * v < t
+      }
+      z.getOrElse(40).toLong
+    }
+    val zs = (0 until 3000).map(i => draw(s"7:k$i:n_docs"))
+    val p0 = zs.count(_ == 0).toDouble / zs.size
+    assert(math.abs(p0 - 1.0 / 3) < 0.04, s"P(z=0) must be ~1/3: $p0")
+    assert(math.abs(zs.sum.toDouble / zs.size) < 0.2, "noise must be centered")
+    assert(zs.forall(z => z >= -40 && z <= 40))
+    // and the operator's draws match the pure replay for a known scope
+    val card = graft.operators.Profiling.dataCard(docs, "text", "lang")
+      .filter($"scope" === "l0").select($"n_docs").as[Long].head()
+    val rel = graft.operators.Profiling.dpDataCard(docs, "text", "lang", seed = 7L)
+      .filter($"scope" === "l0").select($"n_docs_dp").as[Long].head()
+    assert(rel == math.max(0L, card + draw("7:l0:n_docs")),
+      "the engine draw must equal the spec's independent replay")
+  }
+
   test("dataCard: ROLLUP total row is distinguishable from a genuine null-language group") {
     import spark.implicits._
     val docs = Seq(
