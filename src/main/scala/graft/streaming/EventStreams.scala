@@ -662,14 +662,38 @@ object EventStreams {
     * store gains the full layered toolkit under streaming
     * maintenance: partition-pruned as-of reads, wave rollback after a
     * bad ingest, and the layer-based audit.
+    *
+    * AUTO-COMPACTION (`maxWaves > 0`): a long-running stream
+    * otherwise grows one wave per micro-batch forever — thousands of
+    * partitions whose listing alone dominates every probe. When the
+    * landed wave count exceeds `maxWaves`, the batch folds all but
+    * the newest `maxWaves / 2` waves via
+    * [[graft.operators.Stores.compactWaves]], so the depth oscillates
+    * in [maxWaves/2 + 1, maxWaves] at steady state. The fold keeps
+    * every layered contract ABOVE its horizon — and the horizon is
+    * always < the current batch id, so the admission-probe discipline
+    * (read as of batchId − 1) and crash replay are untouched. A crash
+    * MID-FOLD is covered by compactWaves' own resume-from-temp-table
+    * recovery: the next batch's trigger finishes the fold exactly.
+    * `maxWaves = 0` (the default) preserves the historical
+    * never-compact behavior.
     */
   def layeredStoreStream(rows: DataFrame, table: String, keyCol: String,
-      buckets: Int = 64)
+      buckets: Int = 64, maxWaves: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Stores.appendWave(batch.toDF(), table, batchId,
           keyCol, buckets)
+        if (maxWaves > 0) {
+          val spark = batch.sparkSession
+          val ws = graft.operators.Stores.storeWaves(spark, table).sorted
+          if (ws.size > maxWaves) {
+            val keep = math.max(1, maxWaves / 2)
+            graft.operators.Stores.compactWaves(spark, table,
+              ws(ws.size - keep - 1), keyCol, buckets)
+          }
+        }
     }
 
   /** Streaming winnow-fingerprint admission: each document micro-batch

@@ -160,6 +160,46 @@ class LayeredStoreSpec extends SparkSpec {
     dropTable(t)
   }
 
+  test("layeredStoreStream auto-compaction: depth stays bounded; content, as-of, rollback survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = docs(160)
+    val waves = (0 to 7).map(i =>
+      digests(d.filter($"doc_id" % 8 === i))
+        .as[Array[Byte]].collect().toSeq.map(LayeredStoreSpec.Dg(_)))
+    val t = "layer_stream_auto"
+    dropTable(t)
+    val src = MemoryStream[LayeredStoreSpec.Dg]
+    val q = graft.streaming.EventStreams
+      .layeredStoreStream(src.toDF(), t, "digest", buckets = 4, maxWaves = 4)
+      .option("checkpointLocation", tmpDir("layer_stream_auto_cp"))
+      .start()
+    try waves.zipWithIndex.foreach { case (w, i) =>
+      src.addData(w: _*); q.processAllAvailable()
+      // the long-running stream never exceeds maxWaves layers
+      assert(Stores.storeWaves(spark, t).size <= 4,
+        s"wave depth must stay bounded at batch $i: ${Stores.storeWaves(spark, t)}")
+    } finally q.stop()
+    // content is exactly the union of every batch across all folds
+    val live = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(live == waves.flatten.map(_.digest.toSeq).toSet)
+    // the newest waves survive as layers: as-of one-before-latest
+    // drops exactly the newest batch (the admission-probe read shape)
+    val ws = Stores.storeWaves(spark, t)
+    assert(ws.last == 7L, s"newest wave must remain its own layer: $ws")
+    val asOfPrev = Stores.asOf(spark, t, 6L).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(asOfPrev == waves.take(7).flatten.map(_.digest.toSeq).toSet,
+      "as-of above the fold horizon must be row-identical")
+    // rollback of the newest wave is still surgical after auto-folds
+    Stores.rollbackTo(spark, t, 6L)
+    val rolled = spark.table(t).select("digest")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(rolled == waves.take(7).flatten.map(_.digest.toSeq).toSet)
+    dropTable(t)
+  }
+
   test("compactWaves folds waves <= horizon; as-of >= horizon and rollback survive") {
     val d = docs(100)
     val waves = (0 to 4).map(i => d.filter($"doc_id" % 5 === i))
