@@ -531,6 +531,59 @@ object CurationQueries {
       graft.operators.Profiling.dpDataCard(planted, "text", "lang",
           shortTokens = 32, seed = 7L)
         .orderBy("scope")
+    },
+
+    // SQL door for PRIVACY ENFORCEMENT: q192's exact k-anonymization
+    // flow driven from pure SQL text via the CONFIG-TABLE pattern —
+    // a generalization ladder is not literal-expressible as TVF
+    // arguments (each level is an expression over the source schema),
+    // so it ships as a relation of (name, level, expr-SQL) rows that
+    // the TVF resolves against the source. The oracle is q192's full
+    // replay: per-level risk scoring, budget argmin, suppression join.
+    sqlWithSetup("q206_sql_door_kanon",
+      """WITH base AS (SELECT c_custkey,
+        |  CAST(c_nationkey AS VARCHAR) AS n0, CAST(c_nationkey // 5 AS VARCHAR) AS n1, '*' AS n2,
+        |  CAST(c_custkey % 100 AS VARCHAR) AS z0, CAST((c_custkey % 100) // 10 AS VARCHAR) AS z1, '*' AS z2,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sband
+        |  FROM customer),
+        |lv AS (SELECT g, c_custkey, sband,
+        |    CASE g WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END AS nq,
+        |    CASE g WHEN 0 THEN z0 WHEN 1 THEN z1 ELSE z2 END AS zq
+        |  FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS g)),
+        |cls AS (SELECT g, nq, zq, count(*) AS sz, count(DISTINCT sband) AS ns
+        |  FROM lv GROUP BY 1, 2, 3),
+        |risk AS (SELECT g, sum(CASE WHEN sz < 5 OR ns < 2 THEN sz ELSE 0 END) AS at_risk,
+        |  sum(sz) AS total FROM cls GROUP BY g),
+        |chosen AS (SELECT coalesce(min(g) FILTER (WHERE at_risk * 1000 <= 20 * total), 2) AS g
+        |  FROM risk)
+        |SELECT l.c_custkey, l.nq AS nation_gen, l.zq AS zip_gen,
+        |  CAST(l.sband AS BIGINT) AS sband,
+        |  CAST(c.g AS BIGINT) AS gen_level
+        |FROM lv l JOIN chosen c ON l.g = c.g
+        |JOIN cls ON cls.g = l.g AND cls.nq = l.nq AND cls.zq = l.zq
+        |WHERE cls.sz >= 5 AND cls.ns >= 2
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"), (col("c_custkey") % 100).as("zip"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+            .as("sband"))
+        .createOrReplaceTempView("graft_q206_src")
+      import s.implicits._
+      Seq(
+        ("nation_gen", 0, "CAST(c_nationkey AS STRING)"),
+        ("nation_gen", 1, "CAST(c_nationkey div 5 AS STRING)"),
+        ("nation_gen", 2, "'*'"),
+        ("zip_gen", 0, "CAST(zip AS STRING)"),
+        ("zip_gen", 1, "CAST(zip div 10 AS STRING)"),
+        ("zip_gen", 2, "'*'"))
+        .toDF("name", "level", "expr")
+        .createOrReplaceTempView("graft_q206_ladders")
+    } { (s, d) =>
+      graft.cli.QueryCommand.run(s,
+        """SELECT c_custkey, nation_gen, zip_gen, sband, gen_level
+          |FROM graft_k_anonymize('graft_q206_src', 'graft_q206_ladders',
+          |                       'sband', 5, 2, 20)
+          |ORDER BY c_custkey""".stripMargin, dataDir = Some(d))
     }
   )
 }

@@ -167,6 +167,40 @@ object GraftTableFunctions {
       termsLit(args(2), "terms"), k1, b))
   }
 
+  private[plans] def buildKAnonymize(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 6,
+      "graft_k_anonymize(srcTable, laddersTable, sensitiveCol, k, l, maxSuppressPerMille)")
+    val spark = SparkSession.active
+    // the CONFIG-TABLE pattern: a generalization ladder is not
+    // literal-expressible as TVF arguments (each level is an
+    // expression over the source schema), so it arrives as a relation
+    // — rows (name, level, expr) with `expr` as SQL text resolved
+    // against the source. Ladders apply in name-sorted order; levels
+    // in level order.
+    val ladders = spark.table(strLit(args(1), "laddersTable"))
+      .select("name", "level", "expr")
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (name, rows) =>
+        name -> rows.sortBy(_.getInt(1)).toSeq
+          .map(r => org.apache.spark.sql.functions.expr(r.getString(2)))
+      }
+    plan(graft.operators.Profiling.kAnonymize(
+      spark.table(strLit(args.head, "srcTable")), ladders,
+      strLit(args(2), "sensitiveCol"), intLit(args(3), "k"),
+      intLit(args(4), "l"), longLit(args(5), "maxSuppressPerMille")))
+  }
+
+  private[plans] def buildStoreAudit(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      "graft_store_audit(table, storeName, keyColsCsv)")
+    val spark = SparkSession.active
+    val keys = strLit(args(2), "keyColsCsv").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    plan(graft.operators.Stores.auditLayeredStore(spark,
+      strLit(args.head, "table"), strLit(args(1), "storeName"), keys))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
@@ -177,7 +211,9 @@ object GraftTableFunctions {
     ("graft_ivfpq_topk_retrained", buildIvfPqTopKRetrained _),
     ("graft_dedup_delta", buildDedupDelta _),
     ("graft_search_conjunctive", buildSearchConjunctive _),
-    ("graft_bm25", buildBm25 _))
+    ("graft_bm25", buildBm25 _),
+    ("graft_k_anonymize", buildKAnonymize _),
+    ("graft_store_audit", buildStoreAudit _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

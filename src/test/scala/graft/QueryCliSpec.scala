@@ -305,6 +305,49 @@ class QueryCliSpec extends SparkSpec {
     Stores.dropStoreTable(spark, "cli_doclens")
   }
 
+  test("SQL door: k-anonymize via a ladder config table, and the layered-store audit") {
+    import spark.implicits._
+    import graft.operators.{Profiling, Stores}
+    // ladders ship as a RELATION of (name, level, expr-SQL) rows —
+    // the config-table pattern for non-literal TVF arguments
+    Seq((1L, 11, 1), (2L, 11, 2), (3L, 11, 1), (4L, 12, 1),
+      (5L, 23, 2), (6L, 23, 1), (7L, 23, 2), (8L, 24, 1))
+      .toDF("id", "zip", "s").createOrReplaceTempView("cli_kanon_src")
+    Seq(("zip_gen", 0, "CAST(zip AS STRING)"),
+      ("zip_gen", 1, "CAST(zip div 10 AS STRING)"),
+      ("zip_gen", 2, "'*'"))
+      .toDF("name", "level", "expr")
+      .createOrReplaceTempView("cli_kanon_ladders")
+    val viaSql = QueryCommand.run(spark,
+      """SELECT id, zip_gen, s, gen_level
+        |FROM graft_k_anonymize('cli_kanon_src', 'cli_kanon_ladders', 's', 3, 2, 500)
+        |ORDER BY id""".stripMargin)
+    val viaScala = Profiling.kAnonymize(
+        spark.table("cli_kanon_src"),
+        ladders = Seq("zip_gen" -> Seq(col("zip").cast("string"),
+          expr("zip div 10").cast("string"), lit("*"))),
+        sensitiveCol = "s", k = 3, l = 2, maxSuppressPerMille = 500L)
+      .select("id", "zip_gen", "s", "gen_level").orderBy("id")
+    same(viaSql, viaScala)
+    // the raw QI must not leak through the SQL door either
+    assert(!QueryCommand.run(spark,
+      "SELECT * FROM graft_k_anonymize('cli_kanon_src', 'cli_kanon_ladders', 's', 3, 2, 500)")
+      .columns.contains("zip"))
+    // layered-store audit as a relation
+    val t = "cli_audit_store"
+    Stores.dropStoreTable(spark, t)
+    (0 to 2).foreach { i =>
+      Stores.appendWave(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), t, i.toLong, "k", buckets = 2)
+    }
+    val auditSql = QueryCommand.run(spark,
+      s"SELECT store, total_rows, waves, compacted FROM graft_store_audit('$t', 'mystore', 'k')")
+    val auditScala = Stores.auditLayeredStore(spark, t, "mystore", Seq("k"))
+      .select("store", "total_rows", "waves", "compacted")
+    same(auditSql, auditScala)
+    Stores.dropStoreTable(spark, t)
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
