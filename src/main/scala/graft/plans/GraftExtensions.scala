@@ -74,7 +74,10 @@ object GraftExtensions {
       require(args.size == 2, "pcm_energy(payload, bands)")
       PcmEnergyExpr(args.head, intLit(args(1), "bands")) }),
     ("url_canon", classOf[UrlCanonExpr].getName, { args: Seq[Expression] =>
-      require(args.size == 1, "url_canon(url)"); UrlCanonExpr(args.head) }))
+      require(args.size == 1, "url_canon(url)"); UrlCanonExpr(args.head) }),
+    ("png_block_means", classOf[PngBlockMeanExpr].getName, { args: Seq[Expression] =>
+      require(args.size == 2, "png_block_means(payload, grid)")
+      PngBlockMeanExpr(args.head, intLit(args(1), "grid")) }))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, cls, b) =>

@@ -69,6 +69,22 @@ class QueryCliSpec extends SparkSpec {
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
       .orderBy("doc_id")
     same(viaSql, viaDf)
+    // the media kernels answer from SQL too (png decode, pcm energy)
+    import spark.implicits._
+    Seq((1L, graft.operators.Multimodal.pngPayload(9L, 1, variant = true)),
+      (2L, graft.operators.Multimodal.wavPcmPayload(9L, 1, headerVariant = false)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_media")
+    val mSql = QueryCommand.run(spark,
+      """SELECT media_id, png_block_means(payload, 4) AS f,
+        |  pcm_energy(payload, 8) AS e
+        |FROM cli_media ORDER BY media_id""".stripMargin)
+    val mDf = spark.table("cli_media")
+      .select(col("media_id"),
+        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), 4).as("f"),
+        graft.plans.PcmEnergyExpr.pcm_energy(col("payload"), 8).as("e"))
+      .orderBy("media_id")
+    same(mSql, mDf)
+    assert(mSql.filter(col("f").isNotNull || col("e").isNotNull).count() == 2)
   }
 
   test("chemistry UDFs answer from SQL over a --table registered parquet") {
