@@ -584,6 +584,50 @@ object CurationQueries {
           |FROM graft_k_anonymize('graft_q206_src', 'graft_q206_ladders',
           |                       'sband', 5, 2, 20)
           |ORDER BY c_custkey""".stripMargin, dataDir = Some(d))
+    },
+
+    // DOMAIN-level curation gate (the RefinedWeb-style rule: a
+    // domain's pathology condemns ALL its pages): docs carry messy
+    // URL surfaces that canonicalize to one host per doc_id % 7;
+    // host h3 serves one mirrored text (dup rate → 1e6) and h5
+    // serves stubs (short rate 1000‰), so BOTH domains drop
+    // wholesale while the other five survive untouched. The verdict
+    // aggregate is domain-sized and broadcasts back — the corpus side
+    // never shuffles. The oracle replays host derivation, the card
+    // thresholds, and the semi-join.
+    sql("q207_domain_filter",
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'mirrored farm content row'
+        |         WHEN doc_id % 7 = 5 THEN 'stub'
+        |         ELSE text END AS text,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |t AS (SELECT doc_id, host, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        |        md5(text) AS dg FROM d),
+        |v AS (SELECT host, count(*) AS docs, count(DISTINCT dg) AS dst,
+        |        sum(CASE WHEN n < 32 THEN 1 ELSE 0 END) AS sh
+        |      FROM t GROUP BY host),
+        |keep AS (SELECT host FROM v
+        |  WHERE (docs - dst) * 1000000 // docs <= 500000
+        |    AND sh * 1000 // docs <= 500)
+        |SELECT t.doc_id, t.host AS __host FROM t JOIN keep USING (host)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val host = concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, lit("mirrored farm content row"))
+          .when(col("doc_id") % 7 === 5, lit("stub"))
+          .otherwise(col("text")).as("text"),
+        // two messy surfaces of the same canonical host — the gate
+        // must see ONE domain through the canon kernel
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW."), upper(host),
+            lit(":80/p?utm_source=feed#top")))
+          .otherwise(concat(lit("http://"), host, lit("/p"))).as("url"))
+      graft.operators.TextOps.domainFilter(planted, "url", "text",
+          maxDupE6 = 500000L, maxShortPermille = 500L)
+        .select(col("doc_id"), col("__host"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -582,6 +582,63 @@ object TextOps {
       .drop("__keeper")
   }
 
+  /** The HOST of a canonicalized URL — the domain key the
+    * domain-level curation tier groups on. Runs on [[urlDedup]]'s
+    * `canon` form (scheme://host[/...]), so the messy-surface
+    * variants (case, www, ports) have already collapsed.
+    */
+  def hostOf(canon: Column): Column =
+    regexp_extract(canon, "^[a-z]+://([^/?#]+)", 1)
+
+  /** DOMAIN-level data card: [[Profiling.dataCard]] keyed by the
+    * canonical URL host instead of language — per-domain doc/token/
+    * distinct/dup-rate/short-doc stats plus the ROLLUP total, the
+    * audit a crawl pipeline reads before deciding which domains to
+    * keep. One kernel pass for the canonical host, then the card's
+    * single ROLLUP aggregate.
+    */
+  def domainCard(docs: DataFrame, urlCol: String, textCol: String,
+      shortTokens: Int = 32): DataFrame =
+    graft.operators.Profiling.dataCard(
+      docs.withColumn("__host",
+        hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol)))),
+      textCol, "__host", shortTokens)
+
+  /** DOMAIN-level curation GATE — the enforcement action on
+    * [[domainCard]]'s audit (the audit→enforce pattern: q187→q192 for
+    * privacy, drift-monitor→retrain for ANN): entire domains whose
+    * exact-duplicate rate exceeds `maxDupE6` (machine-generated /
+    * mirrored content farms) or whose short-document rate exceeds
+    * `maxShortPermille` (link farms, stub pages) are dropped
+    * WHOLESALE — the RefinedWeb-style rule that a domain's pathology
+    * condemns all its pages, not just the measured ones. Returns the
+    * surviving rows with their `__host`, so downstream stages can keep
+    * grouping by domain.
+    *
+    * Scale shape: one host-keyed card aggregate (domains ≪ docs), the
+    * verdict broadcast back as a host-keyed semi-join — the corpus
+    * side never shuffles.
+    */
+  def domainFilter(docs: DataFrame, urlCol: String, textCol: String,
+      maxDupE6: Long, maxShortPermille: Long,
+      shortTokens: Int = 32): DataFrame = {
+    val hosted = docs.withColumn("__host",
+      hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
+    val verdict = hosted
+      .select(col("__host"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__n"),
+        md5(col(textCol)).as("__dg"))
+      .groupBy("__host")
+      .agg(count(lit(1)).as("__docs"),
+        count_distinct(col("__dg")).as("__distinct"),
+        sum(when(col("__n") < shortTokens, 1L).otherwise(0L)).as("__short"))
+      .filter(
+        expr("((__docs - __distinct) * 1000000) div __docs") <= maxDupE6 &&
+        expr("(__short * 1000) div __docs") <= maxShortPermille)
+      .select("__host")
+    hosted.join(broadcast(verdict), Seq("__host"), "left_semi")
+  }
+
   /** INTRA-document repetition strip — the transform behind the
     * Gopher repetition signals (q78 measures dup-chunk fractions;
     * this removes them): within each document, split into `lineTokens`

@@ -191,6 +191,26 @@ object GraftTableFunctions {
       intLit(args(4), "l"), longLit(args(5), "maxSuppressPerMille")))
   }
 
+  private[plans] def buildDataCard(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 3 && args.size <= 4,
+      "graft_data_card(srcTable, textCol, langCol[, shortTokens])")
+    val spark = SparkSession.active
+    plan(graft.operators.Profiling.dataCard(
+      spark.table(strLit(args.head, "srcTable")),
+      strLit(args(1), "textCol"), strLit(args(2), "langCol"),
+      if (args.size > 3) intLit(args(3), "shortTokens") else 32))
+  }
+
+  private[plans] def buildDpDataCard(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 5,
+      "graft_dp_data_card(srcTable, textCol, langCol, shortTokens, seed)")
+    val spark = SparkSession.active
+    plan(graft.operators.Profiling.dpDataCard(
+      spark.table(strLit(args.head, "srcTable")),
+      strLit(args(1), "textCol"), strLit(args(2), "langCol"),
+      intLit(args(3), "shortTokens"), longLit(args(4), "seed")))
+  }
+
   private[plans] def buildStoreAudit(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 3,
       "graft_store_audit(table, storeName, keyColsCsv)")
@@ -213,7 +233,9 @@ object GraftTableFunctions {
     ("graft_search_conjunctive", buildSearchConjunctive _),
     ("graft_bm25", buildBm25 _),
     ("graft_k_anonymize", buildKAnonymize _),
-    ("graft_store_audit", buildStoreAudit _))
+    ("graft_store_audit", buildStoreAudit _),
+    ("graft_data_card", buildDataCard _),
+    ("graft_dp_data_card", buildDpDataCard _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

@@ -608,6 +608,35 @@ class OperatorsSpec extends SparkSpec {
       "once generalized to '*' the former-null rows are releasable")
   }
 
+  test("domainFilter: pathological domains drop wholesale; corpus side stays broadcast-probed") {
+    import spark.implicits._
+    // good.com: distinct, long texts; farm.com: one mirrored text;
+    // stubs.com: one-token pages — both bad domains condemn ALL pages
+    val docs = ((0 until 8).map(i => (i.toLong,
+        s"http://good.com/page$i?utm_source=x",
+        s"a perfectly ordinary document number $i with plenty of distinct words " +
+          "padding the token count well past the short threshold for this test")) ++
+      (10 until 18).map(i => (i.toLong, s"HTTP://WWW.FARM.com:80/m$i", "mirror mirror")) ++
+      (20 until 28).map(i => (i.toLong, s"http://stubs.com/s$i", "stub")))
+      .toDF("doc_id", "url", "text")
+    val kept = graft.operators.TextOps.domainFilter(docs, "url", "text",
+      maxDupE6 = 500000L, maxShortPermille = 500L, shortTokens = 8)
+    assert(kept.select("__host").distinct().as[String].collect().toSeq == Seq("good.com"),
+      "only the clean domain survives")
+    assert(kept.count() == 8L)
+    // the domain card reads the same audit per host
+    val card = graft.operators.TextOps.domainCard(docs, "url", "text",
+        shortTokens = 8)
+      .select($"scope", $"n_docs", $"n_distinct").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(card("farm.com") == (8L, 1L) && card("stubs.com") == (8L, 1L) &&
+      card("good.com") == (8L, 8L) && card("__all__") == (24L, 10L), s"$card")
+    // verdict side broadcasts: the corpus probe must not exchange
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"domain verdict must broadcast: $plan")
+  }
+
   test("dpDataCard: seeded geometric noise is deterministic, seed-sensitive, and well-shaped") {
     import spark.implicits._
     val docs = (0 until 400).map(i =>

@@ -364,6 +364,20 @@ class QueryCliSpec extends SparkSpec {
     Stores.dropStoreTable(spark, t)
   }
 
+  test("SQL door: data card and its DP release from SQL text match Scala") {
+    import graft.operators.Profiling
+    val viaSql = QueryCommand.run(spark,
+      "SELECT * FROM graft_data_card('documents', 'text', 'lang', 32) ORDER BY scope",
+      dataDir = Some(sf))
+    val docs = graft.engine.Tables.documents(spark, sf)
+    same(viaSql, Profiling.dataCard(docs, "text", "lang", 32).orderBy("scope"))
+    val dpSql = QueryCommand.run(spark,
+      "SELECT * FROM graft_dp_data_card('documents', 'text', 'lang', 32, 7) ORDER BY scope",
+      dataDir = Some(sf))
+    same(dpSql, Profiling.dpDataCard(docs, "text", "lang", 32, seed = 7L)
+      .orderBy("scope"))
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
