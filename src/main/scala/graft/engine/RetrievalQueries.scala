@@ -247,7 +247,13 @@ object RetrievalQueries {
     */
   private def ivfPqOracleCore(trainPred: String,
       vExpr: String = "CAST(embedding[i] AS DOUBLE) * 1000000.0"): String =
-    s"""WITH p AS (
+    // every core CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    // and the probe tails reference e/ccb/cass/r/pcb/enc several times
+    // each — inlining re-expands the whole training replay per
+    // reference (the q193 WP-oracle fd-exhaustion lesson), which at
+    // the 100× corpus turns a minutes-long replay into a never-ending
+    // one. Materialization is semantics-neutral.
+    raw"""WITH p AS (
        |  SELECT vec_id,
        |         unnest([{'j': i-1,
        |                  'v': CAST(floor($vExpr) AS BIGINT)}
@@ -294,7 +300,7 @@ object RetrievalQueries {
        |enc AS (SELECT vec_id, b, c FROM (
        |          SELECT vec_id, b, c, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, c) AS rn
        |          FROM pd2) x WHERE rn = 1),
-       |""".stripMargin
+       |""".stripMargin.replace(" AS (", " AS MATERIALIZED (")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -339,7 +345,7 @@ object RetrievalQueries {
     // Lloyd round over the drifted cells' residuals), and both error
     // averages — the full closed loop, integer-exact.
     sql("q180_ivfpq_retrain",
-      ivfPqOracleCore("vec_id % 10 <> 9",
+      (ivfPqOracleCore("vec_id % 10 <> 9",
         vExpr = "CASE WHEN vec_id % 10 = 9 " +
           "THEN (CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0 " +
           "ELSE CAST(embedding[i] AS DOUBLE) * 1000000.0 END") +
@@ -383,7 +389,8 @@ object RetrievalQueries {
         |  CAST(s.s1 // s.n_all AS BIGINT) AS avg_err_pre,
         |  CAST(COALESCE(p2.s2, s.s1) // s.n_all AS BIGINT) AS avg_err_post,
         |  (COALESCE(p2.s2, s.s1) // s.n_all <= s.s1 // s.n_all) AS improved
-        |FROM stats s LEFT JOIN post p2 ON s.cell = p2.cell ORDER BY cell""".stripMargin) {
+        |FROM stats s LEFT JOIN post p2 ON s.cell = p2.cell ORDER BY cell""".stripMargin)
+        .replace(" AS (", " AS MATERIALIZED (")) {
       (s, d) =>
         val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
         val cat = emb.filter(col("vec_id") % 10 =!= 9)
@@ -1066,7 +1073,7 @@ object RetrievalQueries {
     // replays v1 training, drift detection, v2 training, BOTH
     // encodings, and the version-branched ADC probe integer-exact.
     sqlWithSetup("q202_sql_door_retrained",
-      ivfPqOracleCore("vec_id % 10 <> 9",
+      (ivfPqOracleCore("vec_id % 10 <> 9",
         vExpr = "CASE WHEN vec_id % 10 = 9 " +
           "THEN (CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0 " +
           "ELSE CAST(embedding[i] AS DOUBLE) * 1000000.0 END") +
@@ -1131,7 +1138,8 @@ object RetrievalQueries {
         |top AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(score AS BIGINT) AS score_q
         |        FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2)
         |        ORDER BY score DESC, vec_id LIMIT 20)
-        |SELECT vec_id, cell, score_q FROM top ORDER BY vec_id""".stripMargin) {
+        |SELECT vec_id, cell, score_q FROM top ORDER BY vec_id""".stripMargin)
+        .replace(" AS (", " AS MATERIALIZED (")) {
       (s, d) =>
         val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
           .select("vec_id", "embedding")
