@@ -101,14 +101,21 @@ object Bench {
     // window now shows up as inflated canary draws bracketing the
     // affected block; stable canaries around a slow query mean the
     // query itself regressed.
-    val canaryDef = SparkEntry.catalog.sortBy(_.name).headOption
-    val canaries = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
+    // setup-free by construction (q01): a canary that throws would
+    // otherwise record a near-zero draw and make a stalled window look
+    // healthy — so failures are RECORDED, never swallowed into the
+    // trace
+    val canaryDef = SparkEntry.catalog.sortBy(_.name).find(_.setup.isEmpty)
+    val canaries = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Boolean)]()
     def runCanary(pass: Int, after: String): Unit = canaryDef.foreach { c =>
       val t0 = System.nanoTime()
-      try { evaluate(c.fn(spark, sfDir)); () } catch { case _: Throwable => }
+      val ok = try { evaluate(c.fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] canary ${c.name} FAILED: ${e.getMessage}")
+          false }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] canary ${c.name} after=$after (pass $pass) $dt%.2fs")
-      canaries += ((pass, after, dt))
+      System.err.println(f"[bench] canary ${c.name} after=$after (pass $pass) $dt%.2fs ok=$ok")
+      canaries += ((pass, after, dt, ok))
     }
     val passes = (1 to 2).map { pass =>
       runCanary(pass, "<pass-start>")
@@ -173,9 +180,10 @@ object Bench {
     // the environment-health trace next to the numbers it validates
     if (canaries.nonEmpty) {
       val ca = perQuery.putArray("canary")
-      canaries.foreach { case (pass, after, dt) =>
+      canaries.foreach { case (pass, after, dt, ok) =>
         val o = ca.addObject()
         o.put("pass", pass); o.put("after", after); o.put("sec", dec(dt))
+        o.put("ok", ok)
       }
     }
     // untimed fixture costs, reported next to (never inside) the

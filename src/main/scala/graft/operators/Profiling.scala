@@ -647,8 +647,13 @@ object Profiling {
     val ladderSources: Set[String] = df.select(ladders.flatMap(_._2): _*)
       .queryExecution.analyzed.expressions
       .flatMap(_.references.map(_.name)).toSet
+    // the sensitive column is never excluded — the release must carry
+    // it for l-diversity to mean anything (a ladder that generalizes
+    // the sensitive attribute itself still releases the raw value,
+    // which is the point: sensitive ≠ quasi-identifier)
     val passthrough = df.columns.filterNot(qiNames.contains)
-      .filterNot(ladderSources.contains).map(col).toSeq
+      .filterNot(c => ladderSources.contains(c) && c != sensitiveCol)
+      .map(col).toSeq
     val gen = df.select(passthrough ++ ladders.map { case (n, lv) =>
         lv(math.min(chosen, lv.length - 1)).cast("string").as(n) }: _*)
       // null-suppression at the chosen level (mirrors the sentinel

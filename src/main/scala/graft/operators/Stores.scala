@@ -301,15 +301,23 @@ object Stores {
     // exactly (replaying tmp over base dedupes the crash state — a
     // naive re-fold of the duplicated store would bake duplicates in).
     if (spark.catalog.tableExists(tmp)) {
-      val recordedBase = spark.sql(s"SHOW TBLPROPERTIES $tmp")
-        .collect().find(_.getString(0) == "graft.compact.base")
-        .map(_.getString(1).toLong)
-      recordedBase match {
-        case Some(base) =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $tmp")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (props.get("graft.compact.base"), props.get("graft.compact.folded")) match {
+        case (Some(baseStr), Some(foldedStr)) =>
+          val base = baseStr.toLong
+          // drop ONLY the waves the interrupted fold actually covered
+          // (recorded at fold time) — a blanket "everything below
+          // base" would delete a wave a caller re-landed between the
+          // crash and this recovery, turning duplicate-semantics into
+          // data loss
+          val recorded = foldedStr.split(",").filter(_.nonEmpty)
+            .map(_.toLong).toSet
           appendWave(spark.table(tmp), table, base, keyCol, buckets)
-          storeWaves(spark, table).filter(_ < base)
+          storeWaves(spark, table)
+            .filter(w => w != base && recorded.contains(w))
             .foreach(w => dropWave(spark, table, w))
-        case None => // write crashed before the property commit: the
+        case _ => // write crashed before the property commit: the
           // fold never became authoritative — discard and start fresh
       }
       dropStoreTable(spark, tmp)
@@ -322,8 +330,9 @@ object Stores {
         .write.mode("overwrite")
         .bucketBy(buckets, keyCol).sortBy(keyCol)
         .saveAsTable(tmp)
-      spark.sql(
-        s"ALTER TABLE $tmp SET TBLPROPERTIES ('graft.compact.base'='$base')")
+      spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
+        s"'graft.compact.base'='$base', " +
+        s"'graft.compact.folded'='${folded.mkString(",")}')")
       appendWave(spark.table(tmp), table, base, keyCol, buckets)
       folded.filter(_ != base).foreach(w => dropWave(spark, table, w))
       dropStoreTable(spark, tmp)

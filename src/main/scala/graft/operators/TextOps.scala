@@ -315,26 +315,31 @@ object TextOps {
     *
     * Scale shape: the term filter reaches the postings scan (bucketed
     * store ⇒ |terms| posting lists, corpus-independent), one id-keyed
-    * pivot aggregate over those rows, a join with the doc-length
-    * store, and two broadcast one-row frames (global stats, per-term
-    * df). Nothing rescans text; nothing touches unmatched documents
-    * except the (id, dl) store's scalar aggregate.
+    * aggregate over those rows into positional tf columns, a join
+    * with the doc-length store, and two broadcast one-row frames
+    * (global stats, per-term df). Nothing rescans text; nothing
+    * touches unmatched documents except the (id, dl) store's scalar
+    * aggregate.
     */
   def bm25FromStores(postings: DataFrame, docLens: DataFrame,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(terms == terms.distinct, "query terms must be distinct")
     val p = postings.filter(col("term").isin(terms: _*))
-    // per-doc tf vector: matched posting rows pivot on the literal
-    // term list — only docs with >= 1 matched term appear, which IS
-    // bm25's any-hit filter
-    val tfs = p.groupBy("id").pivot("term", terms).agg(first(col("tf")))
-      .select((col("id") +: terms.zipWithIndex.map { case (t, i) =>
-        coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__tf$i") }): _*)
+    // per-doc tf vector: matched posting rows aggregate straight into
+    // POSITIONAL __tf$i columns (never term-named columns — a term
+    // equal to 'id', or carrying a backtick, must not be able to
+    // collide with or break column resolution); only docs with >= 1
+    // matched term appear, which IS bm25's any-hit filter
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+        .cast("double").as(s"__tf$i") }
+    val tfs = p.groupBy("id").agg(tfAggs.head, tfAggs.tail: _*)
     // per-term document frequency: one posting row per (term, id)
-    val dfs = p.groupBy().pivot("term", terms).agg(count(lit(1)))
-      .select(terms.zipWithIndex.map { case (t, i) =>
-        coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__df$i") }: _*)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L))
+        .cast("double").as(s"__df$i") }
+    val dfs = p.agg(dfAggs.head, dfAggs.tail: _*)
     val g = docLens.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("dl").cast("double")).as("__avgdl"))
     val s = tfs
@@ -566,7 +571,8 @@ object TextOps {
     * fragments, tracking params, param order, trailing slash) and keep
     * the smallest id per canonical form. Output: every input row with
     * its `canon` and an `is_kept` verdict (the keeper is
-    * deterministic, so re-crawls keep the same representative).
+    * deterministic, so re-crawls keep the same representative); a
+    * null-URL row has no canonical form and passes through kept.
     *
     * Scale shape: the canonical form is one codegen'd kernel pass
     * inside the scan; dedup is one hash aggregate on `canon` plus a
@@ -576,9 +582,14 @@ object TextOps {
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val withCanon = df.withColumn("canon",
       graft.plans.UrlCanonExpr.url_canon(col(urlCol)))
-    val keepers = withCanon.groupBy("canon").agg(min(col(idCol)).as("__keeper"))
-    withCanon.join(keepers, Seq("canon"))
-      .withColumn("is_kept", col(idCol) === col("__keeper"))
+    val keepers = withCanon.filter(col("canon").isNotNull)
+      .groupBy("canon").agg(min(col(idCol)).as("__keeper"))
+    // LEFT join: a null-URL row has no canonical form and therefore
+    // nothing to dedup against — it passes through kept, never
+    // silently dropped as an unmatched join key
+    withCanon.join(keepers, Seq("canon"), "left")
+      .withColumn("is_kept",
+        col("canon").isNull || col(idCol) === col("__keeper"))
       .drop("__keeper")
   }
 
@@ -588,7 +599,10 @@ object TextOps {
     * variants (case, www, ports) have already collapsed.
     */
   def hostOf(canon: Column): Column =
-    regexp_extract(canon, "^[a-z]+://([^/?#]+)", 1)
+    // scheme grammar matches url_canon's (letters, digits, +, -, .) —
+    // a narrower pattern would silently pool s3:// or web+app:// URLs
+    // into one '' pseudo-domain
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
 
   /** DOMAIN-level data card: [[Profiling.dataCard]] keyed by the
     * canonical URL host instead of language — per-domain doc/token/
@@ -624,7 +638,13 @@ object TextOps {
       shortTokens: Int = 32): DataFrame = {
     val hosted = docs.withColumn("__host",
       hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
-    val verdict = hosted
+    // docs with no parseable host ('' — bare strings, null URLs) are
+    // NOT a domain: pooling them into one pseudo-domain would let a
+    // few hostless stubs condemn unrelated clean documents, so they
+    // pass through ungated (domain pathology can't be attributed)
+    val noHost = hosted.filter(col("__host") === "" || col("__host").isNull)
+    val withHost = hosted.filter(col("__host") =!= "")
+    val verdict = withHost
       .select(col("__host"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("__n"),
         md5(col(textCol)).as("__dg"))
@@ -636,7 +656,8 @@ object TextOps {
         expr("((__docs - __distinct) * 1000000) div __docs") <= maxDupE6 &&
         expr("(__short * 1000) div __docs") <= maxShortPermille)
       .select("__host")
-    hosted.join(broadcast(verdict), Seq("__host"), "left_semi")
+    withHost.join(broadcast(verdict), Seq("__host"), "left_semi")
+      .unionByName(noHost)
   }
 
   /** INTRA-document repetition strip — the transform behind the

@@ -177,13 +177,22 @@ object GraftTableFunctions {
     // — rows (name, level, expr) with `expr` as SQL text resolved
     // against the source. Ladders apply in name-sorted order; levels
     // in level order.
+    // a SQL client's integer literals naturally land as BIGINT, so
+    // the level column is coerced, not pattern-matched on Int; nulls
+    // in any config column are a config error, reported as such
     val ladders = spark.table(strLit(args(1), "laddersTable"))
-      .select("name", "level", "expr")
+      .selectExpr("CAST(name AS STRING) AS name",
+        "CAST(level AS INT) AS level", "CAST(expr AS STRING) AS expr")
       .collect()
-      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          s"ladder config rows must be non-null (name, level, expr): $r")
+        (r.getString(0), r.getInt(1), r.getString(2))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (name, rows) =>
-        name -> rows.sortBy(_.getInt(1)).toSeq
-          .map(r => org.apache.spark.sql.functions.expr(r.getString(2)))
+        name -> rows.sortBy(_._2).toSeq
+          .map(r => org.apache.spark.sql.functions.expr(r._3))
       }
     plan(graft.operators.Profiling.kAnonymize(
       spark.table(strLit(args.head, "srcTable")), ladders,

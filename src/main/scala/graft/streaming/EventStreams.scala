@@ -680,7 +680,12 @@ object EventStreams {
     */
   def layeredStoreStream(rows: DataFrame, table: String, keyCol: String,
       buckets: Int = 64, maxWaves: Int = 0)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // a fold always leaves base + the kept waves, so depth 1 is
+    // unreachable — maxWaves = 1 would oscillate at 2-3 and silently
+    // violate its own bound
+    require(maxWaves == 0 || maxWaves >= 2,
+      "maxWaves must be 0 (never compact) or >= 2")
     rows.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Stores.appendWave(batch.toDF(), table, batchId,
@@ -695,6 +700,7 @@ object EventStreams {
           }
         }
     }
+  }
 
   /** Streaming winnow-fingerprint admission: each document micro-batch
     * winnows itself ([[graft.operators.TextOps.winnowedFingerprints]]),
@@ -790,22 +796,28 @@ object EventStreams {
           // 2. repetition strip; 3. winnow admission over cleaned text
           val cleaned = TextOps.intraDocRepetitionStrip(
             fresh, idCol, textCol, lineTokens)
+          // fps has two consumers (the pairs probe and the wave
+          // append) — persisted so the strip + fingerprinting run
+          // once per batch, the winnowAdmitStream discipline
           val fps = TextOps
             .winnowedFingerprints(cleaned, idCol, "cleaned", k, w)
             .select(col(idCol).as("doc_id"), col("dg")).distinct()
-          val hasPrior = spark.catalog.tableExists(winnowTable) &&
-            Stores.storeWaves(spark, winnowTable).exists(_ < batchId)
-          val pairs =
-            if (!hasPrior)
-              fps.limit(0).select(col("doc_id").as("a"),
-                col("doc_id").as("b"), lit(0L).as("n_shared"))
-            else TextOps.winnowedCrossPairs(
-              Stores.asOf(spark, winnowTable, batchId - 1),
-              fps, minShared, maxDf)
-          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
-          Stores.appendWave(fps, winnowTable, batchId, "dg", buckets)
-          Stores.appendWave(fresh.select("dg").distinct(), canonTable,
-            batchId, "dg", buckets)
+            .persist()
+          try {
+            val hasPrior = spark.catalog.tableExists(winnowTable) &&
+              Stores.storeWaves(spark, winnowTable).exists(_ < batchId)
+            val pairs =
+              if (!hasPrior)
+                fps.limit(0).select(col("doc_id").as("a"),
+                  col("doc_id").as("b"), lit(0L).as("n_shared"))
+              else TextOps.winnowedCrossPairs(
+                Stores.asOf(spark, winnowTable, batchId - 1),
+                fps, minShared, maxDf)
+            pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+            Stores.appendWave(fps, winnowTable, batchId, "dg", buckets)
+            Stores.appendWave(fresh.select("dg").distinct(), canonTable,
+              batchId, "dg", buckets)
+          } finally { fps.unpersist(); () }
         } finally { fresh.unpersist(); () }
     }
 

@@ -243,50 +243,62 @@ class LayeredStoreSpec extends SparkSpec {
 
   test("compactWaves crash recovery: interrupted fold resumes exactly, never bakes duplicates") {
     val d = docs(90)
-    val waves = (0 to 3).map(i => d.filter($"doc_id" % 4 === i))
     val t = "layer_crash"
     val tmp = s"${t}__compact"
     dropTable(t); dropTable(tmp)
-    waves.zipWithIndex.foreach { case (w, i) =>
-      Stores.appendWave(digests(w), t, i.toLong, "digest", buckets = 4) }
+    // waves 0, 2, 3 — id 1 deliberately absent, so a fresh landing
+    // can use it between the crash and the recovery
+    Seq(0, 2, 3).foreach(i =>
+      Stores.appendWave(digests(d.filter($"doc_id" % 4 === i)), t,
+        i.toLong, "digest", buckets = 4))
     val preRows = spark.table(t).select("digest")
-      .as[Array[Byte]].collect().map(_.toSeq).sorted(
-        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    val preCount = spark.table(t).count()
 
     // Simulate a crash AFTER the base re-land but BEFORE the wave
-    // drops: replay compactWaves' own steps — committed tmp fold with
-    // its base property, base partition replaced — then stop.
+    // drops: replay compactWaves' own steps — committed tmp fold of
+    // waves {0, 2} with its recorded properties, base partition
+    // replaced — then stop.
     spark.table(t).filter($"wave" <= 2L).drop("wave")
       .repartition(4, $"digest")
       .write.mode("overwrite").bucketBy(4, "digest").sortBy("digest")
       .saveAsTable(tmp)
-    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('graft.compact.base'='2')")
+    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
+      "'graft.compact.base'='2', 'graft.compact.folded'='0,2')")
     Stores.appendWave(spark.table(tmp), t, 2L, "digest", buckets = 4)
-    // crash state: readable, duplicated (waves 0,1 present AND folded
+    // crash state: readable, duplicated (wave 0 present AND folded
     // into 2) — duplicate-rather-than-missing semantics
-    assert(spark.table(t).count() > preRows.size.toLong)
+    assert(spark.table(t).count() > preCount)
+    // a FRESH wave lands under id 1 — below base, never part of the
+    // fold; the recovery must not touch it (a blanket "< base" purge
+    // would delete it)
+    val extra = digests(d.filter($"doc_id" % 4 === 1)).limit(2)
+    val extraRows = extra.as[Array[Byte]].collect().map(_.toSeq).toSet
+    Stores.appendWave(extra, t, 1L, "digest", buckets = 4)
 
-    // the next compactWaves call (ANY horizon) finishes the fold from
-    // tmp first — the exact pre-crash multiset, not a re-fold of the
-    // duplicated store
+    // the next compactWaves call finishes the interrupted fold from
+    // tmp first (replaying tmp over base dedupes the crash state and
+    // drops ONLY the recorded wave 0), keeps the fresh wave 1, and
+    // then the normal path folds {1, 2} at the requested horizon
     Stores.compactWaves(spark, t, horizon = 2L, "digest", buckets = 4)
     assert(Stores.storeWaves(spark, t) == Seq(2L, 3L))
+    assert(spark.table(t).count() == preCount + extraRows.size,
+      "recovery must restore the exact pre-crash multiset plus the fresh wave")
     val postRows = spark.table(t).select("digest")
-      .as[Array[Byte]].collect().map(_.toSeq).sorted(
-        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
-    assert(postRows == preRows, "recovery must restore the exact multiset")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(postRows == (preRows ++ extraRows),
+      "recovery must fold the recorded waves and keep everything else")
     assert(!spark.catalog.tableExists(tmp))
 
-    // a tmp WITHOUT the property is an uncommitted fold: discarded,
+    // a tmp WITHOUT the properties is an uncommitted fold: discarded,
     // and the normal fold proceeds from the intact store
     spark.table(t).limit(3).drop("wave").write.mode("overwrite")
       .bucketBy(4, "digest").sortBy("digest").saveAsTable(tmp)
     Stores.compactWaves(spark, t, horizon = 3L, "digest", buckets = 4)
     assert(Stores.storeWaves(spark, t) == Seq(3L))
     val post2 = spark.table(t).select("digest")
-      .as[Array[Byte]].collect().map(_.toSeq).sorted(
-        Ordering.Implicits.seqOrdering[Seq, Byte]).toSeq
-    assert(post2 == preRows)
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(post2 == (preRows ++ extraRows))
     assert(!spark.catalog.tableExists(tmp))
     dropTable(t)
   }

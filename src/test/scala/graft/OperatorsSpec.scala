@@ -608,6 +608,40 @@ class OperatorsSpec extends SparkSpec {
       "once generalized to '*' the former-null rows are releasable")
   }
 
+  test("review regressions: bm25 store term named 'id', null-URL dedup, sensitive-referencing ladder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // a query term equal to a frame column name must not collide:
+    // tf columns are positional, never term-named
+    val docs = Seq((1L, "id match one"), (2L, "status only here"),
+      (3L, "id and status both")).toDF("doc_id", "text")
+    val viaStores = graft.operators.TextOps.bm25FromStores(
+        graft.operators.Search.buildPostings(docs, "doc_id", "text"),
+        graft.operators.TextOps.docLengths(docs, "doc_id", "text"),
+        Seq("id", "status"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val direct = graft.operators.TextOps.bm25(docs, "doc_id", "text",
+        Seq("id", "status"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaStores == direct, s"$viaStores vs $direct")
+    // a null-URL row has no canonical form: kept, never join-dropped
+    val urls = Seq((1L, Some("http://a.com/x")), (2L, Some("HTTP://A.com/x")),
+      (3L, None)).toDF("doc_id", "url")
+    val ud = graft.operators.TextOps.urlDedup(urls, "doc_id", "url")
+      .select($"doc_id", $"is_kept").as[(Long, Boolean)].collect().toMap
+    assert(ud == Map(1L -> true, 2L -> false, 3L -> true), s"$ud")
+    // a ladder over the sensitive column must not strip it from the
+    // release (sensitive ≠ quasi-identifier; the audit needs it)
+    val rows = (0 until 12).map(i => (i.toLong, 1000 + i % 3))
+      .toDF("id", "salary")
+    val rel = graft.operators.Profiling.kAnonymize(rows,
+      ladders = Seq("band_gen" -> Seq(
+        expr("CAST(salary div 10 AS STRING)"), lit("*"))),
+      sensitiveCol = "salary", k = 3, l = 2, maxSuppressPerMille = 0L)
+    assert(rel.columns.contains("salary"), rel.columns.toSeq.toString)
+    assert(rel.count() == 12L)
+  }
+
   test("domainFilter: pathological domains drop wholesale; corpus side stays broadcast-probed") {
     import spark.implicits._
     // good.com: distinct, long texts; farm.com: one mirrored text;
