@@ -230,6 +230,32 @@ object GraftTableFunctions {
       strLit(args.head, "table"), strLit(args(1), "storeName"), keys))
   }
 
+  private[plans] def buildPcmNearDup(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 1 && args.size <= 4,
+      "graft_pcm_neardup(mediaTable[, bands, maxBucketSize, thrPermille]) — bands <= 0 auto-sizes")
+    val spark = SparkSession.active
+    val media = spark.table(strLit(args.head, "mediaTable"))
+    val bands = if (args.size > 1) intLit(args(1), "bands") else 8
+    val cap = if (args.size > 2) intLit(args(2), "maxBucketSize") else 64
+    val thr = if (args.size > 3) intLit(args(3), "thrPermille") else 10
+    plan(if (bands <= 0)
+      graft.operators.Multimodal.pcmPerceptualCandidatesAuto(media,
+        maxBucketSize = cap, thrPermille = thr)
+    else graft.operators.Multimodal.pcmPerceptualCandidates(media,
+      bands, cap, thr))
+  }
+
+  private[plans] def buildPngNearDup(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 1 && args.size <= 4,
+      "graft_png_neardup(mediaTable[, grid, maxBucketSize, thrPermille])")
+    val spark = SparkSession.active
+    plan(graft.operators.Multimodal.pngPerceptualCandidates(
+      spark.table(strLit(args.head, "mediaTable")),
+      if (args.size > 1) intLit(args(1), "grid") else 4,
+      if (args.size > 2) intLit(args(2), "maxBucketSize") else 64,
+      if (args.size > 3) intLit(args(3), "thrPermille") else 10))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
@@ -244,7 +270,9 @@ object GraftTableFunctions {
     ("graft_k_anonymize", buildKAnonymize _),
     ("graft_store_audit", buildStoreAudit _),
     ("graft_data_card", buildDataCard _),
-    ("graft_dp_data_card", buildDpDataCard _))
+    ("graft_dp_data_card", buildDpDataCard _),
+    ("graft_pcm_neardup", buildPcmNearDup _),
+    ("graft_png_neardup", buildPngNearDup _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

@@ -378,6 +378,33 @@ class QueryCliSpec extends SparkSpec {
       .orderBy("scope"))
   }
 
+  test("SQL door: PCM and PNG perceptual near-dup relations from SQL text match Scala") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    Seq((1L, Multimodal.wavPcmPayload(7L, 1, headerVariant = false)),
+      (2L, Multimodal.wavPcmPayload(7L, 2, headerVariant = false)),
+      (3L, Multimodal.wavPcmPayload(8L, 1, headerVariant = false)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_wavs")
+    val pcmSql = QueryCommand.run(spark,
+      "SELECT id1, id2, CAST(l1 AS BIGINT) AS l1 FROM graft_pcm_neardup('cli_wavs') ORDER BY id1, id2")
+    same(pcmSql, Multimodal.pcmPerceptualCandidates(spark.table("cli_wavs"))
+      .select($"id1", $"id2", $"l1".cast("long").as("l1")).orderBy("id1", "id2"))
+    // bands <= 0 routes through the corpus-auto-sized variant
+    val pcmAuto = QueryCommand.run(spark,
+      "SELECT id1, id2 FROM graft_pcm_neardup('cli_wavs', 0) ORDER BY id1, id2")
+      .as[(Long, Long)].collect().toSet
+    assert(pcmAuto.contains((1L, 2L)), s"auto-sized door must find the twin: $pcmAuto")
+    Seq((1L, Multimodal.pngPayload(7L, 1, variant = false)),
+      (2L, Multimodal.pngPayload(7L, 1, variant = true)),
+      (3L, Multimodal.pngPayload(8L, 1, variant = false)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_pngs")
+    val pngSql = QueryCommand.run(spark,
+      "SELECT id1, id2, l1 FROM graft_png_neardup('cli_pngs', 4) ORDER BY id1, id2")
+    same(pngSql, Multimodal.pngPerceptualCandidates(spark.table("cli_pngs"), grid = 4)
+      .orderBy("id1", "id2"))
+    assert(pngSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
