@@ -106,8 +106,16 @@ object Bench {
     // healthy — so failures are RECORDED, never swallowed into the
     // trace
     val canaryDef = SparkEntry.catalog.sortBy(_.name).find(_.setup.isEmpty)
-    val canaries = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Boolean)]()
+    // one monotonic origin for the whole timed region: every canary draw
+    // and per-query start/end below is an offset from this instant, so a
+    // stalled wall-clock window is locatable in the artifact without the
+    // stderr log (the r13 q135/q136 anomaly sat BETWEEN canary draws and
+    // was unattributable post-hoc — this closes that gap)
+    val benchT0 = System.nanoTime()
+    def nowSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val canaries = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double, Boolean)]()
     def runCanary(pass: Int, after: String): Unit = canaryDef.foreach { c =>
+      val s0 = nowSec
       val t0 = System.nanoTime()
       val ok = try { evaluate(c.fn(spark, sfDir)); true }
         catch { case e: Throwable =>
@@ -115,14 +123,43 @@ object Bench {
           false }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] canary ${c.name} after=$after (pass $pass) $dt%.2fs ok=$ok")
-      canaries += ((pass, after, dt, ok))
+      canaries += ((pass, after, s0, dt, ok))
     }
+    // prior-round per-query times (newest committed bench-times_r*.json):
+    // a query running >3x its prior-artifact time triggers an IMMEDIATE
+    // canary re-draw, so the artifact itself says whether the box or the
+    // query was slow at that moment — no 20-query attribution window
+    // the committed artifacts are sf0.1 (the driver's scale) — at any
+    // other scale the 3x comparison is meaningless and would re-draw the
+    // canary after nearly every query of a 10x/100x run
+    val priorTimes: Map[String, Double] = if (!sfDir.endsWith("sf0.1")) Map.empty else {
+      try {
+        val repo = new java.io.File("/root/repo")
+        val pat = raw"bench-times_r(\d+)\.json".r
+        val newest = Option(repo.list()).map(_.toSeq).getOrElse(Nil)
+          .collect { case f @ pat(n) => (n.toInt, f) }.sortBy(-_._1).headOption
+        newest.map { case (_, f) =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(repo, f))
+          val qs = node.get("queries")
+          if (qs == null) Map.empty[String, Double]
+          else {
+            val it = qs.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            b.result()
+          }
+        }.getOrElse(Map.empty)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+    }
+    val timeline = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Double, Boolean)]()
     val passes = (1 to 2).map { pass =>
       runCanary(pass, "<pass-start>")
       selected.zipWithIndex.map { case ((name, fn), i) =>
         if (setupSecs.get(name).exists(_.isInfinity)) name -> Double.PositiveInfinity
         else {
           System.err.println(s"[bench] start $name (pass $pass)")
+          val s0 = nowSec
           val t0 = System.nanoTime()
           // a failed pass is not a measurement: its time-to-exception
           // must never win the min, so it scores +Infinity
@@ -131,6 +168,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1L, false) }
           val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
           System.err.println(f"[bench] done  $name out=$n $dt%.2fs")
+          timeline += ((name, pass, s0, nowSec, ok))
+          // anomaly trigger: >3x the prior artifact (and non-trivially so,
+          // to keep sub-100ms jitter from spamming draws)
+          val anomalous = ok && priorTimes.get(name).exists(p => dt > 3 * p && dt - p > 0.5)
+          if (anomalous) {
+            System.err.println(f"[bench] ANOMALY $name $dt%.2fs vs prior ${priorTimes(name)}%.2fs — canary re-draw")
+            runCanary(pass, s"<anomaly:$name>")
+          }
           if (i % 20 == 19) runCanary(pass, name)
           name -> dt
         }
@@ -180,10 +225,22 @@ object Bench {
     // the environment-health trace next to the numbers it validates
     if (canaries.nonEmpty) {
       val ca = perQuery.putArray("canary")
-      canaries.foreach { case (pass, after, dt, ok) =>
+      canaries.foreach { case (pass, after, at, dt, ok) =>
         val o = ca.addObject()
-        o.put("pass", pass); o.put("after", after); o.put("sec", dec(dt))
-        o.put("ok", ok)
+        o.put("pass", pass); o.put("after", after); o.put("at", dec(at))
+        o.put("sec", dec(dt)); o.put("ok", ok)
+      }
+    }
+    // per-query monotonic start/end offsets (seconds since bench start),
+    // in execution order: any anomalous per-query time is attributable
+    // post-hoc to its exact wall-clock window, next to the canary draws
+    // that bracket (or interrupt) it
+    if (timeline.nonEmpty) {
+      val tl = perQuery.putArray("timeline")
+      timeline.foreach { case (name, pass, s0, s1, ok) =>
+        val o = tl.addObject()
+        o.put("q", name); o.put("pass", pass)
+        o.put("start", dec(s0)); o.put("end", dec(s1)); o.put("ok", ok)
       }
     }
     // untimed fixture costs, reported next to (never inside) the

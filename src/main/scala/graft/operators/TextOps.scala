@@ -630,8 +630,15 @@ object TextOps {
     * grouping by domain.
     *
     * Scale shape: one host-keyed card aggregate (domains ≪ docs), the
-    * verdict broadcast back as a host-keyed semi-join — the corpus
-    * side never shuffles.
+    * verdict joined back as a host-keyed semi-join whose build side AQE
+    * sizes at runtime — the corpus side never shuffles on a normal
+    * corpus (the verdict broadcasts; plan spec pins it). Deliberately
+    * NO static `broadcast()` hint: the verdict relation is
+    * host-cardinality-sized, and a web-scale crawl has tens of millions
+    * of hosts — a hint bypasses the size check and collects that to the
+    * driver REGARDLESS (the [[HotBuckets.dropOversized]] trap). Under
+    * AQE a pathological host set degrades to a shuffled semi-join that
+    * completes.
     */
   def domainFilter(docs: DataFrame, urlCol: String, textCol: String,
       maxDupE6: Long, maxShortPermille: Long,
@@ -656,7 +663,7 @@ object TextOps {
         expr("((__docs - __distinct) * 1000000) div __docs") <= maxDupE6 &&
         expr("(__short * 1000) div __docs") <= maxShortPermille)
       .select("__host")
-    withHost.join(broadcast(verdict), Seq("__host"), "left_semi")
+    withHost.join(verdict, Seq("__host"), "left_semi")
       .unionByName(noHost)
   }
 
@@ -671,14 +678,34 @@ object TextOps {
     * pages').
     *
     * Scale shape: the whole operator is ONE codegen'd per-row
-    * projection — chunking and the keep-first filter are array HOFs
-    * over the document's own chunks (the first-occurrence test is
-    * `array_position`, O(chunks²) per doc on a doc-bounded array).
-    * Zero shuffles, zero state, embarrassing parallelism at any
-    * corpus size; contrast [[lineDedupStrip]], whose df aggregate is
-    * corpus-wide by design.
+    * projection ([[graft.plans.KeepFirstChunksExpr]]) — tokenize,
+    * chunk, and hash-set keep-first in a single O(chunks) kernel pass.
+    * (The original HOF formulation's first-occurrence test was
+    * `array_position` per chunk — O(chunks²) per row, a straggler on
+    * exactly the machine-generated million-token pages this operator
+    * targets; it survives as [[intraDocRepetitionStripHof]], the
+    * differential oracle.) Zero shuffles, zero state, embarrassing
+    * parallelism at any corpus size; contrast [[lineDedupStrip]],
+    * whose df aggregate is corpus-wide by design.
     */
   def intraDocRepetitionStrip(docs: DataFrame, idCol: String,
+      textCol: String, lineTokens: Int = 8): DataFrame = {
+    require(lineTokens >= 1, "need lineTokens >= 1")
+    docs
+      .withColumn("__s",
+        graft.plans.KeepFirstChunksExpr.keep_first_chunks(col(textCol), lineTokens))
+      .select(col(idCol),
+        col("__s.cleaned").as("cleaned"),
+        col("__s.n_removed").as("n_removed"))
+  }
+
+  /** The original HOF formulation of [[intraDocRepetitionStrip]] —
+    * kept ONLY as the differential oracle for the native kernel (the
+    * [[graft.functions.TextFunctions.tokensHof]] convention): same
+    * outputs, but the keep-first test is `array_position` per chunk,
+    * O(chunks²) per row.
+    */
+  private[graft] def intraDocRepetitionStripHof(docs: DataFrame, idCol: String,
       textCol: String, lineTokens: Int = 8): DataFrame = {
     require(lineTokens >= 1, "need lineTokens >= 1")
     val L = lineTokens
