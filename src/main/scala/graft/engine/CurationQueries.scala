@@ -488,7 +488,11 @@ object CurationQueries {
     // exact noise, not its distribution. Δ-unbounded columns
     // (n_tokens, mean_tokens) are withheld; dup_e6 is recomputed
     // from the noised counts (post-processing, no extra ε). Total
-    // budget 6·ln 2 (2 rows per doc × 3 counts).
+    // budget 6·ln 2 (2 rows per doc × 3 counts). The HARDCODED
+    // seed = 7 here makes this a mechanism-replay TEST, not a privacy
+    // release: the ε guarantee is conditional on a secret, fresh,
+    // single-use seed (see the dpDataCard docstring) — a known seed
+    // lets anyone subtract the noise exactly.
     sql("q205_dp_data_card",
       """WITH base AS (SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0

@@ -1238,7 +1238,7 @@ object RetrievalQueries {
         |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
         |kk AS (SELECT k.* FROM k JOIN g USING (key)),
         |p AS (SELECT x.id AS id1, y.id AS id2,
-        |        CAST(list_sum([abs(x.e[i+1] * y.t - y.e[i+1] * x.t) FOR i IN range(8)]) AS BIGINT) AS l1,
+        |        CAST(list_sum([abs(CAST(x.e[i+1] AS HUGEINT) * y.t - CAST(y.e[i+1] AS HUGEINT) * x.t) FOR i IN range(8)]) AS HUGEINT) AS l1,
         |        x.t AS t1, y.t AS t2
         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
         |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
@@ -1254,9 +1254,14 @@ object RetrievalQueries {
             lit(1).as("scale"), lit(true).as("hv")))
       val media = graft.operators.Multimodal.synthesizeWavPcm(
         ids, "id", "base", "scale", "hv")
+      // l1 stays DECIMAL(38,0) end to end (oracle side: HUGEINT →
+      // the same arrow decimal128(38,0)): a long cast at the output
+      // edge would silently null at the minutes-long-PCM scales the
+      // decimal gate exists for (a surviving pair's l1 reaches
+      // ~0.01·t1·t2 ≈ 1e25, past Long range)
       graft.operators.Multimodal.pcmPerceptualCandidates(media,
           bands = 8, maxBucketSize = 64, thrPermille = 10)
-        .select(col("id1"), col("id2"), col("l1").cast("long").as("l1"))
+        .select(col("id1"), col("id2"), col("l1"))
         .orderBy("id1", "id2")
     },
 
@@ -1350,7 +1355,7 @@ object RetrievalQueries {
         |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
         |kk AS (SELECT k.* FROM k JOIN g USING (key)),
         |p AS (SELECT x.id AS id1, y.id AS id2,
-        |        CAST(list_sum([abs(x.e[i+1] * y.t - y.e[i+1] * x.t) FOR i IN range(len(x.e))]) AS BIGINT) AS l1,
+        |        CAST(list_sum([abs(CAST(x.e[i+1] AS HUGEINT) * y.t - CAST(y.e[i+1] AS HUGEINT) * x.t) FOR i IN range(len(x.e))]) AS HUGEINT) AS l1,
         |        x.t AS t1, y.t AS t2
         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
         |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
@@ -1366,9 +1371,10 @@ object RetrievalQueries {
             lit(1).as("scale"), lit(true).as("hv")))
       val media = graft.operators.Multimodal.synthesizeWavPcm(
         ids, "id", "base", "scale", "hv")
+      // decimal l1 at the output edge, like q196 (see the note there)
       graft.operators.Multimodal.pcmPerceptualCandidatesAuto(media,
           targetBucketSize = 16, maxBucketSize = 64, thrPermille = 10)
-        .select(col("id1"), col("id2"), col("l1").cast("long").as("l1"))
+        .select(col("id1"), col("id2"), col("l1"))
         .orderBy("id1", "id2")
     },
 

@@ -468,6 +468,17 @@ object Profiling {
     * (1/3)·2^(−40) ≈ 3e−13 — the deterministic-tail trade, stated
     * rather than hidden).
     *
+    * THE GUARANTEE IS CONDITIONAL ON THE SEED: the noise is fully
+    * deterministic from (seed, scope, column), so the ε above holds
+    * only when `seed` is secret, drawn uniformly at random, and used
+    * for ONE release — an adversary who knows the seed recomputes and
+    * subtracts the noise exactly (effective ε = ∞), and reusing a
+    * seed across releases of overlapping data correlates the draws.
+    * A fixed or published seed (as in the q205 oracle, seed = 7) is a
+    * TESTING/REPLAY device that demonstrates the mechanism, not a
+    * privacy release. Production use: draw the seed from a CSPRNG,
+    * release the noised card, discard the seed.
+    *
     * Released: n_docs, n_distinct, short_docs (each Δ = 1: one
     * document moves each count by at most 1), clamped at 0, plus
     * dup_e6 RECOMPUTED from the noised counts (post-processing —
@@ -615,22 +626,27 @@ object Profiling {
     val nLevels = ladders.map(_._2.length).max
     def qiAt(g: Int): Seq[Column] =
       ladders.map { case (_, lv) => lv(math.min(g, lv.length - 1)) }
-    // one pass over df scores every level: null QI keys to a sentinel
-    // the real domain (string-cast values) cannot produce
+    // one pass over df scores every level. The class key is the
+    // string-cast value ARRAY itself (grouping treats null elements as
+    // equal, matching the release-side <=> join) — NOT a
+    // sentinel-delimited concat: a genuine QI value containing the
+    // sentinel byte would be conflated with null (mis-scored against
+    // the suppression budget), and a value containing the delimiter
+    // would shift segments and merge unrelated classes. Arrays have
+    // neither failure mode.
     val lvlKey = array((0 until nLevels).map { g =>
       struct(lit(g).as("g"),
-        concat_ws("\u0001",
-          qiAt(g).map(c => coalesce(c.cast("string"), lit("\u0000"))): _*).as("key"))
+        array(qiAt(g).map(_.cast("string")): _*).as("key"))
     }: _*)
     val risk = df
       .select(explode(lvlKey).as("lk"), col(sensitiveCol).as("__s"))
       .groupBy(col("lk.g").as("g"), col("lk.key").as("key"))
       .agg(count(lit(1)).as("sz"), count_distinct(col("__s")).as("ns"))
       .groupBy("g")
-      // a null-keyed class (sentinel in the key) is at risk by fiat:
-      // those rows are suppressed at this level, not released
+      // a null-keyed class (null element in the key) is at risk by
+      // fiat: those rows are suppressed at this level, not released
       .agg(sum(when(col("sz") < k || col("ns") < l ||
-          col("key").contains("\u0000"), col("sz")).otherwise(0L))
+          exists(col("key"), _.isNull), col("sz")).otherwise(0L))
         .as("at_risk"), sum("sz").as("total"))
       .collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -283,9 +283,23 @@ object Stores {
     * drops — through a temp table because Spark refuses to overwrite
     * a table its own plan reads (the [[compactDigestStore]] dance).
     * Crash-safe: the temp fold is committed (base wave recorded as a
-    * table property) BEFORE the store is touched, so an interrupted
-    * run leaves at worst duplicate rows — never missing ones — and
-    * the next call resumes the fold from the temp table exactly.
+    * table property) BEFORE the store is touched, so no interrupted
+    * run can LOSE rows — the fold is always recoverable from tmp —
+    * with two precisely-bounded caveats:
+    *
+    *  - WITHIN the base re-land window (the moment [[appendWave]]
+    *    drops the old `wave=base` partition until its replacement
+    *    write commits), a concurrent reader or a crash sees the base
+    *    rows MISSING; the next [[compactWaves]] call restores them
+    *    from tmp. Outside that window an interrupted run shows at
+    *    worst duplicate rows (base fold + not-yet-dropped waves).
+    *  - Wave ids at or below a fold's horizon are RETIRED by the
+    *    fold: a caller that re-lands a wave at id == base between a
+    *    crash and its recovery is clobbered by the recovery's re-land
+    *    of the pre-crash fold (the recorded-folded-ids guard protects
+    *    every OTHER wave id, but base's partition is the fold's own
+    *    landing slot). Layered-store writers must allocate fresh,
+    *    monotonically increasing wave ids — never reuse a folded one.
     */
   def compactWaves(spark: SparkSession, table: String, horizon: Long,
       keyCol: String, buckets: Int = 64): Unit = {
@@ -295,8 +309,11 @@ object Stores {
     // property-present == fold-complete); the store is only mutated
     // once tmp is authoritative — re-land under base (an idempotent
     // partition replace), THEN drop the other folded waves. A crash
-    // anywhere leaves the store readable with at worst DUPLICATE rows
-    // (base fold + not-yet-dropped waves), never missing ones, and the
+    // anywhere leaves the fold recoverable from tmp: at worst
+    // DUPLICATE rows (base fold + not-yet-dropped waves), except
+    // inside the base re-land window itself (appendWave's drop→write
+    // seam), where base rows are transiently missing until the next
+    // call restores them from tmp (see the method doc's caveats). The
     // next compactWaves call finishes the interrupted fold from tmp
     // exactly (replaying tmp over base dedupes the crash state — a
     // naive re-fold of the duplicated store would bake duplicates in).

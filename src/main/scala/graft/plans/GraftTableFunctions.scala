@@ -210,6 +210,9 @@ object GraftTableFunctions {
       if (args.size > 3) intLit(args(3), "shortTokens") else 32))
   }
 
+  // NOTE: the DP guarantee is conditional on `seed` being secret,
+  // fresh, and single-use — a SQL text that hardcodes the seed is a
+  // mechanism replay, not a privacy release (see dpDataCard's doc)
   private[plans] def buildDpDataCard(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 5,
       "graft_dp_data_card(srcTable, textCol, langCol, shortTokens, seed)")
