@@ -1324,6 +1324,66 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // PIXEL-TRUE perceptual near-dup for BASELINE JPEG (r13 verdict
+    // item 2 — the q203 move for the dominant web image format): the
+    // signature is the DECODED-Y-plane grid×grid block-mean profile
+    // (marker walk + Huffman decode + dequant + IDCT in a native
+    // kernel), so a RE-ENCODED twin (+1M: different quantization
+    // table, different Huffman code lengths, three YCbCr components
+    // instead of grayscale, restart markers — not one shared
+    // compressed byte) and a NEAREST-NEIGHBOR RESIZED twin (+2M:
+    // 64×64 from 32×32) both pair at L1 = 0 where the q186 byte
+    // histogram sees nothing. The fixture is DC-ONLY blocks whose
+    // decode is INTEGER-EXACT from the construction (pixel =
+    // 128 + dc, both encodings choose coefficient·q₀ = 8·dc), with
+    // the id riding the block-coordinate SLOPES (the q196/q203
+    // anti-collapse lesson) — so the oracle rebuilds block means,
+    // sign buckets, the cap, and the gate from the dc formula
+    // WITHOUT a decoder: the Huffman+IDCT kernel is correct iff the
+    // hashes meet.
+    sql("q208_jpeg_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
+        |f AS (SELECT id,
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 11) + (b // 4)*(13 + base % 17)) % 201) - 100) * 1000
+        |   FOR b IN range(16)] AS f
+        |  FROM ids),
+        |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+        |k AS (SELECT id, f, t,
+        |        CAST(list_sum([CASE WHEN f[b+1] * 16 >= t THEN 1<<b ELSE 0 END
+        |                       FOR b IN range(16)]) AS BIGINT) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(16)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // every 5th document carries an image (the q203 sizing: the
+      // per-payload encode/decode kernel work is flat, a fifth of the
+      // corpus exercises the same pipeline at a fifth of the cost) —
+      // 30 planted triangles at sf0.01
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("variant"))
+        .unionByName(base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("variant")))
+        .unionByName(base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 2000000L).as("id"), col("doc_id").as("base"),
+            lit(2).as("scale"), lit(false).as("variant")))
+      val media = graft.operators.Multimodal.synthesizeJpeg(
+        ids, "id", "base", "scale", "variant")
+      graft.operators.Multimodal.jpegPerceptualCandidates(media,
+          grid = 4, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
     // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
     // signature space derived from the corpus size — bands = max(8,
     // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive

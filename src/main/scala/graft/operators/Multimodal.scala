@@ -524,6 +524,189 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PIXEL-TRUE perceptual near-dup for BASELINE JPEG — the dominant
+    * web image format's [[pngPerceptualCandidates]] (r13 verdict item
+    * 2): the signature is the [[graft.plans.JpegBlockMeanExpr]]
+    * grid×grid block-mean luminance profile over the DECODED Y plane
+    * (marker walk → Huffman → dequant → IDCT), so a RE-ENCODED twin
+    * (different quantization table, different Huffman tables, added
+    * chroma planes, restart markers: not one shared compressed byte)
+    * pairs at L1 = 0, and an integral nearest-neighbor RESIZED twin
+    * pairs exactly too, while the byte-histogram tier misses both.
+    * Non-baseline payloads (progressive, 12-bit, arithmetic) return
+    * null features and stay on the q186 histogram tier.
+    *
+    * Scale shape identical to the PNG tier: one decode pass inside
+    * the scan, grid² longs on the wire, sign-bucket-keyed self-join
+    * hot-capped, integer L1 gate (Long-safe: mean_e3 ≤ 255 000,
+    * t ≤ 49·255 000 — bounded means, not unbounded sums).
+    */
+  def jpegPerceptualCandidates(media: DataFrame, grid: Int = 4,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
+    val n = grid * grid
+    val withKey = media
+      .withColumn("__f",
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid))
+      .filter(col("__f").isNotNull)
+      .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
+      .filter(col("__t") >= 1L)
+      // no format/dimension term in the key: the profile is
+      // resolution-normalized, so resized twins MUST share a bucket
+      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
+        expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
+      .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
+      .repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__f").as("f1"), col("b.__f").as("f2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** Synthesize [[jpegPayload]] JPEGs from a (media_id, base id,
+    * nearest-neighbor scale, re-encode-variant flag) frame — the q208
+    * fixture builder (the [[synthesizePng]] convention). The variant
+    * flag flips EVERY compressed byte (different quantization and
+    * Huffman tables, three components instead of one, restart
+    * markers) around the identical decoded luma.
+    */
+  def synthesizeJpeg(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, variantCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, variant: Boolean) =>
+      jpegPayload(base, scale, variant) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(variantCol)).as("payload"))
+  }
+
+  /** Deterministic baseline-JPEG payload — the q208 fixture: a 32×32
+    * base image of DC-ONLY 8×8 blocks, block (bx,by) uniformly
+    * dc(bx,by) = ((id·31 + bx·(7 + id mod 11) + by·(13 + id mod 17))
+    * mod 201) − 100, nearest-neighbor upscaled by `scale` (an upscaled
+    * block grid replicates each source block, still DC-only). The id
+    * rides the bx/by SLOPES, not just the offset (the q196/q203
+    * anti-collapse lesson). DC-only means the decode is INTEGER-EXACT
+    * from the construction: every pixel of the block is
+    * 128 + (dc·q₀ + 4 >> 3), and both encodings below choose
+    * (coefficient, q₀) with coefficient·q₀ = 8·dc, so the pixel is
+    * 128 + dc exactly and the oracle replays block means with no
+    * decoder ([[pngPayload]]'s template).
+    *
+    * `variant = false`: grayscale, q₀ = 8, coefficient = dc, one
+    * DC/AC Huffman table pair. `variant = true`: three-component
+    * YCbCr 4:4:4 (chroma coefficients all zero — gray pixels, same Y
+    * plane), q₀ = 4 with coefficient = 2·dc, DIFFERENT Huffman code
+    * lengths, an APP0 segment, and a restart interval of 2 MCUs —
+    * same decoded luma, not one shared compressed byte.
+    */
+  private[graft] def jpegPayload(id: Long, scale: Int,
+      variant: Boolean): Array[Byte] = {
+    val nB = 4 * scale // blocks per side (base 32×32 = 4×4 blocks)
+    val wh = nB * 8
+    def dc(bx: Int, by: Int): Int =
+      (((id * 31 + (bx / scale) * (7 + id % 11) +
+        (by / scale) * (13 + id % 17)) % 201) + 201).toInt % 201 - 100
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    def seg(marker: Int, payload: Int => Unit, lenOf: Int): Unit = {
+      b8(0xff); b8(marker); b16(lenOf + 2); payload(0)
+    }
+    b8(0xff); b8(0xd8) // SOI
+    if (variant) { // APP0/JFIF — bytes the base encoding doesn't have
+      seg(0xe0, _ => {
+        out.write("JFIF".getBytes("US-ASCII")); b8(0)
+        b8(1); b8(1); b8(0); b16(1); b16(1); b8(0); b8(0)
+      }, 14)
+    }
+    // DQT(s): zigzag order; only q[0] matters for DC-only blocks
+    val q0 = if (variant) 4 else 8
+    seg(0xdb, _ => { b8(0x00); b8(q0); (1 until 64).foreach(_ => b8(if (variant) 12 else 16)) }, 65)
+    if (variant)
+      seg(0xdb, _ => { b8(0x01); b8(8); (1 until 64).foreach(_ => b8(20)) }, 65)
+    // SOF0
+    val nComp = if (variant) 3 else 1
+    seg(0xc0, _ => {
+      b8(8); b16(wh); b16(wh); b8(nComp)
+      b8(1); b8(0x11); b8(0) // Y, 1×1, qt 0
+      if (variant) { b8(2); b8(0x11); b8(1); b8(3); b8(0x11); b8(1) }
+    }, 6 + 3 * nComp)
+    // DHT(s): canonical tables — 12 DC categories at one length
+    // (base: length 4; variant: length 5 — different code assignment),
+    // AC = the single EOB symbol (base: length 2; variant: length 3)
+    val dcLen = if (variant) 5 else 4
+    val acLen = if (variant) 3 else 2
+    def dht(tc: Int, th: Int, lens: Seq[Int], syms: Seq[Int]): Unit =
+      seg(0xc4, _ => {
+        b8((tc << 4) | th)
+        (1 to 16).foreach(l => b8(lens.count(_ == l)))
+        syms.foreach(b8)
+      }, 17 + syms.size)
+    dht(0, 0, Seq.fill(12)(dcLen), 0 until 12)
+    dht(1, 0, Seq(acLen), Seq(0x00))
+    if (variant) { // chroma tables at the base lengths (still distinct ids)
+      dht(0, 1, Seq.fill(12)(4), 0 until 12)
+      dht(1, 1, Seq(2), Seq(0x00))
+    }
+    val dri = if (variant) 2 else 0
+    if (dri > 0) seg(0xdd, _ => b16(dri), 2)
+    // SOS
+    seg(0xda, _ => {
+      b8(nComp)
+      b8(1); b8(0x00)
+      if (variant) { b8(2); b8(0x11); b8(3); b8(0x11) }
+      b8(0); b8(63); b8(0)
+    }, 4 + 2 * nComp)
+    // entropy-coded data: one DC diff + EOB per block, interleaved
+    var acc = 0; var accBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); accBits += 1
+        if (accBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; accBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushAlign(): Unit = if (accBits > 0) {
+      putBits((1 << (8 - accBits)) - 1, 8 - accBits) // pad with 1s
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putDcDiff(diff: Int, len: Int): Unit = {
+      val t = if (diff == 0) 0 else cat(diff)
+      putBits(t, len) // canonical: symbol s encodes as code s at `len`
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+    }
+    var predY = 0
+    var mcuCount = 0; var rst = 0
+    for (by <- 0 until nB; bx <- 0 until nB) {
+      if (dri > 0 && mcuCount == dri) {
+        flushAlign(); b8(0xff); b8(0xd0 + rst)
+        rst = (rst + 1) % 8; predY = 0; mcuCount = 0
+      }
+      val c = (if (variant) 2 else 1) * dc(bx, by)
+      putDcDiff(c - predY, dcLen); predY = c
+      putBits(0, acLen) // EOB (code 0 at acLen)
+      if (variant) { // chroma: diff 0 (category 0, code 0 at len 4) + EOB
+        putBits(0, 4); putBits(0, 2)
+        putBits(0, 4); putBits(0, 2)
+      }
+      mcuCount += 1
+    }
+    flushAlign()
+    b8(0xff); b8(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** The shared perceptual pipeline; `blockCol` prepends a blocking
     * key to the sign-bucket join key (empty string = unblocked, the
     * historical q126 behavior — same groups, same output). */

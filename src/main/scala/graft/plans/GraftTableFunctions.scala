@@ -259,6 +259,17 @@ object GraftTableFunctions {
       if (args.size > 3) intLit(args(3), "thrPermille") else 10))
   }
 
+  private[plans] def buildJpegNearDup(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 1 && args.size <= 4,
+      "graft_jpeg_neardup(mediaTable[, grid, maxBucketSize, thrPermille])")
+    val spark = SparkSession.active
+    plan(graft.operators.Multimodal.jpegPerceptualCandidates(
+      spark.table(strLit(args.head, "mediaTable")),
+      if (args.size > 1) intLit(args(1), "grid") else 4,
+      if (args.size > 2) intLit(args(2), "maxBucketSize") else 64,
+      if (args.size > 3) intLit(args(3), "thrPermille") else 10))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
@@ -275,7 +286,8 @@ object GraftTableFunctions {
     ("graft_data_card", buildDataCard _),
     ("graft_dp_data_card", buildDpDataCard _),
     ("graft_pcm_neardup", buildPcmNearDup _),
-    ("graft_png_neardup", buildPngNearDup _))
+    ("graft_png_neardup", buildPngNearDup _),
+    ("graft_jpeg_neardup", buildJpegNearDup _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

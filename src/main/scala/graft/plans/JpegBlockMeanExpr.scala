@@ -1,0 +1,531 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** CONTENT-TRUE image perceptual feature for BASELINE JPEG — the
+  * dominant web image format, previously visible only to the header
+  * tier ([[MediaHeaderExpr]]) and the byte histogram: a re-encoded or
+  * resized JPEG twin (the single most common image near-dup case in a
+  * crawl corpus) shares not one compressed byte with its original, so
+  * content comparison needs the decoded pixels. Baseline JPEG needs no
+  * codec dependency: it is Huffman coding + dequantization + an 8×8
+  * inverse DCT, all implementable exactly from the public spec
+  * (ITU-T T.81) — the same no-new-deps posture as the PNG tier's
+  * [[java.util.zip.Inflater]] ([[PngBlockMeanExpr]], the template).
+  *
+  * The kernel walks the marker stream (guarded advance — the
+  * media_header discipline), reads DQT/SOF/DHT/DRI, entropy-decodes
+  * every MCU (all components — the bitstream is interleaved, so chroma
+  * blocks must be decoded to ADVANCE even though only luma is kept),
+  * dequantizes and inverse-transforms the Y blocks, and returns the
+  * grid×grid BLOCK-MEAN luminance profile over the Y plane:
+  * mean_e3(b) = ⌊1000 · Σ_block Y / |block|⌋, row-major — directly
+  * comparable to [[PngBlockMeanExpr]]'s integer-luma profile.
+  *
+  * The IDCT is fixed-point (12-bit scaled cosines, two separable
+  * passes) with the DC-ONLY FAST PATH computed exactly:
+  * pixel = clamp(128 + (dc·q + 4) >> 3) — the standard shortcut
+  * (every practical decoder has it), and the property that makes a
+  * synthesized DC-only fixture integer-exact from its construction,
+  * so the catalog oracle replays block means without a decoder.
+  *
+  * Supported subset (everything else → null, the [[PcmEnergyExpr]]
+  * contract — unsupported shapes stay on the byte-histogram tier):
+  * baseline/extended-sequential Huffman (SOF0/SOF1; progressive SOF2
+  * and arithmetic coding → null), 8-bit precision, 1–4 components
+  * with sampling factors in {1, 2} and a full-resolution first
+  * (luma) component, optional restart intervals, dimensions ≤ 16384
+  * with the Y plane capped at 2^26 samples (a forged SOF cannot
+  * bomb the executor). Corrupt payloads — truncated segments, bad
+  * Huffman codes, overrun lengths, garbage entropy data — return
+  * null, never hang, never throw (fuzz-spec-pinned like the PNG and
+  * WAV walks).
+  */
+case class JpegBlockMeanExpr(child: Expression, grid: Int)
+    extends UnaryExpression {
+  require(grid >= 1 && grid <= 7, "grid must be in [1, 7] (grid^2 sign-bucket bits)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jpeg_block_means needs a binary input, got ${child.dataType.simpleString}")
+
+  import JpegBlockMeanExpr._
+
+  /** Per-row kernel; public so generated code can call it. Null on
+    * anything outside the supported subset — never throws.
+    */
+  def compute(b: Array[Byte]): GenericArrayData = {
+    if (b == null || b.length < 4) return null
+    def u(i: Int): Int = b(i) & 0xff
+    if (u(0) != 0xff || u(1) != 0xd8) return null
+    def be16(o: Int): Int = (u(o) << 8) | u(o + 1)
+
+    // --- marker walk up to SOS ---------------------------------------
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val qtSeen = new Array[Boolean](4)
+    val huff = new Array[HuffTable](8) // [tc*4 + th]
+    var w = 0; var h = 0; var nComp = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var hmax = 0; var vmax = 0
+    var dri = 0
+    var sosAt = -1
+    var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    var scanOrder: Array[Int] = null // component indices in scan order
+    var p = 2
+    var done = false
+    while (!done) {
+      if (p + 4 > b.length) return null
+      if (u(p) != 0xff) return null
+      var m = u(p + 1)
+      // fill bytes: consecutive FFs before a marker code
+      var q = p + 1
+      while (m == 0xff && q + 1 < b.length) { q += 1; m = u(q) }
+      p = q - 1
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        p += 2 // SOI again / TEM / stray RSTn: no payload
+      }
+      else if (m == 0xd9) return null        // EOI before SOS: no image
+      else {
+        if (p + 4 > b.length) return null
+        val len = be16(p + 2)
+        if (len < 2 || p + 2 + len > b.length) return null
+        val seg = p + 4            // segment payload start
+        val segEnd = p + 2 + len   // one past payload
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var o = seg
+            while (o < segEnd) {
+              val pq = u(o) >> 4; val tq = u(o) & 0x0f
+              if (pq != 0 || tq > 3 || o + 1 + 64 > segEnd) return null
+              var k = 0
+              while (k < 64) { qt(tq)(k) = u(o + 1 + k); k += 1 }
+              qtSeen(tq) = true
+              o += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var o = seg
+            while (o < segEnd) {
+              val tc = u(o) >> 4; val th = u(o) & 0x0f
+              if (tc > 1 || th > 3 || o + 17 > segEnd) return null
+              val counts = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { counts(l) = u(o + l); total += counts(l); l += 1 }
+              if (total > 256 || o + 17 + total > segEnd) return null
+              val vals = new Array[Int](total)
+              var k = 0
+              while (k < total) { vals(k) = u(o + 17 + k); k += 1 }
+              val t = HuffTable.build(counts, vals)
+              if (t == null) return null
+              huff(tc * 4 + th) = t
+              o += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+            if (nComp != 0) return null // second frame header
+            if (seg + 6 > segEnd) return null
+            if (u(seg) != 8) return null // precision
+            h = be16(seg + 1); w = be16(seg + 3)
+            nComp = u(seg + 5)
+            if (w < 1 || h < 1 || w > 16384 || h > 16384) return null
+            if (nComp < 1 || nComp > 4 || seg + 6 + 3 * nComp > segEnd) return null
+            if (w.toLong * h > (1L << 26)) return null
+            compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = u(seg + 6 + 3 * c)
+              val hv = u(seg + 7 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = u(seg + 8 + 3 * c)
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2 ||
+                compQ(c) > 3) return null
+              if (compH(c) > hmax) hmax = compH(c)
+              if (compV(c) > vmax) vmax = compV(c)
+              c += 1
+            }
+            // the luma (first) component must be full-resolution — true
+            // of every practical encoder; anything else → header tier
+            if (compH(0) != hmax || compV(0) != vmax) return null
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return null // progressive / lossless / arithmetic: unsupported
+          case 0xdd => // DRI
+            if (len != 4) return null
+            dri = be16(seg)
+          case 0xda => // SOS
+            if (nComp == 0) return null
+            val ns = u(seg)
+            // interleaved full scan only (the baseline norm): every
+            // frame component present, in frame order or a permutation
+            if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return null
+            compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+            scanOrder = new Array[Int](ns)
+            var s = 0
+            while (s < ns) {
+              val cs = u(seg + 1 + 2 * s)
+              val ci = compId.indexOf(cs)
+              if (ci < 0) return null
+              scanOrder(s) = ci
+              compDc(ci) = u(seg + 2 + 2 * s) >> 4
+              compAc(ci) = u(seg + 2 + 2 * s) & 0x0f
+              if (compDc(ci) > 3 || compAc(ci) > 3) return null
+              s += 1
+            }
+            sosAt = segEnd
+            done = true
+          case _ => // APPn / COM / anything else with a length: skip
+        }
+        if (!done) p = segEnd
+      }
+    }
+    if (sosAt < 0) return null
+    // every referenced table must exist
+    var c = 0
+    while (c < nComp) {
+      if (!qtSeen(compQ(c))) return null
+      if (huff(compDc(c)) == null || huff(4 + compAc(c)) == null) return null
+      c += 1
+    }
+
+    // --- entropy decode ------------------------------------------------
+    val mcuW = 8 * hmax; val mcuH = 8 * vmax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    val yPlane = new Array[Byte](w * h)
+    val br = new BitReader(b, sosAt)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var sinceRestart = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && sinceRestart == dri) {
+        if (!br.restartMarker()) return null
+        java.util.Arrays.fill(pred, 0)
+        sinceRestart = 0
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var s = 0
+      while (s < nComp) {
+        val ci = scanOrder(s)
+        val dcT = huff(compDc(ci)); val acT = huff(4 + compAc(ci))
+        val qtab = qt(compQ(ci))
+        var by = 0
+        while (by < compV(ci)) {
+          var bx = 0
+          while (bx < compH(ci)) {
+            // DC
+            val t = br.decodeHuff(dcT)
+            if (t < 0 || t > 15) return null
+            val diff = if (t == 0) 0 else {
+              val v = br.receive(t)
+              if (v < 0) return null
+              BitReader.extend(v, t)
+            }
+            pred(ci) += diff
+            var nAc = 0
+            java.util.Arrays.fill(coef, 0)
+            coef(0) = pred(ci)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decodeHuff(acT)
+              if (rs < 0) return null
+              val r = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) return null
+                val v = br.receive(size)
+                if (v < 0) return null
+                coef(Zigzag(k)) = BitReader.extend(v, size) * qtab(k)
+                nAc += 1
+                k += 1
+              }
+            }
+            // only the luma component is transformed; chroma blocks are
+            // decoded solely to advance the interleaved bitstream
+            if (ci == 0) {
+              val px0 = (mx * compH(0) + bx) * 8
+              val py0 = (my * compV(0) + by) * 8
+              idctBlock(coef, pred(0) * qtab(0), nAc, yPlane, w, h, px0, py0)
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        s += 1
+      }
+      sinceRestart += 1
+      mcu += 1
+    }
+
+    // --- grid×grid block means over the Y plane (the PNG formula) ------
+    val g2 = grid * grid
+    val sums = new Array[Long](g2)
+    val counts = new Array[Long](g2)
+    var y = 0
+    while (y < h) {
+      val byi = ((y.toLong * grid) / h).toInt
+      var x = 0
+      while (x < w) {
+        val bi = byi * grid + ((x.toLong * grid) / w).toInt
+        sums(bi) += yPlane(y * w + x) & 0xff
+        counts(bi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](g2)
+    var i = 0
+    while (i < g2) {
+      out(i) = if (counts(i) == 0) 0L else (sums(i) * 1000L) / counts(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Dequantized-coefficient 8×8 inverse DCT into the Y plane (clipped
+    * at the image edge). `coef` holds dequantized values in NATURAL
+    * order except coef(0), which is passed dequantized via `dc0`;
+    * `nAc` counts nonzero AC terms so the DC-only case takes the EXACT
+    * shortcut pixel = clamp(128 + (dc·q + 4) >> 3) — the property the
+    * DC-only fixture oracle relies on.
+    */
+  private def idctBlock(coef: Array[Int], dc0: Int, nAc: Int,
+      plane: Array[Byte], w: Int, h: Int, px0: Int, py0: Int): Unit = {
+    if (nAc == 0) {
+      val v = clamp(128 + ((dc0 + 4) >> 3))
+      var y = py0
+      val yEnd = math.min(py0 + 8, h)
+      val xEnd = math.min(px0 + 8, w)
+      while (y < yEnd) {
+        var x = px0
+        while (x < xEnd) { plane(y * w + x) = v.toByte; x += 1 }
+        y += 1
+      }
+      return
+    }
+    coef(0) = dc0
+    // separable fixed-point IDCT: k(u,x) = C(u)·cos((2x+1)uπ/16)/2
+    // scaled ×4096; rows then columns, rounding at each pass
+    val tmp = new Array[Int](64)
+    var v = 0
+    while (v < 8) { // row pass: for each coefficient row v, over u
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var uu = 0
+        while (uu < 8) {
+          acc += coef(v * 8 + uu).toLong * CosTab(uu * 8 + x)
+          uu += 1
+        }
+        tmp(v * 8 + x) = ((acc + 2048L) >> 12).toInt
+        x += 1
+      }
+      v += 1
+    }
+    val yEnd = math.min(py0 + 8, h)
+    val xEnd = math.min(px0 + 8, w)
+    var y = 0
+    while (y < 8) {
+      val py = py0 + y
+      if (py < yEnd) {
+        var x = 0
+        while (x < 8) {
+          val px = px0 + x
+          if (px < xEnd) {
+            var acc = 0L
+            var vv = 0
+            while (vv < 8) {
+              acc += tmp(vv * 8 + x).toLong * CosTab(vv * 8 + y)
+              vv += 1
+            }
+            plane(py * w + px) = clamp(128 + ((acc + 2048L) >> 12).toInt).toByte
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jpegBlockMean", this, classOf[JpegBlockMeanExpr].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = $self.compute($t);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegBlockMeanExpr =
+    copy(child = newChild)
+}
+
+object JpegBlockMeanExpr {
+  /** Column API: grid×grid block-mean luminance (e3) of a baseline
+    * JPEG payload's decoded Y plane.
+    */
+  def jpeg_block_means(payload: Column, grid: Int): Column =
+    GraftColumnBridge.column(
+      JpegBlockMeanExpr(GraftColumnBridge.expression(payload), grid))
+
+  /** Zigzag scan position → natural (row-major) position. */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** k(u,x) = C(u)·cos((2x+1)uπ/16)/2 scaled ×4096, u-major. */
+  val CosTab: Array[Int] = {
+    val t = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = math.round(
+          cu * math.cos((2 * x + 1) * u * math.Pi / 16.0) / 2.0 * 4096.0).toInt
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical JPEG Huffman decode table (T.81 annex C/F layout). */
+  final class HuffTable(
+      val minCode: Array[Int], val maxCode: Array[Int],
+      val valPtr: Array[Int], val vals: Array[Int])
+
+  object HuffTable {
+    /** Build from the DHT counts (index 1..16) + symbol list; null on
+      * an over-full code (more codes at a length than the prefix space
+      * allows — corrupt table).
+      */
+    def build(counts: Array[Int], vals: Array[Int]): HuffTable = {
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (code > (1 << l) - counts(l) && counts(l) > 0) return null
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l)
+        k += counts(l)
+        maxCode(l) = if (counts(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+      new HuffTable(minCode, maxCode, valPtr, vals)
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing; any marker (0xFF followed by non-zero, non-fill)
+    * ends the stream — reads past it return -1, and [[restartMarker]]
+    * consumes an expected RSTn.
+    */
+  final class BitReader(b: Array[Byte], start: Int) {
+    private var p = start
+    private var acc = 0
+    private var nBits = 0
+    private var atMarker = false
+
+    private def fill(): Boolean = {
+      if (atMarker || p >= b.length) return false
+      val v = b(p) & 0xff
+      if (v == 0xff) {
+        if (p + 1 >= b.length) { atMarker = true; return false }
+        val n = b(p + 1) & 0xff
+        if (n == 0x00) { p += 2; acc = (acc << 8) | 0xff; nBits += 8; true }
+        else { atMarker = true; false } // a real marker: stop here
+      } else { p += 1; acc = (acc << 8) | v; nBits += 8; true }
+    }
+
+    /** Next bit, or -1 at end/marker. */
+    def bit(): Int = {
+      if (nBits == 0 && !fill()) return -1
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+
+    /** `n` raw bits MSB-first, or -1. n <= 16. */
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bt = bit()
+        if (bt < 0) return -1
+        v = (v << 1) | bt
+        i += 1
+      }
+      v
+    }
+
+    /** One Huffman symbol, or -1 on end/invalid code. */
+    def decodeHuff(t: HuffTable): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val bt = bit()
+        if (bt < 0) return -1
+        code = (code << 1) | bt
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l)) {
+          if (code < t.minCode(l)) return -1
+          return t.vals(t.valPtr(l) + code - t.minCode(l))
+        }
+        l += 1
+      }
+      -1
+    }
+
+    /** Byte-align and consume an RSTn marker; false if absent. */
+    def restartMarker(): Boolean = {
+      nBits = 0; acc = 0
+      if (!atMarker) {
+        // the marker bytes are still unconsumed input
+        if (p + 1 >= b.length || (b(p) & 0xff) != 0xff) return false
+      }
+      if (p + 1 >= b.length) return false
+      val m = b(p + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      p += 2
+      atMarker = false
+      true
+    }
+  }
+
+  /** DC-diff magnitude-category extension (T.81 F.2.2.1): a `size`-bit
+    * raw value v decodes to v when the top bit is set, else
+    * v − 2^size + 1.
+    */
+  object BitReader {
+    def extend(v: Int, size: Int): Int =
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+  }
+}

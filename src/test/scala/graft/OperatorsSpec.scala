@@ -1425,6 +1425,157 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == expected(12L, 4))
   }
 
+  test("JPEG pixel-true near-dup: re-encoded and resized twins pair at 0; byte histogram misses both") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.jpegPayload(7L, 1, variant = false)),
+      (2L, Multimodal.jpegPayload(7L, 1, variant = true)),  // re-encoded: YCbCr, other tables, q0=4, DRI
+      (3L, Multimodal.jpegPayload(7L, 2, variant = false)), // resized: 64x64 NN upscale
+      (4L, Multimodal.jpegPayload(8L, 1, variant = false))) // different image
+      .toDF("media_id", "payload")
+    // not one shared compressed byte between base and variant
+    val base = Multimodal.jpegPayload(7L, 1, variant = false)
+    val reenc = Multimodal.jpegPayload(7L, 1, variant = true)
+    assert(base.length != reenc.length || !base.sameElements(reenc))
+    val pairs = Multimodal.jpegPerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L),
+      s"the twin triangle must pair at exactly 0 and nothing else: $pairs")
+    val metaMedia = media.withColumn("meta", org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.lit("image/jpeg").as("mime"),
+      org.apache.spark.sql.functions.length($"payload").cast("long").as("n_bytes"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("width"),
+      org.apache.spark.sql.functions.lit(null).cast("int").as("height")))
+    val hist = Multimodal.headerBlockedPerceptualCandidates(metaMedia)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(!hist.contains((1L, 2L)) && !hist.contains((1L, 3L)),
+      s"histogram tier must miss the content twins: $hist")
+  }
+
+  test("JPEG block means: kernel decode equals the DC-construction replay; header tier sees the fixture") {
+    import spark.implicits._
+    def expected(id: Long, grid: Int): Seq[Long] = {
+      def dc(bx: Int, by: Int): Long =
+        (id * 31 + bx * (7 + id % 11) + by * (13 + id % 17)) % 201 - 100
+      (0 until grid * grid).map { b =>
+        (128 + dc(b % grid, b / grid)) * 1000L
+      }
+    }
+    val media = Seq(
+      (1L, Multimodal.jpegPayload(11L, 1, variant = true)),
+      (2L, Multimodal.jpegPayload(11L, 2, variant = false)),
+      (3L, Multimodal.jpegPayload(12L, 1, variant = false)))
+      .toDF("media_id", "payload")
+    val got = media.select($"media_id",
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == expected(11L, 4), s"variant decode: ${got(1L)}")
+    assert(got(2L) == expected(11L, 4), "NN-upscaled means must be exactly the base means")
+    assert(got(3L) == expected(12L, 4))
+    // the media_header walk agrees on the container shape
+    val hdr = media.select($"media_id",
+        graft.plans.MediaHeaderExpr.media_header($"payload").as("m"))
+      .select($"media_id", $"m.fmt", $"m.width", $"m.height")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(hdr(1L) == (("jpeg", 32L, 32L)) && hdr(2L) == (("jpeg", 64L, 64L)))
+  }
+
+  test("JPEG block means: the general AC path matches a float IDCT replay within rounding") {
+    import spark.implicits._
+    // handcrafted single-block 8×8 grayscale JPEG with DC = 0 and ONE
+    // AC coefficient (zigzag k=1 → natural (0,1), quantized value +1,
+    // q = 16): exercises the fixed-point IDCT the DC-only fixture
+    // deliberately bypasses. AC table: EOB and 0x01 at length 3.
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b8(0xff); b8(0xd8)
+    b8(0xff); b8(0xdb); b16(67); b8(0x00); (0 until 64).foreach(_ => b8(16))
+    b8(0xff); b8(0xc0); b16(11); b8(8); b16(8); b16(8); b8(1); b8(1); b8(0x11); b8(0)
+    // DC table: 12 symbols at length 4
+    b8(0xff); b8(0xc4); b16(31); b8(0x00)
+    (1 to 16).foreach(l => b8(if (l == 4) 12 else 0)); (0 until 12).foreach(b8)
+    // AC table: symbols 0x00 (EOB) and 0x01 at length 3
+    b8(0xff); b8(0xc4); b16(21); b8(0x10)
+    (1 to 16).foreach(l => b8(if (l == 3) 2 else 0)); b8(0x00); b8(0x01)
+    b8(0xff); b8(0xda); b16(8); b8(1); b8(1); b8(0x00); b8(0); b8(63); b8(0)
+    // bits: DC cat0 "0000" | AC rs=0x01 "001" + v=1 "1" | EOB "000"
+    // = 0000 0011 000 + pad 11111 -> 0x03, 0x1f
+    b8(0x03); b8(0x1f)
+    b8(0xff); b8(0xd9)
+    val payload = out.toByteArray
+    val got = Seq((1L, payload)).toDF("media_id", "payload")
+      .select(graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .as[Seq[Long]].collect().head
+    // float replay: pixel(x,y) = 128 + k(1,x)·F(0,1) with F(0,1) = 16,
+    // k(u,x) = C(u)cos((2x+1)uπ/16)/2; block means over 2×2 cells
+    def k(u: Int, x: Int): Double =
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0) / 2.0
+    // the 2D term is k(1,x)·k(0,y)·F; matching the kernel's two-pass
+    // fixed-point rounding exactly is not the point — stay within ±2
+    // gray levels per block mean
+    val want2 = (0 until 16).map { b =>
+      val gx = b % 4; val gy = b / 4
+      val px = for { y <- gy * 2 until gy * 2 + 2; x <- gx * 2 until gx * 2 + 2 }
+        yield math.max(0.0, math.min(255.0, 128.0 + k(1, x) * k(0, y) * 16.0))
+      (px.sum / 4 * 1000).toLong
+    }
+    got.zip(want2).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) <= 2000, s"block $i: kernel $g vs float $w")
+    }
+    assert(got != Seq.fill(16)(got.head), "AC energy must vary across blocks")
+  }
+
+  test("JPEG block means: corrupt and hostile payloads return null fast, never hang") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val junk = Array.fill(512)(rnd.nextInt(256).toByte)
+    val good = Multimodal.jpegPayload(5L, 1, variant = false)
+    def soi(rest: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, 0xd8.toByte) ++ rest
+    // progressive header: good payload with SOF0 marker byte switched
+    val progressive = good.clone()
+    val sofAt = progressive.indices.find(i =>
+      (progressive(i) & 0xff) == 0xff && i + 1 < progressive.length &&
+        (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    // zip-bomb SOF: 16384×16384 declared
+    val bomb = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = bomb.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b8(0xff); b8(0xd8)
+    b8(0xff); b8(0xc0); b16(11); b8(8); b16(16384); b16(16384); b8(1); b8(1); b8(0x11); b8(0)
+    bomb.write(junk, 0, junk.length)
+    // truncated entropy stream: drop the last 6 bytes (EOI + data tail)
+    val truncated = good.take(good.length - 6)
+    // garbage entropy: good headers, junk after SOS
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && i + 1 < good.length &&
+        (good(i + 1) & 0xff) == 0xda).get
+    val sosLen = ((good(sosAt + 2) & 0xff) << 8) | (good(sosAt + 3) & 0xff)
+    val garbage = good.take(sosAt + 2 + sosLen) ++ Array.fill(64)(0x55.toByte)
+    val hostile = Seq[(Long, Array[Byte])](
+      (1L, junk),                      // not a JPEG
+      (2L, good.take(20)),             // truncated mid-headers
+      (3L, progressive),               // SOF2: unsupported, null
+      (4L, soi(bomb.toByteArray.drop(2))), // 256M-pixel SOF: capped
+      (5L, truncated),                 // entropy stream runs out
+      (6L, garbage),                   // undecodable Huffman garbage
+      (7L, soi(Array[Byte](0xff.toByte, 0xfe.toByte, 0xff.toByte, 0xff.toByte)) ++ junk), // COM length overrun
+      (8L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val t0 = System.nanoTime()
+    val feats = hostile.select(
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .filter($"f".isNotNull).count()
+    assert(feats == 0L, "every hostile payload must decode to null")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "corrupt payloads must fail fast")
+    assert(Multimodal.jpegPerceptualCandidates(hostile).count() == 0)
+  }
+
   test("PNG block means: corrupt and hostile payloads return null fast, never hang") {
     import spark.implicits._
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

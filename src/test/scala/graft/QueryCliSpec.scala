@@ -403,6 +403,15 @@ class QueryCliSpec extends SparkSpec {
     same(pngSql, Multimodal.pngPerceptualCandidates(spark.table("cli_pngs"), grid = 4)
       .orderBy("id1", "id2"))
     assert(pngSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    Seq((1L, Multimodal.jpegPayload(7L, 1, variant = false)),
+      (2L, Multimodal.jpegPayload(7L, 1, variant = true)),
+      (3L, Multimodal.jpegPayload(8L, 1, variant = false)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_jpegs")
+    val jpegSql = QueryCommand.run(spark,
+      "SELECT id1, id2, l1 FROM graft_jpeg_neardup('cli_jpegs', 4) ORDER BY id1, id2")
+    same(jpegSql, Multimodal.jpegPerceptualCandidates(spark.table("cli_jpegs"), grid = 4)
+      .orderBy("id1", "id2"))
+    assert(jpegSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
   }
 
   test("bare existing path loads SQL from file; SQL text is never a path") {
