@@ -632,6 +632,65 @@ object CurationQueries {
           maxDupE6 = 500000L, maxShortPermille = 500L)
         .select(col("doc_id"), col("__host"))
         .orderBy("doc_id")
+    },
+
+    // STREAMING DP RELEASE, batch-replayed (r13 verdict item 7): the
+    // corpus arrives as three waves (doc_id mod 3); each wave releases
+    // its own dpDataCard at a FRESH per-wave seed (100 + w) and spends
+    // 6 units of ε = ln 2 against a budget of 12 — so waves 0 and 1
+    // release and wave 2 hits the HARD STOP (no rows). The oracle
+    // replays the LEDGER ARITHMETIC itself (the `led` CTE derives the
+    // released set from (w+1)·6 ≤ 12 — not a hardcoded wave list) and
+    // then each released wave's exact seeded noise, q205's chain per
+    // wave. The streaming twin (`EventStreams.dpReleaseStream`) lands
+    // the same decisions against a persisted wave-layered ledger —
+    // spec-pinned; this entry pins the math both share. Seeds are
+    // public here, so this is a mechanism replay, not a release (the
+    // dpDataCard conditionality note).
+    sql("q209_dp_release_ledger", {
+      def arm(w: Int): String = {
+        val seed = 100 + w
+        def z(colName: String): String =
+          s"""COALESCE(list_min([zz FOR zz IN range(-40, 41)
+             |    IF 3 * list_sum([(strpos('0123456789abcdef', substr(md5('$seed:' || scope || ':$colName'), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(12-i))) FOR i IN range(1,13)])
+             |       < (CASE WHEN zz < 0 THEN (CAST(1 AS BIGINT) << (49+zz)) ELSE 3*(CAST(1 AS BIGINT) << 48) - (CAST(1 AS BIGINT) << (48-zz)) END)]), 40)""".stripMargin
+        s"""SELECT CAST($w AS BIGINT) AS wave, scope, n_docs_dp, n_distinct_dp, short_docs_dp,
+           |  CASE WHEN n_docs_dp > 0
+           |    THEN GREATEST(0, n_docs_dp - n_distinct_dp) * 1000000 // n_docs_dp
+           |    ELSE 0 END AS dup_e6_dp
+           |FROM (SELECT scope,
+           |    GREATEST(0, n_docs + ${z("n_docs")}) AS n_docs_dp,
+           |    GREATEST(0, n_distinct + ${z("n_distinct")}) AS n_distinct_dp,
+           |    GREATEST(0, short_docs + ${z("short_docs")}) AS short_docs_dp
+           |  FROM (SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+           |        ELSE COALESCE(lang, '__null__') END AS scope,
+           |      CAST(count(*) AS BIGINT) AS n_docs,
+           |      CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           |      CAST(sum(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) < 32 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+           |    FROM documents WHERE doc_id % 3 = $w GROUP BY ROLLUP (lang)))
+           |WHERE $w IN (SELECT w FROM led)""".stripMargin
+      }
+      s"""WITH led AS (SELECT w FROM range(3) t(w) WHERE (w + 1) * 6 <= 12)
+         |SELECT * FROM (${(0 to 2).map(arm).mkString("\nUNION ALL\n")})
+         |ORDER BY wave, scope""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val budget = 12L; val cost = 6L
+      var spent = 0L
+      val released = (0 until 3).flatMap { w =>
+        val ok = spent + cost <= budget
+        if (ok) {
+          spent += cost
+          Some(graft.operators.Profiling.dpDataCard(
+              docs.filter(col("doc_id") % 3 === w), "text", "lang",
+              shortTokens = 32, seed = 100L + w)
+            .withColumn("wave", lit(w.toLong)))
+        } else None
+      }
+      released.reduce(_.unionByName(_))
+        .select("wave", "scope", "n_docs_dp", "n_distinct_dp",
+          "short_docs_dp", "dup_e6_dp")
+        .orderBy("wave", "scope")
     }
   )
 }

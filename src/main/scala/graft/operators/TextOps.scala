@@ -667,6 +667,52 @@ object TextOps {
       .unionByName(noHost)
   }
 
+  /** ADDITIVE per-(host, digest) domain statistics for one slice of a
+    * corpus — the wave-layerable re-expression of [[domainFilter]]'s
+    * per-host card (the gram-df-store law: counts ADD across waves,
+    * so a streaming pipeline lands one wave per micro-batch and the
+    * cumulative card is a re-aggregation, never a text rescan).
+    * Output: `(__host, dg, n_docs, n_short)` — md5 digests, not text,
+    * on the wire (the digest-store convention); hostless docs are NOT
+    * represented (they are never gated — [[domainFilter]]'s rule).
+    *
+    * Additivity: `n_docs`/`n_short` sum across slices, and per-host
+    * DISTINCT content is `count(DISTINCT dg)` over the union — the
+    * one non-additive card term re-expressed at digest granularity so
+    * it IS reconstructible. Store rows are bounded by distinct
+    * content per host, not doc count.
+    */
+  def domainStatsRows(docs: DataFrame, urlCol: String, textCol: String,
+      shortTokens: Int = 32): DataFrame =
+    docs
+      .withColumn("__host",
+        hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
+      .filter(col("__host") =!= "")
+      .select(col("__host"),
+        md5(col(textCol)).as("dg"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy("__host", "dg")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") < shortTokens, 1L).otherwise(0L)).as("n_short"))
+
+  /** The hosts whose CUMULATIVE stats pass [[domainFilter]]'s gate —
+    * `stats` is any union of [[domainStatsRows]] slices (e.g. every
+    * wave of a layered store plus the current batch). One host-keyed
+    * aggregate; thresholds identical to the batch gate, so
+    * `domainVerdict(domainStatsRows(docs))` selects exactly the hosts
+    * [[domainFilter]] keeps (differential-spec-pinned).
+    */
+  def domainVerdict(stats: DataFrame, maxDupE6: Long,
+      maxShortPermille: Long): DataFrame =
+    stats.groupBy("__host")
+      .agg(sum(col("n_docs")).as("__docs"),
+        count_distinct(col("dg")).as("__distinct"),
+        sum(col("n_short")).as("__short"))
+      .filter(
+        expr("((__docs - __distinct) * 1000000) div __docs") <= maxDupE6 &&
+        expr("(__short * 1000) div __docs") <= maxShortPermille)
+      .select("__host")
+
   /** INTRA-document repetition strip — the transform behind the
     * Gopher repetition signals (q78 measures dup-chunk fractions;
     * this removes them): within each document, split into `lineTokens`

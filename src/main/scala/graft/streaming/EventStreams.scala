@@ -821,6 +821,136 @@ object EventStreams {
         } finally { fresh.unpersist(); () }
     }
 
+  /** Streaming DOMAIN GATE — [[graft.operators.TextOps.domainFilter]]'s
+    * wholesale-drop rule applied continuously (r13 verdict item 4): a
+    * long-running curation pipeline maintains per-host card counters
+    * as a WAVE-LAYERED store of
+    * [[graft.operators.TextOps.domainStatsRows]] — (host, digest,
+    * n_docs, n_short) rows that ADD across waves, the gram-df-store
+    * law — and each micro-batch is gated by the CUMULATIVE verdict:
+    * batch N's kept rows are exactly the rows [[TextOps.domainFilter]]
+    * would keep from batch N given everything seen through batch N
+    * (batch-sequential-replay semantics, spec-pinned). A host that
+    * was clean at wave 0 and floods with duplicates at wave 3 flips
+    * to dropped from wave 3 on — earlier admissions stand (a stream
+    * cannot retract); the batch [[TextOps.domainFilter]] over the full
+    * corpus is the reconciliation path, the house batch-repairs-
+    * streaming convention (scd2Stream's late-arrival rebuild).
+    *
+    * Crash/idempotency contract (the [[winnowAdmitStream]] discipline):
+    * the verdict reads the store AS OF batchId − 1 unioned with the
+    * CURRENT batch's stats (so a half-landed self wave is invisible
+    * and the gate still sees the batch's own contribution), kept rows
+    * land under `keptDir/batch_id=N` with overwrite, and the stats
+    * wave lands via the idempotent `appendWave` — a crash-replayed
+    * batch reproduces its original verdict and REPLACES its outputs.
+    *
+    * Scale shape: batch stats are one (host, dg) hash aggregate of
+    * the batch; the cumulative verdict re-aggregates the host-bucketed
+    * store (host-cardinality output, AQE-sized semi-join back — no
+    * static broadcast hint, the [[graft.operators.HotBuckets]] trap);
+    * corpus text never rescans and never shuffles.
+    */
+  def domainGateStream(docs: DataFrame, statsTable: String, keptDir: String,
+      idCol: String = "doc_id", urlCol: String = "url",
+      textCol: String = "text",
+      maxDupE6: Long = 100000L, maxShortPermille: Long = 500L,
+      shortTokens: Int = 32, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Stores, TextOps}
+        val hosted = batch.toDF().withColumn("__host",
+          TextOps.hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
+        // hostless docs pass ungated — domain pathology can't be
+        // attributed (the batch gate's rule)
+        val noHost = hosted.filter(col("__host") === "" || col("__host").isNull)
+        val withHost = hosted.filter(col("__host") =!= "")
+        val batchStats = TextOps.domainStatsRows(
+          batch.toDF(), urlCol, textCol, shortTokens).persist()
+        try {
+          val hasPrior = spark.catalog.tableExists(statsTable) &&
+            Stores.storeWaves(spark, statsTable).exists(_ < batchId)
+          val cumulative =
+            if (hasPrior)
+              Stores.asOf(spark, statsTable, batchId - 1)
+                .select("__host", "dg", "n_docs", "n_short")
+                .unionByName(batchStats)
+            else batchStats
+          val verdict = TextOps.domainVerdict(cumulative,
+            maxDupE6, maxShortPermille)
+          withHost.join(verdict, Seq("__host"), "left_semi")
+            .unionByName(noHost)
+            .write.mode("overwrite").parquet(s"$keptDir/batch_id=$batchId")
+          Stores.appendWave(batchStats, statsTable, batchId, "__host", buckets)
+        } finally { batchStats.unpersist(); () }
+    }
+
+  /** Streaming (ε)-DP data-card release with a PERSISTED ε LEDGER —
+    * [[graft.operators.Profiling.dpDataCard]] run per micro-batch
+    * (r13 verdict item 7): each wave releases the noised card of ITS
+    * OWN documents to `releaseDir/batch_id=N`, spends a fixed
+    * `costLn2` units of ε = ln 2 (the card's documented
+    * 2 rows × 3 counts sequential-composition cost, 6·ln 2 by
+    * default), and records the spend in a wave-layered ledger. Once
+    * the CUMULATIVE spend through batch N − 1 cannot fit another
+    * release inside `budgetLn2`, the stream STOPS RELEASING: no
+    * release directory is written and the wave's ledger row records
+    * `released = false` with zero spend — the budget is a hard stop,
+    * not a soft warning. Accounting is in integer units of ln 2, so
+    * the ledger arithmetic is oracle-replayable exactly (no float ε).
+    *
+    * The accounting is deliberately CONSERVATIVE (sequential
+    * composition across waves): disjoint waves would compose in
+    * parallel, but a stream cannot prove its source never redelivers
+    * a document across waves, so each release is charged in full.
+    *
+    * Per-wave seeds are `seedBase + batchId` — fresh per release,
+    * never reused — and the [[graft.operators.Profiling.dpDataCard]]
+    * conditionality applies: a PUBLIC seedBase makes the output a
+    * mechanism replay (the spec/oracle device), a secret one a
+    * release.
+    *
+    * Crash/idempotency (the [[winnowAdmitStream]] discipline): the
+    * spend decision reads the ledger AS OF batchId − 1, the release
+    * lands with overwrite, the ledger wave via idempotent
+    * `appendWave` — a crash-replayed batch reproduces its decision,
+    * its noise (same seed), and replaces its outputs.
+    */
+  def dpReleaseStream(docs: DataFrame, ledgerTable: String,
+      releaseDir: String, textCol: String = "text",
+      langCol: String = "lang", shortTokens: Int = 32,
+      budgetLn2: Long = 24L, costLn2: Long = 6L, seedBase: Long = 0L,
+      buckets: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(budgetLn2 >= 0 && costLn2 >= 1, "need budgetLn2 >= 0, costLn2 >= 1")
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Profiling, Stores}
+        val hasPrior = spark.catalog.tableExists(ledgerTable) &&
+          Stores.storeWaves(spark, ledgerTable).exists(_ < batchId)
+        val spent: Long =
+          if (!hasPrior) 0L
+          else {
+            val r = Stores.asOf(spark, ledgerTable, batchId - 1)
+              .agg(coalesce(sum(col("eps_ln2")), lit(0L))).head()
+            r.getLong(0)
+          }
+        val release = spent + costLn2 <= budgetLn2
+        if (release)
+          Profiling.dpDataCard(batch.toDF(), textCol, langCol, shortTokens,
+              seed = seedBase + batchId)
+            .write.mode("overwrite").parquet(s"$releaseDir/batch_id=$batchId")
+        val row = spark.createDataFrame(Seq(
+          ("dp_data_card", if (release) costLn2 else 0L, release,
+            seedBase + batchId)))
+          .toDF("entry", "eps_ln2", "released", "seed")
+        Stores.appendWave(row, ledgerTable, batchId, "entry", buckets)
+    }
+  }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

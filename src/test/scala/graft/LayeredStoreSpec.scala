@@ -322,8 +322,63 @@ class LayeredStoreSpec extends SparkSpec {
     assert(asOf.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(asOf).isEmpty)
     dropTable(t)
   }
+
+  test("dpReleaseStream: per-wave seeded releases, cumulative ε ledger, hard budget stop, idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventStreams
+    import graft.operators.Profiling
+    val ledgerT = "dp_release_ledger"
+    dropTable(ledgerT)
+    val relDir = tmpDir("dp_releases")
+    def wave(w: Int): Seq[LayeredStoreSpec.DpDoc] =
+      (0 until 40).map(i => LayeredStoreSpec.DpDoc(w * 100L + i,
+        s"wave $w document body number $i with several words", s"l${i % 3}"))
+    val src = MemoryStream[LayeredStoreSpec.DpDoc]
+    // budget 12 at cost 6 per release: waves 0 and 1 release, 2 and 3
+    // hit the hard stop
+    val q = EventStreams.dpReleaseStream(src.toDF(), ledgerT, relDir,
+        budgetLn2 = 12L, costLn2 = 6L, seedBase = 100L, buckets = 2)
+      .option("checkpointLocation", tmpDir("dp_release_ckpt")).start()
+    try {
+      (0 until 4).foreach { w =>
+        src.addData(wave(w): _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // released waves match the batch dpDataCard at the same per-wave
+    // seed — the seeded-replay contract
+    (0 until 2).foreach { w =>
+      val got = spark.read.parquet(s"$relDir/batch_id=$w")
+        .orderBy("scope").collect().map(_.toSeq).toSeq
+      val want = Profiling.dpDataCard(
+          wave(w).toDF().toDF("doc_id", "text", "lang"),
+          "text", "lang", 32, seed = 100L + w)
+        .orderBy("scope").collect().map(_.toSeq).toSeq
+      assert(got == want, s"wave $w release must replay the batch card")
+    }
+    // stopped waves write NO release
+    assert(!new java.io.File(s"$relDir/batch_id=2").exists())
+    assert(!new java.io.File(s"$relDir/batch_id=3").exists())
+    // the ledger records the spends and the stop, wave by wave
+    val ledger = spark.table(ledgerT)
+      .select("wave", "eps_ln2", "released", "seed")
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(ledger == Seq((0L, 6L, true, 100L), (1L, 6L, true, 101L),
+      (2L, 0L, false, 102L), (3L, 0L, false, 103L)), s"$ledger")
+    // a crash-replayed ledger wave replaces, never double-charges
+    val before = spark.table(ledgerT).count()
+    graft.operators.Stores.appendWave(
+      Seq(("dp_data_card", 6L, true, 101L))
+        .toDF("entry", "eps_ln2", "released", "seed"),
+      ledgerT, 1L, "entry", buckets = 2)
+    assert(spark.table(ledgerT).count() == before)
+    assert(spark.table(ledgerT).agg(sum($"eps_ln2")).head().getLong(0) == 12L,
+      "cumulative spend stays at the budget after replay")
+    dropTable(ledgerT)
+  }
 }
 
 object LayeredStoreSpec {
   final case class Dg(digest: Array[Byte])
+  final case class DpDoc(doc_id: Long, text: String, lang: String)
 }

@@ -340,6 +340,99 @@ class NearDupStreamSpec extends SparkSpec {
       "a crash-replayed wave must replace its partition, not duplicate it")
     dropTable(canonT); dropTable(winnowT)
   }
+
+  test("domainGateStream: cumulative verdict ≡ batch-sequential domainFilter; flips when a host goes bad; idempotent waves") {
+    import spark.implicits._
+    import NearDupStreamSpec.CuratedDoc
+    import graft.operators.{Stores, TextOps}
+    implicit val sq = spark.sqlContext
+    val statsT = "domain_gate_stats"
+    dropTable(statsT)
+    val keptDir = tmpDir("domain_gate_kept")
+    val clean = (i: Long) =>
+      s"a perfectly ordinary document number $i with plenty of distinct words " +
+        "padding the token count well past the short threshold for this gate"
+    // farm.com is CLEAN at wave 0 (two distinct long docs) and floods
+    // with exact duplicates at wave 1 — the cumulative dup rate crosses
+    // 500000 e6 and the verdict flips; stubs.com is short-doc-condemned
+    // from its first appearance; the hostless doc passes ungated
+    val b0 = Seq(
+      CuratedDoc(1L, ts(1), "http://good.com/p1", clean(1)),
+      CuratedDoc(2L, ts(1), "HTTP://WWW.FARM.com:80/m1", clean(100)),
+      CuratedDoc(3L, ts(1), "http://farm.com/m2", clean(101)),
+      CuratedDoc(4L, ts(1), "http://stubs.com/s1", "stub"),
+      CuratedDoc(5L, ts(1), "not a url at all", clean(5)))
+    val b1 = Seq(
+      CuratedDoc(11L, ts(2), "http://good.com/p2", clean(11))) ++
+      (12L until 18L).map(i =>
+        CuratedDoc(i, ts(2), s"http://farm.com/m$i", "mirror mirror content"))
+    val b2 = Seq(
+      CuratedDoc(21L, ts(3), "http://good.com/p3", clean(21)),
+      CuratedDoc(22L, ts(3), "http://farm.com/m22", clean(22)), // too late: host condemned
+      CuratedDoc(23L, ts(3), "http://stubs.com/s2", clean(23)))
+    val src = MemoryStream[CuratedDoc]
+    val q = EventStreams.domainGateStream(src.toDF(), statsT, keptDir,
+        maxDupE6 = 500000L, maxShortPermille = 500L, shortTokens = 8,
+        buckets = 4)
+      .option("checkpointLocation", tmpDir("domain_gate_ckpt")).start()
+    try {
+      src.addData(b0: _*); q.processAllAvailable()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def keptIds(batch: Int): Set[Long] =
+      spark.read.parquet(s"$keptDir/batch_id=$batch")
+        .select("doc_id").as[Long].collect().toSet
+    // ≡ batch-sequential replay: batch N's kept rows are domainFilter
+    // over everything seen through batch N, restricted to batch N
+    val batches = Seq(b0, b1, b2)
+    (0 until 3).foreach { n =>
+      val union = batches.take(n + 1).flatten
+        .map(d => (d.doc_id, d.url, d.text)).toDF("doc_id", "url", "text")
+      val expect = TextOps.domainFilter(union, "url", "text",
+          maxDupE6 = 500000L, maxShortPermille = 500L, shortTokens = 8)
+        .select("doc_id").as[Long].collect().toSet
+        .intersect(batches(n).map(_.doc_id).toSet)
+      assert(keptIds(n) == expect, s"batch $n: ${keptIds(n)} vs $expect")
+    }
+    // the flip is visible: farm.com admitted at wave 0, condemned after
+    assert(keptIds(0).contains(2L) && keptIds(0).contains(3L))
+    assert(!keptIds(1).exists(id => id >= 12L && id < 18L))
+    assert(!keptIds(2).contains(22L),
+      "farm.com's cumulative dup rate keeps it condemned at wave 2")
+    assert(keptIds(0).contains(5L), "hostless docs pass ungated")
+    assert(!keptIds(0).contains(4L),
+      "the short-doc domain is condemned at its first wave")
+    // the gate is cumulative-stats-driven, NOT sticky: stubs.com's
+    // wave-2 long doc brings its short rate back to exactly the 500‰
+    // threshold (1 short of 2 docs), so the host RECOVERS — the same
+    // verdict the batch gate gives over the full corpus
+    assert(keptIds(2).contains(23L),
+      "a host whose cumulative stats recover is re-admitted")
+    // the differential identity behind the stream: verdict over
+    // additive stats rows ≡ the batch gate's surviving hosts
+    val all = batches.flatten.map(d => (d.doc_id, d.url, d.text))
+      .toDF("doc_id", "url", "text")
+    val vHosts = TextOps.domainVerdict(
+        TextOps.domainStatsRows(all, "url", "text", shortTokens = 8),
+        maxDupE6 = 500000L, maxShortPermille = 500L)
+      .as[String].collect().toSet
+    val fHosts = TextOps.domainFilter(all, "url", "text",
+        maxDupE6 = 500000L, maxShortPermille = 500L, shortTokens = 8)
+      .filter($"__host" =!= "").select("__host").distinct()
+      .as[String].collect().toSet
+    assert(vHosts == fHosts, s"verdict $vHosts ≠ batch gate hosts $fHosts")
+    // idempotent wave landing: a crash-replayed stats wave replaces
+    val before = spark.table(statsT).count()
+    Stores.appendWave(
+      TextOps.domainStatsRows(
+        b1.map(d => (d.doc_id, d.url, d.text)).toDF("doc_id", "url", "text"),
+        "url", "text", shortTokens = 8),
+      statsT, 1L, "__host", buckets = 4)
+    assert(spark.table(statsT).count() == before,
+      "a crash-replayed stats wave must replace its partition")
+    dropTable(statsT)
+  }
 }
 
 object NearDupStreamSpec {
