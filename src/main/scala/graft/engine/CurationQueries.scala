@@ -691,6 +691,112 @@ object CurationQueries {
         .select("wave", "scope", "n_docs_dp", "n_distinct_dp",
           "short_docs_dp", "dup_e6_dp")
         .orderBy("wave", "scope")
+    },
+
+    // SQL DOOR PHASE 4 (r13 verdict item 5): the remaining Scala-only
+    // audit relations as table functions, FOUR of them driven from ONE
+    // SQL text — `graft_domain_card` (q207's per-host card incl. the
+    // ROLLUP total), `graft_domain_filter` (the wholesale gate),
+    // `graft_tcloseness` (q198's integer-EMD audit), and
+    // `graft_kanon_audit` (q187's class audit) — aligned into a common
+    // (probe, k, a, b, c) shape. A pure-SQL client can now run the
+    // t-closeness audit that motivates the k-anonymization door
+    // (q206), not just the enforcement. The oracle replays all four
+    // relations' math independently. (`graft_frame_neardup` completes
+    // the phase; it needs a media-shaped table and is pinned SQL ≡
+    // Scala in QueryCliSpec.)
+    sqlWithSetup("q210_sql_door_audits",
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'mirrored farm content row'
+        |         WHEN doc_id % 7 = 5 THEN 'stub'
+        |         ELSE text END AS text,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |t AS (SELECT doc_id, host, CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        |        md5(text) AS dg FROM d),
+        |card AS (SELECT CASE WHEN GROUPING(host) = 1 THEN '__all__' ELSE host END AS scope,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN n < 32 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+        |  FROM t GROUP BY ROLLUP (host)),
+        |v AS (SELECT host, count(*) AS docs, count(DISTINCT dg) AS dst,
+        |        sum(CASE WHEN n < 32 THEN 1 ELSE 0 END) AS sh
+        |      FROM t GROUP BY host),
+        |keep AS (SELECT host FROM v
+        |  WHERE (docs - dst) * 1000000 // docs <= 500000
+        |    AND sh * 1000 // docs <= 500),
+        |pv AS (SELECT c_nationkey AS nation,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sband
+        |  FROM customer),
+        |tot AS (SELECT count(*) AS N, count(DISTINCT sband) AS m FROM pv),
+        |g AS (SELECT sband, count(*) AS gc FROM pv GROUP BY sband),
+        |cl AS (SELECT nation, count(*) AS cn FROM pv GROUP BY 1),
+        |cv AS (SELECT nation, sband, count(*) AS cc FROM pv GROUP BY 1, 2),
+        |grid AS (SELECT cl.nation, cl.cn, g.sband, g.gc, COALESCE(cv.cc, 0) AS cc
+        |         FROM cl CROSS JOIN g
+        |         LEFT JOIN cv ON cv.nation = cl.nation AND cv.sband = g.sband),
+        |cum AS (SELECT nation, cn,
+        |          sum(cc::HUGEINT * (SELECT N FROM tot) - gc::HUGEINT * cn)
+        |            OVER (PARTITION BY nation ORDER BY sband
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM grid),
+        |emd AS (SELECT nation, cn, sum(abs(cum)) AS emd_num
+        |        FROM cum GROUP BY 1, 2),
+        |kan AS (SELECT nation, count(*) AS sz, count(DISTINCT sband) AS ns
+        |        FROM pv GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'card' AS probe, scope AS k, n_docs AS a, n_distinct AS b, short_docs AS c
+        |  FROM card
+        |  UNION ALL
+        |  SELECT 'dfilter', t.host, CAST(count(*) AS BIGINT),
+        |    CAST(min(t.doc_id) AS BIGINT), CAST(max(t.doc_id) AS BIGINT)
+        |  FROM t JOIN keep USING (host) GROUP BY t.host
+        |  UNION ALL
+        |  SELECT 'tclose', CAST(nation AS VARCHAR), CAST(cn AS BIGINT),
+        |    CAST(emd_num AS BIGINT),
+        |    CAST(emd_num * 1000 <= 300 * ((SELECT m FROM tot) - 1) * cn * (SELECT N FROM tot) AS BIGINT)
+        |  FROM emd
+        |  UNION ALL
+        |  SELECT 'kanon', CAST(nation AS VARCHAR), CAST(sz AS BIGINT),
+        |    CAST(ns AS BIGINT),
+        |    CAST(sz >= 30 AS BIGINT) * 2 + CAST(ns >= 3 AS BIGINT)
+        |  FROM kan)
+        |ORDER BY probe, k""".stripMargin) { (s, d) =>
+      val host = concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, lit("mirrored farm content row"))
+            .when(col("doc_id") % 7 === 5, lit("stub"))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("HTTP://WWW."), upper(host),
+              lit(":80/p?utm_source=feed#top")))
+            .otherwise(concat(lit("http://"), host, lit("/p"))).as("url"))
+        .createOrReplaceTempView("graft_q210_docs")
+      customer(s, d).select(col("c_nationkey").as("nation"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+            .as("sband"))
+        .createOrReplaceTempView("graft_q210_priv")
+    } { (s, d) =>
+      graft.cli.QueryCommand.run(s,
+        """SELECT * FROM (
+          |  SELECT 'card' AS probe, scope AS k, n_docs AS a, n_distinct AS b, short_docs AS c
+          |  FROM graft_domain_card('graft_q210_docs', 'url', 'text', 32)
+          |  UNION ALL
+          |  SELECT 'dfilter' AS probe, __host AS k, CAST(count(*) AS BIGINT) AS a,
+          |    min(doc_id) AS b, max(doc_id) AS c
+          |  FROM graft_domain_filter('graft_q210_docs', 'url', 'text', 500000, 500, 32)
+          |  GROUP BY __host
+          |  UNION ALL
+          |  SELECT 'tclose' AS probe, CAST(nation AS STRING) AS k, class_size AS a,
+          |    CAST(emd_num AS BIGINT) AS b, CAST(t_close AS BIGINT) AS c
+          |  FROM graft_tcloseness('graft_q210_priv', 'nation', 'sband', 300)
+          |  UNION ALL
+          |  SELECT 'kanon' AS probe, CAST(nation AS STRING) AS k, class_size AS a,
+          |    n_sensitive AS b,
+          |    CAST(k_anonymous AS BIGINT) * 2 + CAST(l_diverse AS BIGINT) AS c
+          |  FROM graft_kanon_audit('graft_q210_priv', 'nation', 'sband', 30, 3))
+          |ORDER BY probe, k""".stripMargin, dataDir = Some(d))
     }
   )
 }

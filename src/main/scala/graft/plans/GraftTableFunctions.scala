@@ -270,6 +270,64 @@ object GraftTableFunctions {
       if (args.size > 3) intLit(args(3), "thrPermille") else 10))
   }
 
+  private[plans] def buildDomainCard(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 3 && args.size <= 4,
+      "graft_domain_card(srcTable, urlCol, textCol[, shortTokens])")
+    val spark = SparkSession.active
+    plan(graft.operators.TextOps.domainCard(
+      spark.table(strLit(args.head, "srcTable")),
+      strLit(args(1), "urlCol"), strLit(args(2), "textCol"),
+      if (args.size > 3) intLit(args(3), "shortTokens") else 32))
+  }
+
+  private[plans] def buildDomainFilter(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 5 && args.size <= 6,
+      "graft_domain_filter(srcTable, urlCol, textCol, maxDupE6, maxShortPermille[, shortTokens])")
+    val spark = SparkSession.active
+    plan(graft.operators.TextOps.domainFilter(
+      spark.table(strLit(args.head, "srcTable")),
+      strLit(args(1), "urlCol"), strLit(args(2), "textCol"),
+      longLit(args(3), "maxDupE6"), longLit(args(4), "maxShortPermille"),
+      if (args.size > 5) intLit(args(5), "shortTokens") else 32))
+  }
+
+  private[plans] def buildTCloseness(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "graft_tcloseness(srcTable, qiColsCsv, sensitiveCol, tPermille)")
+    val spark = SparkSession.active
+    val keys = strLit(args(1), "qiColsCsv").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    plan(graft.operators.Profiling.tClosenessAudit(
+      spark.table(strLit(args.head, "srcTable")), keys,
+      org.apache.spark.sql.functions.col(strLit(args(2), "sensitiveCol")),
+      longLit(args(3), "tPermille")))
+  }
+
+  private[plans] def buildKAnonAudit(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 5,
+      "graft_kanon_audit(srcTable, qiColsCsv, sensitiveCol, k, l)")
+    val spark = SparkSession.active
+    val keys = strLit(args(1), "qiColsCsv").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    plan(graft.operators.Profiling.kAnonymityAudit(
+      spark.table(strLit(args.head, "srcTable")), keys,
+      org.apache.spark.sql.functions.col(strLit(args(2), "sensitiveCol")),
+      intLit(args(3), "k"), intLit(args(4), "l")))
+  }
+
+  // the media table must carry (media_id, payload, meta.n_bytes) — the
+  // q134 media-frame convention the Scala surface expects
+  private[plans] def buildFrameNearDup(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 1 && args.size <= 4,
+      "graft_frame_neardup(mediaTable[, frameBytes, maxFrameDf, thrPermille])")
+    val spark = SparkSession.active
+    plan(graft.operators.Multimodal.frameNearDupCandidates(
+      spark.table(strLit(args.head, "mediaTable")),
+      if (args.size > 1) intLit(args(1), "frameBytes") else 16,
+      if (args.size > 2) intLit(args(2), "maxFrameDf") else 64,
+      if (args.size > 3) intLit(args(3), "thrPermille") else 500))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
@@ -287,7 +345,12 @@ object GraftTableFunctions {
     ("graft_dp_data_card", buildDpDataCard _),
     ("graft_pcm_neardup", buildPcmNearDup _),
     ("graft_png_neardup", buildPngNearDup _),
-    ("graft_jpeg_neardup", buildJpegNearDup _))
+    ("graft_jpeg_neardup", buildJpegNearDup _),
+    ("graft_domain_card", buildDomainCard _),
+    ("graft_domain_filter", buildDomainFilter _),
+    ("graft_tcloseness", buildTCloseness _),
+    ("graft_kanon_audit", buildKAnonAudit _),
+    ("graft_frame_neardup", buildFrameNearDup _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

@@ -414,6 +414,53 @@ class QueryCliSpec extends SparkSpec {
     assert(jpegSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("SQL door phase 4: domain, privacy-audit, and frame relations from SQL text match Scala") {
+    import spark.implicits._
+    import graft.operators.{Multimodal, Profiling, TextOps}
+    val long = (i: Int) =>
+      s"a perfectly ordinary document number $i with plenty of distinct words " +
+        "padding the token count well past the short threshold here"
+    val docs = Seq(
+      (1L, "http://good.com/a", long(1)), (2L, "http://good.com/b", long(2)),
+      (3L, "HTTP://WWW.FARM.com:80/m1", "mirror mirror"),
+      (4L, "http://farm.com/m2", "mirror mirror"),
+      (5L, "http://stubs.com/s1", "stub"), (6L, "http://stubs.com/s2", "stub"))
+      .toDF("doc_id", "url", "text")
+    docs.createOrReplaceTempView("cli_domain_docs")
+    same(QueryCommand.run(spark,
+      "SELECT scope, n_docs, n_distinct, short_docs FROM graft_domain_card('cli_domain_docs', 'url', 'text', 8) ORDER BY scope"),
+      TextOps.domainCard(docs, "url", "text", 8)
+        .select("scope", "n_docs", "n_distinct", "short_docs").orderBy("scope"))
+    same(QueryCommand.run(spark,
+      "SELECT doc_id, __host FROM graft_domain_filter('cli_domain_docs', 'url', 'text', 400000, 500, 8) ORDER BY doc_id"),
+      TextOps.domainFilter(docs, "url", "text", 400000L, 500L, 8)
+        .select("doc_id", "__host").orderBy("doc_id"))
+    val rows = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 2),
+      ("B", 1), ("B", 1), ("B", 1), ("B", 1),
+      ("C", 2), ("C", 2), ("C", 2), ("C", 2)).toDF("grp", "s")
+    rows.createOrReplaceTempView("cli_priv")
+    same(QueryCommand.run(spark,
+      "SELECT grp, class_size, CAST(emd_num AS BIGINT) AS emd_num, t_close FROM graft_tcloseness('cli_priv', 'grp', 's', 400) ORDER BY grp"),
+      Profiling.tClosenessAudit(rows, Seq("grp"), $"s", 400L)
+        .select($"grp", $"class_size", $"emd_num".cast("long").as("emd_num"),
+          $"t_close").orderBy("grp"))
+    same(QueryCommand.run(spark,
+      "SELECT grp, class_size, n_sensitive, k_anonymous, l_diverse FROM graft_kanon_audit('cli_priv', 'grp', 's', 3, 2) ORDER BY grp"),
+      Profiling.kAnonymityAudit(rows, Seq("grp"), $"s", 3, 2).orderBy("grp"))
+    // frame containment: doc 2 is the aligned half-prefix of doc 1
+    val body = (0 until 4).map(i => f"frame_$i%02d_body16").mkString // 4 x 16 bytes
+    val media = Multimodal.synthesize(Seq(
+        (1L, body), (2L, body.take(32)), (3L, "entirely unrelated content z"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    media.createOrReplaceTempView("cli_frame_media")
+    val frameSql = QueryCommand.run(spark,
+      "SELECT id1, id2, n_shared FROM graft_frame_neardup('cli_frame_media', 16, 64, 500) ORDER BY id1, id2")
+    same(frameSql, Multimodal.frameNearDupCandidates(
+        spark.table("cli_frame_media"), 16, 64, 500).orderBy("id1", "id2"))
+    assert(frameSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 2L)),
+      "the half-prefix clip must pair via shared frame digests")
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
