@@ -142,11 +142,22 @@ object Bench {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(new java.io.File(repo, f))
           val qs = node.get("queries")
-          if (qs == null) Map.empty[String, Double]
+          // the artifact itself must be an sf0.1 run: a decade bench
+          // that landed on the round-stamped filename would otherwise
+          // feed ~10x priors and silently disarm the 3x detector
+          val sfOk = Option(node.get("sf")).exists(s =>
+            s.isNumber && math.abs(s.asDouble() - 0.1) < 1e-9)
+          if (qs == null || !sfOk) Map.empty[String, Double]
           else {
             val it = qs.fields()
             val b = Map.newBuilder[String, Double]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            while (it.hasNext) {
+              val e = it.next()
+              val v = e.getValue.asDouble()
+              // -1 is the failed-query sentinel, not a time — comparing
+              // against it would fire a spurious anomaly draw every pass
+              if (v > 0) b += e.getKey -> v
+            }
             b.result()
           }
         }.getOrElse(Map.empty)

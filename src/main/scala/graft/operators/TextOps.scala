@@ -684,10 +684,20 @@ object TextOps {
     */
   def domainStatsRows(docs: DataFrame, urlCol: String, textCol: String,
       shortTokens: Int = 32): DataFrame =
-    docs
-      .withColumn("__host",
-        hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
-      .filter(col("__host") =!= "")
+    domainStatsRowsHosted(
+      docs
+        .withColumn("__host",
+          hostOf(graft.plans.UrlCanonExpr.url_canon(col(urlCol))))
+        .filter(col("__host") =!= ""),
+      textCol, shortTokens)
+
+  /** [[domainStatsRows]] over a frame that ALREADY carries a non-empty
+    * `__host` column — lets a caller that derived the host for its own
+    * gating (the streaming gate) avoid a second canonicalization pass.
+    */
+  def domainStatsRowsHosted(hosted: DataFrame, textCol: String,
+      shortTokens: Int = 32): DataFrame =
+    hosted
       .select(col("__host"),
         md5(col(textCol)).as("dg"),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("__n"))

@@ -200,6 +200,16 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
     }
 
     // --- entropy decode ------------------------------------------------
+    // T.81 A.2: a SINGLE-component scan is NON-INTERLEAVED — the MCU is
+    // ONE data unit and the blocks cover the component's own grid in
+    // raster order, REGARDLESS of its declared sampling factors (those
+    // only matter relative to other components). Walking a 2×2-sampled
+    // grayscale frame as interleaved MCU tiles would permute block
+    // positions (and over-read the stream on non-tile-aligned dims) —
+    // silently wrong means. Effective factors collapse to 1×1 here.
+    if (nComp == 1) {
+      compH(0) = 1; compV(0) = 1; hmax = 1; vmax = 1
+    }
     val mcuW = 8 * hmax; val mcuH = 8 * vmax
     val mcusX = (w + mcuW - 1) / mcuW
     val mcusY = (h + mcuH - 1) / mcuH

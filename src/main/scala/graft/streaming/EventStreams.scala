@@ -867,8 +867,10 @@ object EventStreams {
         // attributed (the batch gate's rule)
         val noHost = hosted.filter(col("__host") === "" || col("__host").isNull)
         val withHost = hosted.filter(col("__host") =!= "")
-        val batchStats = TextOps.domainStatsRows(
-          batch.toDF(), urlCol, textCol, shortTokens).persist()
+        // stats derive from the already-hosted frame — ONE url_canon/
+        // hostOf pass per batch, not two (review finding r14)
+        val batchStats = TextOps.domainStatsRowsHosted(
+          withHost, textCol, shortTokens).persist()
         try {
           val hasPrior = spark.catalog.tableExists(statsTable) &&
             Stores.storeWaves(spark, statsTable).exists(_ < batchId)
@@ -913,10 +915,12 @@ object EventStreams {
     * release.
     *
     * Crash/idempotency (the [[winnowAdmitStream]] discipline): the
-    * spend decision reads the ledger AS OF batchId − 1, the release
-    * lands with overwrite, the ledger wave via idempotent
-    * `appendWave` — a crash-replayed batch reproduces its decision,
-    * its noise (same seed), and replaces its outputs.
+    * spend decision reads the ledger AS OF batchId − 1; the ledger
+    * wave lands FIRST (idempotent `appendWave`), the release second
+    * (overwrite) — a crash between them leaves a charged-but-
+    * unwritten release that the replay reproduces identically (same
+    * decision, same seed), never a published release the ledger
+    * doesn't account for.
     */
   def dpReleaseStream(docs: DataFrame, ledgerTable: String,
       releaseDir: String, textCol: String = "text",
@@ -939,15 +943,21 @@ object EventStreams {
             r.getLong(0)
           }
         val release = spent + costLn2 <= budgetLn2
-        if (release)
-          Profiling.dpDataCard(batch.toDF(), textCol, langCol, shortTokens,
-              seed = seedBase + batchId)
-            .write.mode("overwrite").parquet(s"$releaseDir/batch_id=$batchId")
+        // LEDGER FIRST, release second: a crash between the two leaves
+        // a CHARGED-but-unwritten release, which the replay reproduces
+        // identically (same seed, same decision — asOf(batchId − 1)
+        // never reads the self wave). The reverse order would leave a
+        // published release the ledger doesn't account for, letting
+        // later releases exceed the budget if the stream is abandoned.
         val row = spark.createDataFrame(Seq(
           ("dp_data_card", if (release) costLn2 else 0L, release,
             seedBase + batchId)))
           .toDF("entry", "eps_ln2", "released", "seed")
         Stores.appendWave(row, ledgerTable, batchId, "entry", buckets)
+        if (release)
+          Profiling.dpDataCard(batch.toDF(), textCol, langCol, shortTokens,
+              seed = seedBase + batchId)
+            .write.mode("overwrite").parquet(s"$releaseDir/batch_id=$batchId")
     }
   }
 

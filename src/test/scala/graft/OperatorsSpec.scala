@@ -1482,6 +1482,29 @@ class OperatorsSpec extends SparkSpec {
     assert(hdr(1L) == (("jpeg", 32L, 32L)) && hdr(2L) == (("jpeg", 64L, 64L)))
   }
 
+  test("JPEG block means: single-component scans are non-interleaved (sampling factors ignored)") {
+    import spark.implicits._
+    // T.81 A.2: a one-component scan's MCU is ONE data unit in raster
+    // order — declared sampling factors are relative weights that mean
+    // nothing with a single component. A grayscale payload with its
+    // SOF sampling byte patched 0x11 → 0x22 carries the IDENTICAL
+    // entropy stream and must decode to the identical means (an
+    // interleaved 2×2-tile walk would permute the blocks).
+    val base = Multimodal.jpegPayload(11L, 1, variant = false)
+    val patched = base.clone()
+    val sofAt = patched.indices.find(i =>
+      (patched(i) & 0xff) == 0xff && i + 1 < patched.length &&
+        (patched(i + 1) & 0xff) == 0xc0).get
+    assert((patched(sofAt + 11) & 0xff) == 0x11, "sampling byte located")
+    patched(sofAt + 11) = 0x22.toByte
+    val got = Seq((1L, base), (2L, patched)).toDF("media_id", "payload")
+      .select($"media_id",
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(2L) != null && got(2L) == got(1L),
+      s"2x2-sampled grayscale must decode as non-interleaved: ${got(2L)} vs ${got(1L)}")
+  }
+
   test("JPEG block means: the general AC path matches a float IDCT replay within rounding") {
     import spark.implicits._
     // handcrafted single-block 8×8 grayscale JPEG with DC = 0 and ONE
