@@ -1384,6 +1384,67 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // AUTO-SIZED image signature space (the q204 saturation fix
+    // applied to the visual tier): the PNG near-dup pipeline at a
+    // DECLARED population of 10M images (`knownCount`, the
+    // nearDupesAnnAuto lazy-sizing contract) — grid 4's 65 536 sign
+    // buckets would hold ~150 images each there, past the hot cap, so
+    // the derivation widens the grid to the smallest g with
+    // g² ≥ ceil-log2(⌈n/16⌉) bits = 5 (25-bit keys, 33M buckets).
+    // The oracle replays the DERIVATION itself (declared n → bits →
+    // grid) and then the whole pipeline at that grid: block means
+    // from the pixel formula with floor cell boundaries (16 doesn't
+    // divide by 5 — cells are 3–4 px), sign bucket, cap, L1 gate.
+    // Re-encode twins (same pixels) pair at exactly 0 at ANY grid;
+    // the resize arm is deliberately absent (integral-resize
+    // exactness needs grid-divisible dims — the documented
+    // approximate case the L1 gate absorbs).
+    sql("q211_png_neardup_auto", {
+      val lum = "(77 * ((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256) " +
+        "+ 150 * ((((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256) * 3) % 256) " +
+        "+ 29 * ((((base*31 + (i%16)*(7 + base%11) + (i//16)*(13 + base%17)) % 256) * 5) % 256)) // 256"
+      val cell = "(i % 16) * gv // 16 = b % gv AND (i // 16) * gv // 16 = b // gv"
+      s"""WITH sz AS (SELECT CAST(list_min([bb FOR bb IN range(63)
+         |    IF (CAST(1 AS BIGINT) << bb) >= (10000000 + 15) // 16]) AS INT) AS bits),
+         |gd AS (SELECT GREATEST(4, list_min([gg FOR gg IN range(1, 8)
+         |    IF gg * gg >= bits])) AS gv FROM sz),
+         |ids AS (
+         |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
+         |f AS (SELECT id, gv,
+         |  [CAST(list_sum([$lum FOR i IN range(256) IF $cell]) * 1000 //
+         |        list_sum([1 FOR i IN range(256) IF $cell]) AS BIGINT)
+         |   FOR b IN range(gv * gv)] AS f
+         |  FROM ids CROSS JOIN gd),
+         |t AS (SELECT id, gv, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+         |k AS (SELECT id, gv, f, t,
+         |        CAST(list_sum([CASE WHEN f[b+1] * gv * gv >= t THEN CAST(1 AS BIGINT) << b ELSE 0 END
+         |                       FOR b IN range(gv * gv)]) AS BIGINT) AS key
+         |      FROM t WHERE t >= 1),
+         |g2 AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+         |kk AS (SELECT k.* FROM k JOIN g2 USING (key)),
+         |p AS (SELECT x.id AS id1, y.id AS id2,
+         |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(len(x.f))]) AS BIGINT) AS l1,
+         |        x.t AS t1, y.t AS t2
+         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+         |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("variant"))
+        .unionByName(base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("variant")))
+      val media = graft.operators.Multimodal.synthesizePng(
+        ids, "id", "base", "scale", "variant")
+      graft.operators.Multimodal.pngPerceptualCandidatesAuto(media,
+          targetBucketSize = 16, maxBucketSize = 64, thrPermille = 10,
+          knownCount = Some(10000000L))
+        .orderBy("id1", "id2")
+    },
+
     // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
     // signature space derived from the corpus size — bands = max(8,
     // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive

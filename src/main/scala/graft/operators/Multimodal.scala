@@ -524,6 +524,48 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Signature-grid sizing for the IMAGE perceptual tiers — the
+    * [[pcmPerceptualCandidatesAuto]] saturation fix applied to the
+    * grid² sign-bucket space: the smallest grid whose bucket count
+    * 2^(grid²) holds the expected per-bucket population at
+    * `targetBucketSize` (bits = [[Similarity.autoBits]]), i.e. the
+    * smallest g with g² ≥ bits, floored at the historical default 4
+    * (small corpora stay bit-identical to q203) and capped at 7 (the
+    * sign-bucket bit range). Grid 4's 65 536 buckets hold ~10M images
+    * at the default target; past that the fixed default would drive
+    * every bucket over the hot cap exactly as fixed PCM bands did at
+    * 100× (SCALE.md round-12). A wider grid never loses a true
+    * SAME-PIXEL twin (identical pixels ⇒ identical profile at any
+    * grid); integral-resize twins keep exact equality only when both
+    * dimensions divide by the grid — otherwise the L1 gate absorbs
+    * the cell-boundary drift (the documented approximate tier).
+    */
+  def autoGrid(n: Long, targetBucketSize: Int): Int = {
+    val bits = Similarity.autoBits(n, targetBucketSize, 49)
+    val g = (1 to 7).find(g => g * g >= bits).getOrElse(7)
+    math.max(4, g)
+  }
+
+  /** [[pngPerceptualCandidates]] with the grid derived from the corpus
+    * size via [[autoGrid]] — pass `knownCount` (e.g. a catalog-known
+    * image population) to stay lazy, the
+    * [[Similarity.nearDupesAnnAuto]] contract.
+    */
+  def pngPerceptualCandidatesAuto(media: DataFrame,
+      targetBucketSize: Int = 16, maxBucketSize: Int = 64,
+      thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
+    pngPerceptualCandidates(media,
+      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      maxBucketSize, thrPermille)
+
+  /** [[jpegPerceptualCandidates]] with the [[autoGrid]]-derived grid. */
+  def jpegPerceptualCandidatesAuto(media: DataFrame,
+      targetBucketSize: Int = 16, maxBucketSize: Int = 64,
+      thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
+    jpegPerceptualCandidates(media,
+      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      maxBucketSize, thrPermille)
+
   /** PIXEL-TRUE perceptual near-dup for BASELINE JPEG — the dominant
     * web image format's [[pngPerceptualCandidates]] (r13 verdict item
     * 2): the signature is the [[graft.plans.JpegBlockMeanExpr]]

@@ -1482,6 +1482,42 @@ class OperatorsSpec extends SparkSpec {
     assert(hdr(1L) == (("jpeg", 32L, 32L)) && hdr(2L) == (("jpeg", 64L, 64L)))
   }
 
+  test("image autoGrid: floor at 4, widens with population, caps at 7; twins survive the widened space") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // derivation: bits = ceil-log2(ceil(n/target)), grid = smallest g
+    // with g^2 >= bits, floored at the historical default 4
+    assert(Multimodal.autoGrid(100L, 16) == 4)
+    assert(Multimodal.autoGrid(1000000L, 16) == 4)     // 16 bits: exactly grid 4
+    assert(Multimodal.autoGrid(10000000L, 16) == 5)    // 20 bits -> 25-bit keys
+    assert(Multimodal.autoGrid(1L << 40, 16) == 6)     // 36 bits
+    assert(Multimodal.autoGrid(Long.MaxValue / 4, 1) == 7) // cap
+    // small corpus: auto == the fixed default, bit-identical
+    val png = Seq(
+      (1L, Multimodal.pngPayload(7L, 1, variant = false)),
+      (2L, Multimodal.pngPayload(7L, 1, variant = true)),
+      (3L, Multimodal.pngPayload(8L, 1, variant = false)))
+      .toDF("media_id", "payload")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(pairs(Multimodal.pngPerceptualCandidatesAuto(png)) ==
+      pairs(Multimodal.pngPerceptualCandidates(png, grid = 4)))
+    // declared 10M population: grid widens to 5 and the SAME-PIXEL
+    // re-encode twin still pairs at exactly 0 (identical pixels give
+    // the identical profile at any grid)
+    val wide = pairs(Multimodal.pngPerceptualCandidatesAuto(png,
+      knownCount = Some(10000000L)))
+    assert(wide == Set((1L, 2L, 0L)), s"$wide")
+    val jpg = Seq(
+      (1L, Multimodal.jpegPayload(7L, 1, variant = false)),
+      (2L, Multimodal.jpegPayload(7L, 1, variant = true)),
+      (3L, Multimodal.jpegPayload(8L, 1, variant = false)))
+      .toDF("media_id", "payload")
+    val wideJ = pairs(Multimodal.jpegPerceptualCandidatesAuto(jpg,
+      knownCount = Some(10000000L)))
+    assert(wideJ == Set((1L, 2L, 0L)), s"$wideJ")
+  }
+
   test("JPEG block means: single-component scans are non-interleaved (sampling factors ignored)") {
     import spark.implicits._
     // T.81 A.2: a one-component scan's MCU is ONE data unit in raster

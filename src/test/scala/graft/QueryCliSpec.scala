@@ -412,6 +412,16 @@ class QueryCliSpec extends SparkSpec {
     same(jpegSql, Multimodal.jpegPerceptualCandidates(spark.table("cli_jpegs"), grid = 4)
       .orderBy("id1", "id2"))
     assert(jpegSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    // grid <= 0 routes both image doors through the corpus-auto-sized
+    // variant (the pcm door's convention)
+    val pngAuto = QueryCommand.run(spark,
+      "SELECT id1, id2 FROM graft_png_neardup('cli_pngs', 0) ORDER BY id1, id2")
+      .as[(Long, Long)].collect().toSet
+    assert(pngAuto.contains((1L, 2L)), s"auto-sized png door must find the twin: $pngAuto")
+    val jpegAuto = QueryCommand.run(spark,
+      "SELECT id1, id2 FROM graft_jpeg_neardup('cli_jpegs', 0) ORDER BY id1, id2")
+      .as[(Long, Long)].collect().toSet
+    assert(jpegAuto.contains((1L, 2L)), s"auto-sized jpeg door must find the twin: $jpegAuto")
   }
 
   test("SQL door phase 4: domain, privacy-audit, and frame relations from SQL text match Scala") {
