@@ -1445,6 +1445,53 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // CROSS-FORMAT image near-dup: the SAME grayscale content stored
+    // as a baseline JPEG by one system and as a PNG by another — the
+    // most common cross-format twin in a crawl corpus, invisible to
+    // every byte- or format-blocked tier. The unified feature is
+    // coalesce(png_block_means, jpeg_block_means) (each kernel nulls
+    // on the other's format — content dispatch), and on grayscale the
+    // two luma models agree EXACTLY (PNG gray passes the pixel
+    // through; JPEG's Y is the pixel), so the planted cross-format
+    // twins pair at L1 = 0. Both fixtures carry the q208 DC block
+    // pattern, so ONE f formula replays both decoders' outputs — the
+    // oracle is format-blind by construction, exactly like the
+    // operator.
+    sql("q212_image_crossformat",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
+        |f AS (SELECT id,
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 11) + (b // 4)*(13 + base % 17)) % 201) - 100) * 1000
+        |   FOR b IN range(16)] AS f
+        |  FROM ids),
+        |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+        |k AS (SELECT id, f, t,
+        |        CAST(list_sum([CASE WHEN f[b+1] * 16 >= t THEN 1<<b ELSE 0 END
+        |                       FOR b IN range(16)]) AS BIGINT) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(16)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("png"))
+        .unionByName(base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("png")))
+      val media = graft.operators.Multimodal.synthesizeMixedImages(
+        ids, "id", "base", "scale", "png")
+      graft.operators.Multimodal.imagePerceptualCandidates(media,
+          grid = 4, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
     // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
     // signature space derived from the corpus size — bands = max(8,
     // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive

@@ -749,6 +749,120 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** CROSS-FORMAT image perceptual near-dup — one pipeline over a
+    * MIXED image corpus: the feature is
+    * `coalesce(png_block_means, jpeg_block_means)`, so each payload is
+    * decoded by the kernel that understands it (each returns null on
+    * the other's format — content dispatch, no mime column needed) and
+    * all profiles land in ONE sign-bucket space. The case this exists
+    * for: the SAME image stored as a PNG by one system and re-encoded
+    * as a baseline JPEG by another — the most common cross-format twin
+    * in a crawl corpus, invisible to every byte/format-blocked tier.
+    * For GRAYSCALE content the two kernels' luma models agree exactly
+    * (PNG gray passes the pixel through; JPEG's Y IS the pixel), so a
+    * lossless-JPEG-of-a-gray-PNG twin pairs at L1 = 0 (q212's planted
+    * contract); for color content JPEG's encoder-side BT.601 Y vs the
+    * PNG kernel's integer luma differ by rounding and the L1 gate
+    * absorbs it (the documented approximate case).
+    *
+    * Scale shape identical to the single-format tiers; payloads
+    * neither kernel decodes fall out at the null filter and stay on
+    * the byte-histogram tier.
+    */
+  def imagePerceptualCandidates(media: DataFrame, grid: Int = 4,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
+    val n = grid * grid
+    val withKey = media
+      .withColumn("__f", coalesce(
+        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)))
+      .filter(col("__f").isNotNull)
+      .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
+      .filter(col("__t") >= 1L)
+      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
+        expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
+      .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
+      .repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__f").as("f1"), col("b.__f").as("f2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** Deterministic GRAYSCALE PNG carrying the [[jpegPayload]] DC block
+    * pattern — the q212 cross-format fixture: a 32·scale-square
+    * color-type-0 PNG whose pixel (x, y) is 128 + dc(x/8s, y/8s) with
+    * [[jpegPayload]]'s dc formula, so its decoded luma profile is
+    * BYTE-IDENTICAL to the corresponding JPEG's (PNG gray passes the
+    * pixel through; JPEG Y is the pixel) while the two payloads share
+    * no container structure at all.
+    */
+  private[graft] def pngGrayPayload(id: Long, scale: Int): Array[Byte] = {
+    val wh = 32 * scale
+    def dc(bx: Int, by: Int): Int =
+      (((id * 31 + (bx / scale) * (7 + id % 11) +
+        (by / scale) * (13 + id % 17)) % 201) + 201).toInt % 201 - 100
+    val raw = new Array[Byte](wh * (1 + wh))
+    for (y <- 0 until wh) {
+      val rs = y * (1 + wh)
+      raw(rs) = 0 // filter: None
+      for (x <- 0 until wh)
+        raw(rs + 1 + x) = (128 + dc(x / 8, y / 8)).toByte
+    }
+    val defl = new java.util.zip.Deflater(1)
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    val comp = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data, 0, data.length); be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((wh >> 24) & 0xff).toByte; ihdr(1) = ((wh >> 16) & 0xff).toByte
+    ihdr(2) = ((wh >> 8) & 0xff).toByte; ihdr(3) = (wh & 0xff).toByte
+    ihdr(4) = ihdr(0); ihdr(5) = ihdr(1); ihdr(6) = ihdr(2); ihdr(7) = ihdr(3)
+    ihdr(8) = 8; ihdr(9) = 0 // gray
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Synthesize a MIXED-format media frame for the cross-format tier:
+    * `fmt = false` → baseline JPEG ([[jpegPayload]], non-variant),
+    * `fmt = true` → grayscale PNG ([[pngGrayPayload]]) of the SAME
+    * pixel pattern.
+    */
+  def synthesizeMixedImages(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, fmtCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, png: Boolean) =>
+      if (png) pngGrayPayload(base, scale) else jpegPayload(base, scale, variant = false) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(fmtCol)).as("payload"))
+  }
+
   /** The shared perceptual pipeline; `blockCol` prepends a blocking
     * key to the sign-bucket join key (empty string = unblocked, the
     * historical q126 behavior — same groups, same output). */

@@ -321,6 +321,17 @@ object GraftTableFunctions {
       intLit(args(3), "k"), intLit(args(4), "l")))
   }
 
+  private[plans] def buildImageNearDup(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 1 && args.size <= 4,
+      "graft_image_neardup(mediaTable[, grid, maxBucketSize, thrPermille])")
+    val spark = SparkSession.active
+    plan(graft.operators.Multimodal.imagePerceptualCandidates(
+      spark.table(strLit(args.head, "mediaTable")),
+      if (args.size > 1) intLit(args(1), "grid") else 4,
+      if (args.size > 2) intLit(args(2), "maxBucketSize") else 64,
+      if (args.size > 3) intLit(args(3), "thrPermille") else 10))
+  }
+
   // the media table must carry (media_id, payload, meta.n_bytes) — the
   // q134 media-frame convention the Scala surface expects
   private[plans] def buildFrameNearDup(args: Seq[Expression]): LogicalPlan = {
@@ -352,6 +363,7 @@ object GraftTableFunctions {
     ("graft_pcm_neardup", buildPcmNearDup _),
     ("graft_png_neardup", buildPngNearDup _),
     ("graft_jpeg_neardup", buildJpegNearDup _),
+    ("graft_image_neardup", buildImageNearDup _),
     ("graft_domain_card", buildDomainCard _),
     ("graft_domain_filter", buildDomainFilter _),
     ("graft_tcloseness", buildTCloseness _),

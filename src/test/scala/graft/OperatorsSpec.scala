@@ -1518,6 +1518,31 @@ class OperatorsSpec extends SparkSpec {
     assert(wideJ == Set((1L, 2L, 0L)), s"$wideJ")
   }
 
+  test("cross-format image near-dup: a grayscale JPEG pairs its PNG twin at exactly 0") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Multimodal.jpegPayload(7L, 1, variant = false)),   // gray-pattern JPEG
+      (2L, Multimodal.pngGrayPayload(7L, 1)),                 // same pixels as PNG
+      (3L, Multimodal.jpegPayload(7L, 1, variant = true)),    // re-encoded JPEG twin
+      (4L, Multimodal.pngGrayPayload(8L, 1)),                 // different image
+      (5L, Array.fill(64)(0x42.toByte)))                      // neither format
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.imagePerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the cross-format triangle: JPEG, its PNG twin, and a re-encoded
+    // JPEG all share one profile; the undecodable payload falls out
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L),
+      s"cross-format triangle must pair at exactly 0: $pairs")
+    // the single-format tiers CANNOT see the cross-format pair: the
+    // png kernel nulls the jpeg and vice versa
+    assert(!Multimodal.pngPerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).contains((1L, 2L)))
+    assert(!Multimodal.jpegPerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).contains((1L, 2L)))
+  }
+
   test("JPEG block means: single-component scans are non-interleaved (sampling factors ignored)") {
     import spark.implicits._
     // T.81 A.2: a one-component scan's MCU is ONE data unit in raster
