@@ -771,9 +771,33 @@ object Multimodal {
     */
   def imagePerceptualCandidates(media: DataFrame, grid: Int = 4,
       maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    val withKey = imageSignatures(media, grid).repartition(col("__key"))
+    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__f").as("f1"), col("b.__f").as("f2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** The cross-format image SIGNATURE frame — one row per decodable
+    * image: `(id, __key, __f, __t)` with the coalesced png/jpeg
+    * block-mean profile, its total, and the sign-bucket key. Shared
+    * by [[imagePerceptualCandidates]] (batch self-join) and the
+    * streaming admission ([[imageCrossPairs]] over a wave-layered
+    * signature store): both sides derive candidates from the SAME
+    * feature definition, so batch and streaming image dedup stay one
+    * pipeline (the winnow-store convention).
+    */
+  def imageSignatures(media: DataFrame, grid: Int = 4): DataFrame = {
     require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
     val n = grid * grid
-    val withKey = media
+    media
       .withColumn("__f", coalesce(
         graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
         graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)))
@@ -783,13 +807,32 @@ object Multimodal {
       .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
         expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
       .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
-      .repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__f").as("f1"), col("b.__f").as("f2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
+  }
+
+  /** Catalog×delta cross-format image pairs — the INCREMENTAL form of
+    * [[imagePerceptualCandidates]] (the [[graft.operators.TextOps.winnowedCrossPairs]]
+    * contract): the hot-bucket population is summed across BOTH sides
+    * (catalog ids are disjoint from delta ids, so counts add), making
+    * the cross-pair output exactly the full recompute over
+    * catalog ∪ delta restricted to (catalog, delta) pairs. Only keys
+    * PRESENT in the delta can pair, so probe cost tracks delta size
+    * regardless of catalog size — with a bucketed signature store the
+    * catalog side joins without an exchange.
+    */
+  def imageCrossPairs(catalogSigs: DataFrame, deltaSigs: DataFrame,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    val cat = catalogSigs.select(col("id"), col("__key"), col("__f"), col("__t"))
+    val dlt = deltaSigs.select(col("id"), col("__key"), col("__f"), col("__t"))
+    val dCnt = dlt.groupBy("__key").agg(count(lit(1)).as("__dn"))
+    val cCnt = cat.groupBy("__key").agg(count(lit(1)).as("__cn"))
+    val keep = dCnt.join(cCnt, Seq("__key"), "left")
+      .filter(col("__dn") + coalesce(col("__cn"), lit(0L)) <= maxBucketSize)
+      .select("__key")
+    cat.select(col("__key"), col("id").as("id1"),
+        col("__f").as("f1"), col("__t").as("t1"))
+      .join(keep, "__key")
+      .join(dlt.select(col("__key"), col("id").as("id2"),
+        col("__f").as("f2"), col("__t").as("t2")), "__key")
       .withColumn("l1", expr(
         "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=

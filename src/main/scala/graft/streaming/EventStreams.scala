@@ -961,6 +961,50 @@ object EventStreams {
     }
   }
 
+  /** Streaming cross-format IMAGE near-dup admission — the
+    * [[winnowAdmitStream]] discipline for the visual tier: each media
+    * micro-batch computes its cross-format signatures
+    * ([[graft.operators.Multimodal.imageSignatures]] — coalesced
+    * png/jpeg block-mean profiles), probes the signature store AS OF
+    * THE PREVIOUS WAVE for catalog near-dup pairs
+    * ([[graft.operators.Multimodal.imageCrossPairs]] — hot-bucket
+    * population summed across store + batch, the q189 incremental
+    * contract), lands the pairs under `pairsDir/batch_id=N`, then
+    * appends its signatures as `wave = batchId`. A JPEG admitted at
+    * wave 0 catches its PNG re-encode arriving at wave 3 — the
+    * cross-format match works ACROSS WAVES because both formats land
+    * in one signature space.
+    *
+    * Crash/idempotency: the as-of probe (wave ≤ batchId − 1 — a
+    * half-landed self wave is invisible) plus idempotent `appendWave`
+    * make a replayed batch reproduce its ORIGINAL pairs and replace
+    * its partition. Scale shape: only grid² longs per image land in
+    * the store (key-bucketed); probe cost tracks batch size.
+    */
+  def imageAdmitStream(media: DataFrame, table: String, pairsDir: String,
+      grid: Int = 4, maxBucketSize: Int = 64, thrPermille: Int = 10,
+      buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Multimodal, Stores}
+        val sigs = Multimodal.imageSignatures(batch.toDF(), grid).persist()
+        try {
+          val hasPrior = spark.catalog.tableExists(table) &&
+            Stores.storeWaves(spark, table).exists(_ < batchId)
+          val pairs =
+            if (!hasPrior)
+              sigs.limit(0).select(col("id").as("id1"),
+                col("id").as("id2"), lit(0L).as("l1"))
+            else Multimodal.imageCrossPairs(
+              Stores.asOf(spark, table, batchId - 1), sigs,
+              maxBucketSize, thrPermille)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+          Stores.appendWave(sigs, table, batchId, "__key", buckets)
+        } finally { sigs.unpersist(); () }
+    }
+
   // ---- streaming strict funnel ---------------------------------------
 
   final case class FunnelEvent(user_id: Long, event_type: String,

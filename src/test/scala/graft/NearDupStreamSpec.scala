@@ -433,9 +433,59 @@ class NearDupStreamSpec extends SparkSpec {
       "a crash-replayed stats wave must replace its partition")
     dropTable(statsT)
   }
+
+  test("imageAdmitStream: cross-format pairs across waves, as-of probe, idempotent signature waves") {
+    import spark.implicits._
+    import NearDupStreamSpec.MediaRow
+    import graft.operators.{Multimodal, Stores}
+    implicit val sq = spark.sqlContext
+    val sigT = "image_sig_store"
+    dropTable(sigT)
+    val pairsDir = tmpDir("image_admit_pairs")
+    // wave 0 admits a JPEG; wave 1 brings its PNG re-encode (the
+    // cross-format twin) + an unrelated JPEG; wave 2 a re-encoded
+    // JPEG twin pairing BOTH earlier forms
+    val b0 = Seq(MediaRow(1L, ts(1), Multimodal.jpegPayload(7L, 1, variant = false)),
+      MediaRow(2L, ts(1), Multimodal.pngGrayPayload(8L, 1)))
+    val b1 = Seq(MediaRow(3L, ts(2), Multimodal.pngGrayPayload(7L, 1)),
+      MediaRow(4L, ts(2), Multimodal.jpegPayload(9L, 1, variant = false)))
+    val b2 = Seq(MediaRow(5L, ts(3), Multimodal.jpegPayload(7L, 1, variant = true)))
+    val src = MemoryStream[MediaRow]
+    val q = EventStreams.imageAdmitStream(src.toDF(), sigT, pairsDir,
+        grid = 4, buckets = 4)
+      .option("checkpointLocation", tmpDir("image_admit_ckpt")).start()
+    try {
+      src.addData(b0: _*); q.processAllAvailable()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def pairs(b: Int): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$pairsDir/batch_id=$b")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(0) == Set.empty)
+    assert(pairs(1) == Set((1L, 3L, 0L)),
+      s"the PNG twin must pair its wave-0 JPEG across formats: ${pairs(1)}")
+    assert(pairs(2) == Set((1L, 5L, 0L), (3L, 5L, 0L)),
+      s"the re-encoded JPEG must pair both earlier forms: ${pairs(2)}")
+    // ≡ batch replay: the wave-2 probe equals imageCrossPairs over the
+    // explicit catalog ∪ delta split
+    def sigsOf(rows: Seq[MediaRow]): org.apache.spark.sql.DataFrame =
+      Multimodal.imageSignatures(
+        rows.map(r => (r.media_id, r.payload)).toDF("media_id", "payload"), 4)
+    val replay = Multimodal.imageCrossPairs(sigsOf(b0 ++ b1), sigsOf(b2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replay == pairs(2), s"stream ≠ batch replay: $replay vs ${pairs(2)}")
+    // idempotent wave landing: a crash-replayed signature wave replaces
+    val before = spark.table(sigT).count()
+    Stores.appendWave(sigsOf(b1), sigT, 1L, "__key", buckets = 4)
+    assert(spark.table(sigT).count() == before)
+    dropTable(sigT)
+  }
 }
 
 object NearDupStreamSpec {
+  final case class MediaRow(media_id: Long, ts: java.sql.Timestamp,
+    payload: Array[Byte])
   final case class Vec(vec_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
   final case class CuratedDoc(doc_id: Long, ts: java.sql.Timestamp,
     url: String, text: String)
