@@ -1347,7 +1347,7 @@ object RetrievalQueries {
         |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
         |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
         |f AS (SELECT id,
-        |  [(128 + ((base*31 + (b % 4)*(7 + base % 11) + (b // 4)*(13 + base % 17)) % 201) - 100) * 1000
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 31) + (b // 4)*(13 + base % 29) + (b % 4)*(b // 4)*(11 + base % 23)) % 201) - 100) * 1000
         |   FOR b IN range(16)] AS f
         |  FROM ids),
         |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
@@ -1462,7 +1462,7 @@ object RetrievalQueries {
         |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
         |f AS (SELECT id,
-        |  [(128 + ((base*31 + (b % 4)*(7 + base % 11) + (b // 4)*(13 + base % 17)) % 201) - 100) * 1000
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 31) + (b // 4)*(13 + base % 29) + (b % 4)*(b // 4)*(11 + base % 23)) % 201) - 100) * 1000
         |   FOR b IN range(16)] AS f
         |  FROM ids),
         |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
@@ -1489,6 +1489,75 @@ object RetrievalQueries {
         ids, "id", "base", "scale", "png")
       graft.operators.Multimodal.imagePerceptualCandidates(media,
           grid = 4, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
+    // INCREMENTAL image near-dup (the q189 store-equivalence contract
+    // for the visual tier): a JPEG CATALOG probed by a PNG DELTA —
+    // `imageCrossPairs` sums the hot-bucket population across BOTH
+    // sides (disjoint ids ⇒ counts add), so the cross output equals
+    // the full recompute over catalog ∪ delta restricted to
+    // (catalog, delta) pairs; only delta-present keys can pair, so
+    // probe cost tracks delta size. This is the batch face of
+    // `EventStreams.imageAdmitStream`'s per-wave probe. Grid 6 (the
+    // wide-signature-space remedy q211 established): at grid 4 the
+    // 100× replica corpus drives every delta key past the combined
+    // cap and the probe saturates to zero — the q196 failure shape.
+    // The oracle computes each grid-6 cell mean WITHOUT per-pixel
+    // iteration: the image is DC-constant 8×8 blocks, so a cell's sum
+    // is Σ_blocks (overlap area × (128 + dc)) with integer ceil
+    // boundaries — 16 blocks × 36 cells of pure arithmetic, exactly
+    // the kernels' per-pixel floor-cell math in closed form.
+    sql("q213_image_cross_incremental", {
+      val dc = "((base*31 + (k % 4)*(7 + base % 31) + (k // 4)*(13 + base % 29) + (k % 4)*(k // 4)*(11 + base % 23)) % 201) - 100"
+      def ov(p: String, g: String): String =
+        s"GREATEST(0, LEAST(8*(($p)+1), (32*(($g)+1) + 5) // 6) - GREATEST(8*($p), (32*($g) + 5) // 6))"
+      val cellCnt = "(((32*((b % 6)+1) + 5) // 6 - (32*(b % 6) + 5) // 6) * " +
+        "((32*((b // 6)+1) + 5) // 6 - (32*(b // 6) + 5) // 6))"
+      val fExpr =
+        s"""[CAST(list_sum([(128 + $dc) * ${ov("k % 4", "b % 6")} * ${ov("k // 4", "b // 6")}
+           |     FOR k IN range(16)]) * 1000 // $cellCnt AS BIGINT)
+           |   FOR b IN range(36)]""".stripMargin
+      s"""WITH cat AS (
+         |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0),
+         |dlt AS (
+         |  SELECT doc_id + 1000000 AS id, doc_id AS base FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 150),
+         |fc AS (SELECT id, $fExpr AS f FROM cat),
+         |fd AS (SELECT id, $fExpr AS f FROM dlt),
+         |kc AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t,
+         |        CAST(list_sum([CASE WHEN f[b+1] * 36 >= CAST(list_sum(f) AS BIGINT) THEN CAST(1 AS BIGINT)<<b ELSE 0 END
+         |                       FOR b IN range(36)]) AS BIGINT) AS key
+         |      FROM fc WHERE CAST(list_sum(f) AS BIGINT) >= 1),
+         |kd AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t,
+         |        CAST(list_sum([CASE WHEN f[b+1] * 36 >= CAST(list_sum(f) AS BIGINT) THEN CAST(1 AS BIGINT)<<b ELSE 0 END
+         |                       FOR b IN range(36)]) AS BIGINT) AS key
+         |      FROM fd WHERE CAST(list_sum(f) AS BIGINT) >= 1),
+         |keep AS (SELECT key FROM
+         |  (SELECT key FROM kc UNION ALL SELECT key FROM kd)
+         |  GROUP BY key HAVING count(*) <= 64),
+         |p AS (SELECT x.id AS id1, y.id AS id2,
+         |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(36)]) AS BIGINT) AS l1,
+         |        x.t AS t1, y.t AS t2
+         |      FROM kc x JOIN keep USING (key) JOIN kd y ON x.key = y.key)
+         |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      val catalog = graft.operators.Multimodal.synthesizeMixedImages(
+        base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("png")),
+        "id", "base", "scale", "png")
+      val delta = graft.operators.Multimodal.synthesizeMixedImages(
+        base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 1000000L).as("id"), col("doc_id").as("base"),
+            lit(1).as("scale"), lit(true).as("png")),
+        "id", "base", "scale", "png")
+      graft.operators.Multimodal.imageCrossPairs(
+          graft.operators.Multimodal.imageSignatures(catalog, 6),
+          graft.operators.Multimodal.imageSignatures(delta, 6),
+          maxBucketSize = 64, thrPermille = 10)
         .orderBy("id1", "id2")
     },
 

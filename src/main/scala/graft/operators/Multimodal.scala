@@ -629,8 +629,8 @@ object Multimodal {
 
   /** Deterministic baseline-JPEG payload — the q208 fixture: a 32×32
     * base image of DC-ONLY 8×8 blocks, block (bx,by) uniformly
-    * dc(bx,by) = ((id·31 + bx·(7 + id mod 11) + by·(13 + id mod 17))
-    * mod 201) − 100, nearest-neighbor upscaled by `scale` (an upscaled
+    * dc(bx,by) = ((id·31 + bx·(7 + id mod 31) + by·(13 + id mod 29)
+    * + bx·by·(11 + id mod 23)) mod 201) − 100, nearest-neighbor upscaled by `scale` (an upscaled
     * block grid replicates each source block, still DC-only). The id
     * rides the bx/by SLOPES, not just the offset (the q196/q203
     * anti-collapse lesson). DC-only means the decode is INTEGER-EXACT
@@ -652,8 +652,9 @@ object Multimodal {
     val nB = 4 * scale // blocks per side (base 32×32 = 4×4 blocks)
     val wh = nB * 8
     def dc(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 11) +
-        (by / scale) * (13 + id % 17)) % 201) + 201).toInt % 201 - 100
+      (((id * 31 + (bx / scale) * (7 + id % 31) +
+        (by / scale) * (13 + id % 29) +
+        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
     val out = new java.io.ByteArrayOutputStream()
     def b8(v: Int): Unit = out.write(v & 0xff)
     def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
@@ -851,8 +852,9 @@ object Multimodal {
   private[graft] def pngGrayPayload(id: Long, scale: Int): Array[Byte] = {
     val wh = 32 * scale
     def dc(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 11) +
-        (by / scale) * (13 + id % 17)) % 201) + 201).toInt % 201 - 100
+      (((id * 31 + (bx / scale) * (7 + id % 31) +
+        (by / scale) * (13 + id % 29) +
+        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
     val raw = new Array[Byte](wh * (1 + wh))
     for (y <- 0 until wh) {
       val rs = y * (1 + wh)
