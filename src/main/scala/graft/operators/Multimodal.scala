@@ -385,21 +385,41 @@ object Multimodal {
     * bounded mean, not an unbounded sum.
     */
   def pngPerceptualCandidates(media: DataFrame, grid: Int = 4,
-      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame =
+    perceptualSelfPairs(signatureFrame(media,
+      graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
+      grid), maxBucketSize, thrPermille)
+
+  /** The shared image SIGNATURE stage: feature column → `(id, __key,
+    * __f, __t)` rows. One definition, used by every grid-profile tier
+    * (png, jpeg, cross-format) — the gate/cap semantics cannot
+    * silently diverge between them. No format/dimension term in the
+    * key: the profile is resolution-normalized, so resized twins MUST
+    * share a bucket.
+    */
+  private def signatureFrame(media: DataFrame, feature: Column,
+      grid: Int): DataFrame = {
     require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
     val n = grid * grid
-    val withKey = media
-      .withColumn("__f",
-        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid))
+    media
+      .withColumn("__f", feature)
       .filter(col("__f").isNotNull)
       .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
       .filter(col("__t") >= 1L)
-      // no format/dimension term in the key: the profile is
-      // resolution-normalized, so resized twins MUST share a bucket
       .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
         expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
       .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
-      .repartition(col("__key"))
+  }
+
+  /** The shared candidate stage over a signature frame: repartition on
+    * the key, hot-bucket cap, keyed self-join, cross-multiplied
+    * integer L1 gate. Long-safe by construction (mean_e3 ≤ 255 000,
+    * t ≤ 49·255 000 — bounded means, not unbounded sums, so the PCM
+    * tier's DECIMAL(38,0) treatment is not needed).
+    */
+  private def perceptualSelfPairs(sigs: DataFrame, maxBucketSize: Int,
+      thrPermille: Int): DataFrame = {
+    val withKey = sigs.repartition(col("__key"))
     val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
     capped.alias("a").join(capped.alias("b"),
         col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
@@ -584,33 +604,10 @@ object Multimodal {
     * t ≤ 49·255 000 — bounded means, not unbounded sums).
     */
   def jpegPerceptualCandidates(media: DataFrame, grid: Int = 4,
-      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
-    require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
-    val n = grid * grid
-    val withKey = media
-      .withColumn("__f",
-        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid))
-      .filter(col("__f").isNotNull)
-      .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
-      .filter(col("__t") >= 1L)
-      // no format/dimension term in the key: the profile is
-      // resolution-normalized, so resized twins MUST share a bucket
-      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
-        expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
-      .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
-      .repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__f").as("f1"), col("b.__f").as("f2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
-      .withColumn("l1", expr(
-        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
-      .filter(col("l1") * 1000 <=
-        lit(thrPermille.toLong) * col("t1") * col("t2"))
-      .select("id1", "id2", "l1")
-  }
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame =
+    perceptualSelfPairs(signatureFrame(media,
+      graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid),
+      grid), maxBucketSize, thrPermille)
 
   /** Synthesize [[jpegPayload]] JPEGs from a (media_id, base id,
     * nearest-neighbor scale, re-encode-variant flag) frame — the q208
@@ -771,20 +768,20 @@ object Multimodal {
     * the byte-histogram tier.
     */
   def imagePerceptualCandidates(media: DataFrame, grid: Int = 4,
-      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
-    val withKey = imageSignatures(media, grid).repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__f").as("f1"), col("b.__f").as("f2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
-      .withColumn("l1", expr(
-        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
-      .filter(col("l1") * 1000 <=
-        lit(thrPermille.toLong) * col("t1") * col("t2"))
-      .select("id1", "id2", "l1")
-  }
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame =
+    perceptualSelfPairs(imageSignatures(media, grid), maxBucketSize, thrPermille)
+
+  /** [[imagePerceptualCandidates]] with the [[autoGrid]]-derived grid
+    * — the cross-format tier is exactly the crawl-scale surface whose
+    * fixed grid 4 saturates past ~10M images (the q211 analysis), so
+    * it gets the auto variant like its single-format siblings.
+    */
+  def imagePerceptualCandidatesAuto(media: DataFrame,
+      targetBucketSize: Int = 16, maxBucketSize: Int = 64,
+      thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
+    imagePerceptualCandidates(media,
+      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      maxBucketSize, thrPermille)
 
   /** The cross-format image SIGNATURE frame — one row per decodable
     * image: `(id, __key, __f, __t)` with the coalesced png/jpeg
@@ -795,20 +792,11 @@ object Multimodal {
     * feature definition, so batch and streaming image dedup stay one
     * pipeline (the winnow-store convention).
     */
-  def imageSignatures(media: DataFrame, grid: Int = 4): DataFrame = {
-    require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
-    val n = grid * grid
-    media
-      .withColumn("__f", coalesce(
-        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
-        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)))
-      .filter(col("__f").isNotNull)
-      .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
-      .filter(col("__t") >= 1L)
-      .withColumn("__key", graft.plans.SignBucketExpr.sign_bucket(
-        expr(s"transform(__f, v -> CAST(v * $n - __t AS DOUBLE))"), n))
-      .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
-  }
+  def imageSignatures(media: DataFrame, grid: Int = 4): DataFrame =
+    signatureFrame(media, coalesce(
+      graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
+      graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)),
+      grid)
 
   /** Catalog×delta cross-format image pairs — the INCREMENTAL form of
     * [[imagePerceptualCandidates]] (the [[graft.operators.TextOps.winnowedCrossPairs]]
@@ -819,6 +807,14 @@ object Multimodal {
     * PRESENT in the delta can pair, so probe cost tracks delta size
     * regardless of catalog size — with a bucketed signature store the
     * catalog side joins without an exchange.
+    *
+    * Redelivery guard: an id present on BOTH sides (an at-least-once
+    * source re-sending an already-admitted image) never emits the
+    * degenerate self-pair — `id1 ≠ id2` is enforced on the output.
+    * Its double-counted bucket contribution toward the cap is the
+    * tolerated at-least-once dead weight (the flat digest stores'
+    * convention); the layered store's idempotent wave replace bounds
+    * it to one extra copy per redelivered wave.
     */
   def imageCrossPairs(catalogSigs: DataFrame, deltaSigs: DataFrame,
       maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
@@ -834,6 +830,7 @@ object Multimodal {
       .join(keep, "__key")
       .join(dlt.select(col("__key"), col("id").as("id2"),
         col("__f").as("f2"), col("__t").as("t2")), "__key")
+      .filter(col("id1") =!= col("id2"))
       .withColumn("l1", expr(
         "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=

@@ -323,13 +323,16 @@ object GraftTableFunctions {
 
   private[plans] def buildImageNearDup(args: Seq[Expression]): LogicalPlan = {
     require(args.size >= 1 && args.size <= 4,
-      "graft_image_neardup(mediaTable[, grid, maxBucketSize, thrPermille])")
+      "graft_image_neardup(mediaTable[, grid, maxBucketSize, thrPermille]) — grid <= 0 auto-sizes")
     val spark = SparkSession.active
-    plan(graft.operators.Multimodal.imagePerceptualCandidates(
-      spark.table(strLit(args.head, "mediaTable")),
-      if (args.size > 1) intLit(args(1), "grid") else 4,
-      if (args.size > 2) intLit(args(2), "maxBucketSize") else 64,
-      if (args.size > 3) intLit(args(3), "thrPermille") else 10))
+    val media = spark.table(strLit(args.head, "mediaTable"))
+    val grid = if (args.size > 1) intLit(args(1), "grid") else 4
+    val cap = if (args.size > 2) intLit(args(2), "maxBucketSize") else 64
+    val thr = if (args.size > 3) intLit(args(3), "thrPermille") else 10
+    plan(if (grid <= 0)
+      graft.operators.Multimodal.imagePerceptualCandidatesAuto(media,
+        maxBucketSize = cap, thrPermille = thr)
+    else graft.operators.Multimodal.imagePerceptualCandidates(media, grid, cap, thr))
   }
 
   // the media table must carry (media_id, payload, meta.n_bytes) — the

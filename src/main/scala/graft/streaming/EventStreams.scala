@@ -989,7 +989,11 @@ object EventStreams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import graft.operators.{Multimodal, Stores}
-        val sigs = Multimodal.imageSignatures(batch.toDF(), grid).persist()
+        // one signature per media id: a duplicate row INSIDE a batch
+        // (at-least-once source) must not inflate the combined cap or
+        // duplicate output pairs
+        val sigs = Multimodal.imageSignatures(batch.toDF(), grid)
+          .dropDuplicates("id").persist()
         try {
           val hasPrior = spark.catalog.tableExists(table) &&
             Stores.storeWaves(spark, table).exists(_ < batchId)

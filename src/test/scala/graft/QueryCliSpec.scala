@@ -422,6 +422,20 @@ class QueryCliSpec extends SparkSpec {
       "SELECT id1, id2 FROM graft_jpeg_neardup('cli_jpegs', 0) ORDER BY id1, id2")
       .as[(Long, Long)].collect().toSet
     assert(jpegAuto.contains((1L, 2L)), s"auto-sized jpeg door must find the twin: $jpegAuto")
+    // the cross-format door: a JPEG and its PNG re-encode in one table
+    Seq((1L, Multimodal.jpegPayload(7L, 1, variant = false)),
+      (2L, Multimodal.pngGrayPayload(7L, 1)),
+      (3L, Multimodal.pngGrayPayload(8L, 1)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_mixed")
+    val imgSql = QueryCommand.run(spark,
+      "SELECT id1, id2, l1 FROM graft_image_neardup('cli_mixed', 4) ORDER BY id1, id2")
+    same(imgSql, Multimodal.imagePerceptualCandidates(spark.table("cli_mixed"), grid = 4)
+      .orderBy("id1", "id2"))
+    assert(imgSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    val imgAuto = QueryCommand.run(spark,
+      "SELECT id1, id2 FROM graft_image_neardup('cli_mixed', 0) ORDER BY id1, id2")
+      .as[(Long, Long)].collect().toSet
+    assert(imgAuto.contains((1L, 2L)), s"auto-sized image door must find the twin: $imgAuto")
   }
 
   test("SQL door phase 4: domain, privacy-audit, and frame relations from SQL text match Scala") {
