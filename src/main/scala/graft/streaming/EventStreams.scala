@@ -980,6 +980,12 @@ object EventStreams {
     * make a replayed batch reproduce its ORIGINAL pairs and replace
     * its partition. Scale shape: only grid² longs per image land in
     * the store (key-bucketed); probe cost tracks batch size.
+    *
+    * `grid` is FIXED for the store's lifetime by design — signatures
+    * at different grids never share keys, so widening it (the
+    * [[graft.operators.Multimodal.autoGrid]] remedy when the catalog
+    * approaches grid 4's ~10M-image capacity) means re-signing the
+    * catalog into a NEW store, not flipping the parameter mid-stream.
     */
   def imageAdmitStream(media: DataFrame, table: String, pairsDir: String,
       grid: Int = 4, maxBucketSize: Int = 64, thrPermille: Int = 10,
