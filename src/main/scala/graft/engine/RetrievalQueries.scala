@@ -1561,6 +1561,56 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // MEDIA DATA CARD — the media-corpus member of the data-card
+    // family (text q200, domain q207, DP q205): per-format census
+    // with the grouping()-tagged ROLLUP total over a MIXED corpus —
+    // structured header-only payloads (q182's fixture: real PNG/JPEG/
+    // WAV headers, garbage bodies — the pixel tier correctly returns
+    // null on all of them) plus fully-decodable DC images. The gap
+    // between n_media and px_decodable IS the card's point: it tells
+    // the pipeline how much of each format the pixel tier can
+    // actually serve vs what stays on the byte-histogram tier. Every
+    // header field is an id formula, so the oracle replays the whole
+    // census from the construction.
+    sql("q214_media_card",
+      """WITH s AS (SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+        |         WHEN 1 THEN 32 + doc_id % 80 END AS BIGINT) AS w,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 48
+        |         WHEN 1 THEN 32 + doc_id % 100 END AS BIGINT) AS h,
+        |    CAST(CASE doc_id % 3 WHEN 2 THEN 100 + doc_id % 50 ELSE 0 END AS BIGINT) AS fr,
+        |    0 AS px
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, 'jpeg', 32, 32, 0, 1
+        |    FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 4000000, 'png', 32, 32, 0, 1
+        |    FROM documents WHERE doc_id % 50 = 0)
+        |SELECT CASE WHEN GROUPING(fmt) = 1 THEN '__all__' ELSE fmt END AS scope,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(px) AS BIGINT) AS px_decodable,
+        |  CAST(count(w) AS BIGINT) AS with_dims,
+        |  CASE WHEN count(w) > 0 THEN CAST(sum(w) // count(w) AS BIGINT) END AS mean_w,
+        |  CASE WHEN count(h) > 0 THEN CAST(sum(h) // count(h) AS BIGINT) END AS mean_h,
+        |  CAST(sum(fr) AS BIGINT) AS audio_frames
+        |FROM s GROUP BY ROLLUP (fmt) ORDER BY scope""".stripMargin) { (s, d) =>
+      import graft.operators.Multimodal
+      val structured = Multimodal.synthesizeStructured(documents(s, d), "doc_id")
+        .select("media_id", "payload")
+      val mixBase = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 50 === 0)
+      val jp = Multimodal.synthesizeMixedImages(
+        mixBase.select((col("doc_id") + 3000000L).as("id"),
+          col("doc_id").as("base"), lit(1).as("scale"), lit(false).as("png")),
+        "id", "base", "scale", "png")
+      val pg = Multimodal.synthesizeMixedImages(
+        mixBase.select((col("doc_id") + 4000000L).as("id"),
+          col("doc_id").as("base"), lit(1).as("scale"), lit(true).as("png")),
+        "id", "base", "scale", "png")
+      Multimodal.mediaCard(structured.unionByName(jp).unionByName(pg))
+        .orderBy("scope")
+    },
+
     // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
     // signature space derived from the corpus size — bands = max(8,
     // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive

@@ -838,6 +838,57 @@ object Multimodal {
       .select("id1", "id2", "l1")
   }
 
+  /** MEDIA DATA CARD — the media-corpus member of the data-card family
+    * ([[Profiling.dataCard]] for text, [[TextOps.domainCard]] per
+    * host, [[Profiling.dpDataCard]] for private release): a per-FORMAT
+    * census of a media table with the ROLLUP total, the audit a
+    * multimodal pipeline reads before deciding which decode tiers to
+    * run. Per container format (from the [[graft.plans.MediaHeaderExpr]]
+    * walk — 'png'/'jpeg'/'wav'/'unknown') and `__all__`:
+    *
+    *  - `n_media` — payload count;
+    *  - `px_decodable` — payloads the PIXEL tier can fully decode
+    *    (the coalesced png/jpeg block-mean kernel at grid 1 returns
+    *    non-null: real entropy data, not just a parseable header —
+    *    the gap between this and `n_media` is the header-only tail
+    *    that stays on the byte-histogram tier);
+    *  - `with_dims` / integer `mean_w`, `mean_h` (null when no
+    *    payload in the group carries dimensions);
+    *  - `audio_frames` — summed WAV frame counts.
+    *
+    * Scale shape: one decode pass inside the scan (header walk + the
+    * grid-1 probe), then ONE ROLLUP aggregate — the [[Profiling.dataCard]]
+    * plan with media kernels as the per-row stage. The total row is
+    * tagged via `grouping()` (never null-detection).
+    */
+  def mediaCard(media: DataFrame): DataFrame = {
+    val agg = media
+      .withColumn("__hdr",
+        graft.plans.MediaHeaderExpr.media_header(col("payload")))
+      .withColumn("__fmt", col("__hdr.fmt"))
+      .withColumn("__w", col("__hdr.width"))
+      .withColumn("__h", col("__hdr.height"))
+      .withColumn("__fr", col("__hdr.n_frames"))
+      .withColumn("__px", coalesce(
+        graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), 1),
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), 1)))
+      .rollup("__fmt")
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("__px").isNotNull, 1L).otherwise(0L)).as("px_decodable"),
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("with_dims"),
+        sum(coalesce(col("__w"), lit(0L))).as("__sw"),
+        sum(coalesce(col("__h"), lit(0L))).as("__sh"),
+        sum(coalesce(col("__fr"), lit(0L))).as("audio_frames"),
+        grouping(col("__fmt")).as("__total"))
+    agg.select(
+      when(col("__total") === 1, lit("__all__"))
+        .otherwise(coalesce(agg("__fmt"), lit("__null__"))).as("scope"),
+      col("n_media"), col("px_decodable"), col("with_dims"),
+      when(col("with_dims") > 0, expr("__sw div with_dims")).as("mean_w"),
+      when(col("with_dims") > 0, expr("__sh div with_dims")).as("mean_h"),
+      col("audio_frames"))
+  }
+
   /** Deterministic GRAYSCALE PNG carrying the [[jpegPayload]] DC block
     * pattern — the q212 cross-format fixture: a 32·scale-square
     * color-type-0 PNG whose pixel (x, y) is 128 + dc(x/8s, y/8s) with

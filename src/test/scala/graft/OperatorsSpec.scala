@@ -1547,6 +1547,33 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).contains((1L, 2L)))
   }
 
+  test("mediaCard: per-format census with rollup total; header-only vs pixel-decodable split; unknown bucket") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // structured ids 3 (png header, garbage body) and 2 (wav) via the
+    // public synthesizer; direct decodable payloads + junk alongside
+    val media = Seq(
+      (10L, Multimodal.jpegPayload(7L, 1, variant = false)), // jpeg, decodable
+      (20L, Multimodal.pngGrayPayload(8L, 1)),               // png, decodable
+      (50L, Array.fill(32)(0x51.toByte)))                    // unknown
+      .toDF("media_id", "payload")
+      .unionByName(Multimodal.synthesizeStructured(
+        Seq(3L, 2L).toDF("doc_id"), "doc_id")
+        .select($"media_id", $"payload"))
+    val card = Multimodal.mediaCard(media).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // (n_media, px_decodable, with_dims) per scope
+    assert(card("jpeg") == ((1L, 1L, 1L)), s"${card("jpeg")}")
+    assert(card("png") == ((2L, 1L, 2L)),
+      "the header-only PNG counts toward n_media/dims but NOT px_decodable")
+    assert(card("wav") == ((1L, 0L, 0L)))
+    assert(card("unknown") == ((1L, 0L, 0L)))
+    assert(card("__all__") == ((5L, 2L, 3L)))
+    val wav = Multimodal.mediaCard(media).filter($"scope" === "wav")
+      .select("audio_frames").as[Long].head()
+    assert(wav > 0L, "wav frame counts must aggregate")
+  }
+
   test("JPEG block means: single-component scans are non-interleaved (sampling factors ignored)") {
     import spark.implicits._
     // T.81 A.2: a one-component scan's MCU is ONE data unit in raster
