@@ -1241,7 +1241,8 @@ object RetrievalQueries {
         |        CAST(list_sum([abs(CAST(x.e[i+1] AS HUGEINT) * y.t - CAST(y.e[i+1] AS HUGEINT) * x.t) FOR i IN range(8)]) AS HUGEINT) AS l1,
         |        x.t AS t1, y.t AS t2
         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
-        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |SELECT id1, id2, CAST(l1 AS VARCHAR) AS l1
+        |FROM p WHERE l1 * 1000 <= 10 * t1 * t2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val base = documents(s, d).select(col("doc_id"))
       val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
@@ -1254,14 +1255,18 @@ object RetrievalQueries {
             lit(1).as("scale"), lit(true).as("hv")))
       val media = graft.operators.Multimodal.synthesizeWavPcm(
         ids, "id", "base", "scale", "hv")
-      // l1 stays DECIMAL(38,0) end to end (oracle side: HUGEINT →
-      // the same arrow decimal128(38,0)): a long cast at the output
-      // edge would silently null at the minutes-long-PCM scales the
-      // decimal gate exists for (a surviving pair's l1 reaches
-      // ~0.01·t1·t2 ≈ 1e25, past Long range)
+      // l1 is DECIMAL(38,0) internally (the r13 overflow gate: a
+      // surviving pair's l1 reaches ~0.01·t1·t2 ≈ 1e25 at
+      // minutes-long-PCM scales, past Long range) but crosses the
+      // output edge as a CANONICAL DECIMAL STRING on BOTH sides: the
+      // r14 lesson is that Spark DECIMAL(38,0) and DuckDB HUGEINT do
+      // NOT hash identically at the driver gate even when both
+      // present as arrow decimal128(38,0) locally — a string is
+      // representation-identical by construction on every
+      // arrow/duckdb version.
       graft.operators.Multimodal.pcmPerceptualCandidates(media,
           bands = 8, maxBucketSize = 64, thrPermille = 10)
-        .select(col("id1"), col("id2"), col("l1"))
+        .select(col("id1"), col("id2"), col("l1").cast("string").as("l1"))
         .orderBy("id1", "id2")
     },
 
@@ -1645,7 +1650,8 @@ object RetrievalQueries {
         |        CAST(list_sum([abs(CAST(x.e[i+1] AS HUGEINT) * y.t - CAST(y.e[i+1] AS HUGEINT) * x.t) FOR i IN range(len(x.e))]) AS HUGEINT) AS l1,
         |        x.t AS t1, y.t AS t2
         |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
-        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |SELECT id1, id2, CAST(l1 AS VARCHAR) AS l1
+        |FROM p WHERE l1 * 1000 <= 10 * t1 * t2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val base = documents(s, d).select(col("doc_id"))
       val ids = base.select(col("doc_id").as("id"), col("doc_id").as("base"),
@@ -1658,10 +1664,11 @@ object RetrievalQueries {
             lit(1).as("scale"), lit(true).as("hv")))
       val media = graft.operators.Multimodal.synthesizeWavPcm(
         ids, "id", "base", "scale", "hv")
-      // decimal l1 at the output edge, like q196 (see the note there)
+      // canonical decimal STRING at the output edge, like q196 (see
+      // the driver-hash note there); internal arithmetic stays DECIMAL
       graft.operators.Multimodal.pcmPerceptualCandidatesAuto(media,
           targetBucketSize = 16, maxBucketSize = 64, thrPermille = 10)
-        .select(col("id1"), col("id2"), col("l1"))
+        .select(col("id1"), col("id2"), col("l1").cast("string").as("l1"))
         .orderBy("id1", "id2")
     },
 

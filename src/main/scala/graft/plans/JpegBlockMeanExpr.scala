@@ -34,17 +34,31 @@ import org.apache.spark.sql.types._
   * synthesized DC-only fixture integer-exact from its construction,
   * so the catalog oracle replays block means without a decoder.
   *
+  * PROGRESSIVE (SOF2) Huffman payloads decode too (r14 verdict item
+  * 3 — progressive is a large share of real web JPEGs, often the
+  * majority on image-heavy sites): the multi-scan walk accumulates
+  * per-component coefficient planes across spectral-selection bands
+  * (Ss..Se) and successive-approximation bit positions (Ah/Al) per
+  * T.81 G.1.2 — interleaved or single-component DC scans (first pass
+  * + one-bit refinements), AC scans with EOB-run coding and the
+  * refinement correction-bit walk — then dequantizes + IDCTs the luma
+  * plane once after EOI. Because whole coefficient planes are
+  * buffered during the scan walk, the progressive pixel cap is
+  * tighter: 2^24 Y samples (16.7M px, a 4096×4096) vs baseline's
+  * 2^26 — above it the payload stays on the header tier.
+  *
   * Supported subset (everything else → null, the [[PcmEnergyExpr]]
   * contract — unsupported shapes stay on the byte-histogram tier):
-  * baseline/extended-sequential Huffman (SOF0/SOF1; progressive SOF2
-  * and arithmetic coding → null), 8-bit precision, 1–4 components
-  * with sampling factors in {1, 2} and a full-resolution first
-  * (luma) component, optional restart intervals, dimensions ≤ 16384
-  * with the Y plane capped at 2^26 samples (a forged SOF cannot
-  * bomb the executor). Corrupt payloads — truncated segments, bad
-  * Huffman codes, overrun lengths, garbage entropy data — return
-  * null, never hang, never throw (fuzz-spec-pinned like the PNG and
-  * WAV walks).
+  * baseline/extended-sequential/progressive Huffman (SOF0/SOF1/SOF2;
+  * lossless and arithmetic coding → null), 8-bit precision, 1–4
+  * components with sampling factors in {1, 2} and a full-resolution
+  * first (luma) component, optional restart intervals, dimensions
+  * ≤ 16384 with the Y plane capped at 2^26 samples sequential /
+  * 2^24 progressive (a forged SOF cannot bomb the executor). Corrupt
+  * payloads — truncated segments, bad Huffman codes, overrun
+  * lengths, garbage entropy data, out-of-order progressive scans —
+  * return null, never hang, never throw (fuzz-spec-pinned like the
+  * PNG and WAV walks).
   */
 case class JpegBlockMeanExpr(child: Expression, grid: Int)
     extends UnaryExpression {
