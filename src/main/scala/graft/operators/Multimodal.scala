@@ -595,8 +595,10 @@ object Multimodal {
     * chroma planes, restart markers: not one shared compressed byte)
     * pairs at L1 = 0, and an integral nearest-neighbor RESIZED twin
     * pairs exactly too, while the byte-histogram tier misses both.
-    * Non-baseline payloads (progressive, 12-bit, arithmetic) return
-    * null features and stay on the q186 histogram tier.
+    * PROGRESSIVE (SOF2) payloads decode through the same kernel's
+    * multi-scan path (q215); out-of-subset payloads (12-bit,
+    * arithmetic, lossless) return null features and stay on the q186
+    * histogram tier.
     *
     * Scale shape identical to the PNG tier: one decode pass inside
     * the scan, grid² longs on the wire, sign-bucket-keyed self-join
@@ -747,6 +749,127 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize JPEGs with a three-way mode column — the q215 fixture
+    * builder: mode 0 = [[jpegPayload]] baseline grayscale, mode 1 =
+    * its re-encoded baseline variant, mode 2 = the PROGRESSIVE (SOF2)
+    * re-encode ([[jpegProgressivePayload]]).
+    */
+  def synthesizeJpegModes(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, modeCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, mode: Int) =>
+      if (mode == 2) jpegProgressivePayload(base, scale)
+      else jpegPayload(base, scale, mode == 1) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(modeCol)).as("payload"))
+  }
+
+  /** Deterministic PROGRESSIVE (SOF2) re-encode of [[jpegPayload]]'s
+    * DC-only image — the q215 fixture: the identical luma plane
+    * delivered across FIVE scans (DC first at Al = 1 with a 2-MCU
+    * restart interval, DC refinement at Ah = 1, AC band 1–5 first at
+    * Al = 1, AC band 1–5 refinement, AC band 6–63 — the AC scans are
+    * pure EOB runs since the image is DC-only), with q₀ = 4 and
+    * coefficient = 2·dc so every successive-approximation step is
+    * integer-exact: the DC first scan carries coef >> 1 = dc exactly
+    * (2·dc is even, so the arithmetic shift loses nothing), the
+    * refinement bits are all zero, and the decoded pixel is
+    * 128 + dc — the plane [[jpegPayload]] decodes to, with zero
+    * shared entropy bytes and a different frame type, exercising the
+    * spectral-selection bands, both successive-approximation
+    * directions, EOB-run coding, restarts inside a progressive scan,
+    * and inter-scan DRI/DHT segments.
+    */
+  private[graft] def jpegProgressivePayload(id: Long, scale: Int): Array[Byte] = {
+    val nB = 4 * scale
+    val wh = nB * 8
+    def dcOf(bx: Int, by: Int): Int =
+      (((id * 31 + (bx / scale) * (7 + id % 31) +
+        (by / scale) * (13 + id % 29) +
+        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    def seg(marker: Int, payload: Int => Unit, lenOf: Int): Unit = {
+      b8(0xff); b8(marker); b16(lenOf + 2); payload(0)
+    }
+    b8(0xff); b8(0xd8) // SOI
+    seg(0xdb, _ => { b8(0x00); b8(4); (1 until 64).foreach(_ => b8(12)) }, 65)
+    seg(0xc2, _ => { b8(8); b16(wh); b16(wh); b8(1); b8(1); b8(0x11); b8(0) }, 9)
+    // DC table: 12 categories at length 5 (yet another code assignment)
+    seg(0xc4, _ => {
+      b8(0x00); (1 to 16).foreach(l => b8(if (l == 5) 12 else 0))
+      (0 until 12).foreach(b8)
+    }, 17 + 12)
+    var acc = 0; var accBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); accBits += 1
+        if (accBits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; accBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushAlign(): Unit = if (accBits > 0) {
+      putBits((1 << (8 - accBits)) - 1, 8 - accBits) // pad with 1s
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def sos(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit =
+      seg(0xda, _ => {
+        b8(1); b8(1); b8(0x00); b8(ssV); b8(seV); b8((ahV << 4) | alV)
+      }, 6)
+    // scan 1: DC first pass at Al = 1 — diffs of coef >> 1 = dc, with
+    // a restart every 2 blocks (predictor resets, marker cycle)
+    seg(0xdd, _ => b16(2), 2)
+    sos(0, 0, 0, 1)
+    var pred = 0; var mcuCount = 0; var rst = 0
+    for (by <- 0 until nB; bx <- 0 until nB) {
+      if (mcuCount == 2) {
+        flushAlign(); b8(0xff); b8(0xd0 + rst)
+        rst = (rst + 1) % 8; pred = 0; mcuCount = 0
+      }
+      val v = dcOf(bx, by)
+      val diff = v - pred; pred = v
+      val t = if (diff == 0) 0 else cat(diff)
+      putBits(t, 5) // canonical: symbol s is code s at length 5
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      mcuCount += 1
+    }
+    flushAlign()
+    // scan 2: DC refinement (Ah = 1 → Al = 0) — one raw bit per block,
+    // all zero (2·dc is even); restarts disabled between scans
+    seg(0xdd, _ => b16(0), 2)
+    sos(0, 0, 1, 0)
+    (0 until nB * nB).foreach(_ => putBits(0, 1))
+    flushAlign()
+    // AC table: the eight EOB-run symbols (r << 4 | 0, r = 0..7) at
+    // length 4 — canonical code of symbol r is r
+    seg(0xc4, _ => {
+      b8(0x10); (1 to 16).foreach(l => b8(if (l == 4) 8 else 0))
+      (0 until 8).foreach(r => b8(r << 4))
+    }, 17 + 8)
+    def putEobRun(n0: Int): Unit = {
+      var rem = n0
+      while (rem > 0) {
+        val r = math.min(7, 31 - Integer.numberOfLeadingZeros(rem))
+        val run = math.min(rem, (1 << (r + 1)) - 1)
+        putBits(r, 4)
+        if (r > 0) putBits(run - (1 << r), r)
+        rem -= run
+      }
+    }
+    // scans 3–5: the AC bands as pure EOB runs (first pass at Al = 1,
+    // its refinement, then the high band at Al = 0)
+    sos(1, 5, 0, 1); putEobRun(nB * nB); flushAlign()
+    sos(1, 5, 1, 0); putEobRun(nB * nB); flushAlign()
+    sos(6, 63, 0, 0); putEobRun(nB * nB); flushAlign()
+    b8(0xff); b8(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** CROSS-FORMAT image perceptual near-dup — one pipeline over a
     * MIXED image corpus: the feature is
     * `coalesce(png_block_means, jpeg_block_means)`, so each payload is
@@ -831,6 +954,50 @@ object Multimodal {
       .join(dlt.select(col("__key"), col("id").as("id2"),
         col("__f").as("f2"), col("__t").as("t2")), "__key")
       .filter(col("id1") =!= col("id2"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <=
+        lit(thrPermille.toLong) * col("t1") * col("t2"))
+      .select("id1", "id2", "l1")
+  }
+
+  /** Catalog×delta PLUS WITHIN-DELTA image pairs — the admission
+    * stream's probe (r14 verdict item 4): [[imageCrossPairs]] alone
+    * misses two twins arriving in the SAME micro-batch (wave-N
+    * signatures never probe each other), so the admission probe adds
+    * the batch-internal self-pairs under the SAME combined hot-bucket
+    * cap (store + delta population per key — one `keep` set for both
+    * legs, so the cap can never disagree between them). The output is
+    * exactly the NEW pairs of a full [[imagePerceptualCandidates]]
+    * recompute over catalog ∪ delta — every surviving pair with at
+    * least one delta member — so a batch-sequential stream replay
+    * accumulates the complete recompute pair set (catalog-internal
+    * pairs were earlier waves' output). An empty catalog frame is
+    * valid: at wave 0 the delta self-pairs are the whole output.
+    */
+  def imageAdmissionPairs(catalogSigs: DataFrame, deltaSigs: DataFrame,
+      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
+    val cat = catalogSigs.select(col("id"), col("__key"), col("__f"), col("__t"))
+    val dlt = deltaSigs.select(col("id"), col("__key"), col("__f"), col("__t"))
+    val dCnt = dlt.groupBy("__key").agg(count(lit(1)).as("__dn"))
+    val cCnt = cat.groupBy("__key").agg(count(lit(1)).as("__cn"))
+    val keep = dCnt.join(cCnt, Seq("__key"), "left")
+      .filter(col("__dn") + coalesce(col("__cn"), lit(0L)) <= maxBucketSize)
+      .select("__key")
+    val cross = cat.select(col("__key"), col("id").as("id1"),
+        col("__f").as("f1"), col("__t").as("t1"))
+      .join(keep, "__key")
+      .join(dlt.select(col("__key"), col("id").as("id2"),
+        col("__f").as("f2"), col("__t").as("t2")), "__key")
+      .filter(col("id1") =!= col("id2"))
+      .select("id1", "id2", "f1", "f2", "t1", "t2")
+    val keptDlt = dlt.join(keep, "__key")
+    val within = keptDlt.alias("a").join(keptDlt.alias("b"),
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.__f").as("f1"), col("b.__f").as("f2"),
+        col("a.__t").as("t1"), col("b.__t").as("t2"))
+    cross.unionByName(within)
       .withColumn("l1", expr(
         "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=

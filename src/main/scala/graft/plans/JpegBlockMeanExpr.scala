@@ -97,6 +97,8 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
     var sosAt = -1
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
     var scanOrder: Array[Int] = null // component indices in scan order
+    var progressive = false
+    var sosMarkerAt = -1 // progressive: first SOS marker, scan loop entry
     var p = 2
     var done = false
     while (!done) {
@@ -119,35 +121,12 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
         val segEnd = p + 2 + len   // one past payload
         m match {
           case 0xdb => // DQT: one or more tables
-            var o = seg
-            while (o < segEnd) {
-              val pq = u(o) >> 4; val tq = u(o) & 0x0f
-              if (pq != 0 || tq > 3 || o + 1 + 64 > segEnd) return null
-              var k = 0
-              while (k < 64) { qt(tq)(k) = u(o + 1 + k); k += 1 }
-              qtSeen(tq) = true
-              o += 65
-            }
+            if (!parseDqt(b, seg, segEnd, qt, qtSeen)) return null
           case 0xc4 => // DHT: one or more tables
-            var o = seg
-            while (o < segEnd) {
-              val tc = u(o) >> 4; val th = u(o) & 0x0f
-              if (tc > 1 || th > 3 || o + 17 > segEnd) return null
-              val counts = new Array[Int](17)
-              var total = 0
-              var l = 1
-              while (l <= 16) { counts(l) = u(o + l); total += counts(l); l += 1 }
-              if (total > 256 || o + 17 + total > segEnd) return null
-              val vals = new Array[Int](total)
-              var k = 0
-              while (k < total) { vals(k) = u(o + 17 + k); k += 1 }
-              val t = HuffTable.build(counts, vals)
-              if (t == null) return null
-              huff(tc * 4 + th) = t
-              o += 17 + total
-            }
-          case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+            if (!parseDht(b, seg, segEnd, huff)) return null
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential; SOF2 progressive
             if (nComp != 0) return null // second frame header
+            progressive = m == 0xc2
             if (seg + 6 > segEnd) return null
             if (u(seg) != 8) return null // precision
             h = be16(seg + 1); w = be16(seg + 3)
@@ -172,38 +151,51 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
             // the luma (first) component must be full-resolution — true
             // of every practical encoder; anything else → header tier
             if (compH(0) != hmax || compV(0) != vmax) return null
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return null // progressive / lossless / arithmetic: unsupported
+            return null // lossless / arithmetic / hierarchical: unsupported
           case 0xdd => // DRI
             if (len != 4) return null
             dri = be16(seg)
           case 0xda => // SOS
             if (nComp == 0) return null
-            val ns = u(seg)
-            // interleaved full scan only (the baseline norm): every
-            // frame component present, in frame order or a permutation
-            if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return null
-            compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
-            scanOrder = new Array[Int](ns)
-            var s = 0
-            while (s < ns) {
-              val cs = u(seg + 1 + 2 * s)
-              val ci = compId.indexOf(cs)
-              if (ci < 0) return null
-              scanOrder(s) = ci
-              compDc(ci) = u(seg + 2 + 2 * s) >> 4
-              compAc(ci) = u(seg + 2 + 2 * s) & 0x0f
-              if (compDc(ci) > 3 || compAc(ci) > 3) return null
-              s += 1
+            if (progressive) {
+              // the multi-scan walk parses every scan header itself
+              sosMarkerAt = p
+              done = true
+            } else {
+              val ns = u(seg)
+              // interleaved full scan only (the baseline norm): every
+              // frame component present, in frame order or a permutation
+              if (ns != nComp || seg + 1 + 2 * ns + 3 > segEnd) return null
+              compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+              scanOrder = new Array[Int](ns)
+              val seenComp = new Array[Boolean](nComp)
+              var s = 0
+              while (s < ns) {
+                val cs = u(seg + 1 + 2 * s)
+                val ci = compId.indexOf(cs)
+                // a duplicate selector would decode one component twice
+                // and another never — corrupt header, not a permutation
+                if (ci < 0 || seenComp(ci)) return null
+                seenComp(ci) = true
+                scanOrder(s) = ci
+                compDc(ci) = u(seg + 2 + 2 * s) >> 4
+                compAc(ci) = u(seg + 2 + 2 * s) & 0x0f
+                if (compDc(ci) > 3 || compAc(ci) > 3) return null
+                s += 1
+              }
+              sosAt = segEnd
+              done = true
             }
-            sosAt = segEnd
-            done = true
           case _ => // APPn / COM / anything else with a length: skip
         }
         if (!done) p = segEnd
       }
     }
+    if (progressive)
+      return computeProgressive(b, sosMarkerAt, qt, qtSeen, huff, w, h,
+        nComp, compId, compH, compV, compQ, hmax, vmax, dri)
     if (sosAt < 0) return null
     // every referenced table must exist
     var c = 0
@@ -229,7 +221,10 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
     val mcusY = (h + mcuH - 1) / mcuH
     val yPlane = new Array[Byte](w * h)
     val br = new BitReader(b, sosAt)
-    val pred = new Array[Int](nComp)
+    // Long predictor: a hostile-but-decodable stream could overflow an
+    // Int across ~1M blocks into a garbage non-null signature; any
+    // accumulated DC outside the coefficient range is corrupt → null
+    val pred = new Array[Long](nComp)
     val coef = new Array[Int](64)
     var mcu = 0
     val nMcus = mcusX * mcusY
@@ -259,9 +254,10 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
               BitReader.extend(v, t)
             }
             pred(ci) += diff
+            if (pred(ci) > 32767 || pred(ci) < -32768) return null
             var nAc = 0
             java.util.Arrays.fill(coef, 0)
-            coef(0) = pred(ci)
+            coef(0) = pred(ci).toInt
             // AC
             var k = 1
             var eob = false
@@ -286,7 +282,7 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
             if (ci == 0) {
               val px0 = (mx * compH(0) + bx) * 8
               val py0 = (my * compV(0) + by) * 8
-              idctBlock(coef, pred(0) * qtab(0), nAc, yPlane, w, h, px0, py0)
+              idctBlock(coef, pred(0).toInt * qtab(0), nAc, yPlane, w, h, px0, py0)
             }
             bx += 1
           }
@@ -298,7 +294,13 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
       mcu += 1
     }
 
-    // --- grid×grid block means over the Y plane (the PNG formula) ------
+    gridMeansOf(yPlane, w, h)
+  }
+
+  /** grid×grid block means (e3) over a decoded Y plane — the PNG
+    * formula, shared by the sequential and progressive paths.
+    */
+  private def gridMeansOf(yPlane: Array[Byte], w: Int, h: Int): GenericArrayData = {
     val g2 = grid * grid
     val sums = new Array[Long](g2)
     val counts = new Array[Long](g2)
@@ -388,6 +390,343 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
     }
   }
 
+  /** PROGRESSIVE (SOF2) multi-scan decode (T.81 G.1.2): accumulate
+    * per-component coefficient planes across spectral-selection /
+    * successive-approximation scans, then dequantize + IDCT the luma
+    * plane once at EOI. Every component's coefficients are tracked —
+    * not just luma — because AC refinement scans read correction bits
+    * conditioned on which coefficients are already nonzero, so
+    * advancing the bitstream through a chroma scan REQUIRES the chroma
+    * coefficient history. Coefficients are Shorts (an 8-bit-precision
+    * JPEG coefficient is ≤ 11 bits + the point transform; anything
+    * wider is corrupt → null), entered at `startP` = the first SOS
+    * marker position. Null on anything corrupt or out of subset.
+    */
+  private def computeProgressive(b: Array[Byte], startP: Int,
+      qt: Array[Array[Int]], qtSeen: Array[Boolean], huff: Array[HuffTable],
+      w: Int, h: Int, nComp: Int, compId: Array[Int],
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      hmax0: Int, vmax0: Int, dri0: Int): GenericArrayData = {
+    def u(i: Int): Int = b(i) & 0xff
+    def be16(o: Int): Int = (u(o) << 8) | u(o + 1)
+    var hmax = hmax0; var vmax = vmax0
+    // T.81 A.2: single-component data is non-interleaved regardless of
+    // declared factors (the sequential path's rule, same reason)
+    if (nComp == 1) { compH(0) = 1; compV(0) = 1; hmax = 1; vmax = 1 }
+    // tighter cap than sequential: whole coefficient planes are live
+    // for the duration of the scan walk (shorts: ~2 bytes/sample/comp)
+    if (w.toLong * h > (1L << 24)) return null
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val bwPad = Array.tabulate(nComp)(c => mcusX * compH(c))
+    val bhPad = Array.tabulate(nComp)(c => mcusY * compV(c))
+    val bwAct = Array.tabulate(nComp)(c => ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+    val bhAct = Array.tabulate(nComp)(c => ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+    val coefs = Array.tabulate(nComp)(c => new Array[Short](bwPad(c) * bhPad(c) * 64))
+    val dcDone = new Array[Boolean](nComp)
+    var dri = dri0
+    var sawScan = false
+    var p = startP
+    while (true) {
+      if (p + 2 > b.length) return null // ran out before EOI: truncated
+      if (u(p) != 0xff) return null
+      var m = u(p + 1)
+      var q = p + 1
+      while (m == 0xff && q + 1 < b.length) { q += 1; m = u(q) }
+      p = q - 1
+      if (m == 0xd9) {
+        // --- EOI: dequantize + IDCT the luma plane -----------------
+        if (!sawScan || !dcDone(0) || !qtSeen(compQ(0))) return null
+        val qtab = qt(compQ(0))
+        val yPlane = new Array[Byte](w * h)
+        val c0 = coefs(0)
+        val stride = bwPad(0)
+        val nat = new Array[Int](64)
+        var by = 0
+        while (by < bhAct(0)) {
+          var bx = 0
+          while (bx < bwAct(0)) {
+            val base = (by * stride + bx) * 64
+            java.util.Arrays.fill(nat, 0)
+            var nAc = 0
+            var k = 1
+            while (k < 64) {
+              val v = c0(base + k)
+              if (v != 0) { nat(Zigzag(k)) = v * qtab(k); nAc += 1 }
+              k += 1
+            }
+            idctBlock(nat, c0(base) * qtab(0), nAc, yPlane, w, h, bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        return gridMeansOf(yPlane, w, h)
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        p += 2 // TEM / stray RSTn
+      } else {
+        if (p + 4 > b.length) return null
+        val len = be16(p + 2)
+        if (len < 2 || p + 2 + len > b.length) return null
+        val seg = p + 4; val segEnd = p + 2 + len
+        if (m == 0xdb) {
+          if (!parseDqt(b, seg, segEnd, qt, qtSeen)) return null
+          p = segEnd
+        } else if (m == 0xc4) {
+          if (!parseDht(b, seg, segEnd, huff)) return null
+          p = segEnd
+        } else if (m == 0xdd) {
+          if (len != 4) return null
+          dri = be16(seg)
+          p = segEnd
+        } else if (m >= 0xc0 && m <= 0xcf) {
+          return null // a second frame header (incl. DAC 0xcc): corrupt
+        } else if (m == 0xda) {
+          // --- one scan ----------------------------------------------
+          val ns = u(seg)
+          if (ns < 1 || ns > nComp || seg + 1 + 2 * ns + 3 > segEnd) return null
+          val sc = new Array[Int](ns)
+          val scDc = new Array[Int](ns); val scAc = new Array[Int](ns)
+          val seenComp = new Array[Boolean](nComp)
+          var s = 0
+          while (s < ns) {
+            val ci = compId.indexOf(u(seg + 1 + 2 * s))
+            if (ci < 0 || seenComp(ci)) return null
+            seenComp(ci) = true
+            sc(s) = ci
+            scDc(s) = u(seg + 2 + 2 * s) >> 4
+            scAc(s) = u(seg + 2 + 2 * s) & 0x0f
+            if (scDc(s) > 3 || scAc(s) > 3) return null
+            s += 1
+          }
+          val ss = u(seg + 1 + 2 * ns); val se = u(seg + 2 + 2 * ns)
+          val ah = u(seg + 3 + 2 * ns) >> 4; val al = u(seg + 3 + 2 * ns) & 0x0f
+          // progressive scan-header laws: DC scans are the (0,0) band;
+          // AC scans carry exactly one component; a refinement lowers
+          // the point transform by exactly one bit
+          if (se > 63 || (ss == 0 && se != 0) ||
+            (ss > 0 && (ss > se || ns != 1)) ||
+            al > 13 || (ah != 0 && ah != al + 1)) return null
+          val br = new BitReader(b, segEnd)
+          if (ss == 0) {
+            var i = 0
+            while (i < ns) {
+              if (ah == 0) { if (huff(scDc(i)) == null) return null }
+              else if (!dcDone(sc(i))) return null // refine before first
+              i += 1
+            }
+            if (!decodeDcScan(br, coefs, sc, scDc, ah, al, huff, dri,
+              mcusX, mcusY, bwPad, bwAct, bhAct, compH, compV)) return null
+            if (ah == 0) {
+              var i2 = 0
+              while (i2 < ns) { dcDone(sc(i2)) = true; i2 += 1 }
+            }
+          } else {
+            val ci = sc(0)
+            if (!dcDone(ci)) return null // T.81: DC first scan precedes AC
+            val acT = huff(4 + scAc(0))
+            if (acT == null) return null
+            if (!decodeAcScan(br, coefs(ci), bwPad(ci), bwAct(ci), bhAct(ci),
+              acT, ss, se, ah, al, dri)) return null
+          }
+          sawScan = true
+          val np = br.nextMarkerPos()
+          if (np < 0) return null
+          p = np
+        } else {
+          p = segEnd // APPn / COM / DNL: skip
+        }
+      }
+    }
+    null // unreachable: the loop exits only via return
+  }
+
+  /** One progressive DC scan — interleaved MCU walk when the scan
+    * carries more than one component, the component's own block grid
+    * otherwise. First pass (ah == 0) Huffman-decodes diffs into
+    * coef << al; a refinement appends one raw bit per block at al.
+    */
+  private def decodeDcScan(br: BitReader, coefs: Array[Array[Short]],
+      sc: Array[Int], scDc: Array[Int], ah: Int, al: Int,
+      huff: Array[HuffTable], dri: Int, mcusX: Int, mcusY: Int,
+      bwPad: Array[Int], bwAct: Array[Int], bhAct: Array[Int],
+      compH: Array[Int], compV: Array[Int]): Boolean = {
+    val ns = sc.length
+    val interleaved = ns > 1
+    val pred = new Array[Long](ns)
+    val nMcus = if (interleaved) mcusX * mcusY else bwAct(sc(0)) * bhAct(sc(0))
+    var mcu = 0
+    var sinceRestart = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && sinceRestart == dri) {
+        if (!br.restartMarker()) return false
+        java.util.Arrays.fill(pred, 0L)
+        sinceRestart = 0
+      }
+      var s = 0
+      while (s < ns) {
+        val ci = sc(s)
+        val coef = coefs(ci)
+        val hC = if (interleaved) compH(ci) else 1
+        val vC = if (interleaved) compV(ci) else 1
+        var by = 0
+        while (by < vC) {
+          var bx = 0
+          while (bx < hC) {
+            val bX = if (interleaved) (mcu % mcusX) * compH(ci) + bx
+                     else mcu % bwAct(ci)
+            val bY = if (interleaved) (mcu / mcusX) * compV(ci) + by
+                     else mcu / bwAct(ci)
+            val idx = (bY * bwPad(ci) + bX) * 64
+            if (ah == 0) {
+              val t = br.decodeHuff(huff(scDc(s)))
+              if (t < 0 || t > 15) return false
+              val diff = if (t == 0) 0 else {
+                val v = br.receive(t)
+                if (v < 0) return false
+                BitReader.extend(v, t)
+              }
+              pred(s) += diff
+              val sv = pred(s) << al
+              if (sv > 32767 || sv < -32768) return false
+              coef(idx) = sv.toShort
+            } else {
+              val bit = br.bit()
+              if (bit < 0) return false
+              if (bit == 1) coef(idx) = (coef(idx) | (1 << al)).toShort
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        s += 1
+      }
+      sinceRestart += 1
+      mcu += 1
+    }
+    true
+  }
+
+  /** One progressive AC scan over a single component's band ss..se.
+    * First pass (ah == 0): run-length symbols with EOB-run coding,
+    * new coefficients entered at << al. Refinement (ah > 0, T.81
+    * G.1.2.3): each symbol either starts an EOB run, inserts a new
+    * ±1<<al coefficient after skipping `r` zero-HISTORY positions, or
+    * (ZRL) skips 16 — and every already-nonzero coefficient passed on
+    * the way reads one correction bit that may append the al-bit
+    * toward its sign.
+    */
+  private def decodeAcScan(br: BitReader, coef: Array[Short], stride: Int,
+      bw: Int, bh: Int, acT: HuffTable, ss: Int, se: Int, ah: Int, al: Int,
+      dri: Int): Boolean = {
+    val p1 = 1 << al; val m1 = -1 << al
+    var eobrun = 0
+    val nBlocks = bw * bh
+    var blk = 0
+    var sinceRestart = 0
+    while (blk < nBlocks) {
+      if (dri > 0 && sinceRestart == dri) {
+        if (!br.restartMarker()) return false
+        eobrun = 0 // an EOB run cannot cross a restart boundary
+        sinceRestart = 0
+      }
+      val base = ((blk / bw) * stride + (blk % bw)) * 64
+      if (ah == 0) {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = br.decodeHuff(acT)
+            if (rs < 0) return false
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1 // this block ends here; run covers the rest
+                if (r > 0) {
+                  val x = br.receive(r)
+                  if (x < 0) return false
+                  eobrun += x
+                }
+                brk = true
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              if (k > se) return false
+              val v = br.receive(sz)
+              if (v < 0) return false
+              val sv = BitReader.extend(v, sz).toLong << al
+              if (sv > 32767 || sv < -32768) return false
+              coef(base + k) = sv.toShort
+              k += 1
+            }
+          }
+        }
+      } else {
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = br.decodeHuff(acT)
+            if (rs < 0) return false
+            var r = rs >> 4; val sz = rs & 0x0f
+            var newVal = 0
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = 1 << r // INCLUDES this block (consumed below)
+                if (r > 0) {
+                  val x = br.receive(r)
+                  if (x < 0) return false
+                  eobrun += x
+                }
+                brk = true
+              }
+              // r == 15: ZRL — skip 16 zero-history positions below
+            } else {
+              if (sz != 1) return false // refinement inserts only ±1<<al
+              val bt = br.bit()
+              if (bt < 0) return false
+              newVal = if (bt == 1) p1 else m1
+            }
+            if (!brk) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + k
+                if (coef(idx) != 0) {
+                  val bt = br.bit()
+                  if (bt < 0) return false
+                  if (bt == 1 && (coef(idx) & p1) == 0)
+                    coef(idx) = (coef(idx) + (if (coef(idx) >= 0) p1 else m1)).toShort
+                } else if (r == 0) {
+                  if (newVal != 0) coef(idx) = newVal.toShort
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+              if (!placed && newVal != 0) return false // band ended mid-insert
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // correction bits for the remaining nonzero history of this block
+          while (k <= se) {
+            val idx = base + k
+            if (coef(idx) != 0) {
+              val bt = br.bit()
+              if (bt < 0) return false
+              if (bt == 1 && (coef(idx) & p1) == 0)
+                coef(idx) = (coef(idx) + (if (coef(idx) >= 0) p1 else m1)).toShort
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      sinceRestart += 1
+      blk += 1
+    }
+    true
+  }
+
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   override def nullSafeEval(input: Any): Any =
@@ -434,6 +773,51 @@ object JpegBlockMeanExpr {
       u += 1
     }
     t
+  }
+
+  /** Parse a DQT segment payload (one or more 8-bit tables, zigzag
+    * order) into `qt`/`qtSeen`; false on corrupt. Shared by the
+    * header walk and the progressive inter-scan walk.
+    */
+  private[plans] def parseDqt(b: Array[Byte], seg: Int, segEnd: Int,
+      qt: Array[Array[Int]], qtSeen: Array[Boolean]): Boolean = {
+    var o = seg
+    while (o < segEnd) {
+      val pq = (b(o) & 0xff) >> 4; val tq = b(o) & 0x0f
+      if (pq != 0 || tq > 3 || o + 1 + 64 > segEnd) return false
+      var k = 0
+      while (k < 64) { qt(tq)(k) = b(o + 1 + k) & 0xff; k += 1 }
+      qtSeen(tq) = true
+      o += 65
+    }
+    true
+  }
+
+  /** Parse a DHT segment payload (one or more tables) into `huff`;
+    * false on corrupt (incl. an over-full code). Shared by the header
+    * walk and the progressive inter-scan walk — progressive files
+    * routinely redefine tables between scans.
+    */
+  private[plans] def parseDht(b: Array[Byte], seg: Int, segEnd: Int,
+      huff: Array[HuffTable]): Boolean = {
+    var o = seg
+    while (o < segEnd) {
+      val tc = (b(o) & 0xff) >> 4; val th = b(o) & 0x0f
+      if (tc > 1 || th > 3 || o + 17 > segEnd) return false
+      val counts = new Array[Int](17)
+      var total = 0
+      var l = 1
+      while (l <= 16) { counts(l) = b(o + l) & 0xff; total += counts(l); l += 1 }
+      if (total > 256 || o + 17 + total > segEnd) return false
+      val vals = new Array[Int](total)
+      var k = 0
+      while (k < total) { vals(k) = b(o + 17 + k) & 0xff; k += 1 }
+      val t = HuffTable.build(counts, vals)
+      if (t == null) return false
+      huff(tc * 4 + th) = t
+      o += 17 + total
+    }
+    true
   }
 
   /** Canonical JPEG Huffman decode table (T.81 annex C/F layout). */
@@ -522,6 +906,22 @@ object JpegBlockMeanExpr {
           return t.vals(t.valPtr(l) + code - t.minCode(l))
         }
         l += 1
+      }
+      -1
+    }
+
+    /** Byte-align and locate the next marker (0xFF + non-zero,
+      * non-stuffing code) at or after the current byte position; -1 if
+      * the stream ends first. Used between progressive scans: the
+      * entropy data of a completed scan ends at pad bits, and the next
+      * segment's marker follows (possibly behind 0xFF fill bytes).
+      */
+    def nextMarkerPos(): Int = {
+      nBits = 0; acc = 0
+      var q = p
+      while (q + 1 < b.length) {
+        if ((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00) return q
+        q += 1
       }
       -1
     }

@@ -1486,6 +1486,124 @@ class OperatorsSpec extends SparkSpec {
     assert(hdr(1L) == (("jpeg", 32L, 32L)) && hdr(2L) == (("jpeg", 64L, 64L)))
   }
 
+  test("JPEG progressive decode: SOF2 re-encode and resize pair the baseline at exactly 0") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.jpegPayload(7L, 1, variant = false)),  // baseline
+      (2L, Multimodal.jpegProgressivePayload(7L, 1)),        // progressive re-encode
+      (3L, Multimodal.jpegProgressivePayload(7L, 2)),        // progressive NN resize
+      (4L, Multimodal.jpegProgressivePayload(8L, 1)))        // different image
+      .toDF("media_id", "payload")
+    // zero shared entropy bytes, different frame type
+    val base = Multimodal.jpegPayload(7L, 1, variant = false)
+    val prog = Multimodal.jpegProgressivePayload(7L, 1)
+    assert(base.length != prog.length || !base.sameElements(prog))
+    val pairs = Multimodal.jpegPerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L),
+      s"the baseline/progressive triangle must pair at exactly 0: $pairs")
+    // the header tier agrees on the container shape for SOF2 frames
+    val hdr = media.select($"media_id",
+        graft.plans.MediaHeaderExpr.media_header($"payload").as("m"))
+      .select($"media_id", $"m.fmt", $"m.width", $"m.height")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(hdr(2L) == (("jpeg", 32L, 32L)) && hdr(3L) == (("jpeg", 64L, 64L)),
+      s"header walk must still parse the SOF2 container: $hdr")
+  }
+
+  test("JPEG progressive decode: AC refinement correction bits and new-coefficient insertion are exact") {
+    import spark.implicits._
+    // handcrafted single-block 8×8 SOF2 grayscale: DC = 0; AC zigzag
+    // k=1 gets final value 3 (first scan at Al=1 carries 1, the
+    // refinement's CORRECTION bit completes 3) and k=3 gets final
+    // value 1 (invisible at Al=1 — it is INSERTED by the refinement
+    // scan after skipping one zero-history position). q = 16
+    // everywhere. This pins exactly the two refinement paths the
+    // DC-only q215 fixture never exercises.
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b8(0xff); b8(0xd8)
+    b8(0xff); b8(0xdb); b16(67); b8(0x00); (0 until 64).foreach(_ => b8(16))
+    b8(0xff); b8(0xc2); b16(11); b8(8); b16(8); b16(8); b8(1); b8(1); b8(0x11); b8(0)
+    // DC table: 12 symbols at length 4
+    b8(0xff); b8(0xc4); b16(31); b8(0x00)
+    (1 to 16).foreach(l => b8(if (l == 4) 12 else 0)); (0 until 12).foreach(b8)
+    // AC table: symbols 0x00 (EOB), 0x01 (run0 size1), 0x11 (run1
+    // size1) at length 3 — canonical codes 0, 1, 2
+    b8(0xff); b8(0xc4); b16(22); b8(0x10)
+    (1 to 16).foreach(l => b8(if (l == 3) 3 else 0)); b8(0x00); b8(0x01); b8(0x11)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b8(0xff); b8(0xda); b16(8); b8(1); b8(1); b8(0x00); b8(ss); b8(se); b8((ah << 4) | al)
+    }
+    sos(0, 0, 0, 0) // DC first: cat 0 -> "0000" + pad 1111 = 0x0f
+    b8(0x0f)
+    sos(1, 63, 0, 1) // AC first at Al=1: 0x01 "001" + v=1 "1" + EOB "000" + pad "1" = 0x31
+    b8(0x31)
+    // AC refinement Ah=1->Al=0: 0x11 "010" + sign "1" (+1) +
+    // correction "1" for k=1 + EOB "000" = 0101 1000 = 0x58
+    sos(1, 63, 1, 0)
+    b8(0x58)
+    b8(0xff); b8(0xd9)
+    val payload = out.toByteArray
+    val got = Seq((1L, payload)).toDF("media_id", "payload")
+      .select(graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(got != null, "the progressive AC payload must decode")
+    // float replay with the FINAL coefficients: F(u=1,v=0) = 3·16,
+    // F(u=0,v=2) = 1·16 (zigzag 3 -> natural 16)
+    def k(u: Int, x: Int): Double =
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * x + 1) * u * math.Pi / 16.0) / 2.0
+    val want = (0 until 16).map { b =>
+      val gx = b % 4; val gy = b / 4
+      val px = for { y <- gy * 2 until gy * 2 + 2; x <- gx * 2 until gx * 2 + 2 }
+        yield math.max(0.0, math.min(255.0,
+          128.0 + k(1, x) * k(0, y) * 48.0 + k(0, x) * k(2, y) * 16.0))
+      (px.sum / 4 * 1000).toLong
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) <= 2000, s"block $i: kernel $g vs float $w")
+    }
+    assert(got != Seq.fill(16)(got.head), "AC energy must vary across blocks")
+  }
+
+  test("JPEG progressive decode: corrupt scan progressions return null, never hang") {
+    import spark.implicits._
+    val good = Multimodal.jpegProgressivePayload(9L, 1)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    def sosPositions(b: Array[Byte]): Seq[Int] =
+      b.indices.filter(i => (b(i) & 0xff) == 0xff && i + 1 < b.length &&
+        (b(i + 1) & 0xff) == 0xda)
+    val allSos = sosPositions(good)
+    assert(allSos.size == 5, s"fixture must carry five scans: $allSos")
+    // SOS layout: FF DA len2 ns comp tdta Ss Se AhAl -> Ss at +7
+    // AC scan before any DC scan: first SOS header rewritten to Ss=1
+    val acFirst = patched(c => { c(allSos.head + 7) = 1; c(allSos.head + 8) = 5 })
+    // refinement that skips a bit level: DC refinement Ah patched to 3
+    // with Al 0 (a refinement must have Ah = Al + 1)
+    val skipLevel = patched(c => c(allSos(1) + 9) = 0x30.toByte)
+    // truncated mid-scan: cut inside the first scan's entropy data
+    val truncated = good.take(allSos(1) - 4)
+    // interleaved AC scan header (ns forced where Ss>0 requires 1):
+    // component count byte of an AC scan set to 2 (overruns into the
+    // band bytes -> corrupt header either way)
+    val badAc = patched(c => c(allSos(2) + 4) = 2)
+    val hostile = Seq(
+      (1L, acFirst), (2L, skipLevel), (3L, truncated), (4L, badAc))
+      .toDF("media_id", "payload")
+    val t0 = System.nanoTime()
+    val feats = hostile.select(
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means($"payload", 4).as("f"))
+      .filter($"f".isNotNull).count()
+    assert(feats == 0L, "every corrupt progression must decode to null")
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
+
   test("image autoGrid: floor at 4, widens with population, caps at 7; twins survive the widened space") {
     import spark.implicits._
     import graft.operators.Multimodal
@@ -1651,7 +1769,9 @@ class OperatorsSpec extends SparkSpec {
     val good = Multimodal.jpegPayload(5L, 1, variant = false)
     def soi(rest: Array[Byte]): Array[Byte] =
       Array(0xff.toByte, 0xd8.toByte) ++ rest
-    // progressive header: good payload with SOF0 marker byte switched
+    // SOF0 marker byte switched to SOF2 on a BASELINE stream: the
+    // progressive path rejects its sequential scan header (Ss=0 with
+    // Se=63 is not a progressive DC band) — still null, new reason
     val progressive = good.clone()
     val sofAt = progressive.indices.find(i =>
       (progressive(i) & 0xff) == 0xff && i + 1 < progressive.length &&
