@@ -1080,6 +1080,39 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Catalog×delta PLUS WITHIN-DELTA winnow pairs — the text admission
+    * stream's probe (the [[graft.operators.Multimodal.imageAdmissionPairs]]
+    * decision applied to the winnow tier): [[winnowedCrossPairs]] alone
+    * misses two near-dup documents arriving in the SAME micro-batch, so
+    * the admission probe adds delta-internal pairs (a < b) under the
+    * SAME combined document-frequency cap — one `keep` digest set for
+    * both legs. Output = every pair of the full recompute over
+    * catalog ∪ delta with at least one delta member, so batch-sequential
+    * replay accumulates the complete recompute pair set. An empty
+    * catalog frame is valid (wave 0: delta self-pairs only).
+    */
+  def winnowedAdmissionPairs(catalogFps: DataFrame, deltaFps: DataFrame,
+      minShared: Int = 3, maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
+    val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
+    val dlt = deltaFps.select(col("doc_id"), col("dg")).distinct()
+    val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
+    val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
+    val keep = dDf.join(cDf, Seq("dg"), "left")
+      .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) <= maxDf)
+      .select("dg")
+    val keptDlt = dlt.join(keep, "dg")
+    val cross = cat.select(col("dg"), col("doc_id").as("a"))
+      .join(keptDlt.select(col("dg"), col("doc_id").as("b")), "dg")
+      .select("a", "b")
+    val within = keptDlt.alias("x").join(keptDlt.alias("y"),
+        col("x.dg") === col("y.dg") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    cross.unionByName(within)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-document compression statistics: UTF-8 byte length and native
     * DEFLATE(level 6) compressed length — the ratio is the entropy
     * proxy behind compression-based quality gates (near-0 = machine

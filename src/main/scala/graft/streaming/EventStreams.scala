@@ -705,14 +705,19 @@ object EventStreams {
   /** Streaming winnow-fingerprint admission: each document micro-batch
     * winnows itself ([[graft.operators.TextOps.winnowedFingerprints]]),
     * probes the store AS OF THE PREVIOUS WAVE for catalog near-dup
-    * candidates (df cap summed across store + batch — the q189
-    * incremental contract), lands the candidate pairs under
+    * candidates AND pairs its own members against each other
+    * ([[graft.operators.TextOps.winnowedAdmissionPairs]] — df cap
+    * summed across store + batch, one keep set for both legs; r15:
+    * two near-dups arriving in the SAME micro-batch pair at the
+    * stream, including at wave 0), lands the candidate pairs under
     * `pairsDir/batch_id=N`, then appends its fingerprints as
-    * `wave = batchId`. Both the as-of probe (wave ≤ batchId − 1
-    * excludes a half-landed self wave) and the idempotent
-    * `appendWave` make a crash-replayed batch reproduce its ORIGINAL
-    * pairs and replace — not duplicate — its store partition, so
-    * at-least-once redelivery is invisible in both outputs.
+    * `wave = batchId`. Accumulated pair output across waves equals
+    * the full batch recompute over everything admitted. Both the
+    * as-of probe (wave ≤ batchId − 1 excludes a half-landed self
+    * wave) and the idempotent `appendWave` make a crash-replayed
+    * batch reproduce its ORIGINAL pairs and replace — not
+    * duplicate — its store partition, so at-least-once redelivery is
+    * invisible in both outputs.
     */
   def winnowAdmitStream(docs: DataFrame, table: String, pairsDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -729,13 +734,13 @@ object EventStreams {
         try {
           val hasPrior = spark.catalog.tableExists(table) &&
             graft.operators.Stores.storeWaves(spark, table).exists(_ < batchId)
-          val pairs =
-            if (!hasPrior)
-              fps.limit(0).select(col("doc_id").as("a"),
-                col("doc_id").as("b"), lit(0L).as("n_shared"))
-            else graft.operators.TextOps.winnowedCrossPairs(
-              graft.operators.Stores.asOf(spark, table, batchId - 1),
-              fps, minShared, maxDf)
+          // catalog×batch AND within-batch pairs (r15): wave 0 probes
+          // an empty catalog and still emits its within-batch pairs
+          val catalog =
+            if (hasPrior) graft.operators.Stores.asOf(spark, table, batchId - 1)
+            else fps.limit(0)
+          val pairs = graft.operators.TextOps.winnowedAdmissionPairs(
+            catalog, fps, minShared, maxDf)
           pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
           graft.operators.Stores.appendWave(fps, table, batchId, "dg", buckets)
         } finally { fps.unpersist(); () }
@@ -806,13 +811,12 @@ object EventStreams {
           try {
             val hasPrior = spark.catalog.tableExists(winnowTable) &&
               Stores.storeWaves(spark, winnowTable).exists(_ < batchId)
-            val pairs =
-              if (!hasPrior)
-                fps.limit(0).select(col("doc_id").as("a"),
-                  col("doc_id").as("b"), lit(0L).as("n_shared"))
-              else TextOps.winnowedCrossPairs(
-                Stores.asOf(spark, winnowTable, batchId - 1),
-                fps, minShared, maxDf)
+            // within-batch pairs included (the r15 admission contract)
+            val catalog =
+              if (hasPrior) Stores.asOf(spark, winnowTable, batchId - 1)
+              else fps.limit(0)
+            val pairs = TextOps.winnowedAdmissionPairs(
+              catalog, fps, minShared, maxDf)
             pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
             Stores.appendWave(fps, winnowTable, batchId, "dg", buckets)
             Stores.appendWave(fresh.select("dg").distinct(), canonTable,
@@ -966,14 +970,17 @@ object EventStreams {
     * micro-batch computes its cross-format signatures
     * ([[graft.operators.Multimodal.imageSignatures]] — coalesced
     * png/jpeg block-mean profiles), probes the signature store AS OF
-    * THE PREVIOUS WAVE for catalog near-dup pairs
-    * ([[graft.operators.Multimodal.imageCrossPairs]] — hot-bucket
-    * population summed across store + batch, the q189 incremental
-    * contract), lands the pairs under `pairsDir/batch_id=N`, then
-    * appends its signatures as `wave = batchId`. A JPEG admitted at
-    * wave 0 catches its PNG re-encode arriving at wave 3 — the
-    * cross-format match works ACROSS WAVES because both formats land
-    * in one signature space.
+    * THE PREVIOUS WAVE for catalog near-dup pairs AND pairs its own
+    * members ([[graft.operators.Multimodal.imageAdmissionPairs]] —
+    * hot-bucket population summed across store + batch with ONE keep
+    * set for both legs; r15: two twins arriving in the SAME
+    * micro-batch pair at the stream, including at wave 0), lands the
+    * pairs under `pairsDir/batch_id=N`, then appends its signatures
+    * as `wave = batchId`. A JPEG admitted at wave 0 catches its PNG
+    * re-encode arriving at wave 3 — the cross-format match works
+    * ACROSS WAVES because both formats land in one signature space —
+    * and accumulated pair output across waves equals the full batch
+    * recompute over everything admitted.
     *
     * Crash/idempotency: the as-of probe (wave ≤ batchId − 1 — a
     * half-landed self wave is invisible) plus idempotent `appendWave`
@@ -1003,13 +1010,15 @@ object EventStreams {
         try {
           val hasPrior = spark.catalog.tableExists(table) &&
             Stores.storeWaves(spark, table).exists(_ < batchId)
-          val pairs =
-            if (!hasPrior)
-              sigs.limit(0).select(col("id").as("id1"),
-                col("id").as("id2"), lit(0L).as("l1"))
-            else Multimodal.imageCrossPairs(
-              Stores.asOf(spark, table, batchId - 1), sigs,
-              maxBucketSize, thrPermille)
+          // catalog×batch AND within-batch pairs (r15: two twins in the
+          // SAME micro-batch pair at the stream, not only at the batch
+          // recompute) — wave 0 probes an empty catalog, so its
+          // within-batch self-pairs are still emitted
+          val catalog =
+            if (hasPrior) Stores.asOf(spark, table, batchId - 1)
+            else sigs.limit(0)
+          val pairs = Multimodal.imageAdmissionPairs(catalog, sigs,
+            maxBucketSize, thrPermille)
           pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
           Stores.appendWave(sigs, table, batchId, "__key", buckets)
         } finally { sigs.unpersist(); () }

@@ -481,6 +481,80 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.table(sigT).count() == before)
     dropTable(sigT)
   }
+  test("imageAdmitStream: same-batch twins pair at the stream; accumulated pairs equal the full recompute") {
+    import spark.implicits._
+    import NearDupStreamSpec.MediaRow
+    import graft.operators.{Multimodal, Stores}
+    implicit val sq = spark.sqlContext
+    val sigT = "image_withinbatch_store"
+    dropTable(sigT)
+    val pairsDir = tmpDir("image_within_pairs")
+    // wave 0 carries a cross-format twin PAIR in one batch (r14's gap:
+    // both were admitted and never paired) + an unrelated image;
+    // wave 1 carries another same-batch twin pair of the same image
+    val b0 = Seq(
+      MediaRow(1L, ts(1), Multimodal.jpegPayload(7L, 1, variant = false)),
+      MediaRow(2L, ts(1), Multimodal.pngGrayPayload(7L, 1)),
+      MediaRow(3L, ts(1), Multimodal.pngGrayPayload(8L, 1)))
+    val b1 = Seq(
+      MediaRow(4L, ts(2), Multimodal.jpegPayload(7L, 1, variant = true)),
+      MediaRow(5L, ts(2), Multimodal.jpegPayload(7L, 2, variant = false)))
+    val src = MemoryStream[MediaRow]
+    val q = EventStreams.imageAdmitStream(src.toDF(), sigT, pairsDir,
+        grid = 4, buckets = 4)
+      .option("checkpointLocation", tmpDir("image_within_ckpt")).start()
+    try {
+      src.addData(b0: _*); q.processAllAvailable()
+      src.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def pairs(b: Int): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$pairsDir/batch_id=$b")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(0) == Set((1L, 2L, 0L)),
+      s"wave 0's SAME-BATCH cross-format twins must pair: ${pairs(0)}")
+    assert(pairs(1) == Set((4L, 5L, 0L), (1L, 4L, 0L), (1L, 5L, 0L),
+      (2L, 4L, 0L), (2L, 5L, 0L)),
+      s"wave 1: within-batch pair AND all catalog crosses: ${pairs(1)}")
+    // accumulated stream pairs == the one-shot batch recompute over the
+    // union (as unordered pairs — the recompute orders by id)
+    val streamed = (pairs(0) ++ pairs(1)).map(p => (p._1, p._2))
+    val full = Multimodal.imagePerceptualCandidates(
+        (b0 ++ b1).map(r => (r.media_id, r.payload)).toDF("media_id", "payload"),
+        grid = 4)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(streamed == full,
+      s"stream accumulation $streamed != full recompute $full")
+    dropTable(sigT)
+  }
+
+  test("winnowAdmitStream: same-batch near-dups pair at the stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Doc
+    val table = "winnow_withinbatch_store"
+    dropTable(table)
+    val pairsDir = tmpDir("winnow_within_pairs")
+    val src = MemoryStream[Doc]
+    val q = EventStreams.winnowAdmitStream(src.toDF(), table, pairsDir,
+        k = 4, w = 4, buckets = 4, minShared = 1, maxDf = 8)
+      .option("checkpointLocation", tmpDir("winnow_within_ckpt")).start()
+    val base =
+      "the winnow scheme selects minimum digests from sliding windows reliably"
+    // docs 1 and 2 are near-dups arriving in the SAME first batch
+    val b0 = Seq(
+      Doc(1L, ts(1), base),
+      Doc(2L, ts(1), s"prefix edit $base"),
+      Doc(3L, ts(1), "completely different content about spark partitions and shuffles"))
+    try {
+      src.addData(b0: _*); q.processAllAvailable()
+    } finally q.stop()
+    val p0 = spark.read.parquet(s"$pairsDir/batch_id=0")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(p0 == Set((1L, 2L)),
+      s"wave 0's same-batch near-dups must pair: $p0")
+    dropTable(table)
+  }
+
 }
 
 object NearDupStreamSpec {
