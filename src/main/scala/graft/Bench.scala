@@ -134,10 +134,19 @@ object Bench {
     // canary after nearly every query of a 10x/100x run
     val priorTimes: Map[String, Double] = if (!sfDir.endsWith("sf0.1")) Map.empty else {
       try {
-        val repo = new java.io.File("/root/repo")
+        // artifact dir: overridable, defaulting to the working directory
+        // (a hardcoded absolute path would silently disarm the detector
+        // in any other checkout); the no-artifact case is LOGGED below —
+        // a disarmed detector must be visible in stderr, not swallowed
+        val repo = new java.io.File(
+          sys.props.getOrElse("graft.bench.artifactDir",
+            sys.props.getOrElse("user.dir", ".")))
         val pat = raw"bench-times_r(\d+)\.json".r
         val newest = Option(repo.list()).map(_.toSeq).getOrElse(Nil)
           .collect { case f @ pat(n) => (n.toInt, f) }.sortBy(-_._1).headOption
+        if (newest.isEmpty)
+          System.err.println(
+            s"[bench] no prior bench-times artifact in $repo — anomaly detector disarmed")
         newest.map { case (_, f) =>
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(new java.io.File(repo, f))
@@ -161,7 +170,12 @@ object Bench {
             b.result()
           }
         }.getOrElse(Map.empty)
-      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] prior-times load failed (${e.getMessage}) — anomaly detector disarmed")
+          Map.empty[String, Double]
+      }
     }
     val timeline = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Double, Boolean)]()
     val passes = (1 to 2).map { pass =>

@@ -1722,6 +1722,61 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // COLOR cross-format exactness (r14 verdict item 6 — the last
+    // approximate case in the image tier made exact): the cross-format
+    // pipeline with `bt601 = true` reduces COLOR PNG pixels with the
+    // JPEG-encoder integer BT.601 luma, so a color PNG whose g channel
+    // is SOLVED against jittered r/b to land every block on
+    // t = 128 + dc — the construction guarantees
+    // (19595r + 38470g + 7471b + 32768) >> 16 = t exactly — pairs its
+    // grayscale-JPEG twin (+1M) and its NN-resized color sibling
+    // (+2M) at L1 = 0. Oracle: the q208 dc-formula replay — the
+    // BT.601 reduction and the solved-g construction are correct iff
+    // the hashes meet.
+    sql("q216_color_crossformat_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
+        |f AS (SELECT id,
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 31) + (b // 4)*(13 + base % 29) + (b % 4)*(b // 4)*(11 + base % 23)) % 201) - 100) * 1000
+        |   FOR b IN range(16)] AS f
+        |  FROM ids),
+        |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+        |k AS (SELECT id, f, t,
+        |        CAST(list_sum([CASE WHEN f[b+1] * 16 >= t THEN 1<<b ELSE 0 END
+        |                       FOR b IN range(16)]) AS BIGINT) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(16)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      val jp = graft.operators.Multimodal.synthesizeJpeg(
+        base.select(col("doc_id").as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(false).as("variant")),
+        "id", "base", "scale", "variant")
+      val pg = graft.operators.Multimodal.synthesizePngColor(
+        base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 1000000L).as("id"),
+            col("doc_id").as("base"), lit(1).as("scale")),
+        "id", "base", "scale")
+      val pg2 = graft.operators.Multimodal.synthesizePngColor(
+        base.filter(col("doc_id") < 150)
+          .select((col("doc_id") + 2000000L).as("id"),
+            col("doc_id").as("base"), lit(2).as("scale")),
+        "id", "base", "scale")
+      graft.operators.Multimodal.imagePerceptualCandidates(
+          jp.unionByName(pg).unionByName(pg2),
+          grid = 4, maxBucketSize = 64, thrPermille = 10, bt601 = true)
+        .orderBy("id1", "id2")
+    },
+
     // Exact phrase search over the q137 planted corpus: a phrase
     // starts at p iff every k-th term has a position at p+k, so the
     // operator intersects k-shifted position lists — no self-joins,

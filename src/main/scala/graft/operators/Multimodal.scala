@@ -544,6 +544,95 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize [[pngColorBt601Payload]] color PNGs from a (media_id,
+    * base id, scale) frame — the q216 fixture builder.
+    */
+  def synthesizePngColor(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int) =>
+      pngColorBt601Payload(base, scale) }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol)).as("payload"))
+  }
+
+  /** Deterministic COLOR PNG whose integer-BT.601 luma plane equals
+    * [[jpegPayload]]'s decoded Y plane exactly — the q216 fixture:
+    * each 8×8 block is a uniform (r, g, b) with r and b jittered
+    * around the target luma t = 128 + dc(bx, by) (the q208 formula)
+    * and g SOLVED so the JPEG-encoder reduction lands on t exactly:
+    *
+    *   g = ⌈(65536·t − 32768 − 19595·r − 7471·b) / 38470⌉
+    *   ⟹ (19595·r + 38470·g + 7471·b + 32768) >> 16 = t
+    *
+    * (the numerator after rounding stays within one 38470-step of
+    * 65536·t, and 38470 < 65536 — so the floor is t by construction;
+    * the jitter keeps |r−t| ≤ 10 and |b−t| ≤ 8, putting g within
+    * [t−8, t+6] ⊂ [0, 255] for every t the dc formula produces).
+    * The LEGACY luma of the same pixels differs from t at almost
+    * every block (the jitter is the point), so the fixture separates
+    * the two models: exact L1 = 0 pairing under `bt601 = true`,
+    * rounding-level mismatch under the default.
+    */
+  private[graft] def pngColorBt601Payload(id: Long, scale: Int): Array[Byte] = {
+    val nB = 4 * scale
+    val w = nB * 8; val h = w
+    def dcOf(bx: Int, by: Int): Int =
+      (((id * 31 + (bx / scale) * (7 + id % 31) +
+        (by / scale) * (13 + id % 29) +
+        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    def rgb(bx: Int, by: Int): (Int, Int, Int) = {
+      val t = 128 + dcOf(bx, by)
+      val r = t + (((id + bx) % 21) - 10).toInt
+      val b = t + (((id + by) % 17) - 8).toInt
+      val num = 65536L * t - 32768L - 19595L * r - 7471L * b
+      val g = ((num + 38469L) / 38470L).toInt
+      (r, g, b)
+    }
+    val ch = 3
+    val rowBytes = w * ch
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h) {
+      val rs = y * (1 + rowBytes)
+      raw(rs) = 0 // filter None on every row
+      for (x <- 0 until w) {
+        val (r, g, b) = rgb(x / 8, y / 8)
+        val o = rs + 1 + x * ch
+        raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater(1)
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
+    defl.end()
+    val comp = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data, 0, data.length); be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Signature-grid sizing for the IMAGE perceptual tiers — the
     * [[pcmPerceptualCandidatesAuto]] saturation fix applied to the
     * grid² sign-bucket space: the smallest grid whose bucket count
@@ -882,17 +971,24 @@ object Multimodal {
     * For GRAYSCALE content the two kernels' luma models agree exactly
     * (PNG gray passes the pixel through; JPEG's Y IS the pixel), so a
     * lossless-JPEG-of-a-gray-PNG twin pairs at L1 = 0 (q212's planted
-    * contract); for color content JPEG's encoder-side BT.601 Y vs the
-    * PNG kernel's integer luma differ by rounding and the L1 gate
-    * absorbs it (the documented approximate case).
+    * contract). For COLOR content, `bt601 = true` switches the PNG
+    * side to the JPEG-encoder integer BT.601 luma so the color
+    * cross-format twin is exact too (q216, r15 verdict item 6); with
+    * the legacy default the two models differ by rounding and the L1
+    * gate absorbs it (the previous documented approximate case).
+    * `bt601` must be fixed per signature space — profiles from the
+    * two luma models never compare (the fixed-grid store law applies
+    * to the luma model as well).
     *
     * Scale shape identical to the single-format tiers; payloads
     * neither kernel decodes fall out at the null filter and stay on
     * the byte-histogram tier.
     */
   def imagePerceptualCandidates(media: DataFrame, grid: Int = 4,
-      maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame =
-    perceptualSelfPairs(imageSignatures(media, grid), maxBucketSize, thrPermille)
+      maxBucketSize: Int = 64, thrPermille: Int = 10,
+      bt601: Boolean = false): DataFrame =
+    perceptualSelfPairs(imageSignatures(media, grid, bt601),
+      maxBucketSize, thrPermille)
 
   /** [[imagePerceptualCandidates]] with the [[autoGrid]]-derived grid
     * — the cross-format tier is exactly the crawl-scale surface whose
@@ -915,9 +1011,10 @@ object Multimodal {
     * feature definition, so batch and streaming image dedup stay one
     * pipeline (the winnow-store convention).
     */
-  def imageSignatures(media: DataFrame, grid: Int = 4): DataFrame =
+  def imageSignatures(media: DataFrame, grid: Int = 4,
+      bt601: Boolean = false): DataFrame =
     signatureFrame(media, coalesce(
-      graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid),
+      graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid, bt601),
       graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)),
       grid)
 

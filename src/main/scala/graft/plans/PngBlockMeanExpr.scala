@@ -31,6 +31,17 @@ import org.apache.spark.sql.types._
   * downstream L1 gate absorbs it — approximate by nature, exact for
   * the planted contract.
   *
+  * `bt601 = true` switches the COLOR reduction to the JPEG-encoder
+  * integer BT.601 luma, Y = (19595·r + 38470·g + 7471·b + 32768) >>
+  * 16 — the 16-bit fixed-point form virtually every JPEG encoder
+  * lineage (libjpeg and descendants) uses for RGB → Y, so a color
+  * PNG's profile is EXACTLY the Y-plane profile of its JPEG re-encode
+  * (r15 verdict item 6: the most common COLOR cross-format twin pairs
+  * at L1 = 0 instead of rounding-approximate). Grayscale payloads are
+  * identical in both modes (the pixel passes through); the legacy
+  * (77·r + 150·g + 29·b) >> 8 stays the default so existing profiles
+  * and store signatures are unchanged.
+  *
   * Supported subset (everything else → null, the [[PcmEnergyExpr]]
   * contract — unsupported shapes stay on the byte-histogram tier):
   * 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
@@ -42,7 +53,8 @@ import org.apache.spark.sql.types._
   * CRCs are deliberately not verified: the feature wants decodable
   * content, not archival validity.
   */
-case class PngBlockMeanExpr(child: Expression, grid: Int)
+case class PngBlockMeanExpr(child: Expression, grid: Int,
+    bt601: Boolean = false)
     extends UnaryExpression {
   require(grid >= 1 && grid <= 7, "grid must be in [1, 7] (grid^2 sign-bucket bits)")
 
@@ -157,6 +169,9 @@ case class PngBlockMeanExpr(child: Expression, grid: Int)
         val o = d + x * ch
         val lum = colorType match {
           case 0 | 4 => img(o) & 0xff
+          case _ if bt601 =>
+            (19595 * (img(o) & 0xff) + 38470 * (img(o + 1) & 0xff) +
+              7471 * (img(o + 2) & 0xff) + 32768) >> 16
           case _ =>
             (77 * (img(o) & 0xff) + 150 * (img(o + 1) & 0xff) +
               29 * (img(o + 2) & 0xff)) >> 8
@@ -196,4 +211,12 @@ object PngBlockMeanExpr {
   def png_block_means(payload: Column, grid: Int): Column =
     GraftColumnBridge.column(
       PngBlockMeanExpr(GraftColumnBridge.expression(payload), grid))
+
+  /** [[png_block_means]] with the luma model selectable: `bt601 = true`
+    * uses the JPEG-encoder integer BT.601 reduction for color pixels
+    * (cross-format exactness); false is the legacy default.
+    */
+  def png_block_means(payload: Column, grid: Int, bt601: Boolean): Column =
+    GraftColumnBridge.column(
+      PngBlockMeanExpr(GraftColumnBridge.expression(payload), grid, bt601))
 }

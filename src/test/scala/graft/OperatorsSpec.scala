@@ -1665,6 +1665,38 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).contains((1L, 2L)))
   }
 
+  test("BT.601 PNG luma: a COLOR png pairs its JPEG twin at exactly 0; the legacy model cannot") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Multimodal.jpegPayload(7L, 1, variant = false)),   // grayscale JPEG
+      (2L, Multimodal.pngColorBt601Payload(7L, 1)),           // COLOR png, same BT.601 luma plane
+      (3L, Multimodal.pngColorBt601Payload(7L, 2)),           // its NN-resized color twin
+      (4L, Multimodal.pngColorBt601Payload(8L, 1)))           // different image
+      .toDF("media_id", "payload")
+    val exact = Multimodal.imagePerceptualCandidates(media, grid = 4, bt601 = true)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact == Map((1L, 2L) -> 0L, (1L, 3L) -> 0L, (2L, 3L) -> 0L),
+      s"the color cross-format triangle must pair at exactly 0 under bt601: $exact")
+    // the legacy reduction sees DIFFERENT luma (the jitter is the
+    // fixture's point): no exact-0 pair with the JPEG survives
+    val legacy = Multimodal.imagePerceptualCandidates(media, grid = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!legacy.get((1L, 2L)).contains(0L),
+      s"legacy luma must NOT be exact on the color twin: $legacy")
+    // grayscale payloads are identical under both modes
+    val gray = Seq((9L, Multimodal.pngGrayPayload(7L, 1))).toDF("media_id", "payload")
+    val gLegacy = gray.select(
+        graft.plans.PngBlockMeanExpr.png_block_means($"payload", 4).as("f"))
+      .as[Seq[Long]].collect().head
+    val gBt = gray.select(
+        graft.plans.PngBlockMeanExpr.png_block_means($"payload", 4, bt601 = true).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(gLegacy == gBt, "grayscale must be luma-model-invariant")
+  }
+
   test("mediaCard: per-format census with rollup total; header-only vs pixel-decodable split; unknown bucket") {
     import spark.implicits._
     import graft.operators.Multimodal
