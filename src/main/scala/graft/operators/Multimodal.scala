@@ -359,10 +359,24 @@ object Multimodal {
   def pcmPerceptualCandidatesAuto(media: DataFrame,
       targetBucketSize: Int = 16, maxBucketSize: Int = 64,
       thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame = {
-    val n = knownCount.getOrElse(media.count())
+    val n = sizeOf(media, knownCount)
     val bands = math.max(8, Similarity.autoBits(n, targetBucketSize, 63))
     pcmPerceptualCandidates(media, bands, maxBucketSize, thrPermille)
   }
+
+  /** Corpus size for the lazy auto-sizing variants: the declared
+    * count when given, else an EXACT metadata row count (optimized-
+    * plan statistics or parquet footers —
+    * [[org.apache.spark.sql.GraftTableStats.exactRowCount]]: no job,
+    * no payload scan — the r14 "the count pass decodes nothing yet
+    * still scans every payload" fix), else one `count()` job. Never
+    * an estimate: the auto derivations are replayed by oracles, so an
+    * approximate n would be a correctness bug.
+    */
+  private def sizeOf(media: DataFrame, knownCount: Option[Long]): Long =
+    knownCount
+      .orElse(org.apache.spark.sql.GraftTableStats.exactRowCount(media))
+      .getOrElse(media.count())
 
   /** PIXEL-TRUE perceptual near-dup for PNG (the q186 feature upgrade
     * for images, the [[pcmPerceptualCandidates]] twin for the visual
@@ -664,7 +678,7 @@ object Multimodal {
       targetBucketSize: Int = 16, maxBucketSize: Int = 64,
       thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
     pngPerceptualCandidates(media,
-      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      autoGrid(sizeOf(media, knownCount), targetBucketSize),
       maxBucketSize, thrPermille)
 
   /** [[jpegPerceptualCandidates]] with the [[autoGrid]]-derived grid. */
@@ -672,7 +686,7 @@ object Multimodal {
       targetBucketSize: Int = 16, maxBucketSize: Int = 64,
       thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
     jpegPerceptualCandidates(media,
-      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      autoGrid(sizeOf(media, knownCount), targetBucketSize),
       maxBucketSize, thrPermille)
 
   /** PIXEL-TRUE perceptual near-dup for BASELINE JPEG — the dominant
@@ -999,7 +1013,7 @@ object Multimodal {
       targetBucketSize: Int = 16, maxBucketSize: Int = 64,
       thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
     imagePerceptualCandidates(media,
-      autoGrid(knownCount.getOrElse(media.count()), targetBucketSize),
+      autoGrid(sizeOf(media, knownCount), targetBucketSize),
       maxBucketSize, thrPermille)
 
   /** The cross-format image SIGNATURE frame — one row per decodable
@@ -1100,6 +1114,48 @@ object Multimodal {
       .filter(col("l1") * 1000 <=
         lit(thrPermille.toLong) * col("t1") * col("t2"))
       .select("id1", "id2", "l1")
+  }
+
+  /** Re-sign a visual signature store at a new grid (and/or luma
+    * model) — the remedy the fixed-grid-for-store-lifetime law calls
+    * for (r14 verdict item 5): signatures at different grids never
+    * share keys, so when a long-running admission stream's catalog
+    * approaches its grid's capacity ([[autoGrid]]'s ~10M-image law for
+    * grid 4), the catalog must be RE-SIGNED into a new wider-grid
+    * store, not re-keyed in place. This operator reads the old
+    * store's (id, wave) membership, re-decodes exactly those ids from
+    * the media table at (`newGrid`, `bt601`), and writes the new
+    * store with the SAME wave structure in ONE pass (one decode of
+    * the member payloads, one bucketed partitioned write — never a
+    * per-wave rescan), so a stream that resumes against the new table
+    * behaves exactly as if it had run at `newGrid` from wave 0:
+    * as-of probes, idempotent wave replaces, and rollbacks all keep
+    * their meaning, and the new store is row-identical to a fresh
+    * build at `newGrid` over the same admission history (spec-pinned
+    * in the [[graft.operators.Stores.compactWaves]] verification
+    * style).
+    *
+    * Members whose payload is absent from `media` or no longer
+    * decodable at the new settings drop out of the new store — the
+    * re-crawl caveat: the media table must still cover the catalog
+    * (it does by construction when admission stores ids from the same
+    * table it signs).
+    */
+  def migrateImageSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame, oldTable: String, newTable: String, newGrid: Int,
+      buckets: Int = 64, bt601: Boolean = false): Unit = {
+    require(oldTable != newTable,
+      "the migration writes a NEW store (old keys never mix with new)")
+    val membership = spark.table(oldTable).select("id", "wave").distinct()
+    val resigned = imageSignatures(media, newGrid, bt601)
+      .join(membership, "id")
+    resigned
+      .repartition(buckets, col("__key"))
+      .write.mode("overwrite")
+      .partitionBy("wave")
+      .bucketBy(buckets, "__key").sortBy("__key")
+      .saveAsTable(newTable)
+    ()
   }
 
   /** MEDIA DATA CARD — the media-corpus member of the data-card family

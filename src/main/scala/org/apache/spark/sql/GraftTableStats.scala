@@ -1,0 +1,68 @@
+/* Bridge into Spark's plan statistics and the parquet footer layer —
+ * exact row counts WITHOUT running a job, for lazy auto-sizing
+ * (graft.operators.Multimodal.autoGrid and friends). Lives in the
+ * spark.sql package for the same reason as GraftColumnBridge: the
+ * logical-plan nodes it matches are private[sql].
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+object GraftTableStats {
+
+  /** Exact row count of `df` from metadata only, or None when no
+    * metadata source is exact:
+    *
+    *  1. the optimized plan's statistics `rowCount` (present for
+    *     ANALYZEd catalog tables under CBO and for local relations);
+    *  2. parquet FOOTER row counts, when the plan is a bare
+    *     column-pruning view of a parquet file relation (projections
+    *     and aliases preserve row count; any filter/join/generate
+    *     does not and falls through) — one driver-side metadata read
+    *     per file, no payload scan, no Spark job.
+    *
+    * A None means the caller must count (or pass a known count) —
+    * never a guess: auto-sizing derivations are replayed by oracles,
+    * so an approximate count here would be a correctness bug, not an
+    * optimization.
+    */
+  def exactRowCount(df: Dataset[_]): Option[Long] = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.toLong)
+      .orElse(parquetFooterCount(plan))
+  }
+
+  /** Strip row-count-preserving wrappers (Project without generators,
+    * SubqueryAlias) down to a bare relation, if that is all there is.
+    */
+  @annotation.tailrec
+  private def unwrap(plan: LogicalPlan): LogicalPlan = plan match {
+    case p: Project if p.projectList.forall(_.deterministic) => unwrap(p.child)
+    case a: SubqueryAlias => unwrap(a.child)
+    case other => other
+  }
+
+  private def parquetFooterCount(plan: LogicalPlan): Option[Long] =
+    unwrap(plan) match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
+          lr.relation.asInstanceOf[HadoopFsRelation]
+            .fileFormat.isInstanceOf[ParquetFileFormat] =>
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        try {
+          val conf = rel.sparkSession.sessionState.newHadoopConf()
+          val files = rel.location.listFiles(Nil, Nil).flatMap(_.files)
+          var total = 0L
+          files.foreach { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f.fileStatus, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try total += reader.getRecordCount
+            finally reader.close()
+          }
+          Some(total)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+}

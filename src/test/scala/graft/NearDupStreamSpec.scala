@@ -527,6 +527,75 @@ class NearDupStreamSpec extends SparkSpec {
     dropTable(sigT)
   }
 
+  test("migrateImageSignatureStore: mid-stream grid widening; resumed admissions equal a stream that started wide") {
+    import spark.implicits._
+    import NearDupStreamSpec.MediaRow
+    import graft.operators.{Multimodal, Stores}
+    implicit val sq = spark.sqlContext
+    val tA = "image_migrate_g4"; val tB = "image_migrate_g5"
+    val tC = "image_migrate_ref"
+    Seq(tA, tB, tC).foreach(dropTable)
+    val pairsA = tmpDir("migrate_pairs_a"); val pairsB = tmpDir("migrate_pairs_b")
+    val pairsC = tmpDir("migrate_pairs_c")
+    val ckpt = tmpDir("migrate_ckpt")
+    val b0 = Seq(MediaRow(1L, ts(1), Multimodal.jpegPayload(7L, 1, variant = false)),
+      MediaRow(2L, ts(1), Multimodal.pngGrayPayload(8L, 1)))
+    val b1 = Seq(MediaRow(3L, ts(2), Multimodal.pngGrayPayload(7L, 1)),
+      MediaRow(4L, ts(2), Multimodal.jpegPayload(9L, 1, variant = false)))
+    val b2 = Seq(MediaRow(5L, ts(3), Multimodal.jpegPayload(7L, 1, variant = true)))
+    // phase 1: two waves at grid 4
+    val src = MemoryStream[MediaRow]
+    val q1 = EventStreams.imageAdmitStream(src.toDF(), tA, pairsA,
+        grid = 4, buckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b0: _*); q1.processAllAvailable()
+      src.addData(b1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // the migration: re-sign the catalog at grid 5 into a NEW store
+    val mediaTable = (b0 ++ b1).map(r => (r.media_id, r.payload))
+      .toDF("media_id", "payload")
+    Multimodal.migrateImageSignatureStore(spark, mediaTable, tA, tB,
+      newGrid = 5, buckets = 4)
+    // phase 2: the SAME checkpointed source resumes against the new
+    // store at the new grid — wave numbering continues at 2
+    val q2 = EventStreams.imageAdmitStream(src.toDF(), tB, pairsB,
+        grid = 5, buckets = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      src.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    // reference: a stream that ran at grid 5 FROM SCRATCH
+    val srcF = MemoryStream[MediaRow]
+    val q3 = EventStreams.imageAdmitStream(srcF.toDF(), tC, pairsC,
+        grid = 5, buckets = 4)
+      .option("checkpointLocation", tmpDir("migrate_ckpt_ref")).start()
+    try {
+      srcF.addData(b0: _*); q3.processAllAvailable()
+      srcF.addData(b1: _*); q3.processAllAvailable()
+      srcF.addData(b2: _*); q3.processAllAvailable()
+    } finally q3.stop()
+    def pairsOf(dir: String, b: Int): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$dir/batch_id=$b")
+        .as[(Long, Long, Long)].collect().toSet
+    val resumed = pairsOf(pairsB, 2)
+    val fresh = pairsOf(pairsC, 2)
+    assert(resumed.nonEmpty && resumed == fresh,
+      s"post-migration admissions must equal the started-wide stream: $resumed vs $fresh")
+    // the migrated store is row-identical to the fresh wide build's
+    // first two waves (same wave structure, same signatures)
+    def rows(t: String, upTo: Long): Set[(Long, Long, Seq[Long], Long, Long)] =
+      Stores.asOf(spark, t, upTo)
+        .select("id", "__key", "__f", "__t", "wave")
+        .as[(Long, Long, Seq[Long], Long, Long)].collect().toSet
+    assert(rows(tB, 1L) == rows(tC, 1L),
+      "migrated store must equal a fresh wide build of the same history")
+    // the resumed stream's wave 2 landed in the NEW store
+    assert(rows(tB, 2L).exists(_._5 == 2L),
+      "the post-migration wave must land in the migrated store")
+    Seq(tA, tB, tC).foreach(dropTable)
+  }
+
   test("winnowAdmitStream: same-batch near-dups pair at the stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -1697,6 +1697,51 @@ class OperatorsSpec extends SparkSpec {
     assert(gLegacy == gBt, "grayscale must be luma-model-invariant")
   }
 
+  test("autoGrid sizing reads parquet footers, not payloads: zero jobs on a stats-bearing table") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val dir = tmpDir("stats_media")
+    (0L until 37L).map(i => (i, Multimodal.pngGrayPayload(i, 1)))
+      .toDF("media_id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val media = spark.read.parquet(dir)
+    // the exact count comes from footers, with NO Spark job: a count
+    // pass over a binary-payload corpus at 100 TB would read terabytes
+    // to learn one number the file metadata already carries
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = org.apache.spark.sql.GraftTableStats.exactRowCount(media)
+      assert(n.contains(37L), s"footer count: $n")
+      // a row-count-preserving projection keeps the metadata path
+      val nProj = org.apache.spark.sql.GraftTableStats.exactRowCount(
+        media.select("payload"))
+      assert(nProj.contains(37L), s"projected footer count: $nProj")
+      // a filter is NOT row-count-preserving: must decline, not guess
+      val nFilt = org.apache.spark.sql.GraftTableStats.exactRowCount(
+        media.filter($"media_id" > 5))
+      assert(nFilt.isEmpty, "a filtered frame must fall back to counting")
+      // job-start events are synchronous enough for a zero check after
+      // a short settle (the listener bus is private API)
+      Thread.sleep(300)
+      assert(jobs.get() == 0,
+        s"metadata row counts must not launch jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the auto pipeline derives the same grid through the stats path
+    // as through a declared count
+    val viaStats = Multimodal.pngPerceptualCandidatesAuto(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaKnown = Multimodal.pngPerceptualCandidatesAuto(media,
+        knownCount = Some(37L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStats == viaKnown)
+  }
+
   test("mediaCard: per-format census with rollup total; header-only vs pixel-decodable split; unknown bucket") {
     import spark.implicits._
     import graft.operators.Multimodal
