@@ -116,6 +116,49 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // AUTO-SIZED banded sign-LSH near-dup — the oracle for q76's scale
+    // remedy (SCALE.md's "fixed per-band bits → 100× pairs per bucket"
+    // lesson; the fixed form is regime-bounded by design, measured at
+    // 617M candidate pairs on the 100× corpus): per-band bits derived
+    // from the corpus size — bits = max(1, min(24, ceil-log2(⌈n/64⌉)))
+    // clamped to dim/bands so a band never slices past the vector —
+    // holds expected per-bucket population (so per-band pair volume)
+    // ~constant under growth. The oracle replays the DERIVATION
+    // (count → ceil-log2 → clamp) and the full banded pipeline at
+    // that width, like q204/q211 for their tiers.
+    sql("q217_embedding_neardup_banded_auto",
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |dm AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |bt AS (SELECT CAST(LEAST(
+        |         GREATEST(1, LEAST(24,
+        |           list_min([b FOR b IN range(0, 25)
+        |                     IF (CAST(1 AS BIGINT) << b) >= GREATEST(1, (n + 63) // 64)]))),
+        |         dim // 4) AS INT) AS bits
+        |       FROM nn CROSS JOIN dm),
+        |kb0 AS (
+        | SELECT vec_id, t.b AS band,
+        |  list_sum(list_transform(range(bits),
+        |    i -> CASE WHEN embedding[CAST(t.b*bits+i+1 AS INT)] >= 0 THEN 1<<i ELSE 0 END)) AS key
+        | FROM embeddings CROSS JOIN bt, range(4) AS t(b)),
+        |kb AS (
+        | SELECT * FROM kb0
+        | QUALIFY count(*) OVER (PARTITION BY band, key) <= 4096),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        | FROM kb a JOIN kb b
+        |   ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT id1, id2,
+        | round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS sim
+        |FROM cand
+        |JOIN embeddings e1 ON e1.vec_id = id1
+        |JOIN embeddings e2 ON e2.vec_id = id2
+        |WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) > 0.2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Similarity.nearDupesAnnBandedAuto(embeddings(s, d), threshold = 0.2,
+          bands = 4, targetBucketSize = 64)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     sql("q42_ann_sign_lsh",
       """WITH kb AS (
         | SELECT vec_id, embedding,

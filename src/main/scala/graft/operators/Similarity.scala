@@ -376,6 +376,17 @@ object Similarity {
     * with expected per-bucket population ≤ `targetBucketSize`, i.e.
     * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].
     */
+  /** Corpus size for the lazy auto-sizing variants: the declared
+    * count, else an exact metadata row count
+    * ([[org.apache.spark.sql.GraftTableStats.exactRowCount]] — plan
+    * stats or parquet footers, no job), else one `count()` job. The
+    * [[graft.operators.Multimodal]] `sizeOf` contract.
+    */
+  private def sizeOf(corpus: DataFrame, knownCount: Option[Long]): Long =
+    knownCount
+      .orElse(org.apache.spark.sql.GraftTableStats.exactRowCount(corpus))
+      .getOrElse(corpus.count())
+
   def autoBits(n: Long, targetBucketSize: Int, maxBits: Int): Int = {
     // integral ceil(log2(ceil(n / target))) — floating-point log2
     // overshoots by one bit at exact power-of-two ratios
@@ -407,7 +418,7 @@ object Similarity {
       maxBucketSize: Int = DefaultMaxBucketSize,
       knownCount: Option[Long] = None): DataFrame =
     nearDupesAnn(corpus, threshold,
-      autoBits(knownCount.getOrElse(corpus.count()), targetBucketSize, maxBits),
+      autoBits(sizeOf(corpus, knownCount), targetBucketSize, maxBits),
       idCol, vecCol, maxBucketSize)
 
   /** [[nearDupesAnnBanded]] with per-band `bits` sized from the corpus
@@ -439,7 +450,7 @@ object Similarity {
       maxBucketSize: Int = DefaultMaxBucketSize,
       knownCount: Option[Long] = None): DataFrame = {
     require(bands >= 1, "bands must be positive")
-    val bits0 = autoBits(knownCount.getOrElse(corpus.count()),
+    val bits0 = autoBits(sizeOf(corpus, knownCount),
       targetBucketSize, maxBits = 24)
     // bands == 1 needs no dim clamp — SignBucketExpr self-caps bits at
     // the vector length and [[nearDupesAnnBanded]] skips its own dim
