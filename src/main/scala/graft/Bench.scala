@@ -282,18 +282,21 @@ object Bench {
     // a 2000-char stdout tail — the per-query lines scroll out of it).
     // The round number is inferred as max(BENCH_r*.json)+1: the driver
     // writes BENCH_r{N}.json only after this bench runs, so at round N
-    // the newest committed artifact is N-1. Falls back to cwd when the
-    // repo root is absent (e.g. running from a bare checkout elsewhere).
+    // the newest committed artifact is N-1. The artifact dir is the
+    // SAME resolution the prior-times READER uses (graft.bench
+    // .artifactDir, else cwd) — a writer pinned to one absolute path
+    // would land round-stamped files where the next round's reader
+    // never looks, silently disarming the 3x detector in any other
+    // checkout.
     def defaultOut: String = {
-      val repo = new java.io.File("/root/repo")
-      if (!repo.isDirectory) "bench-queries.json"
-      else {
-        val pat = raw"BENCH_r(\d+)\.json".r
-        val last = Option(repo.list()).map(_.toSeq).getOrElse(Nil)
-          .collect { case pat(n) => n.toInt }
-        val round = if (last.isEmpty) 0 else last.max + 1
-        new java.io.File(repo, f"bench-times_r$round%02d.json").getPath
-      }
+      val repo = new java.io.File(
+        sys.props.getOrElse("graft.bench.artifactDir",
+          sys.props.getOrElse("user.dir", ".")))
+      val pat = raw"BENCH_r(\d+)\.json".r
+      val last = Option(repo.list()).map(_.toSeq).getOrElse(Nil)
+        .collect { case pat(n) => n.toInt }
+      val round = if (last.isEmpty) 0 else last.max + 1
+      new java.io.File(repo, f"bench-times_r$round%02d.json").getPath
     }
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)).getAbsoluteFile

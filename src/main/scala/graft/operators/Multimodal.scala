@@ -365,18 +365,18 @@ object Multimodal {
   }
 
   /** Corpus size for the lazy auto-sizing variants: the declared
-    * count when given, else an EXACT metadata row count (optimized-
-    * plan statistics or parquet footers —
+    * count when given, else an EXACT metadata row count (local
+    * relation or parquet footers —
     * [[org.apache.spark.sql.GraftTableStats.exactRowCount]]: no job,
     * no payload scan — the r14 "the count pass decodes nothing yet
     * still scans every payload" fix), else one `count()` job. Never
     * an estimate: the auto derivations are replayed by oracles, so an
-    * approximate n would be a correctness bug.
+    * approximate n would be a correctness bug. One shared ladder
+    * ([[org.apache.spark.sql.GraftTableStats.sizeOf]]) — the
+    * Similarity auto variants ride the identical definition.
     */
   private def sizeOf(media: DataFrame, knownCount: Option[Long]): Long =
-    knownCount
-      .orElse(org.apache.spark.sql.GraftTableStats.exactRowCount(media))
-      .getOrElse(media.count())
+    org.apache.spark.sql.GraftTableStats.sizeOf(media, knownCount)
 
   /** PIXEL-TRUE perceptual near-dup for PNG (the q186 feature upgrade
     * for images, the [[pcmPerceptualCandidates]] twin for the visual
@@ -1085,6 +1085,14 @@ object Multimodal {
     * accumulates the complete recompute pair set (catalog-internal
     * pairs were earlier waves' output). An empty catalog frame is
     * valid: at wave 0 the delta self-pairs are the whole output.
+    *
+    * Pairs are ORDER-NORMALIZED (id1 < id2) so accumulated stream
+    * output is tuple-identical to the recompute regardless of which
+    * side an id arrived on, and ONE row per unordered pair survives
+    * even when a RE-DELIVERED id sits in both catalog and delta
+    * (where it would otherwise pair itself and emit through both
+    * legs). The L1 gate is symmetric in (f, t), so normalization
+    * never changes a verdict.
     */
   def imageAdmissionPairs(catalogSigs: DataFrame, deltaSigs: DataFrame,
       maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
@@ -1095,20 +1103,29 @@ object Multimodal {
     val keep = dCnt.join(cCnt, Seq("__key"), "left")
       .filter(col("__dn") + coalesce(col("__cn"), lit(0L)) <= maxBucketSize)
       .select("__key")
-    val cross = cat.select(col("__key"), col("id").as("id1"),
-        col("__f").as("f1"), col("__t").as("t1"))
+    val cross = cat.select(col("__key"), col("id").as("ua"),
+        col("__f").as("fa"), col("__t").as("ta"))
       .join(keep, "__key")
-      .join(dlt.select(col("__key"), col("id").as("id2"),
-        col("__f").as("f2"), col("__t").as("t2")), "__key")
-      .filter(col("id1") =!= col("id2"))
-      .select("id1", "id2", "f1", "f2", "t1", "t2")
+      .join(dlt.select(col("__key"), col("id").as("ub"),
+        col("__f").as("fb"), col("__t").as("tb")), "__key")
+      .select("ua", "ub", "fa", "fb", "ta", "tb")
     val keptDlt = dlt.join(keep, "__key")
     val within = keptDlt.alias("a").join(keptDlt.alias("b"),
         col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__f").as("f1"), col("b.__f").as("f2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .select(col("a.id").as("ua"), col("b.id").as("ub"),
+        col("a.__f").as("fa"), col("b.__f").as("fb"),
+        col("a.__t").as("ta"), col("b.__t").as("tb"))
+    val flip = col("ua") > col("ub")
     cross.unionByName(within)
+      .filter(col("ua") =!= col("ub"))
+      .select(
+        least(col("ua"), col("ub")).as("id1"),
+        greatest(col("ua"), col("ub")).as("id2"),
+        when(flip, col("fb")).otherwise(col("fa")).as("f1"),
+        when(flip, col("fa")).otherwise(col("fb")).as("f2"),
+        when(flip, col("tb")).otherwise(col("ta")).as("t1"),
+        when(flip, col("ta")).otherwise(col("tb")).as("t2"))
+      .dropDuplicates("id1", "id2")
       .withColumn("l1", expr(
         "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=

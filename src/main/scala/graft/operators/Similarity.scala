@@ -376,16 +376,12 @@ object Similarity {
     * with expected per-bucket population ≤ `targetBucketSize`, i.e.
     * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].
     */
-  /** Corpus size for the lazy auto-sizing variants: the declared
-    * count, else an exact metadata row count
-    * ([[org.apache.spark.sql.GraftTableStats.exactRowCount]] — plan
-    * stats or parquet footers, no job), else one `count()` job. The
-    * [[graft.operators.Multimodal]] `sizeOf` contract.
+  /** Corpus size for the lazy auto-sizing variants — the one shared
+    * ladder (declared count → exact metadata count → one `count()`
+    * job); see [[org.apache.spark.sql.GraftTableStats.sizeOf]].
     */
   private def sizeOf(corpus: DataFrame, knownCount: Option[Long]): Long =
-    knownCount
-      .orElse(org.apache.spark.sql.GraftTableStats.exactRowCount(corpus))
-      .getOrElse(corpus.count())
+    org.apache.spark.sql.GraftTableStats.sizeOf(corpus, knownCount)
 
   def autoBits(n: Long, targetBucketSize: Int, maxBits: Int): Int = {
     // integral ceil(log2(ceil(n / target))) — floating-point log2

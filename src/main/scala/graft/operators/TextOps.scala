@@ -1090,6 +1090,12 @@ object TextOps {
     * catalog ∪ delta with at least one delta member, so batch-sequential
     * replay accumulates the complete recompute pair set. An empty
     * catalog frame is valid (wave 0: delta self-pairs only).
+    *
+    * Pairs are ORDER-NORMALIZED (a < b) and shared-digest votes are
+    * deduplicated per (pair, digest): a RE-DELIVERED doc_id (a
+    * re-crawl landing an id that already sits in the catalog) would
+    * otherwise vote its shared digests once through each leg and
+    * inflate `n_shared` past the threshold — and pair with itself.
     */
   def winnowedAdmissionPairs(catalogFps: DataFrame, deltaFps: DataFrame,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
@@ -1102,13 +1108,17 @@ object TextOps {
       .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) <= maxDf)
       .select("dg")
     val keptDlt = dlt.join(keep, "dg")
-    val cross = cat.select(col("dg"), col("doc_id").as("a"))
-      .join(keptDlt.select(col("dg"), col("doc_id").as("b")), "dg")
-      .select("a", "b")
+    val cross = cat.select(col("dg"), col("doc_id").as("u"))
+      .join(keptDlt.select(col("dg"), col("doc_id").as("v")), "dg")
     val within = keptDlt.alias("x").join(keptDlt.alias("y"),
         col("x.dg") === col("y.dg") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.dg").as("dg"), col("x.doc_id").as("u"),
+        col("y.doc_id").as("v"))
     cross.unionByName(within)
+      .filter(col("u") =!= col("v"))
+      .select(col("dg"), least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

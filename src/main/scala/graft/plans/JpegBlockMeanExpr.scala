@@ -422,8 +422,31 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
     val bhPad = Array.tabulate(nComp)(c => mcusY * compV(c))
     val bwAct = Array.tabulate(nComp)(c => ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
     val bhAct = Array.tabulate(nComp)(c => ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
-    val coefs = Array.tabulate(nComp)(c => new Array[Short](bwPad(c) * bhPad(c) * 64))
+    // TOTAL allocation cap across components (2^25 Shorts = 64 MiB —
+    // the sequential tier's envelope): a forged 4-full-res-component
+    // SOF2 at the pixel cap would otherwise allocate 2x that from a
+    // ~100-byte header. 4:2:0 at the full pixel cap fits (1.5x luma);
+    // 4:4:4 at the cap does not and stays on the header tier.
+    var totalShorts = 0L
+    var tc = 0
+    while (tc < nComp) {
+      totalShorts += bwPad(tc).toLong * bhPad(tc) * 64L
+      tc += 1
+    }
+    if (totalShorts > (1L << 25)) return null
+    // per-component planes allocate LAZILY at the first scan that
+    // references the component — header bytes alone allocate nothing
+    val coefs = new Array[Array[Short]](nComp)
     val dcDone = new Array[Boolean](nComp)
+    // successive-approximation progression state per (component,
+    // zigzag index): -1 = no first pass yet, else the coefficient's
+    // current point-transform Al. T.81 G.1.1.1: a first pass (Ah = 0)
+    // must be the coefficient's first touch, and a refinement must
+    // continue from EXACTLY Al + 1 — anything else (duplicate first
+    // pass, skipped bit level, overlapping band re-delivery) is a
+    // corrupt progression and decodes to null, never to a garbage
+    // signature.
+    val alState = Array.fill(nComp)(Array.fill[Byte](64)(-1))
     var dri = dri0
     var sawScan = false
     var p = startP
@@ -507,26 +530,50 @@ case class JpegBlockMeanExpr(child: Expression, grid: Int)
             (ss > 0 && (ss > se || ns != 1)) ||
             al > 13 || (ah != 0 && ah != al + 1)) return null
           val br = new BitReader(b, segEnd)
+          // lazy plane allocation: only components a scan references
+          var ai = 0
+          while (ai < ns) {
+            val ci = sc(ai)
+            if (coefs(ci) == null)
+              coefs(ci) = new Array[Short](bwPad(ci) * bhPad(ci) * 64)
+            ai += 1
+          }
           if (ss == 0) {
             var i = 0
             while (i < ns) {
-              if (ah == 0) { if (huff(scDc(i)) == null) return null }
-              else if (!dcDone(sc(i))) return null // refine before first
+              val st = alState(sc(i))(0)
+              if (ah == 0) {
+                if (huff(scDc(i)) == null) return null
+                if (st != -1) return null // duplicate DC first pass
+              } else if (st != ah) {
+                return null // refinement not continuing from Al + 1
+              }
               i += 1
             }
             if (!decodeDcScan(br, coefs, sc, scDc, ah, al, huff, dri,
               mcusX, mcusY, bwPad, bwAct, bhAct, compH, compV)) return null
-            if (ah == 0) {
-              var i2 = 0
-              while (i2 < ns) { dcDone(sc(i2)) = true; i2 += 1 }
+            var i2 = 0
+            while (i2 < ns) {
+              alState(sc(i2))(0) = al.toByte
+              if (ah == 0) dcDone(sc(i2)) = true
+              i2 += 1
             }
           } else {
             val ci = sc(0)
             if (!dcDone(ci)) return null // T.81: DC first scan precedes AC
+            var k = ss
+            while (k <= se) {
+              val st = alState(ci)(k)
+              if (ah == 0) { if (st != -1) return null } // re-delivered band
+              else if (st != ah) return null // skipped/duplicated bit level
+              k += 1
+            }
             val acT = huff(4 + scAc(0))
             if (acT == null) return null
             if (!decodeAcScan(br, coefs(ci), bwPad(ci), bwAct(ci), bhAct(ci),
               acT, ss, se, ah, al, dri)) return null
+            var k2 = ss
+            while (k2 <= se) { alState(ci)(k2) = al.toByte; k2 += 1 }
           }
           sawScan = true
           val np = br.nextMarkerPos()

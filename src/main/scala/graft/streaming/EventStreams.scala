@@ -996,7 +996,7 @@ object EventStreams {
     */
   def imageAdmitStream(media: DataFrame, table: String, pairsDir: String,
       grid: Int = 4, maxBucketSize: Int = 64, thrPermille: Int = 10,
-      buckets: Int = 64)
+      buckets: Int = 64, bt601: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1004,8 +1004,11 @@ object EventStreams {
         import graft.operators.{Multimodal, Stores}
         // one signature per media id: a duplicate row INSIDE a batch
         // (at-least-once source) must not inflate the combined cap or
-        // duplicate output pairs
-        val sigs = Multimodal.imageSignatures(batch.toDF(), grid)
+        // duplicate output pairs. `bt601` is part of the store's
+        // signature-space identity exactly like `grid` — a stream
+        // resumed against a luma-migrated store must pass the matching
+        // flag or identical color pixels stop sharing keys
+        val sigs = Multimodal.imageSignatures(batch.toDF(), grid, bt601)
           .dropDuplicates("id").persist()
         try {
           val hasPrior = spark.catalog.tableExists(table) &&

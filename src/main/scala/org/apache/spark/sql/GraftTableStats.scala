@@ -6,7 +6,7 @@
  */
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 
@@ -15,24 +15,34 @@ object GraftTableStats {
   /** Exact row count of `df` from metadata only, or None when no
     * metadata source is exact:
     *
-    *  1. the optimized plan's statistics `rowCount` (present for
-    *     ANALYZEd catalog tables under CBO and for local relations);
+    *  1. a bare local relation's in-memory row count;
     *  2. parquet FOOTER row counts, when the plan is a bare
     *     column-pruning view of a parquet file relation (projections
-    *     and aliases preserve row count; any filter/join/generate
-    *     does not and falls through) — one driver-side metadata read
-    *     per file, no payload scan, no Spark job.
+    *     and aliases preserve row count; any filter/join/limit/
+    *     generate does not and falls through) — one driver-side
+    *     metadata read per file, no payload scan, no Spark job.
     *
-    * A None means the caller must count (or pass a known count) —
-    * never a guess: auto-sizing derivations are replayed by oracles,
-    * so an approximate count here would be a correctness bug, not an
-    * optimization.
+    * The optimized plan's `stats.rowCount` is DELIBERATELY not
+    * consulted: it is not exact — Spark fabricates
+    * `rowCount = Some(limit)` for GlobalLimit even with CBO off
+    * (regardless of how few rows the child has), and under CBO it
+    * carries filter/join ESTIMATES and possibly-stale ANALYZE
+    * numbers. A None means the caller must count (or pass a known
+    * count) — never a guess: auto-sizing derivations are replayed by
+    * oracles, so an approximate count here would be a correctness
+    * bug, not an optimization.
     */
-  def exactRowCount(df: Dataset[_]): Option[Long] = {
-    val plan = df.queryExecution.optimizedPlan
-    plan.stats.rowCount.map(_.toLong)
-      .orElse(parquetFooterCount(plan))
-  }
+  def exactRowCount(df: Dataset[_]): Option[Long] =
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case l: LocalRelation => Some(l.data.length.toLong)
+      case other => parquetFooterCount(other)
+    }
+
+  /** The shared auto-sizing ladder: the caller's declared count, else
+    * [[exactRowCount]], else one `count()` job.
+    */
+  def sizeOf(df: Dataset[_], knownCount: Option[Long]): Long =
+    knownCount.orElse(exactRowCount(df)).getOrElse(df.count())
 
   /** Strip row-count-preserving wrappers (Project without generators,
     * SubqueryAlias) down to a bare relation, if that is all there is.
@@ -45,7 +55,7 @@ object GraftTableStats {
   }
 
   private def parquetFooterCount(plan: LogicalPlan): Option[Long] =
-    unwrap(plan) match {
+    plan match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
           lr.relation.asInstanceOf[HadoopFsRelation]
             .fileFormat.isInstanceOf[ParquetFileFormat] =>

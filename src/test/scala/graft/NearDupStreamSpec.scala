@@ -596,6 +596,39 @@ class NearDupStreamSpec extends SparkSpec {
     Seq(tA, tB, tC).foreach(dropTable)
   }
 
+  test("admission pairs: a re-delivered id votes once, never pairs itself, pairs are order-normalized") {
+    import spark.implicits._
+    import graft.operators.{Multimodal, TextOps}
+    // --- winnow tier: doc 5 sits in the catalog AND is re-delivered in
+    // the delta with the same digests; doc 9 shares exactly 2 digests
+    // with it. Without (pair, digest) dedup the two legs would count 4
+    // shared digests and pass minShared = 3 for a below-threshold pair.
+    val cat = Seq((5L, "A"), (5L, "B")).toDF("doc_id", "dg")
+    val dlt = Seq((5L, "A"), (5L, "B"), (9L, "A"), (9L, "B"), (9L, "C"))
+      .toDF("doc_id", "dg")
+    val strict = TextOps.winnowedAdmissionPairs(cat, dlt, minShared = 3, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict.isEmpty,
+      s"2 truly-shared digests must not pass minShared = 3: $strict")
+    val loose = TextOps.winnowedAdmissionPairs(cat, dlt, minShared = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose == Set((5L, 9L, 2L)),
+      s"one pair, counted once, never (5,5): $loose")
+    // --- image tier: catalog id 10 re-delivered in the delta alongside
+    // its twin id 5 (smaller than the catalog id — exercises ordering)
+    val catSigs = Multimodal.imageSignatures(
+      Seq((10L, Multimodal.jpegPayload(7L, 1, variant = false)))
+        .toDF("media_id", "payload"), 4)
+    val dltSigs = Multimodal.imageSignatures(
+      Seq((10L, Multimodal.jpegPayload(7L, 1, variant = false)),
+        (5L, Multimodal.pngGrayPayload(7L, 1)))
+        .toDF("media_id", "payload"), 4)
+    val img = Multimodal.imageAdmissionPairs(catSigs, dltSigs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(img == Seq((5L, 10L, 0L)),
+      s"exactly one normalized pair, no self-pair, no duplicate: $img")
+  }
+
   test("winnowAdmitStream: same-batch near-dups pair at the stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

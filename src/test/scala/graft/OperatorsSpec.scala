@@ -1593,8 +1593,25 @@ class OperatorsSpec extends SparkSpec {
     // component count byte of an AC scan set to 2 (overruns into the
     // band bytes -> corrupt header either way)
     val badAc = patched(c => c(allSos(2) + 4) = 2)
+    // HEADER-consistent but PROGRESSION-inconsistent (each header
+    // passes the Ah = Al + 1 law in isolation): the DC refinement
+    // claims Ah=2/Al=1 after a first pass that delivered Al=1 — the
+    // refinement must continue from EXACTLY Al + 1 = 2? no: state is
+    // 1, so Ah must be 1; Ah=2 skips nothing delivered
+    val wrongLevel = patched(c => c(allSos(1) + 9) = 0x21.toByte)
+    // duplicate DC FIRST pass: the refinement scan rewritten as a
+    // second Ah=0 first pass (Al stays 0 — valid header, corrupt
+    // progression)
+    val dupFirst = patched(c => c(allSos(1) + 9) = 0x00.toByte)
+    // re-delivered AC band: the third AC scan's band rewritten to
+    // 1..5 at Al=0 (valid header; those coefficients already hold
+    // Al=0 from the refinement — a second first-pass is corrupt)
+    val reBand = patched { c =>
+      c(allSos(4) + 7) = 1; c(allSos(4) + 8) = 5
+    }
     val hostile = Seq(
-      (1L, acFirst), (2L, skipLevel), (3L, truncated), (4L, badAc))
+      (1L, acFirst), (2L, skipLevel), (3L, truncated), (4L, badAc),
+      (5L, wrongLevel), (6L, dupFirst), (7L, reBand))
       .toDF("media_id", "payload")
     val t0 = System.nanoTime()
     val feats = hostile.select(
