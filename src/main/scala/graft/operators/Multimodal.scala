@@ -1011,10 +1011,11 @@ object Multimodal {
     */
   def imagePerceptualCandidatesAuto(media: DataFrame,
       targetBucketSize: Int = 16, maxBucketSize: Int = 64,
-      thrPermille: Int = 10, knownCount: Option[Long] = None): DataFrame =
+      thrPermille: Int = 10, knownCount: Option[Long] = None,
+      bt601: Boolean = false): DataFrame =
     imagePerceptualCandidates(media,
       autoGrid(sizeOf(media, knownCount), targetBucketSize),
-      maxBucketSize, thrPermille)
+      maxBucketSize, thrPermille, bt601)
 
   /** The cross-format image SIGNATURE frame — one row per decodable
     * image: `(id, __key, __f, __t)` with the coalesced png/jpeg

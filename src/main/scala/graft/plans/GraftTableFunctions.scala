@@ -322,17 +322,21 @@ object GraftTableFunctions {
   }
 
   private[plans] def buildImageNearDup(args: Seq[Expression]): LogicalPlan = {
-    require(args.size >= 1 && args.size <= 4,
-      "graft_image_neardup(mediaTable[, grid, maxBucketSize, thrPermille]) — grid <= 0 auto-sizes")
+    require(args.size >= 1 && args.size <= 5,
+      "graft_image_neardup(mediaTable[, grid, maxBucketSize, thrPermille, bt601])" +
+        " — grid <= 0 auto-sizes; bt601 <> 0 reduces color PNGs with the" +
+        " JPEG-encoder integer BT.601 luma (cross-format exactness, q216)")
     val spark = SparkSession.active
     val media = spark.table(strLit(args.head, "mediaTable"))
     val grid = if (args.size > 1) intLit(args(1), "grid") else 4
     val cap = if (args.size > 2) intLit(args(2), "maxBucketSize") else 64
     val thr = if (args.size > 3) intLit(args(3), "thrPermille") else 10
+    val bt601 = args.size > 4 && intLit(args(4), "bt601") != 0
     plan(if (grid <= 0)
       graft.operators.Multimodal.imagePerceptualCandidatesAuto(media,
-        maxBucketSize = cap, thrPermille = thr)
-    else graft.operators.Multimodal.imagePerceptualCandidates(media, grid, cap, thr))
+        maxBucketSize = cap, thrPermille = thr, bt601 = bt601)
+    else graft.operators.Multimodal.imagePerceptualCandidates(media, grid, cap,
+      thr, bt601))
   }
 
   // the media table must carry (media_id, payload, meta.n_bytes) — the

@@ -436,6 +436,18 @@ class QueryCliSpec extends SparkSpec {
       "SELECT id1, id2 FROM graft_image_neardup('cli_mixed', 0) ORDER BY id1, id2")
       .as[(Long, Long)].collect().toSet
     assert(imgAuto.contains((1L, 2L)), s"auto-sized image door must find the twin: $imgAuto")
+    // bt601 arg: the COLOR cross-format twin pairs exactly through SQL
+    Seq((1L, Multimodal.jpegPayload(7L, 1, variant = false)),
+      (2L, Multimodal.pngColorBt601Payload(7L, 1)),
+      (3L, Multimodal.pngColorBt601Payload(8L, 1)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_color")
+    val colorSql = QueryCommand.run(spark,
+      "SELECT id1, id2, l1 FROM graft_image_neardup('cli_color', 4, 64, 10, 1) ORDER BY id1, id2")
+    same(colorSql, Multimodal.imagePerceptualCandidates(
+        spark.table("cli_color"), grid = 4, bt601 = true)
+      .orderBy("id1", "id2"))
+    assert(colorSql.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)),
+      "the bt601 door must pair the color twin at exactly 0")
   }
 
   test("SQL door phase 4: domain, privacy-audit, and frame relations from SQL text match Scala") {
