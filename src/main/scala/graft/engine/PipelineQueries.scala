@@ -562,6 +562,83 @@ object PipelineQueries {
       TextOps.winnowedCrossPairs(s.table("graft_q189_winnow"), deltaFps,
           minShared = 3, maxDf = 8)
         .orderBy("a", "b")
+    },
+
+    // ADMISSION-pair semantics as a driver-gated contract (the r15
+    // stream-probe upgrade, q189's shape extended): the delta carries
+    // (a) natural docs, (b) +1M prefix edits of catalog docs (cross
+    // pairs), (c) RE-DELIVERED catalog docs verbatim — same doc_id on
+    // both sides — and (d) +2M prefix edits of natural delta docs
+    // (WITHIN-delta pairs). The operator must emit cross AND
+    // within-delta pairs order-normalized, never pair a re-delivered
+    // id with itself, and count a shared digest ONCE per unordered
+    // pair even when an id sits on both sides (one vote per
+    // (pair, digest)). The oracle replays the winnowing, the
+    // side-summed df cap (a re-delivered doc counts on BOTH sides —
+    // the operator's documented conservative arithmetic), both pair
+    // legs, the normalization, and the per-(pair, digest) dedup.
+    sqlWithSetup("q218_winnow_admission_pairs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, 0 AS cl FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prefix edit ' || text, 1 FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 3 = 1 AND doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'prefix edit ' || text, 1 FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+        |t AS (SELECT doc_id, cl, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM corpus),
+        |g AS (SELECT doc_id, cl, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+        |gd AS (SELECT doc_id, cl, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 4), ' ')) AS dg FROM g),
+        |ng AS (SELECT doc_id, count(*) AS n FROM gd WHERE cl = 0 GROUP BY doc_id
+        |       UNION SELECT doc_id, count(*) FROM gd WHERE cl = 1 GROUP BY doc_id),
+        |ex AS (SELECT gd.doc_id, gd.cl, gd.pos, gd.dg,
+        |         unnest(range(greatest(gd.pos - 3, 0), least(gd.pos, greatest(ng.n - 4, 0)) + 1)) AS wid
+        |       FROM gd JOIN ng USING (doc_id)),
+        |mn AS (SELECT doc_id, wid, min(dg) AS mdg FROM ex GROUP BY doc_id, wid),
+        |sel AS (SELECT e.doc_id, e.cl, e.wid, m.mdg AS dg, max(e.pos) AS pos
+        |        FROM ex e JOIN mn m ON e.doc_id = m.doc_id AND e.wid = m.wid AND e.dg = m.mdg
+        |        GROUP BY e.doc_id, e.cl, e.wid, m.mdg),
+        |fp AS (SELECT DISTINCT doc_id, dg, cl FROM sel),
+        |keep AS (SELECT dg FROM fp GROUP BY dg HAVING count(*) <= 8),
+        |fpk AS (SELECT fp.doc_id, fp.dg, fp.cl FROM fp JOIN keep USING (dg)),
+        |raw AS (
+        |  SELECT a.dg, a.doc_id AS u, b.doc_id AS v
+        |  FROM fpk a JOIN fpk b ON a.dg = b.dg AND a.cl = 0 AND b.cl = 1
+        |  UNION ALL
+        |  SELECT a.dg, a.doc_id, b.doc_id
+        |  FROM fpk a JOIN fpk b ON a.dg = b.dg AND a.cl = 1 AND b.cl = 1 AND a.doc_id < b.doc_id),
+        |norm AS (SELECT DISTINCT dg, least(u, v) AS a, greatest(u, v) AS b
+        |         FROM raw WHERE u <> v)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM norm GROUP BY a, b HAVING count(*) >= 3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      import graft.operators.{Stores, TextOps}
+      val t = "graft_q218_winnow"
+      Stores.dropStoreTable(s, t)
+      TextOps.writeWinnowStore(
+        documents(s, d).filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", t, k = 4, w = 4, buckets = 8)
+    } { (s, d) =>
+      import graft.operators.TextOps
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 1 && col("doc_id") % 17 === 0))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("prefix edit "), col("text")).as("text")))
+      val deltaFps = TextOps.winnowedFingerprints(delta, "doc_id", "text",
+        k = 4, w = 4)
+      TextOps.winnowedAdmissionPairs(s.table("graft_q218_winnow"), deltaFps,
+          minShared = 3, maxDf = 8)
+        .orderBy("a", "b")
     }
   )
 }
