@@ -521,41 +521,8 @@ object Multimodal {
         filt(rs + 1 + x) = ((cur - pred) & 0xff).toByte
       }
     }
-    val defl = new java.util.zip.Deflater(if (variant) 9 else 1)
-    defl.setInput(filt); defl.finish()
-    val zout = new java.io.ByteArrayOutputStream()
-    val zbuf = new Array[Byte](8192)
-    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
-    defl.end()
-    val comp = zout.toByteArray
-    val out = new java.io.ByteArrayOutputStream()
-    def be32(v: Long): Unit = {
-      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
-      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
-    }
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      be32(data.length.toLong)
-      val tb = typ.getBytes("US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      out.write(tb); out.write(data, 0, data.length); be32(crc.getValue)
-    }
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte), 0, 8)
-    val ihdr = new Array[Byte](13)
-    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
-    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
-    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
-    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
-    ihdr(8) = 8; ihdr(9) = (if (variant) 6 else 2).toByte
-    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
-    chunk("IHDR", ihdr)
-    if (variant) { // two IDAT chunks: the decoder must concatenate
-      val split = comp.length / 2
-      chunk("IDAT", comp.take(split)); chunk("IDAT", comp.drop(split))
-    } else chunk("IDAT", comp)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    pngContainer(filt, w, h, colorType = if (variant) 6 else 2,
+      deflateLevel = if (variant) 9 else 1, splitIdat = variant)
   }
 
   /** Synthesize [[pngColorBt601Payload]] color PNGs from a (media_id,
@@ -590,10 +557,7 @@ object Multimodal {
   private[graft] def pngColorBt601Payload(id: Long, scale: Int): Array[Byte] = {
     val nB = 4 * scale
     val w = nB * 8; val h = w
-    def dcOf(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 31) +
-        (by / scale) * (13 + id % 29) +
-        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    def dcOf(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
     def rgb(bx: Int, by: Int): (Int, Int, Int) = {
       val t = 128 + dcOf(bx, by)
       val r = t + (((id + bx) % 21) - 10).toInt
@@ -614,8 +578,36 @@ object Multimodal {
         raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
       }
     }
-    val defl = new java.util.zip.Deflater(1)
-    defl.setInput(raw); defl.finish()
+    pngContainer(raw, w, h, colorType = 2, deflateLevel = 1,
+      splitIdat = false)
+  }
+
+  /** THE shared DC block formula of the whole image-fixture family
+    * (q208/q212/q213/q215/q216 and their oracles): block (bx, by) of
+    * the `scale`-times NN-upscaled image carries the uniform value
+    * dc = ((id·31 + bx'·(7 + id%31) + by'·(13 + id%29) +
+    * bx'·by'·(11 + id%23)) mod 201) − 100 with bx' = bx/scale — the
+    * id rides the SLOPES and the bilinear term (the r14
+    * fixture-entropy lesson: a planar formula had only 187 reachable
+    * sign keys). ONE definition: the r14 fix needed lockstep edits of
+    * every copy, so the copies are gone — any change here must still
+    * be mirrored in the SQL oracle texts, which is exactly one place
+    * per query by construction.
+    */
+  private[graft] def dcBlock(id: Long, scale: Int, bx: Int, by: Int): Int =
+    (((id * 31 + (bx / scale) * (7 + id % 31) +
+      (by / scale) * (13 + id % 29) +
+      (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+
+  /** Shared PNG container writer for the fixture family: wraps
+    * already-FILTERED scanline bytes in IHDR/IDAT/IEND with CRCs,
+    * deflating at `deflateLevel` and optionally splitting the stream
+    * across two IDAT chunks (decoders must concatenate).
+    */
+  private def pngContainer(filtered: Array[Byte], w: Int, h: Int,
+      colorType: Int, deflateLevel: Int, splitIdat: Boolean): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(deflateLevel)
+    defl.setInput(filtered); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
     val zbuf = new Array[Byte](8192)
     while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
@@ -640,9 +632,13 @@ object Multimodal {
     ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
     ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
     ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
-    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
     chunk("IHDR", ihdr)
-    chunk("IDAT", comp)
+    if (splitIdat) {
+      val split = comp.length / 2
+      chunk("IDAT", comp.take(split)); chunk("IDAT", comp.drop(split))
+    } else chunk("IDAT", comp)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
@@ -753,10 +749,7 @@ object Multimodal {
       variant: Boolean): Array[Byte] = {
     val nB = 4 * scale // blocks per side (base 32×32 = 4×4 blocks)
     val wh = nB * 8
-    def dc(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 31) +
-        (by / scale) * (13 + id % 29) +
-        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    def dc(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
     val out = new java.io.ByteArrayOutputStream()
     def b8(v: Int): Unit = out.write(v & 0xff)
     def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
@@ -885,10 +878,7 @@ object Multimodal {
   private[graft] def jpegProgressivePayload(id: Long, scale: Int): Array[Byte] = {
     val nB = 4 * scale
     val wh = nB * 8
-    def dcOf(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 31) +
-        (by / scale) * (13 + id % 29) +
-        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    def dcOf(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
     val out = new java.io.ByteArrayOutputStream()
     def b8(v: Int): Unit = out.write(v & 0xff)
     def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
@@ -1092,8 +1082,17 @@ object Multimodal {
     * side an id arrived on, and ONE row per unordered pair survives
     * even when a RE-DELIVERED id sits in both catalog and delta
     * (where it would otherwise pair itself and emit through both
-    * legs). The L1 gate is symmetric in (f, t), so normalization
-    * never changes a verdict.
+    * legs) — the within-delta leg's row wins DETERMINISTICALLY (a
+    * re-delivered payload's FRESH signature, not the stored one;
+    * arbitrary-row dedup would make l1, and near-threshold pair
+    * emission, differ between a batch and its crash replay). The L1
+    * gate is symmetric in (f, t), so normalization never changes a
+    * verdict. Two deliberate conservatisms under re-delivery,
+    * mirrored by the stream specs: the hot-bucket cap counts a
+    * re-delivered id on BOTH sides (a boundary bucket the recompute
+    * would keep can drop), so "exactly the recompute's new pairs"
+    * holds when catalog and delta ids are disjoint — the normal
+    * admission case — and degrades conservatively otherwise.
     */
   def imageAdmissionPairs(catalogSigs: DataFrame, deltaSigs: DataFrame,
       maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
@@ -1117,16 +1116,22 @@ object Multimodal {
         col("a.__f").as("fa"), col("b.__f").as("fb"),
         col("a.__t").as("ta"), col("b.__t").as("tb"))
     val flip = col("ua") > col("ub")
-    cross.unionByName(within)
+    cross.withColumn("__pri", lit(1))
+      .unionByName(within.withColumn("__pri", lit(0)))
       .filter(col("ua") =!= col("ub"))
       .select(
         least(col("ua"), col("ub")).as("id1"),
         greatest(col("ua"), col("ub")).as("id2"),
-        when(flip, col("fb")).otherwise(col("fa")).as("f1"),
-        when(flip, col("fa")).otherwise(col("fb")).as("f2"),
-        when(flip, col("tb")).otherwise(col("ta")).as("t1"),
-        when(flip, col("ta")).otherwise(col("tb")).as("t2"))
-      .dropDuplicates("id1", "id2")
+        struct(col("__pri"),
+          when(flip, col("tb")).otherwise(col("ta")).as("t1"),
+          when(flip, col("ta")).otherwise(col("tb")).as("t2"),
+          when(flip, col("fb")).otherwise(col("fa")).as("f1"),
+          when(flip, col("fa")).otherwise(col("fb")).as("f2")).as("__s"))
+      // deterministic dedup: lexicographic min prefers the within leg
+      // (fresh delta signatures) and totally orders any remainder
+      .groupBy("id1", "id2").agg(min(col("__s")).as("__s"))
+      .select(col("id1"), col("id2"), col("__s.f1").as("f1"),
+        col("__s.f2").as("f2"), col("__s.t1").as("t1"), col("__s.t2").as("t2"))
       .withColumn("l1", expr(
         "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=
@@ -1165,7 +1170,15 @@ object Multimodal {
     require(oldTable != newTable,
       "the migration writes a NEW store (old keys never mix with new)")
     val membership = spark.table(oldTable).select("id", "wave").distinct()
-    val resigned = imageSignatures(media, newGrid, bt601)
+    // member-filter BEFORE signing: the decode kernel sits in a
+    // projection below any join, so signing first would decode the
+    // ENTIRE media corpus and discard non-members afterwards — at
+    // 100 TB that is terabytes of pixel work for rows the store never
+    // held. The semi-join ships only ids.
+    val memberMedia = media.join(
+      membership.select(col("id").as("media_id")).distinct(),
+      Seq("media_id"), "left_semi")
+    val resigned = imageSignatures(memberMedia, newGrid, bt601)
       .join(membership, "id")
     resigned
       .repartition(buckets, col("__key"))
@@ -1237,10 +1250,7 @@ object Multimodal {
     */
   private[graft] def pngGrayPayload(id: Long, scale: Int): Array[Byte] = {
     val wh = 32 * scale
-    def dc(bx: Int, by: Int): Int =
-      (((id * 31 + (bx / scale) * (7 + id % 31) +
-        (by / scale) * (13 + id % 29) +
-        (bx / scale) * (by / scale) * (11 + id % 23)) % 201) + 201).toInt % 201 - 100
+    def dc(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
     val raw = new Array[Byte](wh * (1 + wh))
     for (y <- 0 until wh) {
       val rs = y * (1 + wh)
@@ -1248,37 +1258,8 @@ object Multimodal {
       for (x <- 0 until wh)
         raw(rs + 1 + x) = (128 + dc(x / 8, y / 8)).toByte
     }
-    val defl = new java.util.zip.Deflater(1)
-    defl.setInput(raw); defl.finish()
-    val zout = new java.io.ByteArrayOutputStream()
-    val zbuf = new Array[Byte](8192)
-    while (!defl.finished()) zout.write(zbuf, 0, defl.deflate(zbuf))
-    defl.end()
-    val comp = zout.toByteArray
-    val out = new java.io.ByteArrayOutputStream()
-    def be32(v: Long): Unit = {
-      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
-      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
-    }
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      be32(data.length.toLong)
-      val tb = typ.getBytes("US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(data)
-      out.write(tb); out.write(data, 0, data.length); be32(crc.getValue)
-    }
-    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte), 0, 8)
-    val ihdr = new Array[Byte](13)
-    ihdr(0) = ((wh >> 24) & 0xff).toByte; ihdr(1) = ((wh >> 16) & 0xff).toByte
-    ihdr(2) = ((wh >> 8) & 0xff).toByte; ihdr(3) = (wh & 0xff).toByte
-    ihdr(4) = ihdr(0); ihdr(5) = ihdr(1); ihdr(6) = ihdr(2); ihdr(7) = ihdr(3)
-    ihdr(8) = 8; ihdr(9) = 0 // gray
-    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
-    chunk("IHDR", ihdr)
-    chunk("IDAT", comp)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    pngContainer(raw, wh, wh, colorType = 0, deflateLevel = 1,
+      splitIdat = false)
   }
 
   /** Synthesize a MIXED-format media frame for the cross-format tier:
