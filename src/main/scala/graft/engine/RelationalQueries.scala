@@ -101,6 +101,42 @@ object RelationalQueries {
           .orderBy(col("c_mktsegment"))
     },
 
+    // q03 with EXACT money: the whole-catalog 100× oracle sweep showed
+    // q03's round(sum(double),2) revenue disagreeing between engines by
+    // 0.03 in 5.16e11 — a 16-significant-digit total is past double
+    // precision, so summation ORDER picks the last digit (and on a real
+    // cluster, run-to-run shuffle order would make the engine disagree
+    // with itself). The production shape: recover the nominal 2-decimal
+    // values as DECIMAL(18,2) (both engines round the shortest double
+    // repr — MoneyFunctions scaladoc), multiply/sum in exact decimals
+    // (associative, partition-order-free), and cross the output edge as
+    // a canonical decimal STRING (the r15 >Int64 driver-hash contract —
+    // e4 units pass Int64 at warehouse scale). q03 itself stays as the
+    // driver-scale double contract; its 100× regime limit is SCALE.md
+    // r15's float-associativity row.
+    sql("q219_join_agg_revenue_exact",
+      """SELECT c_mktsegment,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue_exact,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        import graft.functions.MoneyFunctions.{discountedNet, decimalEdgeE4}
+        val c = broadcast(customer(s, d))
+        val o = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        val l = lineitem(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            decimalEdgeE4(sum(discountedNet(col("l_extendedprice"), col("l_discount"))))
+              .as("revenue_exact"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+    },
+
     sql("q04_join_left_outer",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         | round(coalesce(sum(o_totalprice),0),2) AS total_spent

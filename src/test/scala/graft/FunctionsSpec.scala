@@ -370,4 +370,33 @@ class FunctionsSpec extends SparkSpec {
       .select(f(f(col("t")))).as[String].head()
     assert(idem == "a b c", "normalization must be a fixpoint")
   }
+
+  test("exact money sum is partition-order-free where the double sum is not") {
+    import graft.functions.MoneyFunctions.{discountedNet, decimalEdgeE4}
+    import spark.implicits._
+    // 2e11-magnitude rows + many small 2dp rows: a double sum of these
+    // needs 16+ significant digits, so different reduction orders give
+    // different last bits. The decimal path must be bit-identical under
+    // ANY partitioning; pin 1 vs 4 vs reversed-order partitionings.
+    val rows = Seq.tabulate(4000) { i =>
+      if (i % 1000 == 0) (2.0e11 + i + 0.37, 0.05) else (10000.01 + i, 0.07)
+    }
+    def sumWith(parts: Int, rev: Boolean) = {
+      val base = (if (rev) rows.reverse else rows).toDF("price", "disc")
+        .repartition(parts)
+      base.agg(decimalEdgeE4(sum(discountedNet($"price", $"disc"))))
+        .as[String].head()
+    }
+    val a = sumWith(1, rev = false)
+    val b = sumWith(4, rev = false)
+    val c = sumWith(4, rev = true)
+    assert(a == b && b == c, s"decimal sum must be order-free: $a / $b / $c")
+    // and the recovery step is exact: money2 of a nominal-2dp double
+    // round-trips the decimal string (incl. the x.xx5 repr edge family)
+    val edges = Seq(2.675, 8.945, 1.005, 68423.46, 0.1)
+      .toDF("x").select(graft.functions.MoneyFunctions.money2($"x").cast("string"))
+      .as[String].collect().toSeq
+    assert(edges == Seq("2.68", "8.95", "1.01", "68423.46", "0.10"),
+      s"shortest-repr HALF_UP recovery: $edges")
+  }
 }
