@@ -639,6 +639,93 @@ object PipelineQueries {
       TextOps.winnowedAdmissionPairs(s.table("graft_q218_winnow"), deltaFps,
           minShared = 3, maxDf = 8)
         .orderBy("a", "b")
+    },
+
+    // Cross-corpus overlap WITHOUT a join (KMV/theta sketch algebra,
+    // CorpusOverlap scaladoc): two planted crawls — A = doc_id%4∈{0,1,2},
+    // B = doc_id%4∈{1,2,3}, ~2/3 shared — are each reduced map-side to
+    // k=128 smallest distinct 60-bit md5 hashes; |A|,|B|,|A∩B|,|A∪B|,
+    // |B∖A| and Jaccard are then estimated from 256 longs. The sketch
+    // chain is a FULL hash oracle (md5 hex → positional 60-bit integer
+    // → per-corpus k smallest → common-theta set counts → one IEEE
+    // division each — all exactly replayed in SQL), unlike HLL's
+    // contract-only q133. The `ok_*` columns additionally assert the
+    // estimator law against the exact counts (err ≤ 4σ; σ ≈ 1/√(k−2)
+    // for the cardinalities — measured max across sf0.01/10×/100× is
+    // well inside; SCALE.md r15).
+    sql("q220_corpus_overlap_kmv",
+      """WITH tagged AS (
+        |  SELECT 'A' AS corpus, text FROM documents WHERE doc_id % 4 < 3 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'B', text FROM documents WHERE doc_id % 4 > 0 AND text IS NOT NULL),
+        |hd AS (SELECT DISTINCT corpus,
+        |    list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(15-i))) FOR i IN range(1, 16)]) AS h
+        |  FROM tagged),
+        |rn AS (SELECT corpus, h, row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn FROM hd),
+        |sk AS (SELECT corpus, list(h ORDER BY h) AS kmv FROM rn WHERE rn <= 128 GROUP BY corpus),
+        |ab AS (SELECT a.kmv AS akmv, b.kmv AS bkmv
+        |       FROM sk a, sk b WHERE a.corpus = 'A' AND b.corpus = 'B'),
+        |th AS (SELECT akmv, bkmv,
+        |    LEAST(CASE WHEN len(akmv) < 128 THEN CAST(1 AS BIGINT) << 60 ELSE akmv[128] END,
+        |          CASE WHEN len(bkmv) < 128 THEN CAST(1 AS BIGINT) << 60 ELSE bkmv[128] END) AS theta
+        |  FROM ab),
+        |cnt AS (SELECT akmv, bkmv, theta,
+        |    CAST(len([x FOR x IN akmv IF list_contains(bkmv, x) AND x < theta]) AS BIGINT) AS common_below,
+        |    CAST(len([x FOR x IN akmv IF x < theta]) + len([x FOR x IN bkmv IF x < theta AND NOT list_contains(akmv, x)]) AS BIGINT) AS union_below
+        |  FROM th),
+        |est AS (SELECT theta, common_below, union_below,
+        |    CASE WHEN len(akmv) < 128 THEN CAST(len(akmv) AS BIGINT)
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / CAST(akmv[128] AS DOUBLE)) AS BIGINT) END AS est_a,
+        |    CASE WHEN len(bkmv) < 128 THEN CAST(len(bkmv) AS BIGINT)
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / CAST(bkmv[128] AS DOUBLE)) AS BIGINT) END AS est_b,
+        |    CAST(floor(CAST(common_below AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT) AS est_inter,
+        |    CAST(floor(CAST(union_below AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT) AS est_union,
+        |    CASE WHEN union_below > 0
+        |         THEN CAST(floor(CAST(common_below AS DOUBLE) * 1000000.0 / CAST(union_below AS DOUBLE)) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS jaccard_e6
+        |  FROM cnt),
+        |ex AS (SELECT
+        |    count(DISTINCT CASE WHEN corpus = 'A' THEN h END) AS exact_a,
+        |    count(DISTINCT CASE WHEN corpus = 'B' THEN h END) AS exact_b,
+        |    count(DISTINCT h) AS exact_union
+        |  FROM hd)
+        |SELECT est_a, est_b, est_inter, est_union,
+        |  GREATEST(0, est_union - est_a) AS est_b_new, jaccard_e6,
+        |  exact_a, exact_b, exact_a + exact_b - exact_union AS exact_inter, exact_union,
+        |  abs(est_a - exact_a) * 1000 <= 360 * exact_a AS ok_a,
+        |  abs(est_b - exact_b) * 1000 <= 360 * exact_b AS ok_b,
+        |  abs(est_union - exact_union) * 1000 <= 360 * exact_union AS ok_union,
+        |  abs(est_inter - (exact_a + exact_b - exact_union)) * 1000
+        |    <= 500 * (exact_a + exact_b - exact_union) AS ok_inter
+        |FROM est, ex""".stripMargin) { (s, d) =>
+      import graft.operators.CorpusOverlap
+      val k = 128
+      val docs = documents(s, d).filter(col("text").isNotNull)
+      val tagged = docs.filter(col("doc_id") % 4 < 3)
+        .withColumn("corpus", lit("A"))
+        .unionByName(docs.filter(col("doc_id") % 4 > 0)
+          .withColumn("corpus", lit("B")))
+      val sk = CorpusOverlap.kmvSketches(tagged, "corpus", col("text"), k)
+      val ab = sk.filter(col("corpus") === "A").select(col("kmv").as("akmv"))
+        .crossJoin(sk.filter(col("corpus") === "B").select(col("kmv").as("bkmv")))
+      val card = CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), k)
+      val ex = tagged
+        .select(col("corpus"), CorpusOverlap.kmvHash(col("text")).as("h"))
+        .agg(
+          countDistinct(when(col("corpus") === "A", col("h"))).as("exact_a"),
+          countDistinct(when(col("corpus") === "B", col("h"))).as("exact_b"),
+          countDistinct(col("h")).as("exact_union"))
+        .withColumn("exact_inter",
+          col("exact_a") + col("exact_b") - col("exact_union"))
+      card.crossJoin(broadcast(ex))
+        .select(
+          col("est_a"), col("est_b"), col("est_inter"), col("est_union"),
+          col("est_b_new"), col("jaccard_e6"),
+          col("exact_a"), col("exact_b"), col("exact_inter"), col("exact_union"),
+          (abs(col("est_a") - col("exact_a")) * 1000 <= lit(360) * col("exact_a")).as("ok_a"),
+          (abs(col("est_b") - col("exact_b")) * 1000 <= lit(360) * col("exact_b")).as("ok_b"),
+          (abs(col("est_union") - col("exact_union")) * 1000 <= lit(360) * col("exact_union")).as("ok_union"),
+          (abs(col("est_inter") - col("exact_inter")) * 1000 <= lit(500) * col("exact_inter")).as("ok_inter"))
     }
   )
 }

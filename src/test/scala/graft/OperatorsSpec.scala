@@ -2017,4 +2017,55 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       s"different aspect band must be blocked: $pairs")
   }
+
+  test("KMV aggregator: distinct semantics, smallest-k retention, merge dedup") {
+    val agg = graft.functions.KmvMinKAgg.kmvAgg(4)
+    // duplicates collapse; only the 4 smallest survive; order sorted
+    var buf = agg.zero
+    Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L, 5L).foreach(h => buf = agg.reduce(buf, h))
+    assert(buf.toSeq == Seq(5L, 10L, 20L, 30L))
+    // merge: overlapping sorted arrays dedup and keep the global 4 smallest
+    val other = Array(1L, 10L, 25L, 60L)
+    assert(agg.merge(buf, other).toSeq == Seq(1L, 5L, 10L, 20L))
+    assert(agg.merge(agg.zero, other).toSeq == other.toSeq)
+    assert(agg.merge(other, agg.zero).toSeq == other.toSeq)
+  }
+
+  test("KMV sketch is EXACTLY split-invariant: merged waves == whole-corpus sketch") {
+    import spark.implicits._
+    import graft.operators.CorpusOverlap
+    // 600 keys across 2 corpora with cross-wave duplicates planted
+    val rows = (0 until 600).map(i => (if (i % 2 == 0) "A" else "B", s"key-${i % 450}"))
+    val df = rows.toDF("corpus", "k")
+    val whole = CorpusOverlap.kmvSketches(df, "corpus", col("k"), k = 32)
+    val waves = (0 until 3).map(w =>
+      CorpusOverlap.kmvSketches(
+        df.filter(abs(hash(col("k"))) % 3 === w), "corpus", col("k"), k = 32))
+    val merged = CorpusOverlap.mergeKmvSketches("corpus", waves, k = 32)
+    val w = whole.orderBy("corpus").as[(String, Long, Seq[Long])].collect().toSeq
+    val m = merged.orderBy("corpus").as[(String, Long, Seq[Long])].collect().toSeq
+    // counts add and the hash arrays are bit-identical — the global k
+    // smallest distinct values are each the k smallest of their own
+    // wave (contrast q133: HLL merge is NOT estimate-invariant)
+    assert(w == m, s"merge(waves) must equal sketch(whole): $w vs $m")
+  }
+
+  test("KMV exact mode: below k the estimate IS the exact distinct count") {
+    import spark.implicits._
+    import graft.operators.CorpusOverlap
+    val df = (0 until 40).map(i => ("A", s"doc ${i % 25}")).toDF("corpus", "k")
+    val sk = CorpusOverlap.kmvSketches(df, "corpus", col("k"), k = 128)
+      .select(CorpusOverlap.kmvEstimate(col("kmv"), 128)).as[Long].head()
+    assert(sk == 25L, s"exact-mode estimate must equal distinct count: $sk")
+    // and exact-mode overlap: intersection estimate equals the true
+    // intersection because theta stays at the 2^60 sentinel
+    val a = (0 until 30).map(i => ("A", s"shared $i"))
+    val b = (0 until 30).map(i => ("B", s"shared ${i + 18}"))  // 12 shared
+    val sk2 = CorpusOverlap.kmvSketches((a ++ b).toDF("corpus", "k"), "corpus", col("k"), k = 128)
+    val ab = sk2.filter(col("corpus") === "A").select(col("kmv").as("akmv"))
+      .crossJoin(sk2.filter(col("corpus") === "B").select(col("kmv").as("bkmv")))
+    val got = CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), 128)
+      .select("est_inter", "est_union", "est_b_new").as[(Long, Long, Long)].head()
+    assert(got == ((12L, 48L, 18L)), s"exact-mode set algebra: $got")
+  }
 }
