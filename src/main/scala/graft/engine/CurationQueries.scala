@@ -634,6 +634,57 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Crawl-POLICY gate (robots/licensing): longest-matching-prefix
+    // resolution of (host, path-prefix, allow) rules within the
+    // canonical host — TextOps.policyAudit scaladoc. The policy bakes
+    // into ONE literal expression (q122's broadcast-as-literal
+    // pattern): zero joins, zero shuffles, verdict inside the scan
+    // stage. Fixture exercises every resolution depth: unlisted hosts
+    // default-allow, h1 is deny-all-except-/public, h2 denies /private
+    // except the /private/1* subtree (three prefix depths on one
+    // path), h4 is a full host deny — through q207's messy-URL
+    // surfaces, so the canon kernel (WWW./case/:80/utm/#frag) is in
+    // the oracle loop too.
+    sql("q221_policy_gate",
+      """WITH d AS (SELECT doc_id,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    '/' || CASE doc_id % 3 WHEN 0 THEN 'public' WHEN 1 THEN 'private' ELSE 'misc' END
+        |        || '/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |pol(h, p, a) AS (VALUES
+        |  ('h1.example.com', '/', 0), ('h1.example.com', '/public', 1),
+        |  ('h2.example.com', '/private', 0), ('h2.example.com', '/private/1', 1),
+        |  ('h4.example.com', '/', 0)),
+        |m AS (SELECT d.doc_id, d.host, d.path, max(2 * len(p.p) + p.a) AS score
+        |  FROM d LEFT JOIN pol p ON d.host = p.h AND starts_with(d.path, p.p)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, host AS __host, path AS __path,
+        |  CAST(COALESCE(score // 2, 0) AS BIGINT) AS rule_len,
+        |  COALESCE(score % 2 = 1, TRUE) AS allow
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val host = concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val path = concat(lit("/"),
+        when(col("doc_id") % 3 === 0, "public")
+          .when(col("doc_id") % 3 === 1, "private").otherwise("misc"),
+        lit("/"), col("doc_id").cast("string"))
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW."), upper(host), lit(":80"), path,
+            lit("?utm_source=feed#top")))
+          .otherwise(concat(lit("http://"), host, path)).as("url"))
+      val policy = Seq(
+        ("h1.example.com", "/", false), ("h1.example.com", "/public", true),
+        ("h2.example.com", "/private", false),
+        ("h2.example.com", "/private/1", true),
+        ("h4.example.com", "/", false))
+      graft.operators.TextOps.policyAudit(planted, "url", policy)
+        .select(col("doc_id"), col("__host"), col("__path"),
+          coalesce(expr("__rule_score div 2"), lit(0L)).cast("long").as("rule_len"),
+          col("__allow").as("allow"))
+        .orderBy("doc_id")
+    },
+
     // STREAMING DP RELEASE, batch-replayed (r13 verdict item 7): the
     // corpus arrives as three waves (doc_id mod 3); each wave releases
     // its own dpDataCard at a FRESH per-wave seed (100 + w) and spends

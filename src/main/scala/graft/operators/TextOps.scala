@@ -667,6 +667,61 @@ object TextOps {
       .unionByName(noHost)
   }
 
+  /** Crawl-POLICY audit (robots/licensing semantics): resolve each
+    * document's URL against a rule table of `(host, pathPrefix, allow)`
+    * entries by LONGEST-MATCHING-PREFIX within the canonical host —
+    * the robots.txt resolution order — and emit the verdict alongside
+    * the row. No rule matched ⇒ `defaultAllow` (crawl convention:
+    * unlisted paths are allowed). A same-length allow/deny conflict is
+    * impossible for well-formed rules (equal-length prefixes of one
+    * path are equal), and a duplicated contradictory rule resolves to
+    * ALLOW (max over the encoded score — documented, deterministic).
+    *
+    * Scale shape: a policy is operator-configuration-sized (thousands
+    * of rules, not corpus-sized), so it ships as a LITERAL array baked
+    * into one expression — the q122 broadcast-as-literal pattern. Per
+    * row: one canon kernel pass, then |rules| integer/prefix compares
+    * over attribute columns (host/path materialized FIRST so the HOF
+    * lambda captures plain attributes, not re-evaluated regex — the
+    * q117 capture lesson). ZERO joins, ZERO shuffles, gate fully
+    * inside the scan stage. A host-keyed broadcast join would be the
+    * shape for a genuinely huge rule set; that variant is
+    * [[domainFilter]]'s semi-join shell with the verdict precomputed.
+    *
+    * Rule scores pre-encode `2·len(prefix) + allow` at build time so
+    * the per-element lambda is two compares and a literal read.
+    */
+  def policyAudit(docs: DataFrame, urlCol: String,
+      policy: Seq[(String, String, Boolean)],
+      defaultAllow: Boolean = true): DataFrame = {
+    require(policy.nonEmpty, "empty policy: gate everything by default instead")
+    require(policy.forall(_._2.startsWith("/")), "path prefixes start at /")
+    val rules = array(policy.map { case (h, p, a) =>
+      struct(lit(h).as("h"), lit(p).as("p"),
+        lit(2L * p.length + (if (a) 1L else 0L)).as("s"))
+    }: _*)
+    val canon = graft.plans.UrlCanonExpr.url_canon(col(urlCol))
+    docs
+      .withColumn("__host", hostOf(canon))
+      .withColumn("__path",
+        regexp_extract(canon, "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1))
+      .withColumn("__rule_score",
+        array_max(transform(
+          filter(rules, r =>
+            r("h") === col("__host") && col("__path").startsWith(r("p"))),
+          r => r("s"))))
+      .withColumn("__allow",
+        coalesce(col("__rule_score") % 2 === 1, lit(defaultAllow)))
+  }
+
+  /** The enforcement half of [[policyAudit]] (the audit→enforce
+    * pattern): only rows whose longest-prefix verdict allows them
+    * survive; verdict columns stay attached for downstream audit. */
+  def policyGate(docs: DataFrame, urlCol: String,
+      policy: Seq[(String, String, Boolean)],
+      defaultAllow: Boolean = true): DataFrame =
+    policyAudit(docs, urlCol, policy, defaultAllow).filter(col("__allow"))
+
   /** ADDITIVE per-(host, digest) domain statistics for one slice of a
     * corpus — the wave-layerable re-expression of [[domainFilter]]'s
     * per-host card (the gram-df-store law: counts ADD across waves,

@@ -272,4 +272,34 @@ class CurationSpec extends SparkSpec {
       assert(got(id) === want, s"doc $id")
     }
   }
+
+  test("policyAudit: longest prefix wins, default-allow, messy URLs canonicalize; zero exchanges") {
+    import spark.implicits._
+    val policy = Seq(
+      ("x.example.com", "/", false), ("x.example.com", "/pub", true),
+      ("x.example.com", "/pub/raw", false),
+      ("y.example.com", "/data", false))
+    val docs = Seq(
+      (1L, "http://x.example.com/pub/a"),          // /pub allow (len 4)
+      (2L, "http://x.example.com/pub/raw/b"),      // /pub/raw deny (len 8)
+      (3L, "http://x.example.com/secret"),         // / deny (len 1)
+      (4L, "HTTP://WWW.X.EXAMPLE.COM:80/pub/a?utm_source=z#f"), // canon → allow
+      (5L, "http://y.example.com/other"),          // no match → default allow
+      (6L, "http://z.example.com/anything"),       // unlisted host → allow
+      (7L, "not a url at all")                     // hostless → no rule → allow
+    ).toDF("doc_id", "url")
+    val audit = graft.operators.TextOps.policyAudit(docs, "url", policy)
+    val got = audit.select("doc_id", "__allow").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true), s"verdicts: $got")
+    // the gate keeps exactly the allowed rows
+    val kept = graft.operators.TextOps.policyGate(docs, "url", policy)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L, 7L))
+    // policy-as-literal: the whole audit plans with NO exchange and
+    // NO join — the verdict is resolved inside the scan stage
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"policy gate must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"policy gate must not join:\n$plan")
+  }
 }
