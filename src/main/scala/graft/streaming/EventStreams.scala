@@ -415,6 +415,35 @@ object EventStreams {
     graft.operators.Profiling.mergeHists(Seq(
       spark.read.parquet(outDir).select("bin", "cnt")))
 
+  /** Streaming KMV distinct-sketch maintenance — q220's continuous
+    * twin: each micro-batch lands its own per-corpus (n_rows, kmv)
+    * sketch table (k longs per corpus — batch-sized work, sketch-sized
+    * output), and [[readKmvStore]] folds the landed waves on read.
+    * Because KMV merge is EXACTLY split-invariant (KmvMinKAgg
+    * scaladoc), the folded store is bit-identical to the batch sketch
+    * of everything that ever arrived — the streaming estimate carries
+    * NO stream-induced error, unlike an HLL stream at its promotion
+    * boundary (q133). Landing overwrites its own `batch_id=N` dir, so
+    * batch replay is idempotent.
+    */
+  def kmvSketchStream(rows: DataFrame, corpusCol: String, keyCol: String,
+      k: Int, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.CorpusOverlap.kmvSketches(batch, corpusCol, col(keyCol), k)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
+  /** Fold the landed per-batch KMV waves into the live per-corpus
+    * sketch — feed pairs of rows to `CorpusOverlap.overlapColumns`
+    * for the cross-corpus read-out. */
+  def readKmvStore(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, corpusCol: String, k: Int): DataFrame =
+    graft.operators.CorpusOverlap.mergeKmvSketches(corpusCol, Seq(
+      spark.read.parquet(outDir).select(col(corpusCol), col("n_rows"), col("kmv"))), k)
+
   /** Streaming SCD2 maintenance — q138's continuous twin: observations
     * arrive as a stream, and the versioned dimension stays current
     * per micro-batch WITHOUT recomputing untouched keys.

@@ -970,6 +970,47 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(replayed == batch)
   }
 
+  test("streamed KMV sketch store is BIT-IDENTICAL to the batch sketch (split invariance)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("kmv-stream")
+    val k = 16
+    // (corpus, key) arrivals with CROSS-BATCH duplicates planted:
+    // wave 1 re-delivers some of wave 0's keys
+    def rows(r: Range) = r.map(i => (if (i % 2 == 0) "A" else "B", s"key-${i % 130}"))
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams
+      .kmvSketchStream(input.toDF().toDF("corpus", "key"), "corpus", "key",
+        k, s"$dir/store")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(rows(0 until 60): _*); q.processAllAvailable()
+      input.addData(rows(40 until 120): _*); q.processAllAvailable()
+      input.addData(rows(120 until 180): _*); q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.EventStreams
+      .readKmvStore(spark, s"$dir/store", "corpus", k)
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // batch side = everything that ARRIVED (the 40–60 keys arrive in
+    // two waves: n_rows counts arrivals, the kmv dedups the keys)
+    val arrived = rows(0 until 60) ++ rows(40 until 120) ++ rows(120 until 180)
+    val batch = graft.operators.CorpusOverlap
+      .kmvSketches(arrived.toDF("corpus", "key"), "corpus", col("key"), k)
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // counts add AND the hash arrays match bit-for-bit: the streaming
+    // estimate carries zero stream-induced error (contrast q133's HLL
+    // promotion-boundary non-identity)
+    assert(live == batch, s"stream fold must equal batch sketch: $live vs $batch")
+    // idempotent replay: land batch 1's sketch again under its own id
+    graft.operators.CorpusOverlap
+      .kmvSketches(rows(40 until 120).toDF("corpus", "key"), "corpus", col("key"), k)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/store/batch_id=1")
+    val replayed = graft.streaming.EventStreams
+      .readKmvStore(spark, s"$dir/store", "corpus", k)
+      .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(replayed == batch)
+  }
+
   // ---- textRank cache hygiene (q131) -----------------------------------
 
   test("textRank materializes its result and leaves no cached RDD behind") {
