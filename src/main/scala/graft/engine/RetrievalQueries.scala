@@ -1777,6 +1777,58 @@ object RetrievalQueries {
         .orderBy("id1", "id2")
     },
 
+    // THREE-format image near-dup (the GIF pixel tier, r15): the same
+    // grayscale content as a PNG, a baseline JPEG, an LZW-coded GIF,
+    // and an INTERLACED GIF — the classic crawl format mix in one
+    // signature space. The GIF kernel is a full hand-rolled GIF-LZW
+    // decoder (variable-width LSB-first codes, dictionary growth,
+    // KwKwK, CLEAR resets, 4-pass interlace), and on a gray-ramp
+    // palette both luma models pass the pixel through, so all four
+    // arms of a base share EXACT block means and pair at L1 = 0. One
+    // format-blind f formula replays all three decoders (q212's
+    // oracle pattern extended): the LZW kernel is correct iff the
+    // hashes meet.
+    sql("q222_gif_crossformat_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+        |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+        |  UNION ALL SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150),
+        |f AS (SELECT id,
+        |  [(128 + ((base*31 + (b % 4)*(7 + base % 31) + (b // 4)*(13 + base % 29) + (b % 4)*(b // 4)*(11 + base % 23)) % 201) - 100) * 1000
+        |   FOR b IN range(16)] AS f
+        |  FROM ids),
+        |t AS (SELECT id, f, CAST(list_sum(f) AS BIGINT) AS t FROM f),
+        |k AS (SELECT id, f, t,
+        |        CAST(list_sum([CASE WHEN f[b+1] * 16 >= t THEN 1<<b ELSE 0 END
+        |                       FOR b IN range(16)]) AS BIGINT) AS key
+        |      FROM t WHERE t >= 1),
+        |g AS (SELECT key FROM k GROUP BY key HAVING count(*) <= 64),
+        |kk AS (SELECT k.* FROM k JOIN g USING (key)),
+        |p AS (SELECT x.id AS id1, y.id AS id2,
+        |        CAST(list_sum([abs(x.f[i+1] * y.t - y.f[i+1] * x.t) FOR i IN range(16)]) AS BIGINT) AS l1,
+        |        x.t AS t1, y.t AS t2
+        |      FROM kk x JOIN kk y ON x.key = y.key AND x.id < y.id)
+        |SELECT id1, id2, l1 FROM p WHERE l1 * 1000 <= 10 * t1 * t2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      def arm(offset: Long, fmt: String) = {
+        val src = if (offset == 0L) base else base.filter(col("doc_id") < 150)
+        src.select((col("doc_id") + offset).as("id"), col("doc_id").as("base"),
+          lit(1).as("scale"), lit(fmt).as("fmt"))
+      }
+      val ids = arm(0L, "png")
+        .unionByName(arm(1000000L, "jpeg"))
+        .unionByName(arm(2000000L, "gif"))
+        .unionByName(arm(3000000L, "gif_i"))
+      val media = graft.operators.Multimodal.synthesizeImageFormats(
+        ids, "id", "base", "scale", "fmt")
+      graft.operators.Multimodal.imagePerceptualCandidates(media,
+          grid = 4, maxBucketSize = 64, thrPermille = 10)
+        .orderBy("id1", "id2")
+    },
+
     // Exact phrase search over the q137 planted corpus: a phrase
     // starts at p iff every k-th term has a position at p+k, so the
     // operator intersects k-shifted position lists — no self-joins,

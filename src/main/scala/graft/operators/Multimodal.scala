@@ -1018,9 +1018,14 @@ object Multimodal {
     */
   def imageSignatures(media: DataFrame, grid: Int = 4,
       bt601: Boolean = false): DataFrame =
+    // each kernel nulls on a foreign format (content dispatch), so
+    // appending the GIF arm (r15) leaves every PNG/JPEG signature —
+    // and every existing store — bit-identical; GIF payloads, which
+    // previously fell out as undecodable, now join the same space
     signatureFrame(media, coalesce(
       graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), grid, bt601),
-      graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid)),
+      graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), grid),
+      graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), grid, bt601)),
       grid)
 
   /** Catalog×delta cross-format image pairs — the INCREMENTAL form of
@@ -1273,6 +1278,93 @@ object Multimodal {
       if (png) pngGrayPayload(base, scale) else jpegPayload(base, scale, variant = false) }
     df.select(col(idCol).cast("long").as("media_id"),
       gen(col(baseCol), col(scaleCol), col(fmtCol)).as("payload"))
+  }
+
+  /** THREE-format fixture synthesis for the cross-format triangle
+    * (q222): `fmtCol` is a string — "png" | "jpeg" | "gif" |
+    * "gif_i" (interlaced GIF) — all four carrying the SAME dcBlock
+    * pixel construction, so every pair of arms of one base is an
+    * exact content twin. */
+  def synthesizeImageFormats(df: DataFrame, idCol: String, baseCol: String,
+      scaleCol: String, fmtCol: String): DataFrame = {
+    val gen = udf { (base: Long, scale: Int, fmt: String) =>
+      fmt match {
+        case "png"   => pngGrayPayload(base, scale)
+        case "jpeg"  => jpegPayload(base, scale, variant = false)
+        case "gif"   => gifGrayPayload(base, scale, interlaced = false)
+        case "gif_i" => gifGrayPayload(base, scale, interlaced = true)
+        case _       => null
+      } }
+    df.select(col(idCol).cast("long").as("media_id"),
+      gen(col(baseCol), col(scaleCol), col(fmtCol)).as("payload"))
+  }
+
+  /** Deterministic GIF89a twin of [[pngGrayPayload]]: the SAME dcBlock
+    * pixel family behind a 256-entry GRAY-RAMP palette (index i →
+    * (i, i, i) — both luma models pass r=g=b through, so the GIF's
+    * block means equal the PNG gray twin's exactly). The LZW stream
+    * uses the CLEAR-early literal encoding: after a CLEAR, every pixel
+    * emits as its 9-bit root code and a fresh CLEAR lands before the
+    * decoder's dictionary would push the code width past 9 — a fully
+    * valid stream any decoder accepts, trivially writable, and it
+    * exercises the decoder's post-CLEAR reset path every ~250 codes.
+    * `interlaced = true` writes rows in 4-pass interlace order with
+    * the flag set: decoded pixels are identical, so the interlaced
+    * twin pairs at L1 = 0 (the GIF analog of PNG's re-encode twin).
+    */
+  private[graft] def gifGrayPayload(id: Long, scale: Int,
+      interlaced: Boolean): Array[Byte] = {
+    val wh = 32 * scale
+    def dc(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b8(v); b8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(wh); le16(wh)
+    b8(0x80 | 7) // GCT present, 2^8 entries
+    b8(0); b8(0) // bg index, aspect
+    var i = 0
+    while (i < 256) { b8(i); b8(i); b8(i); i += 1 } // gray ramp
+    b8(0x2c); le16(0); le16(0); le16(wh); le16(wh)
+    b8(if (interlaced) 0x40 else 0)
+    b8(8) // LZW min code size
+    val clear = 256; val eoi = 257
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(code: Int): Unit = {
+      acc |= (code.toLong & 0x1ff) << nb; nb += 9
+      while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    val rows = if (!interlaced) (0 until wh).toArray else {
+      val r = new Array[Int](wh); var n = 0
+      var y = 0; while (y < wh) { r(n) = y; n += 1; y += 8 }
+      y = 4; while (y < wh) { r(n) = y; n += 1; y += 8 }
+      y = 2; while (y < wh) { r(n) = y; n += 1; y += 4 }
+      y = 1; while (y < wh) { r(n) = y; n += 1; y += 2 }
+      r
+    }
+    put(clear)
+    var sinceClear = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < wh) {
+        if (sinceClear == 250) { put(clear); sinceClear = 0 }
+        put(128 + dc(x / 8, y / 8))
+        sinceClear += 1
+        x += 1
+      }
+    }
+    put(eoi)
+    if (nb > 0) bits.write((acc & 0xff).toInt)
+    val lz = bits.toByteArray
+    var off = 0
+    while (off < lz.length) {
+      val n = math.min(255, lz.length - off)
+      b8(n); out.write(lz, off, n); off += n
+    }
+    b8(0) // data terminator
+    b8(0x3b) // trailer
+    out.toByteArray
   }
 
   /** The shared perceptual pipeline; `blockCol` prepends a blocking

@@ -2068,4 +2068,95 @@ class OperatorsSpec extends SparkSpec {
       .select("est_inter", "est_union", "est_b_new").as[(Long, Long, Long)].head()
     assert(got == ((12L, 48L, 18L)), s"exact-mode set algebra: $got")
   }
+
+  test("GIF kernel: cross-format triangle at 0, interlace-invariant, foreign formats null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.pngGrayPayload(5L, 1)),
+      (2L, Multimodal.gifGrayPayload(5L, 1, interlaced = false)),
+      (3L, Multimodal.gifGrayPayload(5L, 1, interlaced = true)),
+      (4L, Multimodal.jpegPayload(5L, 1, variant = false))
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.imagePerceptualCandidates(rows, grid = 4,
+        maxBucketSize = 64, thrPermille = 10)
+      .select("id1", "id2", "l1").as[(Long, Long, Long)].collect().toSet
+    // all C(4,2) = 6 pairs at exactly L1 = 0: PNG pass-through, JPEG
+    // DC-exact Y, GIF gray-ramp palette pass-through, and the
+    // interlaced GIF's 4-pass row reorder all decode to the SAME pixels
+    assert(pairs == (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 0L)).toSet,
+      s"quadruple triangle must close at 0: $pairs")
+    // content dispatch: each kernel nulls on the other formats
+    val dispatch = rows.select(
+      graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 4).isNull,
+      graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), 4).isNull)
+      .as[(Boolean, Boolean)].collect()
+    assert(dispatch(0) == ((true, false)) && dispatch(1) == ((false, true)) &&
+      dispatch(3) == ((true, true)), s"dispatch: ${dispatch.toSeq}")
+    // bt601 == legacy on gray palettes (both models pass r=g=b through)
+    val models = rows.filter($"media_id" === 2L).select(
+      graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 4, bt601 = true),
+      graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 4, bt601 = false))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(models._1 == models._2, "gray GIF must be luma-model-invariant")
+  }
+
+  test("GIF-LZW decode: handcrafted stream with dictionary hits and double KwKwK") {
+    import spark.implicits._
+    // pixels [0,0,0,0,1,1,1,0,0] encoded as CLEAR,0,6,0,1,9,6(,EOI):
+    // code 6 first arrives AS nextFree (KwKwK), code 9 likewise, and
+    // the final 6 is a genuine dictionary HIT — the three decode paths
+    // the clear-early fixture encoder never produces. Width grows 3→4
+    // after entry 7 lands (nextFree hits 2^3): hand-packed LSB-first.
+    val codes = Seq((4, 3), (0, 3), (6, 3), (0, 3), (1, 4), (9, 4), (6, 4), (5, 4))
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    codes.foreach { case (v, w) =>
+      acc |= (v.toLong << nb); nb += w
+      while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) bits.write((acc & 0xff).toInt)
+    val lz = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    b8(9); b8(0); b8(1); b8(0) // screen 9x1
+    b8(0x80 | 1) // GCT, 4 entries (2 bits -> min code size 2)
+    b8(0); b8(0)
+    Seq(10, 200, 77, 99).foreach(v => { b8(v); b8(v); b8(v) })
+    b8(0x2c); b8(0); b8(0); b8(0); b8(0); b8(9); b8(0); b8(1); b8(0); b8(0)
+    b8(2) // LZW min code size
+    b8(lz.length); out.write(lz); b8(0); b8(0x3b)
+    val payload = out.toByteArray
+    val means = Seq((1L, payload)).toDF("id", "payload")
+      .select(graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 1))
+      .as[Seq[Long]].head()
+    // lum = [10,10,10,10,200,200,200,10,10]; sum 660; 660*1000/9 = 73333
+    assert(means == Seq(73333L), s"handcrafted LZW decode: $means")
+  }
+
+  test("GIF kernel fuzz: corrupt or hostile payloads null, never throw") {
+    import spark.implicits._
+    val good = Multimodal.gifGrayPayload(5L, 1, interlaced = false)
+    def bomb: Array[Byte] = { // 16384x16384 frame: past the 2^26 pixel cap
+      val b = good.clone()
+      b(6) = 0; b(7) = 0x40; b(8) = 0; b(9) = 0x40
+      // image descriptor w/h live after 6+7+768 bytes header+GCT
+      val id0 = 6 + 7 + 768
+      b(id0 + 5) = 0; b(id0 + 6) = 0x40; b(id0 + 7) = 0; b(id0 + 8) = 0x40
+      b
+    }
+    val cases = Seq(
+      good.take(30),                       // truncated inside the GCT
+      good.take(6 + 7 + 768 + 20),         // truncated inside LZW data
+      "GIF89a then garbage".getBytes,      // bad descriptor
+      Array[Byte](1, 2, 3),                // not a GIF
+      bomb,
+      { val b = good.clone(); b(6 + 7 + 768 + 10) = 0x3b.toByte; b }, // mangled body
+      Array.empty[Byte])
+    val got = cases.zipWithIndex.map(c => (c._2.toLong, c._1))
+      .toDF("id", "payload")
+      .select(graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 4))
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(got.forall(identity), s"all corrupt payloads must null: $got")
+  }
 }
