@@ -65,7 +65,12 @@ object CorpusOverlap {
     val merged = all.select(col(corpusCol), explode(col("kmv")).as("h"))
       .groupBy(col(corpusCol))
       .agg(KmvMinKAgg.kmv_sketch(k)(col("h")).as("kmv"))
-    counts.join(merged, corpusCol)
+    // LEFT join + empty-array fill: a corpus whose waves carry only
+    // EMPTY sketches (explode yields no rows for it) must survive the
+    // fold as (corpus, n_rows, []) — an inner join would silently drop
+    // the corpus and its row count
+    counts.join(merged, Seq(corpusCol), "left")
+      .withColumn("kmv", coalesce(col("kmv"), array().cast("array<bigint>")))
   }
 
   /** Exclusive theta of one sketch: its k-th (largest retained) value,

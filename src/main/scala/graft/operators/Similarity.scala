@@ -372,10 +372,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucket-count sizing for [[nearDupesAnnAuto]]: the smallest `bits`
-    * with expected per-bucket population ≤ `targetBucketSize`, i.e.
-    * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].
-    */
   /** Corpus size for the lazy auto-sizing variants — the one shared
     * ladder (declared count → exact metadata count → one `count()`
     * job); see [[org.apache.spark.sql.GraftTableStats.sizeOf]].
@@ -383,6 +379,10 @@ object Similarity {
   private def sizeOf(corpus: DataFrame, knownCount: Option[Long]): Long =
     org.apache.spark.sql.GraftTableStats.sizeOf(corpus, knownCount)
 
+  /** Bucket-count sizing for [[nearDupesAnnAuto]]: the smallest `bits`
+    * with expected per-bucket population ≤ `targetBucketSize`, i.e.
+    * ceil(log2(n / targetBucketSize)), clamped to [1, maxBits].
+    */
   def autoBits(n: Long, targetBucketSize: Int, maxBits: Int): Int = {
     // integral ceil(log2(ceil(n / target))) — floating-point log2
     // overshoots by one bit at exact power-of-two ratios

@@ -111,6 +111,7 @@ case class GifBlockMeanExpr(child: Expression, grid: Int,
     // cleanly on bit exhaustion)
     val lzw = new java.io.ByteArrayOutputStream()
     var ok = true
+    if (p >= b.length) return null // truncated right after min-code
     var blen = u(p); p += 1
     while (ok && blen != 0) {
       val avail = math.min(blen, b.length - p)
@@ -217,6 +218,18 @@ case class GifBlockMeanExpr(child: Expression, grid: Int,
       var y = 0
       while (y < h) { rowMap(y) = y; y += 1 }
     }
+    // palette → luma once per ENTRY (≤ 256), not per pixel: the hot
+    // loop below then reads one table cell per pixel
+    val lumLut = new Array[Int](palSize)
+    var e = 0
+    while (e < palSize) {
+      val po = palOff + 3 * e
+      val red = u(po); val grn = u(po + 1); val blu = u(po + 2)
+      lumLut(e) =
+        if (bt601) (19595 * red + 38470 * grn + 7471 * blu + 32768) >> 16
+        else (77 * red + 150 * grn + 29 * blu) >> 8
+      e += 1
+    }
     // grid×grid block-mean luma over palette-reduced pixels
     val g2 = grid * grid
     val sums = new Array[Long](g2)
@@ -228,14 +241,8 @@ case class GifBlockMeanExpr(child: Expression, grid: Int,
       val base = r * w
       var x = 0
       while (x < w) {
-        val idx = out(base + x) & 0xff
-        val po = palOff + 3 * idx
-        val red = u(po); val grn = u(po + 1); val blu = u(po + 2)
-        val lum =
-          if (bt601) (19595 * red + 38470 * grn + 7471 * blu + 32768) >> 16
-          else (77 * red + 150 * grn + 29 * blu) >> 8
         val bi = by * grid + ((x.toLong * grid) / w).toInt
-        sums(bi) += lum
+        sums(bi) += lumLut(out(base + x) & 0xff)
         counts(bi) += 1
         x += 1
       }

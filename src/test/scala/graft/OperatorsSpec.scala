@@ -2067,6 +2067,13 @@ class OperatorsSpec extends SparkSpec {
     val got = CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), 128)
       .select("est_inter", "est_union", "est_b_new").as[(Long, Long, Long)].head()
     assert(got == ((12L, 48L, 18L)), s"exact-mode set algebra: $got")
+    // fold survival of an all-empty-sketch corpus (review find: the
+    // inner join dropped it): a hand-written wave row with kmv = []
+    val wave = Seq(("C", 5L, Seq.empty[Long])).toDF("corpus", "n_rows", "kmv")
+    val folded = CorpusOverlap.mergeKmvSketches("corpus", Seq(wave), 8)
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    assert(folded == Seq(("C", 5L, Seq.empty[Long])),
+      s"empty-sketch corpus must survive the fold: $folded")
   }
 
   test("GIF kernel: cross-format triangle at 0, interlace-invariant, foreign formats null") {
@@ -2147,6 +2154,7 @@ class OperatorsSpec extends SparkSpec {
     }
     val cases = Seq(
       good.take(30),                       // truncated inside the GCT
+      good.take(6 + 7 + 768 + 10 + 1),     // ends AT the min-code byte (review find: threw pre-fix)
       good.take(6 + 7 + 768 + 20),         // truncated inside LZW data
       "GIF89a then garbage".getBytes,      // bad descriptor
       Array[Byte](1, 2, 3),                // not a GIF
