@@ -685,6 +685,110 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // SQL DOOR PHASE 5: the r15 session-2 operators as table
+    // functions, both driven from ONE SQL text — `graft_policy_gate`
+    // (rules as a CONFIG relation, the q206 ladder pattern: rule
+    // lists are not literal TVF arguments) and `graft_kmv_overlap`
+    // (cross-corpus estimates straight from table + column names).
+    // The oracle replays q221's longest-prefix gate (allowed rows,
+    // grouped by matched rule length) and q220's full KMV estimate
+    // chain into the same (probe, k, a, b, c) shape.
+    sqlWithSetup("q223_sql_door_overlap_policy",
+      """WITH d AS (SELECT doc_id,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+        |    '/' || CASE doc_id % 3 WHEN 0 THEN 'public' WHEN 1 THEN 'private' ELSE 'misc' END
+        |        || '/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |pol(h, p, a) AS (VALUES
+        |  ('h1.example.com', '/', 0), ('h1.example.com', '/public', 1),
+        |  ('h2.example.com', '/private', 0), ('h2.example.com', '/private/1', 1),
+        |  ('h4.example.com', '/', 0)),
+        |m AS (SELECT d.doc_id, max(2 * len(p.p) + p.a) AS score
+        |  FROM d LEFT JOIN pol p ON d.host = p.h AND starts_with(d.path, p.p)
+        |  GROUP BY 1),
+        |gate AS (SELECT doc_id, CAST(COALESCE(score // 2, 0) AS BIGINT) AS rule_len
+        |  FROM m WHERE COALESCE(score % 2 = 1, TRUE)),
+        |tagged AS (
+        |  SELECT 'A' AS corpus, text FROM documents WHERE doc_id % 4 < 3 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'B', text FROM documents WHERE doc_id % 4 > 0 AND text IS NOT NULL),
+        |hd AS (SELECT DISTINCT corpus,
+        |    list_sum([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * (CAST(1 AS BIGINT) << (4*(15-i))) FOR i IN range(1, 16)]) AS h
+        |  FROM tagged),
+        |rn AS (SELECT corpus, h, row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn FROM hd),
+        |sk AS (SELECT corpus, list(h ORDER BY h) AS kmv FROM rn WHERE rn <= 128 GROUP BY corpus),
+        |ab AS (SELECT a.kmv AS akmv, b.kmv AS bkmv
+        |       FROM sk a, sk b WHERE a.corpus = 'A' AND b.corpus = 'B'),
+        |th AS (SELECT akmv, bkmv,
+        |    LEAST(CASE WHEN len(akmv) < 128 THEN CAST(1 AS BIGINT) << 60 ELSE akmv[128] END,
+        |          CASE WHEN len(bkmv) < 128 THEN CAST(1 AS BIGINT) << 60 ELSE bkmv[128] END) AS theta
+        |  FROM ab),
+        |cnt AS (SELECT akmv, bkmv, theta,
+        |    CAST(len([x FOR x IN akmv IF list_contains(bkmv, x) AND x < theta]) AS BIGINT) AS cb,
+        |    CAST(len([x FOR x IN akmv IF x < theta]) + len([x FOR x IN bkmv IF x < theta AND NOT list_contains(akmv, x)]) AS BIGINT) AS ub
+        |  FROM th),
+        |est AS (SELECT
+        |    CASE WHEN len(akmv) < 128 THEN CAST(len(akmv) AS BIGINT)
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / CAST(akmv[128] AS DOUBLE)) AS BIGINT) END AS est_a,
+        |    CASE WHEN len(bkmv) < 128 THEN CAST(len(bkmv) AS BIGINT)
+        |         ELSE CAST(floor(127.0 * 1152921504606846976.0 / CAST(bkmv[128] AS DOUBLE)) AS BIGINT) END AS est_b,
+        |    CAST(floor(CAST(cb AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT) AS est_inter,
+        |    CAST(floor(CAST(ub AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT) AS est_union,
+        |    CASE WHEN ub > 0 THEN CAST(floor(CAST(cb AS DOUBLE) * 1000000.0 / CAST(ub AS DOUBLE)) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS jaccard_e6
+        |  FROM cnt)
+        |SELECT * FROM (
+        |  SELECT 'policy' AS probe, CAST(rule_len AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS a, CAST(min(doc_id) AS BIGINT) AS b,
+        |    CAST(max(doc_id) AS BIGINT) AS c
+        |  FROM gate GROUP BY rule_len
+        |  UNION ALL
+        |  SELECT 'kmv', 'ab', est_inter, est_union, jaccard_e6 FROM est
+        |  UNION ALL
+        |  SELECT 'kmv', 'sz', est_a, est_b, GREATEST(0, est_union - est_a) FROM est)
+        |ORDER BY probe, k""".stripMargin) { (s, d) =>
+      val host = concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val path = concat(lit("/"),
+        when(col("doc_id") % 3 === 0, "public")
+          .when(col("doc_id") % 3 === 1, "private").otherwise("misc"),
+        lit("/"), col("doc_id").cast("string"))
+      documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("HTTP://WWW."), upper(host), lit(":80"), path,
+              lit("?utm_source=feed#top")))
+            .otherwise(concat(lit("http://"), host, path)).as("url"))
+        .createOrReplaceTempView("graft_q223_docs")
+      import s.implicits._
+      Seq(("h1.example.com", "/", false), ("h1.example.com", "/public", true),
+          ("h2.example.com", "/private", false),
+          ("h2.example.com", "/private/1", true),
+          ("h4.example.com", "/", false))
+        .toDF("host", "prefix", "allow")
+        .createOrReplaceTempView("graft_q223_pol")
+      val docs = documents(s, d).filter(col("text").isNotNull)
+      docs.filter(col("doc_id") % 4 < 3).withColumn("corpus", lit("A"))
+        .unionByName(docs.filter(col("doc_id") % 4 > 0)
+          .withColumn("corpus", lit("B")))
+        .select(col("corpus"), col("text"))
+        .createOrReplaceTempView("graft_q223_corp")
+    } { (s, d) =>
+      graft.cli.QueryCommand.run(s,
+        """SELECT * FROM (
+          |  SELECT 'policy' AS probe, CAST(rule_len AS STRING) AS k,
+          |    CAST(count(*) AS BIGINT) AS a, min(doc_id) AS b, max(doc_id) AS c
+          |  FROM (SELECT doc_id, coalesce(__rule_score div 2, 0) AS rule_len
+          |        FROM graft_policy_gate('graft_q223_docs', 'url', 'graft_q223_pol'))
+          |  GROUP BY rule_len
+          |  UNION ALL
+          |  SELECT 'kmv' AS probe, 'ab' AS k, est_inter AS a, est_union AS b, jaccard_e6 AS c
+          |  FROM graft_kmv_overlap('graft_q223_corp', 'corpus', 'text', 'A', 'B', 128)
+          |  UNION ALL
+          |  SELECT 'kmv' AS probe, 'sz' AS k, est_a AS a, est_b AS b, est_b_new AS c
+          |  FROM graft_kmv_overlap('graft_q223_corp', 'corpus', 'text', 'A', 'B', 128))
+          |ORDER BY probe, k""".stripMargin, dataDir = Some(d))
+    },
+
     // STREAMING DP RELEASE, batch-replayed (r13 verdict item 7): the
     // corpus arrives as three waves (doc_id mod 3); each wave releases
     // its own dpDataCard at a FRESH per-wave seed (100 + w) and spends

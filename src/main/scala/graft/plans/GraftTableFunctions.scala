@@ -352,6 +352,43 @@ object GraftTableFunctions {
       if (args.size > 3) intLit(args(3), "thrPermille") else 500))
   }
 
+  private[plans] def buildKmvOverlap(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 5 && args.size <= 6,
+      "graft_kmv_overlap(srcTable, corpusCol, keyCol, corpusA, corpusB[, k])")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val k = if (args.size > 5) intLit(args(5), "k") else 128
+    val corpusCol = strLit(args(1), "corpusCol")
+    val sk = graft.operators.CorpusOverlap.kmvSketches(
+      spark.table(strLit(args.head, "srcTable")), corpusCol,
+      col(strLit(args(2), "keyCol")), k)
+    val ab = sk.filter(col(corpusCol) === strLit(args(3), "corpusA"))
+      .select(col("kmv").as("akmv"))
+      .crossJoin(sk.filter(col(corpusCol) === strLit(args(4), "corpusB"))
+        .select(col("kmv").as("bkmv")))
+    plan(graft.operators.CorpusOverlap
+      .overlapColumns(ab, col("akmv"), col("bkmv"), k)
+      .select("est_a", "est_b", "est_inter", "est_union", "est_b_new",
+        "jaccard_e6"))
+  }
+
+  // the policy rides as a CONFIG TABLE (host, prefix, allow) — rule
+  // lists are not literal-expressible as TVF arguments (the q206
+  // ladder pattern); a policy is operator-configuration-sized, so the
+  // collect is bounded by construction (TextOps.policyAudit scaladoc)
+  private[plans] def buildPolicyGate(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 3 && args.size <= 4,
+      "graft_policy_gate(srcTable, urlCol, policyTable[, defaultAllow])")
+    val spark = SparkSession.active
+    val pol = spark.table(strLit(args(2), "policyTable"))
+      .select("host", "prefix", "allow").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    val defaultAllow = args.size <= 3 || intLit(args(3), "defaultAllow") != 0
+    plan(graft.operators.TextOps.policyGate(
+      spark.table(strLit(args.head, "srcTable")),
+      strLit(args(1), "urlCol"), pol, defaultAllow))
+  }
+
   /** The artifact-probe TVF surface: name → builder. */
   val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_ivfpq_topk", buildIvfPqTopK _),
@@ -375,7 +412,9 @@ object GraftTableFunctions {
     ("graft_domain_filter", buildDomainFilter _),
     ("graft_tcloseness", buildTCloseness _),
     ("graft_kanon_audit", buildKAnonAudit _),
-    ("graft_frame_neardup", buildFrameNearDup _))
+    ("graft_frame_neardup", buildFrameNearDup _),
+    ("graft_kmv_overlap", buildKmvOverlap _),
+    ("graft_policy_gate", buildPolicyGate _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     builders.map { case (name, b) =>

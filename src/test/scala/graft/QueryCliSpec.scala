@@ -497,6 +497,39 @@ class QueryCliSpec extends SparkSpec {
       "the half-prefix clip must pair via shared frame digests")
   }
 
+  test("SQL door phase 5: KMV overlap and policy gate from SQL text match Scala") {
+    import graft.operators.{CorpusOverlap, TextOps}
+    // --- graft_kmv_overlap ≡ the Scala estimate chain ---------------
+    val corp = (0 until 200).map(i =>
+      (if (i % 3 < 2) "A" else "B", s"doc body ${i % 160}")).toDF("corpus", "text")
+    corp.createOrReplaceTempView("cli_kmv_corp")
+    val kmvSql = QueryCommand.run(spark,
+      "SELECT est_a, est_b, est_inter, est_union, est_b_new, jaccard_e6 " +
+        "FROM graft_kmv_overlap('cli_kmv_corp', 'corpus', 'text', 'A', 'B', 32)")
+    val sk = CorpusOverlap.kmvSketches(corp, "corpus", col("text"), 32)
+    val ab = sk.filter(col("corpus") === "A").select(col("kmv").as("akmv"))
+      .crossJoin(sk.filter(col("corpus") === "B").select(col("kmv").as("bkmv")))
+    same(kmvSql, CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), 32)
+      .select("est_a", "est_b", "est_inter", "est_union", "est_b_new", "jaccard_e6"))
+    // --- graft_policy_gate ≡ TextOps.policyGate (config relation) ---
+    val docs = Seq(
+      (1L, "http://x.example.com/pub/a"), (2L, "http://x.example.com/pub/raw/b"),
+      (3L, "http://x.example.com/secret"), (4L, "http://y.example.com/other"))
+      .toDF("doc_id", "url")
+    docs.createOrReplaceTempView("cli_pol_docs")
+    val policy = Seq(
+      ("x.example.com", "/", false), ("x.example.com", "/pub", true),
+      ("x.example.com", "/pub/raw", false))
+    policy.toDF("host", "prefix", "allow").createOrReplaceTempView("cli_pol_rules")
+    val polSql = QueryCommand.run(spark,
+      "SELECT doc_id, __rule_score, __allow FROM graft_policy_gate(" +
+        "'cli_pol_docs', 'url', 'cli_pol_rules') ORDER BY doc_id")
+    same(polSql, TextOps.policyGate(docs, "url", policy)
+      .select("doc_id", "__rule_score", "__allow").orderBy("doc_id"))
+    assert(polSql.select("doc_id").as[Long].collect().toSeq == Seq(1L, 4L),
+      "gate keeps /pub (allow) and the unlisted host; denies / and /pub/raw")
+  }
+
   test("bare existing path loads SQL from file; SQL text is never a path") {
     val sqlFile = java.nio.file.Paths.get(tmpDir("query_cli_bare"), "bare.sql")
     java.nio.file.Files.writeString(sqlFile, "SELECT 41 + 1 AS v")
