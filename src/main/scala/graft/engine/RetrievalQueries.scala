@@ -1616,6 +1616,54 @@ object RetrievalQueries {
         .orderBy("scope")
     },
 
+    // Media card with the GIF header+pixel tier (q214 extended, r15):
+    // media_header now parses GIF87a/89a — logical-screen dims,
+    // palette channels, and the FRAME COUNT from an image-descriptor
+    // walk that SKIPS data sub-blocks by length arithmetic (animation
+    // detection with zero decode) — and the card's decodability probe
+    // carries the GIF arm, so a static GIF and an animated GIF both
+    // count px_decodable (frame 1 decodes) while the frames column
+    // separates them. Oracle: every header field and the decodability
+    // split replayed from the fixture construction.
+    sql("q224_media_card_gif",
+      """WITH s AS (SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+        |         WHEN 1 THEN 32 + doc_id % 80 END AS BIGINT) AS w,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 48
+        |         WHEN 1 THEN 32 + doc_id % 100 END AS BIGINT) AS h,
+        |    CAST(CASE doc_id % 3 WHEN 2 THEN 100 + doc_id % 50 ELSE 0 END AS BIGINT) AS fr,
+        |    0 AS px
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 5000000, 'gif', 32, 32, 1, 1
+        |    FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 6000000, 'gif', 32, 32, 2 + doc_id % 5, 1
+        |    FROM documents WHERE doc_id % 50 = 0)
+        |SELECT CASE WHEN GROUPING(fmt) = 1 THEN '__all__' ELSE fmt END AS scope,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(px) AS BIGINT) AS px_decodable,
+        |  CAST(count(w) AS BIGINT) AS with_dims,
+        |  CASE WHEN count(w) > 0 THEN CAST(sum(w) // count(w) AS BIGINT) END AS mean_w,
+        |  CASE WHEN count(h) > 0 THEN CAST(sum(h) // count(h) AS BIGINT) END AS mean_h,
+        |  CAST(sum(fr) AS BIGINT) AS audio_frames
+        |FROM s GROUP BY ROLLUP (fmt) ORDER BY scope""".stripMargin) { (s, d) =>
+      import graft.operators.Multimodal
+      val structured = Multimodal.synthesizeStructured(documents(s, d), "doc_id")
+        .select("media_id", "payload")
+      val mixBase = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 50 === 0)
+      val gifStatic = udf { (base: Long) =>
+        Multimodal.gifGrayPayload(base, 1, interlaced = false) }
+      val gifAnim = udf { (base: Long) =>
+        Multimodal.gifAnimatedPayload(base, 1, frames = (2 + base % 5).toInt) }
+      val gs = mixBase.select((col("doc_id") + 5000000L).as("media_id"),
+        gifStatic(col("doc_id")).as("payload"))
+      val ga = mixBase.select((col("doc_id") + 6000000L).as("media_id"),
+        gifAnim(col("doc_id")).as("payload"))
+      Multimodal.mediaCard(structured.unionByName(gs).unionByName(ga))
+        .orderBy("scope")
+    },
+
     // AUTO-SIZED PCM near-dup (r12 verdict item 4): q196 with the
     // signature space derived from the corpus size — bands = max(8,
     // smallest b with 2^b ≥ ⌈n/16⌉) — so the planted twins survive

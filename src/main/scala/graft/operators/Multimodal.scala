@@ -1227,7 +1227,8 @@ object Multimodal {
       .withColumn("__fr", col("__hdr.n_frames"))
       .withColumn("__px", coalesce(
         graft.plans.PngBlockMeanExpr.png_block_means(col("payload"), 1),
-        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), 1)))
+        graft.plans.JpegBlockMeanExpr.jpeg_block_means(col("payload"), 1),
+        graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 1)))
       .rollup("__fmt")
       .agg(count(lit(1)).as("n_media"),
         sum(when(col("__px").isNotNull, 1L).otherwise(0L)).as("px_decodable"),
@@ -1313,7 +1314,19 @@ object Multimodal {
     * twin pairs at L1 = 0 (the GIF analog of PNG's re-encode twin).
     */
   private[graft] def gifGrayPayload(id: Long, scale: Int,
-      interlaced: Boolean): Array[Byte] = {
+      interlaced: Boolean): Array[Byte] =
+    gifContainer(id, scale, interlaced, frames = 1)
+
+  /** Animated GIF fixture: `frames` identical full-screen image blocks
+    * (a valid static animation). The pixel tier decodes frame 1 only
+    * (GifBlockMeanExpr scope note); the HEADER tier reports the frame
+    * count from the descriptor walk — the q224 contract. */
+  private[graft] def gifAnimatedPayload(id: Long, scale: Int,
+      frames: Int): Array[Byte] =
+    gifContainer(id, scale, interlaced = false, frames = frames)
+
+  private def gifContainer(id: Long, scale: Int, interlaced: Boolean,
+      frames: Int): Array[Byte] = {
     val wh = 32 * scale
     def dc(bx: Int, by: Int): Int = dcBlock(id, scale, bx, by)
     val out = new java.io.ByteArrayOutputStream()
@@ -1325,44 +1338,48 @@ object Multimodal {
     b8(0); b8(0) // bg index, aspect
     var i = 0
     while (i < 256) { b8(i); b8(i); b8(i); i += 1 } // gray ramp
-    b8(0x2c); le16(0); le16(0); le16(wh); le16(wh)
-    b8(if (interlaced) 0x40 else 0)
-    b8(8) // LZW min code size
-    val clear = 256; val eoi = 257
-    val bits = new java.io.ByteArrayOutputStream()
-    var acc = 0L; var nb = 0
-    def put(code: Int): Unit = {
-      acc |= (code.toLong & 0x1ff) << nb; nb += 9
-      while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
-    }
-    val rows = if (!interlaced) (0 until wh).toArray else {
-      val r = new Array[Int](wh); var n = 0
-      var y = 0; while (y < wh) { r(n) = y; n += 1; y += 8 }
-      y = 4; while (y < wh) { r(n) = y; n += 1; y += 8 }
-      y = 2; while (y < wh) { r(n) = y; n += 1; y += 4 }
-      y = 1; while (y < wh) { r(n) = y; n += 1; y += 2 }
-      r
-    }
-    put(clear)
-    var sinceClear = 0
-    rows.foreach { y =>
-      var x = 0
-      while (x < wh) {
-        if (sinceClear == 250) { put(clear); sinceClear = 0 }
-        put(128 + dc(x / 8, y / 8))
-        sinceClear += 1
-        x += 1
+    var f = 0
+    while (f < frames) {
+      b8(0x2c); le16(0); le16(0); le16(wh); le16(wh)
+      b8(if (interlaced) 0x40 else 0)
+      b8(8) // LZW min code size
+      val clear = 256; val eoi = 257
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      def put(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << nb; nb += 9
+        while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
       }
+      val rows = if (!interlaced) (0 until wh).toArray else {
+        val r = new Array[Int](wh); var n = 0
+        var y = 0; while (y < wh) { r(n) = y; n += 1; y += 8 }
+        y = 4; while (y < wh) { r(n) = y; n += 1; y += 8 }
+        y = 2; while (y < wh) { r(n) = y; n += 1; y += 4 }
+        y = 1; while (y < wh) { r(n) = y; n += 1; y += 2 }
+        r
+      }
+      put(clear)
+      var sinceClear = 0
+      rows.foreach { y =>
+        var x = 0
+        while (x < wh) {
+          if (sinceClear == 250) { put(clear); sinceClear = 0 }
+          put(128 + dc(x / 8, y / 8))
+          sinceClear += 1
+          x += 1
+        }
+      }
+      put(eoi)
+      if (nb > 0) bits.write((acc & 0xff).toInt)
+      val lz = bits.toByteArray
+      var off = 0
+      while (off < lz.length) {
+        val n = math.min(255, lz.length - off)
+        b8(n); out.write(lz, off, n); off += n
+      }
+      b8(0) // data terminator
+      f += 1
     }
-    put(eoi)
-    if (nb > 0) bits.write((acc & 0xff).toInt)
-    val lz = bits.toByteArray
-    var off = 0
-    while (off < lz.length) {
-      val n = math.min(255, lz.length - off)
-      b8(n); out.write(lz, off, n); off += n
-    }
-    b8(0) // data terminator
     b8(0x3b) // trailer
     out.toByteArray
   }

@@ -68,6 +68,42 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
       return row("png", be32(16), be32(20), channels, null, null)
     }
 
+    // GIF87a/89a: logical-screen dims + FRAME COUNT (image descriptors
+    // walked with data sub-blocks SKIPPED, not decoded — so an
+    // animated GIF reports its frame count from pure length
+    // arithmetic). Palette color ⇒ channels = 3. Guarded advance like
+    // the WAV walk: a truncated tail keeps whatever was counted.
+    if (b.length >= 13 && ascii(0, 3) == "GIF" &&
+        (ascii(3, 3) == "87a" || ascii(3, 3) == "89a")) {
+      val w = le16(6); val h = le16(8)
+      var p = 13
+      if ((u(10) & 0x80) != 0) p += 3 * (1 << ((u(10) & 7) + 1)) // GCT
+      var frames = 0L
+      var done = false
+      while (!done && p < b.length) {
+        u(p) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: label + sub-blocks
+            p += 2
+            while (p < b.length && u(p) != 0) p += 1 + u(p)
+            p += 1
+          case 0x2c => // image descriptor (+ optional LCT + LZW blocks)
+            if (p + 10 > b.length) { done = true }
+            else {
+              frames += 1
+              val packed = u(p + 9)
+              p += 10
+              if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+              p += 1 // LZW min code size
+              while (p < b.length && u(p) != 0) p += 1 + u(p)
+              p += 1
+            }
+          case _ => done = true // corrupt block introducer
+        }
+      }
+      return row("gif", w, h, 3L, null, if (frames > 0) frames else null)
+    }
+
     // JPEG: FF D8, marker walk to the first SOF segment
     if (u(0) == 0xff && u(1) == 0xd8) {
       var p = 2

@@ -1204,6 +1204,28 @@ class OperatorsSpec extends SparkSpec {
     assert(u(1).isNullAt(0), "null payload -> null header")
   }
 
+  test("media_header GIF branch: dims, channels, frame count via sub-block skip, truncation") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.gifGrayPayload(5L, 1, interlaced = false)),   // 1 frame
+      (2L, Multimodal.gifAnimatedPayload(5L, 1, frames = 4)),       // 4 frames
+      (3L, Multimodal.gifGrayPayload(9L, 2, interlaced = true)),    // 64x64
+      (4L, Multimodal.gifAnimatedPayload(5L, 1, 4).dropRight(40))   // truncated tail
+    ).toDF("id", "payload")
+    val h = rows.orderBy("id").select(
+        graft.plans.MediaHeaderExpr.media_header($"payload").as("h"))
+      .collect().map(_.getStruct(0))
+    assert(h(0).getString(0) == "gif" && h(0).getLong(1) == 32 &&
+      h(0).getLong(2) == 32 && h(0).getLong(3) == 3 && h(0).getLong(5) == 1,
+      s"static: ${h(0)}")
+    assert(h(1).getString(0) == "gif" && h(1).getLong(5) == 4, s"animated: ${h(1)}")
+    assert(h(2).getString(0) == "gif" && h(2).getLong(1) == 64 &&
+      h(2).getLong(5) == 1, s"interlaced 2x: ${h(2)}")
+    // a truncated tail keeps the frames counted so far (guarded walk)
+    assert(h(3).getString(0) == "gif" && !h(3).isNullAt(5) &&
+      h(3).getLong(5) >= 3 && h(3).getLong(5) <= 4, s"truncated: ${h(3)}")
+  }
+
   test("media_header fuzz: corrupt RIFF chunk sizes never hang or throw") {
     import spark.implicits._
     def riff(chunks: Array[Byte]*): Array[Byte] =
