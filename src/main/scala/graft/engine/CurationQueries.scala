@@ -781,11 +781,11 @@ object CurationQueries {
           |        FROM graft_policy_gate('graft_q223_docs', 'url', 'graft_q223_pol'))
           |  GROUP BY rule_len
           |  UNION ALL
-          |  SELECT 'kmv' AS probe, 'ab' AS k, est_inter AS a, est_union AS b, jaccard_e6 AS c
+          |  SELECT 'kmv' AS probe, t.k AS k, t.a AS a, t.b AS b, t.c AS c
           |  FROM graft_kmv_overlap('graft_q223_corp', 'corpus', 'text', 'A', 'B', 128)
-          |  UNION ALL
-          |  SELECT 'kmv' AS probe, 'sz' AS k, est_a AS a, est_b AS b, est_b_new AS c
-          |  FROM graft_kmv_overlap('graft_q223_corp', 'corpus', 'text', 'A', 'B', 128))
+          |  LATERAL VIEW explode(array(
+          |    named_struct('k', 'ab', 'a', est_inter, 'b', est_union, 'c', jaccard_e6),
+          |    named_struct('k', 'sz', 'a', est_a, 'b', est_b, 'c', est_b_new))) x AS t)
           |ORDER BY probe, k""".stripMargin, dataDir = Some(d))
     },
 

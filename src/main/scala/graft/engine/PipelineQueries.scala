@@ -706,9 +706,7 @@ object PipelineQueries {
         .unionByName(docs.filter(col("doc_id") % 4 > 0)
           .withColumn("corpus", lit("B")))
       val sk = CorpusOverlap.kmvSketches(tagged, "corpus", col("text"), k)
-      val ab = sk.filter(col("corpus") === "A").select(col("kmv").as("akmv"))
-        .crossJoin(sk.filter(col("corpus") === "B").select(col("kmv").as("bkmv")))
-      val card = CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), k)
+      val card = CorpusOverlap.overlapPair(sk, "corpus", "A", "B", k)
       val ex = tagged
         .select(col("corpus"), CorpusOverlap.kmvHash(col("text")).as("h"))
         .agg(

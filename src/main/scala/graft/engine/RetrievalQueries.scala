@@ -1637,7 +1637,7 @@ object RetrievalQueries {
         |  FROM documents
         |  UNION ALL SELECT doc_id + 5000000, 'gif', 32, 32, 1, 1
         |    FROM documents WHERE doc_id % 50 = 0
-        |  UNION ALL SELECT doc_id + 6000000, 'gif', 32, 32, 2 + doc_id % 5, 1
+        |  UNION ALL SELECT doc_id + 6000000, 'gif', 32, 32, 2 + (doc_id // 50) % 5, 1
         |    FROM documents WHERE doc_id % 50 = 0)
         |SELECT CASE WHEN GROUPING(fmt) = 1 THEN '__all__' ELSE fmt END AS scope,
         |  CAST(count(*) AS BIGINT) AS n_media,
@@ -1655,7 +1655,10 @@ object RetrievalQueries {
       val gifStatic = udf { (base: Long) =>
         Multimodal.gifGrayPayload(base, 1, interlaced = false) }
       val gifAnim = udf { (base: Long) =>
-        Multimodal.gifAnimatedPayload(base, 1, frames = (2 + base % 5).toInt) }
+        // (base / 50) varies where base % 5 cannot: the mix arm filters
+        // doc_id % 50 = 0, so a % 5 modulus is constant 2 and the frame
+        // walk would never see 3+ frames (review find)
+        Multimodal.gifAnimatedPayload(base, 1, frames = (2 + (base / 50) % 5).toInt) }
       val gs = mixBase.select((col("doc_id") + 5000000L).as("media_id"),
         gifStatic(col("doc_id")).as("payload"))
       val ga = mixBase.select((col("doc_id") + 6000000L).as("media_id"),

@@ -91,6 +91,17 @@ object CorpusOverlap {
     floor(c.cast("double") * lit(HashSpace.toDouble)
       / theta.cast("double")).cast("long")
 
+  /** Pair two named corpora out of a sketch frame ([[kmvSketches]]'
+    * shape) and append the overlap card: the one-row (akmv, bkmv)
+    * cross of the two sketch rows fed to [[overlapColumns]]. A label
+    * matching no corpus yields an empty relation (filter semantics). */
+  def overlapPair(sketches: DataFrame, corpusCol: String,
+      a: String, b: String, k: Int): DataFrame = {
+    val ab = sketches.filter(col(corpusCol) === a).select(col("kmv").as("akmv"))
+      .crossJoin(sketches.filter(col(corpusCol) === b).select(col("kmv").as("bkmv")))
+    overlapColumns(ab, col("akmv"), col("bkmv"), k)
+  }
+
   /** Pairwise overlap card for two sketch ROWS (columns `akmv`/`bkmv`
     * already joined side by side): appends theta, common/union sample
     * counts, and the ∩/∪/∖/Jaccard estimates. k-sized array work only. */

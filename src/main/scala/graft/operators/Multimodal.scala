@@ -1200,17 +1200,20 @@ object Multimodal {
     * census of a media table with the ROLLUP total, the audit a
     * multimodal pipeline reads before deciding which decode tiers to
     * run. Per container format (from the [[graft.plans.MediaHeaderExpr]]
-    * walk — 'png'/'jpeg'/'wav'/'unknown') and `__all__`:
+    * walk — 'png'/'jpeg'/'wav'/'gif'/'unknown') and `__all__`:
     *
     *  - `n_media` — payload count;
     *  - `px_decodable` — payloads the PIXEL tier can fully decode
-    *    (the coalesced png/jpeg block-mean kernel at grid 1 returns
-    *    non-null: real entropy data, not just a parseable header —
-    *    the gap between this and `n_media` is the header-only tail
-    *    that stays on the byte-histogram tier);
+    *    (the coalesced png/jpeg/gif block-mean kernel at grid 1
+    *    returns non-null: real entropy data, not just a parseable
+    *    header — the gap between this and `n_media` is the
+    *    header-only tail that stays on the byte-histogram tier);
     *  - `with_dims` / integer `mean_w`, `mean_h` (null when no
     *    payload in the group carries dimensions);
-    *  - `audio_frames` — summed WAV frame counts.
+    *  - `audio_frames` — summed per-payload frame counts: WAV audio
+    *    frames AND (r15) GIF animation frames — per-format rows keep
+    *    the two apart; the `__all__` row mixes them by construction
+    *    (column name kept for the q214 contract).
     *
     * Scale shape: one decode pass inside the scan (header walk + the
     * grid-1 probe), then ONE ROLLUP aggregate — the [[Profiling.dataCard]]

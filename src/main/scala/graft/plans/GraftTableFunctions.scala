@@ -352,9 +352,13 @@ object GraftTableFunctions {
       if (args.size > 3) intLit(args(3), "thrPermille") else 500))
   }
 
+  // a corpus label matching no group yields an EMPTY relation (SQL
+  // filter semantics — labels are data, not syntax; catching it would
+  // cost an extra job at resolution time)
   private[plans] def buildKmvOverlap(args: Seq[Expression]): LogicalPlan = {
     require(args.size >= 5 && args.size <= 6,
-      "graft_kmv_overlap(srcTable, corpusCol, keyCol, corpusA, corpusB[, k])")
+      "graft_kmv_overlap(srcTable, corpusCol, keyCol, corpusA, corpusB[, k])" +
+        " — an unknown corpus label returns an empty relation")
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.col
     val k = if (args.size > 5) intLit(args(5), "k") else 128
@@ -362,12 +366,8 @@ object GraftTableFunctions {
     val sk = graft.operators.CorpusOverlap.kmvSketches(
       spark.table(strLit(args.head, "srcTable")), corpusCol,
       col(strLit(args(2), "keyCol")), k)
-    val ab = sk.filter(col(corpusCol) === strLit(args(3), "corpusA"))
-      .select(col("kmv").as("akmv"))
-      .crossJoin(sk.filter(col(corpusCol) === strLit(args(4), "corpusB"))
-        .select(col("kmv").as("bkmv")))
-    plan(graft.operators.CorpusOverlap
-      .overlapColumns(ab, col("akmv"), col("bkmv"), k)
+    plan(graft.operators.CorpusOverlap.overlapPair(sk, corpusCol,
+        strLit(args(3), "corpusA"), strLit(args(4), "corpusB"), k)
       .select("est_a", "est_b", "est_inter", "est_union", "est_b_new",
         "jaccard_e6"))
   }
@@ -380,9 +380,21 @@ object GraftTableFunctions {
     require(args.size >= 3 && args.size <= 4,
       "graft_policy_gate(srcTable, urlCol, policyTable[, defaultAllow])")
     val spark = SparkSession.active
-    val pol = spark.table(strLit(args(2), "policyTable"))
-      .select("host", "prefix", "allow").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    import org.apache.spark.sql.functions.col
+    // validate the config relation with LABELED errors (the strLit
+    // convention): a NULL field or a non-boolean allow must name the
+    // problem, not surface as an opaque NPE/ClassCastException
+    val polTable = strLit(args(2), "policyTable")
+    val pol = spark.table(polTable)
+      .select(col("host").cast("string"), col("prefix").cast("string"),
+        col("allow").cast("boolean"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          s"graft_policy_gate: policy table '$polTable' has a NULL " +
+            "host/prefix/allow field (allow must cast to BOOLEAN)")
+        (r.getString(0), r.getString(1), r.getBoolean(2))
+      }.toSeq
     val defaultAllow = args.size <= 3 || intLit(args(3), "defaultAllow") != 0
     plan(graft.operators.TextOps.policyGate(
       spark.table(strLit(args.head, "srcTable")),

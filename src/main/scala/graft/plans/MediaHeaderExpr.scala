@@ -23,7 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arbitrary APP segments, so fixed offsets would be wrong;
   *  - WAV: RIFF/WAVE, then a CHUNK WALK (word-aligned sizes) to
   *    `fmt ` (channels, sample rate, block align) and `data`
-  *    (frame count = data bytes / block align).
+  *    (frame count = data bytes / block align);
+  *  - GIF: GIF87a/89a logical-screen dims, palette channels (3),
+  *    and n_frames = IMAGE-DESCRIPTOR count from a walk that skips
+  *    LZW data sub-blocks by length arithmetic — animation
+  *    detection with zero decode (truncated tails keep the frames
+  *    counted so far).
   *
   * Anything else parses as fmt='unknown' with null fields — never an
   * error, because a 100 TB media crawl always contains garbage.
@@ -78,6 +83,12 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
       val w = le16(6); val h = le16(8)
       var p = 13
       if ((u(10) & 0x80) != 0) p += 3 * (1 << ((u(10) & 7) + 1)) // GCT
+      // length-prefixed data sub-blocks until the 0 terminator — the
+      // one skip shared by the extension and image-descriptor arms
+      def skipSubBlocks(): Unit = {
+        while (p < b.length && u(p) != 0) p += 1 + u(p)
+        p += 1
+      }
       var frames = 0L
       var done = false
       while (!done && p < b.length) {
@@ -85,8 +96,7 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
           case 0x3b => done = true // trailer
           case 0x21 => // extension: label + sub-blocks
             p += 2
-            while (p < b.length && u(p) != 0) p += 1 + u(p)
-            p += 1
+            skipSubBlocks()
           case 0x2c => // image descriptor (+ optional LCT + LZW blocks)
             if (p + 10 > b.length) { done = true }
             else {
@@ -95,8 +105,7 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
               p += 10
               if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
               p += 1 // LZW min code size
-              while (p < b.length && u(p) != 0) p += 1 + u(p)
-              p += 1
+              skipSubBlocks()
             }
           case _ => done = true // corrupt block introducer
         }

@@ -507,9 +507,7 @@ class QueryCliSpec extends SparkSpec {
       "SELECT est_a, est_b, est_inter, est_union, est_b_new, jaccard_e6 " +
         "FROM graft_kmv_overlap('cli_kmv_corp', 'corpus', 'text', 'A', 'B', 32)")
     val sk = CorpusOverlap.kmvSketches(corp, "corpus", col("text"), 32)
-    val ab = sk.filter(col("corpus") === "A").select(col("kmv").as("akmv"))
-      .crossJoin(sk.filter(col("corpus") === "B").select(col("kmv").as("bkmv")))
-    same(kmvSql, CorpusOverlap.overlapColumns(ab, col("akmv"), col("bkmv"), 32)
+    same(kmvSql, CorpusOverlap.overlapPair(sk, "corpus", "A", "B", 32)
       .select("est_a", "est_b", "est_inter", "est_union", "est_b_new", "jaccard_e6"))
     // --- graft_policy_gate ≡ TextOps.policyGate (config relation) ---
     val docs = Seq(
