@@ -372,6 +372,25 @@ object GraftTableFunctions {
         "jaccard_e6"))
   }
 
+  // the STORE read path: overlap straight from a persisted sketch
+  // table ([[graft.operators.CorpusOverlap.kmvSketches]]' (corpus,
+  // n_rows, kmv) shape, e.g. a folded kmvSketchStream store) — at
+  // 100 TB the corpora were reduced to k longs each when they were
+  // ingested; the probe never rescans them
+  private[plans] def buildKmvOverlapStore(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 4 && args.size <= 5,
+      "graft_kmv_overlap_store(sketchTable, corpusCol, corpusA, corpusB[, k])" +
+        " — sketchTable carries (corpusCol, n_rows, kmv)")
+    val spark = SparkSession.active
+    val k = if (args.size > 4) intLit(args(4), "k") else 128
+    plan(graft.operators.CorpusOverlap.overlapPair(
+        spark.table(strLit(args.head, "sketchTable")),
+        strLit(args(1), "corpusCol"),
+        strLit(args(2), "corpusA"), strLit(args(3), "corpusB"), k)
+      .select("est_a", "est_b", "est_inter", "est_union", "est_b_new",
+        "jaccard_e6"))
+  }
+
   // the policy rides as a CONFIG TABLE (host, prefix, allow) — rule
   // lists are not literal-expressible as TVF arguments (the q206
   // ladder pattern); a policy is operator-configuration-sized, so the
@@ -426,6 +445,7 @@ object GraftTableFunctions {
     ("graft_kanon_audit", buildKAnonAudit _),
     ("graft_frame_neardup", buildFrameNearDup _),
     ("graft_kmv_overlap", buildKmvOverlap _),
+    ("graft_kmv_overlap_store", buildKmvOverlapStore _),
     ("graft_policy_gate", buildPolicyGate _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =

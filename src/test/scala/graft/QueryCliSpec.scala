@@ -509,6 +509,13 @@ class QueryCliSpec extends SparkSpec {
     val sk = CorpusOverlap.kmvSketches(corp, "corpus", col("text"), 32)
     same(kmvSql, CorpusOverlap.overlapPair(sk, "corpus", "A", "B", 32)
       .select("est_a", "est_b", "est_inter", "est_union", "est_b_new", "jaccard_e6"))
+    // --- graft_kmv_overlap_store: the persisted-sketch read path ----
+    // a folded sketch table probes identically to the from-corpus door
+    CorpusOverlap.kmvSketches(corp, "corpus", col("text"), 32)
+      .createOrReplaceTempView("cli_kmv_store")
+    same(kmvSql, QueryCommand.run(spark,
+      "SELECT est_a, est_b, est_inter, est_union, est_b_new, jaccard_e6 " +
+        "FROM graft_kmv_overlap_store('cli_kmv_store', 'corpus', 'A', 'B', 32)"))
     // --- graft_policy_gate ≡ TextOps.policyGate (config relation) ---
     val docs = Seq(
       (1L, "http://x.example.com/pub/a"), (2L, "http://x.example.com/pub/raw/b"),
