@@ -481,6 +481,39 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.table(sigT).count() == before)
     dropTable(sigT)
   }
+  test("imageAdmitStream: a GIF twin admits against a PNG/JPEG catalog (r15 third format, no code change)") {
+    import spark.implicits._
+    import NearDupStreamSpec.MediaRow
+    import graft.operators.Multimodal
+    implicit val sq = spark.sqlContext
+    val sigT = "image_sig_store_gif"
+    dropTable(sigT)
+    val pairsDir = tmpDir("image_admit_gif_pairs")
+    // wave 0: a PNG catalog image; wave 1: its GIF twin (same dcBlock
+    // pixels behind an LZW stream + gray-ramp palette) and an
+    // interlaced GIF twin — both must pair the catalog PNG at L1 = 0
+    // through the UNCHANGED stream (the GIF arm lives in
+    // imageSignatures' coalesce)
+    val b0 = Seq(MediaRow(1L, ts(1), Multimodal.pngGrayPayload(7L, 1)))
+    val b1 = Seq(
+      MediaRow(2L, ts(2), Multimodal.gifGrayPayload(7L, 1, interlaced = false)),
+      MediaRow(3L, ts(2), Multimodal.gifGrayPayload(7L, 1, interlaced = true)))
+    val src = MemoryStream[MediaRow]
+    val q = EventStreams.imageAdmitStream(src.toDF(), sigT, pairsDir,
+        grid = 4, buckets = 4)
+      .option("checkpointLocation", tmpDir("image_admit_gif_ckpt")).start()
+    try {
+      src.addData(b0: _*); q.processAllAvailable()
+      src.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$pairsDir/batch_id=1")
+      .as[(Long, Long, Long)].collect().toSet
+    // catalog×batch legs (1,2),(1,3) AND the within-batch leg (2,3)
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"GIF twins must admit at L1 = 0: $got")
+    dropTable(sigT)
+  }
+
   test("imageAdmitStream: same-batch twins pair at the stream; accumulated pairs equal the full recompute") {
     import spark.implicits._
     import NearDupStreamSpec.MediaRow
