@@ -26,6 +26,18 @@ def canon(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # optional resource caps (the 100x-sweep lesson: one uncapped query
+    # OOMs the shared connection and poisons every query after it):
+    #   GRAFT_ORACLE_MEMLIMIT, e.g. '96GB' -> PRAGMA memory_limit
+    #   GRAFT_ORACLE_TMP       -> PRAGMA temp_directory (spill volume;
+    #                             default '.tmp' fills the repo disk)
+    mem = os.environ.get("GRAFT_ORACLE_MEMLIMIT")
+    if mem:
+        con.execute(f"PRAGMA memory_limit='{mem}'")
+    tmp = os.environ.get("GRAFT_ORACLE_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"PRAGMA temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
