@@ -9,6 +9,8 @@ Dev-only tool (not part of the Spark library).
 """
 import sys, os, json, math
 import duckdb
+import pyarrow  # preload: fetch_arrow_table imports lazily, and mapping
+                # the .so can fail once DuckDB sits at its memory cap
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
