@@ -2163,6 +2163,42 @@ class OperatorsSpec extends SparkSpec {
     assert(means == Seq(73333L), s"handcrafted LZW decode: $means")
   }
 
+  test("GIF kernel: a LOCAL color table (no GCT) decodes; LCT takes precedence over GCT") {
+    import spark.implicits._
+    // rebuild the handcrafted 9x1 LZW stream, but carry the palette as
+    // the IMAGE descriptor's local table — and in the precedence case,
+    // plant a WRONG global table that must be ignored
+    val codes = Seq((4, 3), (0, 3), (6, 3), (0, 3), (1, 4), (9, 4), (6, 4), (5, 4))
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    codes.foreach { case (v, w) =>
+      acc |= (v.toLong << nb); nb += w
+      while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) bits.write((acc & 0xff).toInt)
+    val lz = bits.toByteArray
+    def gif(withGct: Boolean, gctVal: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b8(v: Int): Unit = out.write(v & 0xff)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      b8(9); b8(0); b8(1); b8(0)
+      b8(if (withGct) 0x80 | 1 else 0); b8(0); b8(0)
+      if (withGct) (0 until 4).foreach(_ => { b8(gctVal); b8(gctVal); b8(gctVal) })
+      b8(0x2c); b8(0); b8(0); b8(0); b8(0); b8(9); b8(0); b8(1); b8(0)
+      b8(0x80 | 1) // LOCAL color table, 4 entries
+      Seq(10, 200, 77, 99).foreach(v => { b8(v); b8(v); b8(v) })
+      b8(2); b8(lz.length); out.write(lz); b8(0); b8(0x3b)
+      out.toByteArray
+    }
+    val means = Seq((1L, gif(withGct = false, 0)), (2L, gif(withGct = true, 255)))
+      .toDF("id", "payload").orderBy("id")
+      .select(graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 1))
+      .as[Seq[Long]].collect().toSeq
+    // same pixels as the handcrafted-stream spec: mean 660*1000/9
+    assert(means == Seq(Seq(73333L), Seq(73333L)),
+      s"LCT-only and LCT-over-GCT must both decode via the LOCAL table: $means")
+  }
+
   test("GIF kernel fuzz: corrupt or hostile payloads null, never throw") {
     import spark.implicits._
     val good = Multimodal.gifGrayPayload(5L, 1, interlaced = false)
