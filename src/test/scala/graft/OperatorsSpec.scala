@@ -2199,6 +2199,19 @@ class OperatorsSpec extends SparkSpec {
       s"LCT-only and LCT-over-GCT must both decode via the LOCAL table: $means")
   }
 
+  test("GIF pixel tier decodes FRAME 1 of an animated GIF (equals the static twin)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.gifGrayPayload(11L, 1, interlaced = false)),
+      (2L, Multimodal.gifAnimatedPayload(11L, 1, frames = 5))
+    ).toDF("id", "payload").orderBy("id")
+    val means = rows
+      .select(graft.plans.GifBlockMeanExpr.gif_block_means(col("payload"), 4))
+      .as[Seq[Long]].collect().toSeq
+    assert(means(0).nonEmpty && means(0) == means(1),
+      s"animated frame 1 must equal the static twin: $means")
+  }
+
   test("GIF kernel fuzz: corrupt or hostile payloads null, never throw") {
     import spark.implicits._
     val good = Multimodal.gifGrayPayload(5L, 1, interlaced = false)
