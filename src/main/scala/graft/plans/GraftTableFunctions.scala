@@ -372,6 +372,13 @@ object GraftTableFunctions {
         "jaccard_e6"))
   }
 
+  private[plans] def buildMediaCard(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_media_card(mediaTable)")
+    val spark = SparkSession.active
+    plan(graft.operators.Multimodal.mediaCard(
+      spark.table(strLit(args.head, "mediaTable"))))
+  }
+
   // the STORE read path: overlap straight from a persisted sketch
   // table ([[graft.operators.CorpusOverlap.kmvSketches]]' (corpus,
   // n_rows, kmv) shape, e.g. a folded kmvSketchStream store) — at
@@ -446,6 +453,7 @@ object GraftTableFunctions {
     ("graft_frame_neardup", buildFrameNearDup _),
     ("graft_kmv_overlap", buildKmvOverlap _),
     ("graft_kmv_overlap_store", buildKmvOverlapStore _),
+    ("graft_media_card", buildMediaCard _),
     ("graft_policy_gate", buildPolicyGate _))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =

@@ -516,6 +516,15 @@ class QueryCliSpec extends SparkSpec {
     same(kmvSql, QueryCommand.run(spark,
       "SELECT est_a, est_b, est_inter, est_union, est_b_new, jaccard_e6 " +
         "FROM graft_kmv_overlap_store('cli_kmv_store', 'corpus', 'A', 'B', 32)"))
+    // --- graft_media_card: the per-format census door --------------
+    Seq((1L, graft.operators.Multimodal.gifGrayPayload(3L, 1, interlaced = false)),
+        (2L, graft.operators.Multimodal.pngPayload(3L, 1, variant = false)),
+        (3L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload").createOrReplaceTempView("cli_card_media")
+    same(QueryCommand.run(spark,
+        "SELECT * FROM graft_media_card('cli_card_media') ORDER BY scope"),
+      graft.operators.Multimodal.mediaCard(spark.table("cli_card_media"))
+        .orderBy("scope"))
     // --- graft_policy_gate ≡ TextOps.policyGate (config relation) ---
     val docs = Seq(
       (1L, "http://x.example.com/pub/a"), (2L, "http://x.example.com/pub/raw/b"),
