@@ -385,15 +385,32 @@ object GraftTableFunctions {
   // 100 TB the corpora were reduced to k longs each when they were
   // ingested; the probe never rescans them
   private[plans] def buildKmvOverlapStore(args: Seq[Expression]): LogicalPlan = {
-    require(args.size >= 4 && args.size <= 5,
-      "graft_kmv_overlap_store(sketchTable, corpusCol, corpusA, corpusB[, k])" +
-        " — sketchTable carries (corpusCol, n_rows, kmv)")
+    // k is REQUIRED here (unlike graft_kmv_overlap, where one call
+    // builds and probes at the same k): the probe k must equal the
+    // ingest k, and a mismatch is undetectable from the data — a
+    // saturated k=32 sketch probed at k=128 reads as "exact mode with
+    // 32 distinct keys" and the estimates go silently wrong
+    require(args.size == 5,
+      "graft_kmv_overlap_store(sketchTable, corpusCol, corpusA, corpusB, k)" +
+        " — sketchTable carries (corpusCol, n_rows, kmv) FOLDED to one" +
+        " row per corpus (readKmvStore); k must equal the ingest k")
     val spark = SparkSession.active
-    val k = if (args.size > 4) intLit(args(4), "k") else 128
-    plan(graft.operators.CorpusOverlap.overlapPair(
-        spark.table(strLit(args.head, "sketchTable")),
-        strLit(args(1), "corpusCol"),
-        strLit(args(2), "corpusA"), strLit(args(3), "corpusB"), k)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val t = strLit(args.head, "sketchTable")
+    val corpusCol = strLit(args(1), "corpusCol")
+    val sk = spark.table(t)
+    // a sketch store is corpora-sized by construction, so this guard
+    // is a trivial job — pointing the probe at an UNFOLDED wave store
+    // (raw kmvSketchStream parquet) would otherwise cross-join one
+    // wrong estimate row per wave-pair with no error
+    val dup = sk.groupBy(col(corpusCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"graft_kmv_overlap_store: '$t' has ${dup.headOption.map(_.get(0)).orNull} " +
+        "with multiple sketch rows — fold wave stores first (readKmvStore)")
+    plan(graft.operators.CorpusOverlap.overlapPair(sk, corpusCol,
+        strLit(args(2), "corpusA"), strLit(args(3), "corpusB"),
+        intLit(args(4), "k"))
       .select("est_a", "est_b", "est_inter", "est_union", "est_b_new",
         "jaccard_e6"))
   }
