@@ -891,8 +891,12 @@ object TextOps {
       k: Int = 8, minDocs: Int = 2, minMatch: Int = 0): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
     val toks = spanToks(docs, idCol, textCol)
-    val grams = spanGrams(toks, k)
-    val flagged = grams.select("__id", "__dg").distinct()
+    val grams = spanGrams(docs, idCol, textCol, k)
+    // per-doc distinct digests come out of the set kernel, so the
+    // (id, dg) distinct SHUFFLE the df count used to need is gone —
+    // the groupBy partial-aggregates map-side (guide §2.3)
+    val flagged = docs.select(col(idCol).as("__id"),
+        explode(graft.plans.GramDigestsExpr.md5_gram_set(col(textCol), k)).as("__dg"))
       .groupBy("__dg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("__dg")
@@ -903,8 +907,23 @@ object TextOps {
     docs.select(col(idCol).as("__id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
 
-  /** (id, pos, digest) rows — one per k-token window start. */
-  private def spanGrams(toks: DataFrame, k: Int): DataFrame =
+  /** (id, pos, digest) rows — one per k-token window start. Digests
+    * are the RAW 16-byte md5 from the native gram kernel (order- and
+    * equality-preserving vs the historical hex string, at half the
+    * shuffle width and none of the per-gram slice/join/hex
+    * allocations — guide §2.3 "narrower types" + §4 "native
+    * kernels"); [[spanGramsHof]] keeps the HOF twin as the
+    * differential oracle.
+    */
+  private def spanGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(graft.plans.GramDigestsExpr.md5_grams(col(textCol), k)).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.dg").as("__dg"))
+
+  /** The pre-kernel HOF gram digester (hex digests) — differential
+    * oracle for [[graft.plans.GramDigestsExpr]]. */
+  private[graft] def spanGramsHof(toks: DataFrame, k: Int): DataFrame =
     toks.filter(size(col("__toks")) >= k)
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, size(__toks) - $k), " +
@@ -983,9 +1002,9 @@ object TextOps {
     * the store's row format, also usable inline for one-shot probes. */
   def gramDf(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame =
-    spanGrams(spanToks(docs, idCol, textCol), k)
-      .select(col("__id"), col("__dg")).distinct()
-      .groupBy(col("__dg").as("dg")).agg(count(lit(1)).as("df"))
+    docs.select(explode(
+        graft.plans.GramDigestsExpr.md5_gram_set(col(textCol), k)).as("dg"))
+      .groupBy(col("dg")).agg(count(lit(1)).as("df"))
 
   /** Incremental substring-span dedup: strip a DELTA wave against the
     * catalog WITHOUT touching catalog text — a window is flagged when
@@ -1008,8 +1027,9 @@ object TextOps {
       minMatch: Int = 0): DataFrame = {
     require(k >= 2 && minDocs >= 2, "need k >= 2 and minDocs >= 2")
     val toks = spanToks(delta, idCol, textCol)
-    val grams = spanGrams(toks, k)
-    val deltaDf = grams.select("__id", "__dg").distinct()
+    val grams = spanGrams(delta, idCol, textCol, k)
+    val deltaDf = delta.select(explode(
+        graft.plans.GramDigestsExpr.md5_gram_set(col(textCol), k)).as("__dg"))
       .groupBy("__dg").agg(count(lit(1)).as("__ddf"))
     val catDf = storeDf.groupBy("dg").agg(sum("df").as("__cdf"))
     val flagged = deltaDf
@@ -1053,7 +1073,25 @@ object TextOps {
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
-    val grams = spanGrams(spanToks(docs, idCol, textCol), k)
+    docs.select(col(idCol),
+        explode(graft.plans.GramDigestsExpr.winnow_select(
+          col(textCol), k, w)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.dg").as("dg"))
+  }
+
+  /** The r15 pre-kernel dataframe formulation of
+    * [[winnowedFingerprints]] — the differential oracle for
+    * [[graft.plans.WinnowSelectExpr]] (hex digests; the kernel's raw
+    * 16-byte digests compare via `lower(hex(dg))`). Winnowing is
+    * per-document, so the bounded window explode, the gram-count
+    * join, and the doc×window shuffle-aggregate this shape pays are
+    * not inherent — the kernel resolves the whole selection inside
+    * the row (optimization guide §2.4: remove shuffles outright).
+    */
+  private[graft] def winnowedFingerprintsHof(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    val grams = spanGramsHof(spanToks(docs, idCol, textCol), k)
     val nGrams = grams.groupBy("__id").agg(count(lit(1)).as("__ng"))
     grams.join(nGrams, "__id")
       .select(col("__id"), col("__pos"), col("__dg"),

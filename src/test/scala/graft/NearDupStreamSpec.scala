@@ -229,12 +229,12 @@ class NearDupStreamSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(p1 == Set((1L, 11L)))
     // streamed store == one-shot batch winnow of the union
-    val streamed = spark.table(table).select("doc_id", "dg")
+    val streamed = spark.table(table).select($"doc_id", lower(hex($"dg")))
       .as[(Long, String)].collect().toSet
     val direct = graft.operators.TextOps.winnowedFingerprints(
         (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
         "doc_id", "text", k = 4, w = 4)
-      .select($"doc_id", $"dg").distinct().as[(Long, String)].collect().toSet
+      .select($"doc_id", lower(hex($"dg"))).distinct().as[(Long, String)].collect().toSet
     assert(streamed == direct)
     // a replayed wave-1 probe (as-of wave 0 — the self wave is
     // excluded even though it already landed) reproduces its pairs
@@ -318,8 +318,8 @@ class NearDupStreamSpec extends SparkSpec {
       "doc_id", "text", lineTokens = 4)
     val directFps = TextOps.winnowedFingerprints(cleanedUnion,
         "doc_id", "cleaned", k = 4, w = 4)
-      .select($"doc_id", $"dg").distinct().as[(Long, String)].collect().toSet
-    val streamedFps = spark.table(winnowT).select("doc_id", "dg")
+      .select($"doc_id", lower(hex($"dg"))).distinct().as[(Long, String)].collect().toSet
+    val streamedFps = spark.table(winnowT).select($"doc_id", lower(hex($"dg")))
       .as[(Long, String)].collect().toSet
     assert(streamedFps == directFps,
       "streamed winnow store must equal the batch replay of the curated union")
