@@ -264,9 +264,16 @@ object Multimodal {
   def pcmPerceptualCandidates(media: DataFrame, bands: Int = 8,
       maxBucketSize: Int = 64, thrPermille: Int = 10): DataFrame = {
     require(bands >= 1 && bands <= 63, "bands must fit the sign-bucket bit range")
-    val withKey = media
-      .withColumn("__hdr", graft.plans.MediaHeaderExpr.media_header(col("payload")))
-      .withColumn("__e", graft.plans.PcmEnergyExpr.pcm_energy(col("payload"), bands))
+    // header+energy pass ONCE, then materialize (the signatureFrame
+    // treatment: downstream references the frame 4+ times and the
+    // pushed filters would re-evaluate the kernels per duplicated
+    // scan); payload bytes never enter the checkpoint
+    val decoded = media
+      .select(col("media_id"),
+        graft.plans.MediaHeaderExpr.media_header(col("payload")).as("__hdr"),
+        graft.plans.PcmEnergyExpr.pcm_energy(col("payload"), bands).as("__e"))
+      .localCheckpoint()
+    val withKey = decoded
       .filter(col("__hdr.fmt") === "wav" && col("__e").isNotNull)
       .withColumn("__t", expr("aggregate(__e, 0L, (acc, v) -> acc + v)"))
       .filter(col("__t") >= 1L)
@@ -415,8 +422,22 @@ object Multimodal {
       grid: Int): DataFrame = {
     require(grid >= 1 && grid <= 7, "grid^2 must fit the sign-bucket bit range")
     val n = grid * grid
-    media
-      .withColumn("__f", feature)
+    // DECODE ONCE, then materialize (localCheckpoint — the Dedup
+    // connected-components convention): the candidate machinery
+    // downstream references this frame four-plus times (cap count,
+    // both self-join legs, every probe leg), and Catalyst duplicates
+    // the subtree for each reference — the executed q203 plan ran the
+    // payload decode through 10+ scans, and the pushed
+    // isnotnull(decode(payload)) data filter evaluated the kernel a
+    // second time per scan. The checkpoint cuts the lineage at the
+    // (id, __f) proxy — grid² longs per image, the guide-§8 "decide
+    // with small rows" shape — so payload bytes are read and decoded
+    // exactly once per run, here. Recomputed on every invocation:
+    // nothing persists across runs.
+    val decoded = media
+      .select(col("media_id"), feature.as("__f"))
+      .localCheckpoint()
+    decoded
       .filter(col("__f").isNotNull)
       .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))
       .filter(col("__t") >= 1L)

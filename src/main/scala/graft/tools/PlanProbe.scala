@@ -28,7 +28,15 @@ object PlanProbe {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       println(s"=== $q ===")
-      println(df.queryExecution.executedPlan.toString.take(6000))
+      // full executed plan (AQE-final) — optionally to a file, since
+      // interesting plans outgrow a terminal scrollback
+      val full = df.queryExecution.executedPlan.toString
+      args.lift(2) match {
+        case Some(out) =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full)
+          println(s"wrote ${full.length} chars to $out")
+        case None => println(full.take(6000))
+      }
     } finally spark.stop()
   }
 }
