@@ -153,12 +153,18 @@ object Dedup {
     */
   private def bandKeysOf(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, shingleSize: Int): DataFrame =
+    // materialized (localCheckpoint): nearDupProbe references the
+    // delta side three times and the catalog side twice, and each
+    // reference would re-run the shingle/MinHash kernel over the
+    // corpus (guide §3.3); the frame is the (band_key, id) proxy —
+    // two longs per banded row — never the text
     df.select(col(idCol).as("id"), posexplode(
         graft.plans.ShingleMinHashBandKeysExpr.shingle_minhash_band_keys(
           col(textCol), bands, rowsPerBand, shingleSize))
         .as(Seq("band", "key")))
       .select((col("band").cast("long") * lit(1L << 32) + col("key"))
         .as("band_key"), col("id"))
+      .localCheckpoint(false)
 
   /** Persist the catalog's MinHash band keys as a BUCKETED store —
     * the [[writeDigestStore]] treatment applied to NEAR-dup: the
@@ -474,11 +480,17 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
+    // banded frame materialized (localCheckpoint, guide §3.3): the
+    // hot-cap count and both self-join legs reference it, and each
+    // reference would otherwise re-run the shingle/MinHash kernel
+    // over the corpus; (id, band, key) rows only — text never enters
+    // the checkpoint
     val banded = df
       .select(col(idCol).as("id"), posexplode(
         graft.plans.ShingleMinHashBandKeysExpr.shingle_minhash_band_keys(
           col(textCol), bands, rowsPerBand, shingleSize))
         .as(Seq("band", "key")))
+      .localCheckpoint(false)
       .repartition(col("band"), col("key"))
     val capped = HotBuckets.dropOversized(banded, maxBucketSize, "band", "key")
     val a = capped.alias("a")

@@ -45,6 +45,13 @@ private[graft] object HotBuckets {
     * contract the old window form had, minus its guaranteed sort.
     */
   def dropOversized(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    // deliberately NO localCheckpoint here (r15): a checkpoint of an
+    // AQE plan materializes its query stages when the RDD is built,
+    // i.e. at CONSTRUCTION time — and the ANN auto variants promise
+    // (spec-pinned) that construction runs no job. Callers without a
+    // laziness contract materialize their keyed frame themselves
+    // before calling (minHashCandidates, the perceptual signature
+    // stages), which is where the expensive kernel subtree lives.
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > cap)

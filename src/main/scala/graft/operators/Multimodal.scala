@@ -272,7 +272,7 @@ object Multimodal {
       .select(col("media_id"),
         graft.plans.MediaHeaderExpr.media_header(col("payload")).as("__hdr"),
         graft.plans.PcmEnergyExpr.pcm_energy(col("payload"), bands).as("__e"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val withKey = decoded
       .filter(col("__hdr.fmt") === "wav" && col("__e").isNotNull)
       .withColumn("__t", expr("aggregate(__e, 0L, (acc, v) -> acc + v)"))
@@ -436,7 +436,7 @@ object Multimodal {
     // nothing persists across runs.
     val decoded = media
       .select(col("media_id"), feature.as("__f"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     decoded
       .filter(col("__f").isNotNull)
       .withColumn("__t", expr("aggregate(__f, 0L, (acc, v) -> acc + v)"))

@@ -1115,7 +1115,15 @@ object TextOps {
   def winnowedCandidatePairs(fps: DataFrame, idCol: String,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
-    val docDg = fps.select(col(idCol).as("__id"), col("dg")).distinct()
+    // materialized (localCheckpoint, guide §3.3): referenced by the
+    // df-cap count and both self-join legs — three otherwise-
+    // recomputed fingerprint passes. Checkpoint BEFORE the distinct:
+    // the pre-distinct frame is exchange-free (kernel projection), so
+    // the lazy checkpoint builds no job at construction, and the
+    // three identical distinct exchanges above it collapse to one via
+    // runtime exchange reuse. (id, dg) rows only, never text.
+    val docDg = fps.select(col(idCol).as("__id"), col("dg"))
+      .localCheckpoint(false).distinct()
     val keep = docDg.groupBy("dg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("dg")
     val f = docDg.join(keep, "dg")
@@ -1160,8 +1168,17 @@ object TextOps {
   def winnowedCrossPairs(catalogFps: DataFrame, deltaFps: DataFrame,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
+    // delta side materialized (localCheckpoint, guide §3.3): it
+    // feeds the df count AND a join leg, and each reference would
+    // re-winnow the batch. Pre-distinct (exchange-free projection →
+    // no construction job; the identical distinct exchanges reuse at
+    // runtime). The CATALOG side is deliberately NOT checkpointed: a
+    // bucketed fingerprint store joins and aggregates exchange-free,
+    // and materializing it would trade two exchange-free scans for a
+    // full shuffle of the store.
     val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
-    val dlt = deltaFps.select(col("doc_id"), col("dg")).distinct()
+    val dlt = deltaFps.select(col("doc_id"), col("dg"))
+      .localCheckpoint(false).distinct()
     val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
     val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
     val keep = dDf.join(cDf, Seq("dg"), "left")
@@ -1193,8 +1210,14 @@ object TextOps {
   def winnowedAdmissionPairs(catalogFps: DataFrame, deltaFps: DataFrame,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
+    // delta side materialized (localCheckpoint, guide §3.3): the
+    // admission probe references it through the df count, the cross
+    // leg AND the within-batch self-pair leg. Pre-distinct, lazy (no
+    // construction job); catalog side left store-shaped — see
+    // winnowedCrossPairs.
     val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
-    val dlt = deltaFps.select(col("doc_id"), col("dg")).distinct()
+    val dlt = deltaFps.select(col("doc_id"), col("dg"))
+      .localCheckpoint(false).distinct()
     val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
     val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
     val keep = dDf.join(cDf, Seq("dg"), "left")

@@ -75,18 +75,22 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)))
   }
 
-  test("minhash LSH self-join reuses one exchange (signatures computed once)") {
+  test("minhash LSH self-join computes signatures once (materialized band frame, no parquet rescans)") {
     val cands = Dedup.minHashCandidates(
       graft.engine.Tables.documents(spark, "/root/testdata/sf0.001"),
       "doc_id", "text", bands = 8, rowsPerBand = 4)
-    // the repartition(band, key) barrier gives both join sides the same
-    // canonical Exchange; under AQE the reuse is decided at runtime, so
-    // execute THIS DataFrame's QueryExecution (collect, not count — count
-    // builds a fresh one) and assert on the final adaptive plan
+    // r15: the banded frame is localCheckpoint'd before the hot-cap
+    // count and the self-join, so the stronger form of the old
+    // "reused exchange" property holds — the shingle/MinHash kernel
+    // subtree appears in NO scan of the candidate plan at all (the
+    // plan reads the materialized RDD); a parquet scan in this plan
+    // would mean the corpus is being re-banded per reference again
     assert(cands.collect().length > 0)
     val plan = cands.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("reused"),
-      s"expected a reused exchange in:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"expected zero parquet rescans (banded frame materialized) in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected the materialized band frame in:\n$plan")
   }
 
   test("hot-bucket caps are sort-free: no Sort or Window in capped candidate plans") {
