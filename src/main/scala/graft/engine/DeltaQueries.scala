@@ -343,19 +343,21 @@ object DeltaQueries {
         val docs = documents(s, d).select(col("doc_id"), col("text"))
         val delta = docs.filter(col("doc_id") < 40)
           .select((col("doc_id") - 1000000L).as("doc_id"), col("text"))
-        // the two candidate sets and the dup-pair frame each feed TWO
-        // downstream consumers (exceptAll both directions / count +
-        // recall anti-join) — materialize each once (localCheckpoint,
-        // guide §3.3) instead of re-running the MinHash pipelines and
-        // the text self-join per reference; all three are small
-        // pair/id frames
+        // inc/full/dupPairs each feed two downstream consumers; an
+        // r15 experiment materialized each with localCheckpoint and
+        // measured 3.07 s vs 2.42 s WITHOUT (A/B/A/B, same box): the
+        // checkpoint of a plan with exchanges materializes its AQE
+        // stages serially at construction, and on a 32-core local
+        // bench the duplicated subtrees recompute in parallel for
+        // free — the barriers cost more than the recompute saves. The
+        // MinHash kernel itself is materialized once inside
+        // minHashCandidates/bandKeysOf (lazy, exchange-free), which
+        // is where the per-reference recompute actually lived.
         val inc = Dedup.incrementalNearDupCandidates(docs, delta,
             "doc_id", "text", bands = 8, rowsPerBand = 4)
-          .localCheckpoint(false)
         val full = Dedup.minHashCandidates(docs.unionByName(delta),
             "doc_id", "text", bands = 8, rowsPerBand = 4)
           .filter(col("id1") < 0L)
-          .localCheckpoint(false)
         val matches = inc.exceptAll(full).unionAll(full.exceptAll(inc))
           .agg((count(lit(1)) === 0).as("matches_full_recompute"))
         val corpus = docs.unionByName(delta)
@@ -367,7 +369,6 @@ object DeltaQueries {
             col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
           .filter(col("id1") < 0L)
-          .localCheckpoint(false)
         val nDup = dupPairs.agg(count(lit(1)).as("n_new_dup_pairs"))
         val recall = dupPairs
           .join(inc.select(col("id1"), col("id2")), Seq("id1", "id2"), "left_anti")
