@@ -481,12 +481,33 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
-      (s, d) =>
-        lineitem(s, d).groupBy(col("l_returnflag"))
-          .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      (s, d) => {
+        // exact percentile via a VALUE HISTOGRAM first (r15): the
+        // direct percentile() aggregate is an ObjectHashAggregate
+        // that builds a boxed value→count OpenHashMap per (group ×
+        // function) over every row and ships the maps through the
+        // exchange; pre-aggregating (flag, value) counts is a
+        // codegen'd primitive HashAggregate with map-side partials,
+        // and percentile(value, p, count) over the distinct-value
+        // histogram is the identical weighted interpolation (Spark's
+        // frequency overload) on thousandths of the rows. Same
+        // result by construction — quantile math over (value, count)
+        // IS quantile math over the expanded multiset.
+        val li = lineitem(s, d)
+        val qtyH = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_quantity, 0.5, __n)"), 4).as("p50_qty"))
+        val priceH = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_extendedprice, 0.9, __n)"), 4).as("p90_price"),
+            round(expr("percentile(l_extendedprice, 0.99, __n)"), 4).as("p99_price"))
+        qtyH.join(priceH, "l_returnflag")
+          .select(col("l_returnflag"), col("p50_qty"),
+            col("p90_price"), col("p99_price"))
           .orderBy(col("l_returnflag"))
+      }
     },
 
     // ---- variance / stddev ---------------------------------------------

@@ -53,16 +53,131 @@ object Bpe {
     * batched ≡ sequential on a conflict-free corpus). Each round is
     * still ONE count job over the vocab-sized word basis.
     */
+  /** Vocab-size ceiling for driver-LOCAL training (see
+    * [[collectBasisIfSmall]]): at or below it the word basis collects
+    * once and the merge rounds run in driver memory; above it the
+    * distributed round loop runs unchanged. Conf-overridable
+    * (`spark.graft.bpe.localTrainMaxVocab`; 0 forces distributed —
+    * how the differential spec pins local ≡ distributed).
+    */
+  private val LocalTrainMaxVocabDefault = 1000000L
+
+  private def localTrainMaxVocab(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.bpe.localTrainMaxVocab")
+      .map(_.toLong).getOrElse(LocalTrainMaxVocabDefault)
+
+  /** The word-frequency basis, collected when it fits the local-train
+    * ceiling (`head(max+1)` — one job, bounded result), else None.
+    * The basis is vocab-bounded BY CONSTRUCTION (distinct words), the
+    * same bound every per-round `collect` of the distributed loop
+    * already relies on.
+    */
+  private def collectBasisIfSmall(words: DataFrame,
+      maxVocab: Long): Option[Array[(Array[String], Long)]] = {
+    if (maxVocab <= 0) return None
+    val lim = math.min(maxVocab, (Int.MaxValue - 2).toLong).toInt
+    val rows = words.head(lim + 1)
+    if (rows.length > lim) None
+    else Some(rows.map(r =>
+      (r.getSeq[String](0).toArray, r.getLong(1))))
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's StringType ordering
+    * (java.lang.String.compareTo is UTF-16-unit order and diverges on
+    * supplementary characters, so the local tie-breaks must not use
+    * it). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+    val y = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+    x.compareTo(y) < 0
+  }
+
+  /** Driver-local mirror of [[graft.plans.BpeMergeExpr]]'s greedy
+    * leftmost non-overlapping merge (differential-spec'd against the
+    * kernel via the local-≡-distributed training pin). */
+  private def mergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The adjacent-pair frequency table of a local basis — one entry
+    * per (l, r) with Σ word freq over every adjacent occurrence,
+    * identical to the distributed zip_with/groupBy round. */
+  private def localPairCounts(basis: Array[(Array[String], Long)])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    basis.foreach { case (syms, freq) =>
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + freq)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** Driver-local BPE training rounds — bit-identical decisions to the
+    * distributed loop (same candidate window `4B+16`, same
+    * (cnt DESC, l, r) order with UTF-8-byte string comparison, same
+    * conflict rule, same greedy merge application), minus the 2–3
+    * Spark jobs per round: with an 8-merge table that was ~16 jobs of
+    * pure scheduling overhead per training call at sf0.1, and the
+    * round-R re-application of R−1 chained kernels over the persisted
+    * basis. Runs only when the basis fits the local ceiling.
+    */
+  private def trainMergesLocal(basis0: Array[(Array[String], Long)],
+      nMerges: Int, batchSize: Int): Seq[Merge] = {
+    var basis = basis0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (out.size < nMerges) {
+      val want = math.min(batchSize, nMerges - out.size)
+      val top = localPairCounts(basis).toArray
+        .sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else if (l1 != l2) utf8Lt(l1, l2)
+          else utf8Lt(r1, r2)
+        }
+        .take(want * 4 + 16)
+      require(top.nonEmpty,
+        s"corpus exhausted after ${out.size} merges — every word is one symbol")
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val it = top.iterator
+      var accepted = 0
+      while (accepted < want && it.hasNext) {
+        val ((l, r), cnt) = it.next()
+        if (!used(l) && !used(r)) {
+          out += Merge(out.size + 1, l, r, cnt)
+          used += l; used += r; used += (l + r)
+          basis = basis.map { case (s, f) => (mergeLocal(s, l, r), f) }
+          accepted += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
       batchSize: Int = 1): Seq[Merge] = {
     require(nMerges >= 1, "nMerges must be positive")
     require(batchSize >= 1, "batchSize must be positive")
-    val words = docs
+    val wordsPlan = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"),
         col("freq"))
-      .persist()
+    collectBasisIfSmall(wordsPlan, localTrainMaxVocab(docs)) match {
+      case Some(basis) => return trainMergesLocal(basis, nMerges, batchSize)
+      case None => ()
+    }
+    val words = wordsPlan.persist()
     try {
       var cur: DataFrame = words
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -143,16 +258,69 @@ object Bpe {
     * measured scale path (a 30k-vocab training runs ~B× fewer of the
     * three-job rounds).
     */
+  /** Driver-local WordPiece rounds — the [[trainMergesLocal]]
+    * treatment with the likelihood-gain argmax: identical integer e12
+    * score (BigInt products, floor quotient — positives, so BigInt
+    * `/` truncation equals the distributed `div`), identical
+    * (score DESC, cnt DESC, l, r) order with UTF-8-byte tie-breaks,
+    * identical window and conflict rule.
+    */
+  private def trainWordPieceLocal(basis0: Array[(Array[String], Long)],
+      nMerges: Int, batchSize: Int): Seq[WpMerge] = {
+    val E12 = BigInt(1000000000000L)
+    var basis = basis0
+    val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+    while (out.size < nMerges) {
+      val want = math.min(batchSize, nMerges - out.size)
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      basis.foreach { case (syms, freq) =>
+        syms.foreach(s => symCnt.update(s, symCnt.getOrElse(s, 0L) + freq))
+      }
+      val top = localPairCounts(basis).toArray
+        .map { case ((l, r), cnt) =>
+          val score = (BigInt(cnt) * E12 /
+            (BigInt(symCnt(l)) * BigInt(symCnt(r)))).toLong
+          (l, r, cnt, score)
+        }
+        .sortWith { case ((l1, r1, c1, s1), (l2, r2, c2, s2)) =>
+          if (s1 != s2) s1 > s2
+          else if (c1 != c2) c1 > c2
+          else if (l1 != l2) utf8Lt(l1, l2)
+          else utf8Lt(r1, r2)
+        }
+        .take(want * 4 + 16)
+      require(top.nonEmpty,
+        s"corpus exhausted after ${out.size} merges — every word is one symbol")
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val it = top.iterator
+      var accepted = 0
+      while (accepted < want && it.hasNext) {
+        val (l, r, cnt, score) = it.next()
+        if (!used(l) && !used(r)) {
+          out += WpMerge(out.size + 1, l, r, cnt, score)
+          used += l; used += r; used += (l + r)
+          basis = basis.map { case (s, f) => (mergeLocal(s, l, r), f) }
+          accepted += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
   def trainWordPiece(docs: DataFrame, textCol: String,
       nMerges: Int, batchSize: Int = 1): Seq[WpMerge] = {
     require(nMerges >= 1, "nMerges must be positive")
     require(batchSize >= 1, "batchSize must be positive")
-    val words = docs
+    val wordsPlan = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"),
         col("freq"))
-      .persist()
+    collectBasisIfSmall(wordsPlan, localTrainMaxVocab(docs)) match {
+      case Some(basis) => return trainWordPieceLocal(basis, nMerges, batchSize)
+      case None => ()
+    }
+    val words = wordsPlan.persist()
     try {
       var cur: DataFrame = words
       val out = scala.collection.mutable.ArrayBuffer.empty[WpMerge]

@@ -177,4 +177,28 @@ class BpeSpec extends SparkSpec {
         s.getLong(3) == d.getLong(2), s"stats $s vs direct $d")
     }
   }
+
+  test("driver-local training ≡ distributed rounds (conf-forced) for BPE and WordPiece") {
+    // the r15 local-training fast path must make IDENTICAL decisions
+    // to the distributed round loop: same candidate window, same
+    // (cnt/score, l, r) ordering with UTF-8-byte tie-breaks, same
+    // conflict rule, same greedy merge kernel. Force the distributed
+    // path via the conf ceiling and compare on a corpus with ties,
+    // batching conflicts, and multi-byte tokens.
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("naïveté") ++
+      Seq.fill(9)("the") ++ Seq.fill(4)("東京都")).map(Tuple1(_)).toDF("text")
+    def forced[A](f: => A): A = {
+      spark.conf.set("spark.graft.bpe.localTrainMaxVocab", "0")
+      try f finally spark.conf.unset("spark.graft.bpe.localTrainMaxVocab")
+    }
+    for (b <- Seq(1, 3)) {
+      val localB = Bpe.trainMerges(docs, "text", nMerges = 6, batchSize = b)
+      val distB = forced(Bpe.trainMerges(docs, "text", nMerges = 6, batchSize = b))
+      assert(localB == distB, s"BPE local != distributed at batchSize=$b")
+      val localW = Bpe.trainWordPiece(docs, "text", nMerges = 6, batchSize = b)
+      val distW = forced(Bpe.trainWordPiece(docs, "text", nMerges = 6, batchSize = b))
+      assert(localW == distW, s"WordPiece local != distributed at batchSize=$b")
+    }
+  }
 }
