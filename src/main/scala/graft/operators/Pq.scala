@@ -82,9 +82,126 @@ object Pq {
     * residuals are exact integer differences; a float round-trip
     * would break the engine-exact oracle replay).
     */
+  /** Row ceiling for driver-LOCAL codebook training (the
+    * Bpe.localTrainMaxVocab pattern): at or below it the e6 corpus
+    * collects once and the seed + Lloyd rounds run in driver memory
+    * with bit-identical integer arithmetic; above it the distributed
+    * round loop runs unchanged (the 100-TB embedding corpus case).
+    * Conf-overridable (`spark.graft.pq.localTrainMaxRows`; 0 forces
+    * distributed — how the differential spec pins local ≡
+    * distributed). 200k × 64-dim e6 longs ≈ 100 MB of driver heap.
+    */
+  private val LocalTrainMaxRowsDefault = 200000L
+
+  private def localTrainMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.pq.localTrainMaxRows")
+      .map(_.toLong).getOrElse(LocalTrainMaxRowsDefault)
+
+  /** Driver-local mirror of one PQ assignment (PqEncodeExpr): per
+    * block, nearest centroid by squared L2 over e6 longs, strict-<
+    * tie-break to the smaller code. */
+  private def assignLocal(vec: Array[Long], flat: Array[Long],
+      m: Int, ksub: Int, subdim: Int, b: Int): Int = {
+    var best = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < ksub) {
+      var dist = 0L
+      var k = 0
+      while (k < subdim) {
+        val dlt = vec(b * subdim + k) - flat((b * ksub + c) * subdim + k)
+        dist += dlt * dlt
+        k += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-local seed + Lloyd rounds — bit-identical to the
+    * distributed loop: seed centroid (block, pmod(id, ksub), bpos) =
+    * Σv div count (Long `/` = Spark `div` truncation), assignment via
+    * the PqEncodeExpr distance/tie rule, empty Lloyd cluster keeps
+    * its prior centroid, empty SEED cell throws the same
+    * IllegalStateException. Replaces 2·(iters+1) aggregate-collect
+    * jobs per training call with one bounded collect.
+    */
+  private def trainLocal(rows: Array[(Long, Array[Long])], m: Int,
+      ksub: Int, subdim: Int, iters: Int): Array[Long] = {
+    val cells = m * ksub * subdim
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    def reset(): Unit = { java.util.Arrays.fill(sums, 0L); java.util.Arrays.fill(cnts, 0L) }
+    def fold(prev: Option[Array[Long]]): Array[Long] = {
+      val flat = new Array[Long](cells)
+      var i = 0
+      while (i < cells) {
+        if (cnts(i) > 0) flat(i) = sums(i) / cnts(i)
+        else prev match {
+          case Some(p) => flat(i) = p(i)
+          case None =>
+            val b = i / (ksub * subdim); val c = (i / subdim) % ksub
+            throw new IllegalStateException(
+              s"PQ seed bucket (block=$b, code=$c) is empty — corpus has " +
+                s"fewer than ksub=$ksub distinct id residues")
+        }
+        i += 1
+      }
+      flat
+    }
+    reset()
+    rows.foreach { case (id, vec) =>
+      val code = (((id % ksub) + ksub) % ksub).toInt
+      var b = 0
+      while (b < m) {
+        var j = 0
+        while (j < subdim) {
+          val idx = (b * ksub + code) * subdim + j
+          sums(idx) += vec(b * subdim + j); cnts(idx) += 1
+          j += 1
+        }
+        b += 1
+      }
+    }
+    var flat = fold(None)
+    for (_ <- 1 to iters) {
+      reset()
+      rows.foreach { case (_, vec) =>
+        var b = 0
+        while (b < m) {
+          val code = assignLocal(vec, flat, m, ksub, subdim, b)
+          var j = 0
+          while (j < subdim) {
+            val idx = (b * ksub + code) * subdim + j
+            sums(idx) += vec(b * subdim + j); cnts(idx) += 1
+            j += 1
+          }
+          b += 1
+        }
+      }
+      flat = fold(Some(flat))
+    }
+    flat
+  }
+
   def trainCodebookFromE6(corpusE6: DataFrame, m: Int, ksub: Int,
       iters: Int, idCol: String, vecE6Col: String): Codebook = {
     require(iters >= 0, "iters must be non-negative")
+    val maxRows = localTrainMaxRows(corpusE6)
+    if (maxRows > 0) {
+      val lim = math.min(maxRows, (Int.MaxValue - 2).toLong).toInt
+      val rows = corpusE6.select(col(idCol), col(vecE6Col)).head(lim + 1)
+      if (rows.length <= lim && rows.nonEmpty) {
+        val basis = rows.map(r =>
+          (r.getAs[Number](0).longValue(), r.getSeq[Long](1).toArray))
+        val d = basis(0)._2.length
+        require(d % m == 0, s"dim $d not divisible by m = $m")
+        return Codebook(m, ksub, d / m,
+          trainLocal(basis, m, ksub, d / m, iters))
+      }
+    }
     val dim = corpusE6.select(size(col(vecE6Col)).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m = $m")
     val subdim = dim / m

@@ -136,4 +136,26 @@ class PqSpec extends SparkSpec {
       s"expected a codes-only scan:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k, not sort:\n$plan")
   }
+
+  test("driver-local codebook training ≡ distributed Lloyd rounds (conf-forced)") {
+    // the r15 local-training fast path must produce the IDENTICAL
+    // codebook: same integer seed means (div truncation), same
+    // strict-< smaller-code tie rule, same empty-cluster fallback.
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 37 + j * 11) % 23).toDouble / 7.0 - 1.5).toSeq)
+    }.toDF("vec_id", "embedding")
+    def forced[A](f: => A): A = {
+      spark.conf.set("spark.graft.pq.localTrainMaxRows", "0")
+      try f finally spark.conf.unset("spark.graft.pq.localTrainMaxRows")
+    }
+    for (iters <- Seq(0, 1, 3)) {
+      val local = Pq.trainCodebookE6(vecs, m = 4, ksub = 4, iters = iters)
+      val dist = forced(Pq.trainCodebookE6(vecs, m = 4, ksub = 4, iters = iters))
+      assert(local.m == dist.m && local.ksub == dist.ksub &&
+        local.subdim == dist.subdim, s"shape mismatch at iters=$iters")
+      assert(local.flatE6.toSeq == dist.flatE6.toSeq,
+        s"codebook mismatch at iters=$iters")
+    }
+  }
 }
