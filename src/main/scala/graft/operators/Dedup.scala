@@ -702,7 +702,61 @@ object Dedup {
     * throws rather than silently returning labels that would keep
     * extra documents per cluster.
     */
+  /** Edge ceiling for driver-LOCAL connected components (the
+    * localTrainMaxVocab pattern): a pair graph at or below it
+    * collects once and labels resolve by union-find in driver memory
+    * — identical min-reachable-id semantics, none of the 4-6 Spark
+    * jobs per pointer-jumping round. Above it (a pathological pair
+    * explosion at crawl scale) the distributed loop runs unchanged.
+    * Conf: `spark.graft.cc.localMaxEdges`; 0 forces distributed (the
+    * differential spec's pin).
+    */
+  private val LocalCcMaxEdgesDefault = 5000000L
+
+  /** Driver-local min-id connected components over collected edges. */
+  private def ccLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // min-id representative: union toward the smaller root
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.map(id => (id, find(id))).toArray
+  }
+
   def nearDupKeeperLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val spark = pairs.sparkSession
+    val maxEdges = spark.conf.getOption("spark.graft.cc.localMaxEdges")
+      .map(_.toLong).getOrElse(LocalCcMaxEdgesDefault)
+    // LongType only: the local labels come back as longs, and a
+    // narrower id type would silently widen the output schema vs the
+    // distributed path
+    val longIds = Seq("id1", "id2").forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (maxEdges > 0 && longIds) {
+      val lim = math.min(maxEdges, (Int.MaxValue - 2).toLong).toInt
+      val rows = pairs.select(col("id1"), col("id2")).head(lim + 1)
+      if (rows.length <= lim) {
+        val labs = ccLocal(rows.map(r => (r.getLong(0), r.getLong(1))))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("lab",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val data = new java.util.ArrayList[org.apache.spark.sql.Row](labs.length)
+        labs.foreach { case (i, l) =>
+          data.add(org.apache.spark.sql.Row(i, l)) }
+        return spark.createDataFrame(data, schema)
+      }
+    }
     // the pair plan is typically an expensive self-join (candidate
     // generation): materialize it ONCE and symmetrize from the
     // checkpointed rows — referencing the raw plan from both union

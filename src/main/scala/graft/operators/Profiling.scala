@@ -272,8 +272,35 @@ object Profiling {
   /** Profile `cols` (numeric) of `df`: one output row per column with
     * (col_name, n_rows, n_null, n_distinct, min_e2, max_e2).
     */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame =
-    profileWith(df, cols, countDistinct(_), "n_distinct")
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // r15: one grouped pass PER COLUMN instead of a single agg with N
+    // countDistinct's — the latter plans an Expand that replicates
+    // every row N+1 times into a hash aggregate keyed by ALL N
+    // (normalized-double) columns plus gid, so the exchange carries
+    // the multiplied rows under wide null-padded keys. Per column,
+    // groupBy(value).count is a narrow codegen'd aggregate whose
+    // exchange carries only that column's distinct values; the
+    // profile row then folds the (value, count) histogram exactly:
+    // n_rows = Σcnt, n_null = Σcnt over the null group, n_distinct =
+    // non-null groups, min/max over distinct ≡ min/max over rows. The
+    // per-column frames union into ONE action (stages run
+    // concurrently), and each scan prunes to its single column — at
+    // 100 TB the N column-pruned parquet scans read the same bytes
+    // the one N-column scan did, without the N× Expand multiplication
+    // through the shuffle.
+    require(cols.nonEmpty, "no columns to profile")
+    cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum("__cnt"), lit(0L)).as("n_rows"),
+          sum(when(col("__v").isNull, col("__cnt")).otherwise(0L)).as("n_null"),
+          count(col("__v")).as("n_distinct"),
+          floor(min(col("__v")) * 100).cast("long").as("min_e2"),
+          floor(max(col("__v")) * 100).cast("long").as("max_e2"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_e2"), col("max_e2"))
+    }.reduce(_ unionByName _)
+  }
 
   /** The routine-run profile: identical shape to [[numericProfile]]
     * but distincts are HLL++ `approx_count_distinct(c, rsd)` — ONE

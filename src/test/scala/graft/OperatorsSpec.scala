@@ -358,6 +358,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet === (1L to 40L).toSet)
     assert(labels.values.toSet === Set(1L), s"all nodes label to component min: $labels")
+    // r15: the local union-find fast path ≡ the distributed
+    // pointer-jumping loop (conf-forced), on a multi-component graph
+    // with self-loops and shared minima
+    val multi = (Seq((7L, 3L), (3L, 9L), (20L, 21L), (21L, 20L),
+      (50L, 50L), (4L, 9L))).toDF("id1", "id2")
+    val local = Dedup.nearDupKeeperLabels(multi)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    val dist = try Dedup.nearDupKeeperLabels(multi)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    assert(local === dist, s"local $local vs distributed $dist")
   }
 
   test("ngramJaccardPairs: high-df tokens pruned before the self-join, rare-token pairs survive") {
