@@ -1463,6 +1463,12 @@ object Multimodal {
   def frameNearDupCandidates(media: DataFrame, frameBytes: Int = 16,
       maxFrameDf: Int = 64, thrPermille: Int = 500): DataFrame = {
     require(frameBytes >= 1 && maxFrameDf >= 2)
+    // frame digests materialized once (lazy localCheckpoint before
+    // the distinct — exchange-free projection, so no construction
+    // job): nf, the df cap, and both self-join legs reference this
+    // frame, and each reference re-ran the per-frame md5 HOF over
+    // every payload (guide §3.3); the identical distinct exchanges
+    // above the checkpoint collapse via runtime reuse
     val frames = media
       .select(col("media_id").as("id"),
         explode(expr(
@@ -1470,6 +1476,7 @@ object Multimodal {
              |  sequence(0, CAST(greatest((coalesce(meta.n_bytes, 0) + ${frameBytes - 1}) div $frameBytes, 1) AS INT) - 1),
              |  f -> md5(substring(payload, f * $frameBytes + 1, $frameBytes)))""".stripMargin))
           .as("fd"))
+      .localCheckpoint(false)
       .distinct()
     val nf = frames.groupBy("id").agg(count(lit(1)).as("n"))
     val keep = frames.groupBy("fd").agg(count(lit(1)).as("__df"))

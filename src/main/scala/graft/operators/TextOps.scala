@@ -422,6 +422,11 @@ object TextOps {
       // binary digests: internal join keys, half the bytes of md5 hex
       explode(array_distinct(transform(Dedup.shingles(col(textCol), n),
         s => unhex(md5(s))))).as("d"))
+      // materialized once (lazy localCheckpoint before the distinct —
+      // exchange-free projection): the size aggregate and both
+      // self-join legs reference this frame, and each would re-run
+      // the shingle/md5 HOF over the corpus (guide §3.3)
+      .localCheckpoint(false)
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
     // merge hint on both sides: identical exchanges → ReuseExchange
@@ -1302,6 +1307,53 @@ object TextOps {
       .unionByName(pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(sum("w").as("w"))
     val deg = edges.groupBy("u").agg(sum("w").as("wdeg"))
+    // driver-local iterations under an edge ceiling (the r15 local-
+    // rounds pattern: BPE / PQ / union-find): the rank table already
+    // COLLECTS at the end of the distributed path, so when the edge
+    // basis itself fits, running the damped-sum rounds locally saves
+    // iters join+aggregate stages with identical integer arithmetic
+    // (Long (r·w) div wdeg terms, commutative Long sums, same
+    // base/damp floor). Conf `spark.graft.textrank.localMaxEdges`
+    // (0 forces distributed — the differential pin); above the
+    // ceiling the distributed rounds run unchanged.
+    val localMax = docs.sparkSession.conf
+      .getOption("spark.graft.textrank.localMaxEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    if (localMax > 0) {
+      val lim = math.min(localMax, (Int.MaxValue - 2).toLong).toInt
+      val ewRows = edges.join(deg, "u")
+        .select(col("u"), col("v"), col("w"), col("wdeg")).head(lim + 1)
+      if (ewRows.length <= lim) {
+        val base = (100 - dampPct) * scale / 100
+        val es = ewRows.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        var ranks = scala.collection.mutable.HashMap.empty[String, Long]
+        es.foreach { case (u, _, _, _) => ranks.update(u, scale) }
+        for (_ <- 1 to iters) {
+          val next = scala.collection.mutable.HashMap.empty[String, Long]
+          es.foreach { case (u, v, w, wdeg) =>
+            // inner-join semantics: a u absent from the current rank
+            // table contributes nothing (cannot happen on the
+            // symmetrized graph, but the distributed rounds drop it)
+            ranks.get(u).foreach { ru =>
+              next.update(v, next.getOrElse(v, 0L) + (ru * w) / wdeg)
+            }
+          }
+          ranks = next.map { case (n, s) => n -> (base + (dampPct * s) / 100) }
+        }
+        require(ranks.size <= maxNodes,
+          s"rank table exceeds maxNodes=$maxNodes — raise it or pre-filter the vocab")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val data = new java.util.ArrayList[org.apache.spark.sql.Row](ranks.size)
+        ranks.foreach { case (n, s) =>
+          data.add(org.apache.spark.sql.Row(n, s)) }
+        return docs.sparkSession.createDataFrame(data, schema)
+      }
+    }
     val ew = edges.join(deg, "u").persist()
     try {
       val base = (100 - dampPct) * scale / 100

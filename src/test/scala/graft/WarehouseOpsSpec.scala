@@ -1029,6 +1029,22 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(ranks("b") > ranks("a") && ranks("b") > ranks("c"))
   }
 
+  test("textRank driver-local rounds ≡ distributed rounds (conf-forced)") {
+    // the r15 local-iteration fast path must reproduce the distributed
+    // integer fixpoint exactly (Long (r·w) div wdeg terms, same
+    // base/damp floors) — including a node chain where contribution
+    // order differs between the two executions
+    val docs = Seq((1L, "a b a b c d e"), (2L, "b c b c e a"),
+      (3L, "x y z x y"), (4L, "naïve café naïve")).toDF("doc_id", "text")
+    val local = graft.operators.TextOps.textRank(docs, "text", iters = 3)
+      .as[(String, Long)].collect().toMap
+    spark.conf.set("spark.graft.textrank.localMaxEdges", "0")
+    val dist = try graft.operators.TextOps.textRank(docs, "text", iters = 3)
+        .as[(String, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.textrank.localMaxEdges")
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
+
   // ---- minMatch-decoupled span dedup (q181, r10 verdict item 6) --------
 
   test("spanDedupStrip minMatch: spans straddling the threshold strip exactly") {
