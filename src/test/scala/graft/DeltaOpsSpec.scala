@@ -234,17 +234,25 @@ class DeltaOpsSpec extends SparkSpec {
       s"the quantized corpus must not shuffle:\n$p4")
   }
 
-  test("numericProfileApprox plans a single pass: no Expand, exact profile has one") {
+  test("numericProfileApprox plans a single pass: no Expand; exact profile has none either") {
     val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val cols9 = Seq("l_quantity", "l_discount")
     val approx = graft.operators.Profiling.numericProfileApprox(li, cols9)
     approx.collect()
     val pa = finalPlan(approx)
     assert(!pa.contains("Expand"), s"approx profile must not Expand the scan:\n$pa")
+    // exact profile: one narrow groupBy(value).count per column unioned
+    // into one action — no Expand replication of the scan (the r15
+    // histogram-per-column rewrite), and each branch's scan prunes to
+    // its single column
     val exact = graft.operators.Profiling.numericProfile(li, cols9)
     exact.collect()
-    assert(finalPlan(exact).contains("Expand"),
-      "exact profile shares the scan via Expand (the documented trade)")
+    val pe = finalPlan(exact)
+    assert(!pe.contains("Expand"),
+      s"exact profile must not Expand the scan (histogram-per-column):\n$pe")
+    assert(pe.contains("Union"), s"per-column branches union into one action:\n$pe")
+    assert(pe.contains("ReadSchema: struct<l_quantity:double>"),
+      s"each branch's scan must prune to its own column:\n$pe")
   }
 
   test("exactByContentPriority keeps the best (priority, id) per content, sort-free") {
