@@ -654,16 +654,36 @@ object Dedup {
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
       tPct: Int): DataFrame = {
     require(tPct >= 1 && tPct <= 100, "tPct in 1..100")
-    val toks = df.select(col(idCol).as("__id"),
-      explode(TextFunctions.tokenSet(col(textCol))).as("__tok"))
-    val dfreq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("__m"))
-    val ranked = toks.join(dfreq, "__tok").join(sizes, "__id")
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-          .orderBy(col("__df"), col("__tok"))))
-      .filter(col("__rn") <= col("__m") - expr(s"($tPct * __m + 99) div 100") + 1)
-      .select(col("__id"), col("__tok"), col("__m"))
+    // tokenize ONCE (r15, guide §3.3): the token-set frame feeds the df
+    // aggregate, the prefix selection and BOTH verify legs — inline,
+    // each reference re-tokenized the corpus (the executed q157 plan
+    // carried 24 parquet scans). (id, set) rows only — raw text never
+    // enters the checkpoint; recomputed per run, nothing persists.
+    val sets = df.select(col(idCol).as("__sid"),
+        TextFunctions.tokenSet(col(textCol)).as("__set"))
+      .localCheckpoint(false)
+    // the set size m is size(__set) — the separate per-doc count
+    // aggregate the exploded form needed is gone
+    val ex = sets.select(col("__sid").as("__id"), size(col("__set")).as("__m"),
+      explode(col("__set")).as("__tok"))
+    val dfreq = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // prefix selection WITHOUT the rank window (r15): per doc, sort its
+    // (df, tok) pairs and keep the first m − ceil(t·m) + 1. Tokens are
+    // per-doc DISTINCT, so (df, tok) is a total order within a doc and
+    // position-in-sort_array ≡ row_number over (df asc, tok asc) — one
+    // doc-keyed aggregate replaces the sizes aggregate + the window
+    // (two exchanges and a per-partition sort), and the per-doc state
+    // stays set-size-bounded exactly like the window's partition did.
+    // the prefix frame feeds BOTH legs of the candidate self-join; a
+    // lazy checkpoint runs the df join + prefix aggregate once instead
+    // of once per leg (prefix rows only — ~m/10 tokens per doc)
+    val ranked = ex.join(dfreq, "__tok")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
+      .select(col("__id"), size(col("__ord")).as("__m"),
+        explode(expr(s"slice(__ord, 1, CAST(size(__ord) - (($tPct * size(__ord) + 99) div 100) + 1 AS INT))")).as("__p"))
+      .select(col("__id"), col("__p.__tok").as("__tok"), col("__m"))
+      .localCheckpoint(false)
     // the LENGTH filter rides in the join condition (recall-preserving:
     // J >= t forces t*m1 <= m2 and t*m2 <= m1) — it prunes candidate
     // pairs inside the join groups before the distinct
@@ -673,17 +693,26 @@ object Dedup {
           col("b.__m") * tPct <= col("a.__m") * 100)
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
       .distinct()
-    val sets = df.select(col(idCol).as("__sid"),
-      TextFunctions.tokenSet(col(textCol)).as("__set"))
+    // j_e6 is computed ONCE per candidate pair (r15): inline, the
+    // Jaccard gate gets pushed into the verify join's condition and
+    // Catalyst evaluates array_intersect three times per pair (twice in
+    // the condition, once in the j_e6 projection) — the §4.4
+    // double-evaluation problem, JVM-expression flavor; the intersect
+    // IS the verify's cost. Projecting the scalar behind a lazy
+    // checkpoint pins one evaluation (intra-project subexpression
+    // elimination collapses the references), and the integer gate on
+    // j_e6 is EXACTLY the old inter·100 ≥ union·tPct gate:
+    // floor(inter·1e6/union) ≥ tPct·1e4 ⟺ inter·1e6 ≥ tPct·1e4·union
+    // for positive integers.
     cands
       .join(sets.select(col("__sid").as("id1"), col("__set").as("__s1")), "id1")
       .join(sets.select(col("__sid").as("id2"), col("__set").as("__s2")), "id2")
-      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("long"))
-      .withColumn("__union",
-        (size(col("__s1")) + size(col("__s2"))).cast("long") - col("__inter"))
-      .filter(col("__inter") * 100 >= col("__union") * tPct)
       .select(col("id1"), col("id2"),
-        expr("__inter * 1000000 div __union").as("j_e6"))
+        expr("(CAST(size(array_intersect(__s1, __s2)) AS BIGINT) * 1000000) div " +
+          "(CAST(size(__s1) + size(__s2) AS BIGINT) - CAST(size(array_intersect(__s1, __s2)) AS BIGINT))")
+          .as("j_e6"))
+      .localCheckpoint(false)
+      .filter(col("j_e6") >= tPct * 10000L)
   }
 
   /** Min-id connected-component labels over a verified-pair graph
