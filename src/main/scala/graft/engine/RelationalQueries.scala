@@ -482,27 +482,29 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) => {
-        // exact percentile via a VALUE HISTOGRAM first (r15): the
-        // direct percentile() aggregate is an ObjectHashAggregate
-        // that builds a boxed value→count OpenHashMap per (group ×
-        // function) over every row and ships the maps through the
-        // exchange; pre-aggregating (flag, value) counts is a
-        // codegen'd primitive HashAggregate with map-side partials,
-        // and percentile(value, p, count) over the distinct-value
-        // histogram is the identical weighted interpolation (Spark's
-        // frequency overload) on thousandths of the rows. Same
-        // result by construction — quantile math over (value, count)
-        // IS quantile math over the expanded multiset.
+        // exact percentile, histogram-first ONLY where the histogram
+        // collapses (r15 session-3 A/B): l_quantity has ~50 distinct
+        // values, so (flag, value) pre-aggregation is a codegen'd
+        // primitive HashAggregate and percentile(value, p, count) over
+        // the tiny histogram is the identical weighted interpolation
+        // (Spark's frequency overload). l_extendedprice is near-unique
+        // (583 k distinct / 600 k rows at sf0.1), so histogramming it
+        // first SHIPPED the whole column through an extra aggregate
+        // layer for nothing — measured 2.60 s vs 1.68 s for this form.
+        // Both price percentiles share ONE percentile(col, array(..))
+        // buffer instead of building the value map twice. Same result
+        // by construction (identical interpolation, hash-equal at
+        // sf0.1).
         val li = lineitem(s, d)
         val qtyH = li.groupBy(col("l_returnflag"), col("l_quantity"))
           .agg(count(lit(1)).as("__n"))
           .groupBy(col("l_returnflag"))
           .agg(round(expr("percentile(l_quantity, 0.5, __n)"), 4).as("p50_qty"))
-        val priceH = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-          .agg(count(lit(1)).as("__n"))
-          .groupBy(col("l_returnflag"))
-          .agg(round(expr("percentile(l_extendedprice, 0.9, __n)"), 4).as("p90_price"),
-            round(expr("percentile(l_extendedprice, 0.99, __n)"), 4).as("p99_price"))
+        val priceH = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.9, 0.99))").as("__pp"))
+          .select(col("l_returnflag"),
+            round(col("__pp").getItem(0), 4).as("p90_price"),
+            round(col("__pp").getItem(1), 4).as("p99_price"))
         qtyH.join(priceH, "l_returnflag")
           .select(col("l_returnflag"), col("p50_qty"),
             col("p90_price"), col("p99_price"))
