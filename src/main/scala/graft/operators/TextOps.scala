@@ -947,19 +947,39 @@ object TextOps {
       flagged: DataFrame, idCol: String, k: Int, minMatch: Int = 0): DataFrame = {
     val coveredPos = grams.join(flagged, "__dg")
       .select(col("__id"), explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__p"))
-    val keptPos =
-      if (minMatch <= k) coveredPos
-      else {
-        val w = Window.partitionBy("__id").orderBy("__p")
-        coveredPos.distinct()
-          .withColumn("__grp", col("__p") - row_number().over(w))
-          .withColumn("__len",
-            count(lit(1)).over(Window.partitionBy("__id", "__grp")))
-          .filter(col("__len") >= minMatch)
-          .select("__id", "__p")
-      }
-    val covered = keptPos
-      .groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
+    // r15: the minMatch run filter as ONE per-doc aggregate instead of
+    // distinct + two doc-partitioned windows (each an exchange + sort):
+    // covered positions collapse to a sorted distinct array (collect_set
+    // dedups, array_sort orders — the distinct and the orderBy of the
+    // old gaps-and-islands pass), and a single fold walks the array
+    // keeping only maximal consecutive runs of length ≥ minMatch —
+    // identical to grp = p − row_number(), count ≥ minMatch. Per-doc
+    // state stays covered-content-bounded exactly as the window
+    // partitions were.
+    val covered =
+      if (minMatch <= k)
+        coveredPos.groupBy("__id").agg(collect_set(col("__p")).as("__cov"))
+      else
+        coveredPos.groupBy("__id")
+          .agg(array_sort(collect_set(col("__p"))).as("__ps"))
+          .select(col("__id"), expr(
+            s"""aggregate(
+               |  __ps,
+               |  named_struct('res', CAST(array() AS ARRAY<INT>),
+               |               'run', CAST(array() AS ARRAY<INT>)),
+               |  (acc, x) -> CASE
+               |    WHEN size(acc.run) = 0 OR x = element_at(acc.run, -1) + 1
+               |      THEN named_struct('res', acc.res,
+               |                        'run', array_append(acc.run, x))
+               |    ELSE named_struct(
+               |      'res', CASE WHEN size(acc.run) >= $minMatch
+               |                  THEN concat(acc.res, acc.run)
+               |                  ELSE acc.res END,
+               |      'run', array(x)) END,
+               |  acc -> CASE WHEN size(acc.run) >= $minMatch
+               |              THEN concat(acc.res, acc.run)
+               |              ELSE acc.res END)""".stripMargin).as("__cov"))
+          .filter(size(col("__cov")) > 0)
     toks.join(covered, Seq("__id"), "left")
       .withColumn("__kept",
         when(col("__cov").isNull, col("__toks"))
