@@ -133,9 +133,17 @@ object TextOps {
     // IDENTICAL (oracle untouched) while the spill-bound merge join
     // sorts half the key bytes — measured on the 100× probe where
     // this join is the catalog's top cost
+    // the shingle-digest frame is referenced by the df aggregate, the
+    // size aggregate and the pair join legs — inline, each reference
+    // re-ran the per-shingle md5 HOF over the corpus; a lazy checkpoint
+    // (r15, guide §3.3) runs it once. (id, blocks, d) rows only.
+    // containmentPairsFromStore does NOT get this treatment: its input
+    // is the bucketed store whose exchange-free sort-merge joins a
+    // checkpoint would destroy.
     val allSh = docs.select(col(idCol).as("id") +: blockCols.map(col) :+
       explode(array_distinct(
         transform(Dedup.shingles(col(textCol), n), s => unhex(md5(s))))).as("d"): _*)
+      .localCheckpoint(false)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     containmentFromShingles(allSh, nDocs, blockCols, maxDfFraction, maxDf, minContainment)
   }
