@@ -124,16 +124,25 @@ object RelationalQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, d) =>
         import graft.functions.MoneyFunctions.{discountedNet, decimalEdgeE4}
-        val c = broadcast(customer(s, d))
+        // r15: pre-aggregate lineitem per order BEFORE the join (guide
+        // §2.3 "aggregate before you shuffle"). o_orderkey is unique in
+        // orders (TPC-H key; q153 pins the expectation), so after the
+        // per-order roll-up every joined row is one distinct order:
+        // count(1) ≡ countDistinct(o_orderkey) — the distinct-aggregate
+        // Expand over the full joined fact table disappears — and the
+        // decimal sum re-associates exactly (DECIMAL arithmetic is
+        // order-free, unlike q03's double sum, which stays untouched
+        // for exactly that reason).
+        val c = customer(s, d)
         val o = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
-        val l = lineitem(s, d)
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("l_orderkey") === col("o_orderkey"))
+        val lagg = lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(sum(discountedNet(col("l_extendedprice"), col("l_discount"))).as("__net"))
+        o.join(lagg, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            decimalEdgeE4(sum(discountedNet(col("l_extendedprice"), col("l_discount"))))
-              .as("revenue_exact"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            decimalEdgeE4(sum(col("__net"))).as("revenue_exact"),
+            count(lit(1)).as("n_orders"))
           .orderBy(col("c_mktsegment"))
     },
 
