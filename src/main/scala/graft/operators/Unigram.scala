@@ -55,11 +55,13 @@ object Unigram {
       maxCandidates: Int = 1 << 20): DataFrame = {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
-    val words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .filter(length(col("word")) <= maxWordLen)
-      .persist()
+    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
+        localMaxWords(docs)) match {
+      case Some(ws) => return pruneVocabLocal(docs.sparkSession, ws,
+        minPieceCount, minUtility, maxPieceLen, maxCandidates)
+      case None => ()
+    }
+    val words = emWordsPlan(docs, textCol, maxWordLen).persist()
     try {
       val subs = (2 to maxPieceLen).map { l =>
         words.filter(length(col("word")) >= l)
@@ -104,16 +106,158 @@ object Unigram {
     * `maxCandidates` limit+require guard, run `f` over (words, seed),
     * and always unpersist the basis.
     */
+  /** The persisted word-frequency basis every unigram trainer reduces
+    * the corpus to — one definition so the LOCAL probe collects exactly
+    * the frame the distributed loop aggregates.
+    */
+  private def emWordsPlan(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+
+  /** Word-count ceiling for driver-LOCAL EM/prune rounds (the
+    * bpe.localTrainMaxVocab pattern): a word basis at or below it
+    * collects once (`head(max+1)` — one bounded job) and every
+    * training round runs in driver memory calling the SAME native
+    * segmentation kernels ([[graft.plans.ViterbiPiecesExpr]]/
+    * [[graft.plans.GreedyPiecesExpr]] `compute`), so segmentation
+    * cannot diverge by construction; costs mirror Spark's expression
+    * bit-for-bit (StrictMath.log — Spark's Log implementation — then
+    * Math.floor). Above the ceiling (corpus vocabularies beyond
+    * driver memory) the distributed round loop runs unchanged. Conf:
+    * `spark.graft.unigram.localMaxWords`; 0 forces distributed (the
+    * differential spec's pin).
+    */
+  private val LocalMaxWordsDefault = 1000000L
+
+  private def localMaxWords(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.unigram.localMaxWords")
+      .map(_.toLong).getOrElse(LocalMaxWordsDefault)
+
+  private def collectWordsIfSmall(words: DataFrame,
+      max: Long): Option[Array[(String, Long)]] = {
+    if (max <= 0) return None
+    val lim = math.min(max, (Int.MaxValue - 2).toLong).toInt
+    val rows = words.head(lim + 1)
+    if (rows.length > lim) None
+    else Some(rows.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  /** UTF-16 offsets of each code point — the driver mirror of the
+    * code-point arithmetic Spark's `substring`/`length` (and both
+    * kernels) use. */
+  private def cpOffsets(w: String): Array[Int] = {
+    val n = w.codePointCount(0, w.length)
+    val offs = new Array[Int](n + 1)
+    var k = 0
+    var o = 0
+    while (k < n) { offs(k) = o; o = w.offsetByCodePoints(o, 1); k += 1 }
+    offs(n) = w.length
+    offs
+  }
+
+  /** Frequency-weighted substring counts for piece lengths
+    * `minLen..maxPieceLen` — the driver mirror of the `subs`/`cand`
+    * aggregates (every position counts, exactly like the
+    * transform-over-sequence explode). */
+  private def localPieceCounts(ws: Array[(String, Long)], minLen: Int,
+      maxPieceLen: Int): scala.collection.mutable.LinkedHashMap[String, Long] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    ws.foreach { case (w, f) =>
+      val offs = cpOffsets(w)
+      val n = offs.length - 1
+      var l = minLen
+      while (l <= math.min(maxPieceLen, n)) {
+        var i = 0
+        while (i + l <= n) {
+          val p = w.substring(offs(i), offs(i + l))
+          m.update(p, m.getOrElse(p, 0L) + f)
+          i += 1
+        }
+        l += 1
+      }
+    }
+    m
+  }
+
+  /** Driver mirror of [[costsOf]]: floor(−ln(cnt/total)·10⁶) with the
+    * identical IEEE ops (double casts, StrictMath.log — what Spark's
+    * Log expression calls — Math.floor, long cast). */
+  private def costsOfLocal(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.map(_._2).sum
+    counts.map { case (p, c) =>
+      p -> math.floor(-StrictMath.log(c.toDouble / total.toDouble) * 1000000.0).toLong
+    }.toMap
+  }
+
+  /** Driver E-step over the collected basis — calls the SAME kernel
+    * instance the distributed pass codegens ([[graft.plans.ViterbiPiecesExpr]]
+    * `compute`), so segmentation is identical by construction. */
+  private def viterbiUsageLocal(ws: Array[(String, Long)], vocab: Seq[String],
+      cm: Map[String, Long], maxPieceLen: Int): Map[String, Long] = {
+    val kernel = graft.plans.ViterbiPiecesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("",
+        org.apache.spark.sql.types.StringType),
+      vocab, vocab.map(cm), maxPieceLen, UnkCostE6)
+    val usage = scala.collection.mutable.HashMap.empty[String, Long]
+    ws.foreach { case (w, f) =>
+      val arr = kernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      var i = 0
+      while (i < arr.numElements()) {
+        val p = arr.getUTF8String(i).toString
+        usage.update(p, usage.getOrElse(p, 0L) + f)
+        i += 1
+      }
+    }
+    usage.toMap
+  }
+
+  /** Driver-local [[pruneVocab]] (same candidate arithmetic, same
+    * greedy kernel, same filters). */
+  private def pruneVocabLocal(spark: org.apache.spark.sql.SparkSession,
+      ws: Array[(String, Long)], minPieceCount: Long, minUtility: Long,
+      maxPieceLen: Int, maxCandidates: Int): DataFrame = {
+    val cand = localPieceCounts(ws, 2, maxPieceLen)
+      .filter { case (_, cp) => cp >= minPieceCount }
+    require(cand.size <= maxCandidates,
+      s"candidate set exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+    val kernel = graft.plans.GreedyPiecesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("",
+        org.apache.spark.sql.types.StringType),
+      cand.keys.toSeq, maxPieceLen)
+    val usage = scala.collection.mutable.HashMap.empty[String, Long]
+    ws.foreach { case (w, f) =>
+      val arr = kernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      var i = 0
+      while (i < arr.numElements()) {
+        val p = arr.getUTF8String(i).toString
+        usage.update(p, usage.getOrElse(p, 0L) + f)
+        i += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("piece",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cp",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("utility",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = cand.iterator.flatMap { case (p, cp) =>
+      usage.get(p).filter(_ >= minUtility).map(u =>
+        org.apache.spark.sql.Row(p, cp, u))
+    }.toSeq
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private def withEmBasis[T](docs: DataFrame, textCol: String,
       minPieceCount: Long, maxPieceLen: Int, maxWordLen: Int,
       maxCandidates: Int)(f: (DataFrame, Array[(String, Long)]) => T): T = {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
-    val words = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .filter(length(col("word")) <= maxWordLen)
-      .persist()
+    val words = emWordsPlan(docs, textCol, maxWordLen).persist()
     try {
       val subs = (1 to maxPieceLen).map { l =>
         words.filter(length(col("word")) >= l)
@@ -192,32 +336,65 @@ object Unigram {
     * rounds never touch corpus text. Costs/counts are vocab-sized and
     * collected under the `maxCandidates` limit+require guard.
     */
+  /** The EM seed over a COLLECTED basis — driver mirror of
+    * [[withEmBasis]]'s cand aggregate (single chars exempt from the
+    * count floor, same maxCandidates guard). */
+  private def emSeedLocal(ws: Array[(String, Long)], minPieceCount: Long,
+      maxPieceLen: Int, maxCandidates: Int): Array[(String, Long)] = {
+    val seed = localPieceCounts(ws, 1, maxPieceLen).iterator.filter {
+      case (p, cp) => p.codePointCount(0, p.length) == 1 || cp >= minPieceCount
+    }.toArray
+    require(seed.length <= maxCandidates,
+      s"vocab exceeds maxCandidates=$maxCandidates — raise minPieceCount")
+    seed
+  }
+
+  /** The shared fixed-vocab EM round loop: `usageFn(vocab, counts)` is
+    * one E-step (distributed kernel pass or driver-local kernel loop —
+    * the SAME per-word kernel either way). */
+  private def emRounds(spark: org.apache.spark.sql.SparkSession,
+      seed: Array[(String, Long)], rounds: Int,
+      usageFn: (Seq[String], Seq[(String, Long)]) => Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val vocab = seed.map(_._1).toSeq.sorted
+    var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
+    val roundUsage = (1 to rounds).map { _ =>
+      val usage = usageFn(vocab, counts)
+      val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
+      counts = smoothed
+      smoothed.toMap
+    }
+    val outSchema = StructType(
+      StructField("piece", StringType, nullable = false) +:
+      StructField("cp", LongType, nullable = false) +:
+      (1 to rounds).map(r => StructField(s"u$r", LongType, nullable = false)))
+    val cp0 = seed.toMap
+    val rows = vocab.map { p =>
+      org.apache.spark.sql.Row.fromSeq(
+        p +: cp0(p) +: roundUsage.map(_.apply(p)))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+  }
+
   def emTrain(docs: DataFrame, textCol: String, rounds: Int,
       minPieceCount: Long = 50L, maxPieceLen: Int = 4, maxWordLen: Int = 16,
       maxCandidates: Int = 1 << 20): DataFrame = {
     require(rounds >= 1, "need at least one EM round")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
-        maxCandidates) { (words, seed) =>
-      val vocab = seed.map(_._1).toSeq.sorted
-      var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
-      val roundUsage = (1 to rounds).map { _ =>
-        val usage = viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen)
-        val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
-        counts = smoothed
-        smoothed.toMap
-      }
-      val outSchema = StructType(
-        StructField("piece", StringType, nullable = false) +:
-        StructField("cp", LongType, nullable = false) +:
-        (1 to rounds).map(r => StructField(s"u$r", LongType, nullable = false)))
-      val cp0 = seed.toMap
-      val rows = vocab.map { p =>
-        org.apache.spark.sql.Row.fromSeq(
-          p +: cp0(p) +: roundUsage.map(_.apply(p)))
-      }
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
+        localMaxWords(docs)) match {
+      case Some(ws) =>
+        val seed = emSeedLocal(ws, minPieceCount, maxPieceLen, maxCandidates)
+        emRounds(spark, seed, rounds, (vocab, counts) =>
+          viterbiUsageLocal(ws, vocab, costsOfLocal(counts), maxPieceLen))
+      case None =>
+        withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+            maxCandidates) { (words, seed) =>
+          emRounds(spark, seed, rounds, (vocab, counts) =>
+            viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen))
+        }
     }
   }
 
@@ -236,27 +413,46 @@ object Unigram {
     * once; each round is one kernel pass + vocab-sized round-trips
     * (strictly shrinking after round 1).
     */
+  /** The shared shrinking-vocab train-prune loop (see [[emRounds]] for
+    * the usageFn contract). */
+  private def emPrunedRounds(spark: org.apache.spark.sql.SparkSession,
+      seed: Array[(String, Long)], rounds: Int, keepTop: Int,
+      usageFn: (Seq[String], Seq[(String, Long)]) => Map[String, Long]): DataFrame = {
+    def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
+    for (_ <- 1 to rounds) {
+      val vocab = counts.map(_._1)
+      val usage = usageFn(vocab, counts)
+      val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
+      val (chars, multi) = smoothed.partition(c => isChar(c._1))
+      val kept = chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepTop)
+      counts = kept.sortBy(_._1)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(counts.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2)): _*), CountSchema)
+  }
+
   def emTrainPruned(docs: DataFrame, textCol: String, rounds: Int,
       keepTop: Int, minPieceCount: Long = 50L, maxPieceLen: Int = 4,
       maxWordLen: Int = 16, maxCandidates: Int = 1 << 20): DataFrame = {
     require(rounds >= 1, "need at least one EM round")
     require(keepTop >= 1, "keepTop must be positive")
+    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
+      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
-    withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
-        maxCandidates) { (words, seed) =>
-      def isChar(p: String): Boolean = p.codePointCount(0, p.length) == 1
-      var counts: Seq[(String, Long)] = seed.toSeq.sortBy(_._1)
-      for (_ <- 1 to rounds) {
-        val vocab = counts.map(_._1)
-        val usage = viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen)
-        val smoothed = vocab.map(p => p -> (usage.getOrElse(p, 0L) + 1L))
-        val (chars, multi) = smoothed.partition(c => isChar(c._1))
-        val kept = chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepTop)
-        counts = kept.sortBy(_._1)
-      }
-      spark.createDataFrame(
-        java.util.Arrays.asList(counts.map(c =>
-          org.apache.spark.sql.Row(c._1, c._2)): _*), CountSchema)
+    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
+        localMaxWords(docs)) match {
+      case Some(ws) =>
+        val seed = emSeedLocal(ws, minPieceCount, maxPieceLen, maxCandidates)
+        emPrunedRounds(spark, seed, rounds, keepTop, (vocab, counts) =>
+          viterbiUsageLocal(ws, vocab, costsOfLocal(counts), maxPieceLen))
+      case None =>
+        withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+            maxCandidates) { (words, seed) =>
+          emPrunedRounds(spark, seed, rounds, keepTop, (vocab, counts) =>
+            viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen))
+        }
     }
   }
 }

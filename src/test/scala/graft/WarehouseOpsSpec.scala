@@ -578,6 +578,39 @@ class WarehouseOpsSpec extends SparkSpec {
       s"chars must absorb the pruned pieces' usage in round 2: $out")
   }
 
+  test("driver-local unigram training ≡ distributed rounds (conf-forced)") {
+    // the r15 local fast path must make IDENTICAL decisions to the
+    // distributed loop: same substring candidate arithmetic, same
+    // StrictMath.log costs, the SAME Viterbi/greedy kernels per word.
+    // Force the distributed path via the conf ceiling and compare on a
+    // corpus with repeats, ties and multi-byte tokens.
+    val docs = (Seq.fill(6)("abab abab ab cdcd") ++ Seq.fill(3)("naïveté ab") ++
+      Seq.fill(4)("東京都 cdcd abab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def forced[A](f: => A): A = {
+      spark.conf.set("spark.graft.unigram.localMaxWords", "0")
+      try f finally spark.conf.unset("spark.graft.unigram.localMaxWords")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("piece").collect().toSeq.map(_.toSeq)
+    val U = graft.operators.Unigram
+    assert(rows(U.pruneVocab(docs, "text", minPieceCount = 3L,
+        minUtility = 3L, maxPieceLen = 3, maxWordLen = 8)) ==
+      rows(forced(U.pruneVocab(docs, "text", minPieceCount = 3L,
+        minUtility = 3L, maxPieceLen = 3, maxWordLen = 8))),
+      "pruneVocab local != distributed")
+    assert(rows(U.emTrain(docs, "text", rounds = 2, minPieceCount = 3L,
+        maxPieceLen = 3, maxWordLen = 8)) ==
+      rows(forced(U.emTrain(docs, "text", rounds = 2, minPieceCount = 3L,
+        maxPieceLen = 3, maxWordLen = 8))),
+      "emTrain local != distributed")
+    assert(rows(U.emTrainPruned(docs, "text", rounds = 2, keepTop = 2,
+        minPieceCount = 3L, maxPieceLen = 3, maxWordLen = 8)) ==
+      rows(forced(U.emTrainPruned(docs, "text", rounds = 2, keepTop = 2,
+        minPieceCount = 3L, maxPieceLen = 3, maxWordLen = 8))),
+      "emTrainPruned local != distributed")
+  }
+
   // ---- score reweighting (q152) --------------------------------------
 
   test("scoreReweight: proportional allocs, remainder to top scorers, zero stays zero") {
