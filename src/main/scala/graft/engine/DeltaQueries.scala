@@ -358,8 +358,18 @@ object DeltaQueries {
         val full = Dedup.minHashCandidates(docs.unionByName(delta),
             "doc_id", "text", bands = 8, rowsPerBand = 4)
           .filter(col("id1") < 0L)
-        val matches = inc.exceptAll(full).unionAll(full.exceptAll(inc))
-          .agg((count(lit(1)) === 0).as("matches_full_recompute"))
+        // multiset equality via ONE signed-union aggregate (r15): the
+        // symmetric exceptAll pair planned four aggregate/replicate
+        // passes over inc and full; summing +1/−1 tags per distinct
+        // row and requiring every sum = 0 is the same predicate
+        // (A ≡ B as multisets ⟺ all signed counts cancel) in a single
+        // exchange over both sides
+        val matches = inc
+          .select(col("id1"), col("id2"), col("n_shared_bands"), lit(1L).as("__s"))
+          .unionByName(full
+            .select(col("id1"), col("id2"), col("n_shared_bands"), lit(-1L).as("__s")))
+          .groupBy("id1", "id2", "n_shared_bands").agg(sum("__s").as("__d"))
+          .agg((count(when(col("__d") =!= 0L, 1)) === 0).as("matches_full_recompute"))
         val corpus = docs.unionByName(delta)
         val smallGroups = corpus.groupBy(col("text"))
           .agg(count(lit(1)).as("n")).filter(col("n").between(2, 8))
