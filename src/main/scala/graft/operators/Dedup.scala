@@ -662,9 +662,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("__sid"),
         TextFunctions.tokenSet(col(textCol)).as("__set"))
       .localCheckpoint(false)
-    // the set size m is size(__set) — the separate per-doc count
-    // aggregate the exploded form needed is gone
-    val ex = sets.select(col("__sid").as("__id"), size(col("__set")).as("__m"),
+    val ex = sets.select(col("__sid").as("__id"),
       explode(col("__set")).as("__tok"))
     val dfreq = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // prefix selection WITHOUT the rank window (r15): per doc, sort its
@@ -680,8 +678,11 @@ object Dedup {
     val ranked = ex.join(dfreq, "__tok")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-      .select(col("__id"), size(col("__ord")).as("__m"),
-        explode(expr(s"slice(__ord, 1, CAST(size(__ord) - (($tPct * size(__ord) + 99) div 100) + 1 AS INT))")).as("__p"))
+      // m rides as LONG (the old count-aggregate's type), so the
+      // m·tPct length gates below cannot overflow 32 bits on a
+      // degenerate many-token document
+      .select(col("__id"), size(col("__ord")).cast("long").as("__m"),
+        explode(expr(s"slice(__ord, 1, CAST(CAST(size(__ord) AS BIGINT) - (($tPct * CAST(size(__ord) AS BIGINT) + 99) div 100) + 1 AS INT))")).as("__p"))
       .select(col("__id"), col("__p.__tok").as("__tok"), col("__m"))
       .localCheckpoint(false)
     // the LENGTH filter rides in the join condition (recall-preserving:

@@ -55,13 +55,19 @@ object Unigram {
       maxCandidates: Int = 1 << 20): DataFrame = {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
-    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
-        localMaxWords(docs)) match {
-      case Some(ws) => return pruneVocabLocal(docs.sparkSession, ws,
-        minPieceCount, minUtility, maxPieceLen, maxCandidates)
+    // persist BEFORE the local-ceiling probe so the probe's head job
+    // and the distributed fallback share one corpus pass (the probe's
+    // shuffle output is reused either way; a discarded probe plan
+    // would tokenize the corpus twice exactly on the huge-vocab
+    // corpora the fallback exists for)
+    val words = emWordsPlan(docs, textCol, maxWordLen).persist()
+    collectWordsIfSmall(words, localMaxWords(docs)) match {
+      case Some(ws) =>
+        words.unpersist()
+        return pruneVocabLocal(docs.sparkSession, ws,
+          minPieceCount, minUtility, maxPieceLen, maxCandidates)
       case None => ()
     }
-    val words = emWordsPlan(docs, textCol, maxWordLen).persist()
     try {
       val subs = (2 to maxPieceLen).map { l =>
         words.filter(length(col("word")) >= l)
@@ -191,6 +197,25 @@ object Unigram {
     }.toMap
   }
 
+  /** Frequency-weighted piece usage of one segmentation kernel over
+    * the collected basis — the one accumulation loop both local
+    * E-steps share. */
+  private def kernelUsage(ws: Array[(String, Long)],
+      segment: org.apache.spark.unsafe.types.UTF8String =>
+        org.apache.spark.sql.catalyst.util.ArrayData): Map[String, Long] = {
+    val usage = scala.collection.mutable.HashMap.empty[String, Long]
+    ws.foreach { case (w, f) =>
+      val arr = segment(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      var i = 0
+      while (i < arr.numElements()) {
+        val p = arr.getUTF8String(i).toString
+        usage.update(p, usage.getOrElse(p, 0L) + f)
+        i += 1
+      }
+    }
+    usage.toMap
+  }
+
   /** Driver E-step over the collected basis — calls the SAME kernel
     * instance the distributed pass codegens ([[graft.plans.ViterbiPiecesExpr]]
     * `compute`), so segmentation is identical by construction. */
@@ -200,18 +225,7 @@ object Unigram {
       org.apache.spark.sql.catalyst.expressions.Literal.create("",
         org.apache.spark.sql.types.StringType),
       vocab, vocab.map(cm), maxPieceLen, UnkCostE6)
-    val usage = scala.collection.mutable.HashMap.empty[String, Long]
-    ws.foreach { case (w, f) =>
-      val arr = kernel.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(w))
-      var i = 0
-      while (i < arr.numElements()) {
-        val p = arr.getUTF8String(i).toString
-        usage.update(p, usage.getOrElse(p, 0L) + f)
-        i += 1
-      }
-    }
-    usage.toMap
+    kernelUsage(ws, kernel.compute)
   }
 
   /** Driver-local [[pruneVocab]] (same candidate arithmetic, same
@@ -227,17 +241,7 @@ object Unigram {
       org.apache.spark.sql.catalyst.expressions.Literal.create("",
         org.apache.spark.sql.types.StringType),
       cand.keys.toSeq, maxPieceLen)
-    val usage = scala.collection.mutable.HashMap.empty[String, Long]
-    ws.foreach { case (w, f) =>
-      val arr = kernel.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(w))
-      var i = 0
-      while (i < arr.numElements()) {
-        val p = arr.getUTF8String(i).toString
-        usage.update(p, usage.getOrElse(p, 0L) + f)
-        i += 1
-      }
-    }
+    val usage = kernelUsage(ws, kernel.compute)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("piece",
         org.apache.spark.sql.types.StringType, nullable = false),
@@ -252,12 +256,9 @@ object Unigram {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  private def withEmBasis[T](docs: DataFrame, textCol: String,
-      minPieceCount: Long, maxPieceLen: Int, maxWordLen: Int,
+  private def withEmBasis[T](words: DataFrame,
+      minPieceCount: Long, maxPieceLen: Int,
       maxCandidates: Int)(f: (DataFrame, Array[(String, Long)]) => T): T = {
-    require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
-      "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
-    val words = emWordsPlan(docs, textCol, maxWordLen).persist()
     try {
       val subs = (1 to maxPieceLen).map { l =>
         words.filter(length(col("word")) >= l)
@@ -383,14 +384,17 @@ object Unigram {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
-    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
-        localMaxWords(docs)) match {
+    // persist before the probe: the probe's head job and the
+    // distributed fallback share one corpus pass (see pruneVocab)
+    val wordsDf = emWordsPlan(docs, textCol, maxWordLen).persist()
+    collectWordsIfSmall(wordsDf, localMaxWords(docs)) match {
       case Some(ws) =>
+        wordsDf.unpersist()
         val seed = emSeedLocal(ws, minPieceCount, maxPieceLen, maxCandidates)
         emRounds(spark, seed, rounds, (vocab, counts) =>
           viterbiUsageLocal(ws, vocab, costsOfLocal(counts), maxPieceLen))
       case None =>
-        withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+        withEmBasis(wordsDf, minPieceCount, maxPieceLen,
             maxCandidates) { (words, seed) =>
           emRounds(spark, seed, rounds, (vocab, counts) =>
             viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen))
@@ -441,14 +445,15 @@ object Unigram {
     require(maxPieceLen >= 2 && maxWordLen >= maxPieceLen,
       "need maxPieceLen >= 2 and maxWordLen >= maxPieceLen")
     val spark = docs.sparkSession
-    collectWordsIfSmall(emWordsPlan(docs, textCol, maxWordLen),
-        localMaxWords(docs)) match {
+    val wordsDf = emWordsPlan(docs, textCol, maxWordLen).persist()
+    collectWordsIfSmall(wordsDf, localMaxWords(docs)) match {
       case Some(ws) =>
+        wordsDf.unpersist()
         val seed = emSeedLocal(ws, minPieceCount, maxPieceLen, maxCandidates)
         emPrunedRounds(spark, seed, rounds, keepTop, (vocab, counts) =>
           viterbiUsageLocal(ws, vocab, costsOfLocal(counts), maxPieceLen))
       case None =>
-        withEmBasis(docs, textCol, minPieceCount, maxPieceLen, maxWordLen,
+        withEmBasis(wordsDf, minPieceCount, maxPieceLen,
             maxCandidates) { (words, seed) =>
           emPrunedRounds(spark, seed, rounds, keepTop, (vocab, counts) =>
             viterbiUsage(words, vocab, costsOf(spark, counts), maxPieceLen))
