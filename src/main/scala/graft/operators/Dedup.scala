@@ -352,6 +352,41 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.plans.TokenShinglesExpr.token_shingles(text, n)
 
+  /** All ordered pairs `struct(a, b)` with a < b from a pre-sorted
+    * array column — the group-local pair expansion that replaces a
+    * digest SELF-JOIN wherever per-digest membership is bounded (a df
+    * cap, or a #groups-bounded key like source): one hash aggregate
+    * collecting the member set yields the identical pair multiset the
+    * a.d = b.d AND a.id < b.id join streams, without the df-cap join
+    * back or the two sort legs. Callers must pre-filter size >= 2
+    * (`sequence(2, 1)` would DESCEND) and must NOT use this where a
+    * group can grow unbounded — the pair array for one group
+    * materializes in memory (size²/2 structs), so a 2500-cap group is
+    * the self-join's job, an 8- or 64-cap group is this one's.
+    */
+  private[graft] def sortedPairs(arr: String): Column = expr(
+    s"""flatten(transform(sequence(2, size($arr)),
+       |  j -> transform(slice($arr, 1, j - 1),
+       |    x -> struct(x AS a, element_at($arr, j) AS b))))""".stripMargin)
+
+  /** Shared-key pair counting via [[sortedPairs]]: for each `keyCol`
+    * group whose DISTINCT `idCol` membership has 2..`maxDf` members,
+    * emit every (a, b) with a < b, then count shared keys per pair —
+    * `(a, b, n_shared)`. Output-identical to the classic
+    * distinct → df-cap join → self-join → count shape (collect_set is
+    * the distinct, its size is the df count), in one hash exchange by
+    * key plus the unavoidable pair exchange. The `sortedPairs` caveat
+    * applies: only for bounded `maxDf`.
+    */
+  private[graft] def pairCounts(rows: DataFrame, keyCol: String,
+      idCol: String, maxDf: Int): DataFrame =
+    rows.groupBy(keyCol)
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxDf))
+      .select(explode(sortedPairs("__ids")).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Higher-order-function shingles — the differential oracle for the
     * native kernel, built on `tokensHof` (NOT the native `TokensExpr`)
     * so the oracle is fully independent of the kernels it checks: a

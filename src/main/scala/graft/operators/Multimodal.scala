@@ -1465,7 +1465,7 @@ object Multimodal {
     require(frameBytes >= 1 && maxFrameDf >= 2)
     // frame digests materialized once (lazy localCheckpoint before
     // the distinct — exchange-free projection, so no construction
-    // job): nf, the df cap, and both self-join legs reference this
+    // job): nf and the per-digest set aggregate both reference this
     // frame, and each reference re-ran the per-frame md5 HOF over
     // every payload (guide §3.3); the identical distinct exchanges
     // above the checkpoint collapse via runtime reuse
@@ -1479,13 +1479,14 @@ object Multimodal {
       .localCheckpoint(false)
       .distinct()
     val nf = frames.groupBy("id").agg(count(lit(1)).as("n"))
-    val keep = frames.groupBy("fd").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxFrameDf).select("fd")
-    val fr2 = frames.join(keep, "fd")
-    fr2.alias("x").join(fr2.alias("y"),
-        col("x.fd") === col("y.fd") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
-      .agg(count(lit(1)).as("n_shared"))
+    // per-digest member-SET aggregation instead of the df-cap join +
+    // digest self-join (r15): the set is df-capped at `maxFrameDf`
+    // (64 default), its size IS the old df count, and expanding the
+    // sorted pairs group-locally is the exact pair multiset the
+    // x.fd = y.fd AND x.id < y.id join streamed — one hash exchange
+    // where the old shape paid the cap join plus two sorted legs.
+    graft.operators.Dedup.pairCounts(frames, "fd", "id", maxFrameDf)
+      .withColumnsRenamed(Map("a" -> "id1", "b" -> "id2"))
       .join(nf.select(col("id").as("id1"), col("n").as("__n1")), "id1")
       .join(nf.select(col("id").as("id2"), col("n").as("__n2")), "id2")
       .filter(col("n_shared") * 1000 >= lit(thrPermille.toLong) * least(col("__n1"), col("__n2")))

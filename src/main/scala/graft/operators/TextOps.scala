@@ -431,23 +431,22 @@ object TextOps {
       explode(array_distinct(transform(Dedup.shingles(col(textCol), n),
         s => unhex(md5(s))))).as("d"))
       // materialized once (lazy localCheckpoint before the distinct —
-      // exchange-free projection): the size aggregate and both
-      // self-join legs reference this frame, and each would re-run
-      // the shingle/md5 HOF over the corpus (guide §3.3)
+      // exchange-free projection): the size aggregate and the
+      // per-digest set aggregate both reference this frame, and each
+      // would re-run the shingle/md5 HOF over the corpus (guide §3.3)
       .localCheckpoint(false)
       .distinct()
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
-    // merge hint on both sides: identical exchanges → ReuseExchange
-    // evaluates the shingle-digest projection ONCE (AQE would
-    // broadcast one side at small scale and tokenize the corpus
-    // twice). Sort-merge rather than shuffle_hash — the hash build
-    // holds a full partition of a corpus-sized table per task, which
-    // OOMs at scale (measured on the containment join at 100×).
-    val inter = sh.as("a").hint("merge")
-      .join(sh.as("b").hint("merge"),
-        col("a.d") === col("b.d") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("src1"), col("b.g").as("src2"))
-      .agg(count(lit(1)).as("n_inter"))
+    // per-digest source-SET aggregation instead of a digest self-join
+    // (r15): the member set per digest is bounded by the number of
+    // sources (the output is the full S×S matrix, so S is small by
+    // contract), and expanding each set's sorted pairs group-locally
+    // yields the identical pair multiset the a.d = b.d AND a.g < b.g
+    // merge join streamed — minus both sort legs and the second scan
+    // of the digest frame (guide §2.1/§3).
+    val inter = Dedup.pairCounts(sh, "d", "g", Int.MaxValue)
+      .withColumnsRenamed(Map(
+        "a" -> "src1", "b" -> "src2", "n_shared" -> "n_inter"))
     sizes.select(col("g").as("src1"), col("n").as("n1"))
       .join(sizes.select(col("g").as("src2"), col("n").as("n2")),
         col("src1") < col("src2"))
@@ -1138,32 +1137,23 @@ object TextOps {
   }
 
   /** Candidate near-dup pairs from [[winnowedFingerprints]] output:
-    * join documents on shared fingerprint digests, keep pairs sharing
+    * documents pair on shared fingerprint digests, keep pairs sharing
     * at least `minShared`. Digests present in more than `maxDf`
-    * documents (boilerplate — headers, license blocks) are dropped
-    * BEFORE the self-join, so the pair space is bounded by
-    * `maxDf²`-per-digest, never all-pairs (the band-join discipline
-    * every near-dup family member follows).
+    * documents (boilerplate — headers, license blocks) are dropped,
+    * so the pair space is bounded by `maxDf²`-per-digest, never
+    * all-pairs (the band-join discipline every near-dup family member
+    * follows). ONE aggregate does all of it (r15): `collect_set` per
+    * digest dedups (id, dg) — the old standalone `.distinct()` —
+    * its size IS the df cap, and the ≤ 8-member set expands its
+    * sorted pairs group-locally, which is the exact pair multiset the
+    * old keep-join + self-join produced without any of their three
+    * exchanges or the checkpoint that fed them.
     */
   def winnowedCandidatePairs(fps: DataFrame, idCol: String,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
-    // materialized (localCheckpoint, guide §3.3): referenced by the
-    // df-cap count and both self-join legs — three otherwise-
-    // recomputed fingerprint passes. Checkpoint BEFORE the distinct:
-    // the pre-distinct frame is exchange-free (kernel projection), so
-    // the lazy checkpoint builds no job at construction, and the
-    // three identical distinct exchanges above it collapse to one via
-    // runtime exchange reuse. (id, dg) rows only, never text.
-    val docDg = fps.select(col(idCol).as("__id"), col("dg"))
-      .localCheckpoint(false).distinct()
-    val keep = docDg.groupBy("dg").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("dg")
-    val f = docDg.join(keep, "dg")
-    f.select(col("dg"), col("__id").as("a"))
-      .join(f.select(col("dg"), col("__id").as("b")), "dg")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    Dedup.pairCounts(fps.select(col(idCol).as("__id"), col("dg")),
+        "dg", "__id", maxDf)
       .filter(col("n_shared") >= minShared)
   }
 

@@ -2254,4 +2254,39 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.isNullAt(0)).toSeq
     assert(got.forall(identity), s"all corrupt payloads must null: $got")
   }
+
+  test("pairCounts ≡ the distinct → df-cap join → self-join shape it replaced") {
+    // differential oracle for the r15 group-local pair expansion:
+    // group sizes straddle the cap (1, 2, exactly maxDf, maxDf + 1),
+    // the input carries duplicate (key, id) rows (collect_set must be
+    // the old standalone distinct), and ids across keys repeat so
+    // n_shared > 1 pairs exist.
+    import spark.implicits._
+    val maxDf = 4
+    val rows = Seq(
+      // k1: 2 members → one pair (shared with k2 too → n_shared 2)
+      ("k1", 10L), ("k1", 20L), ("k1", 10L),
+      ("k2", 10L), ("k2", 20L),
+      // k3: exactly maxDf members → 6 pairs
+      ("k3", 1L), ("k3", 2L), ("k3", 3L), ("k3", 4L), ("k3", 3L),
+      // k4: maxDf + 1 members → dropped by the cap
+      ("k4", 1L), ("k4", 2L), ("k4", 3L), ("k4", 4L), ("k4", 5L),
+      // k5: singleton → no pairs
+      ("k5", 99L)
+    ).toDF("dg", "id")
+    val got = Dedup.pairCounts(rows, "dg", "id", maxDf)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dd = rows.distinct()
+    val keep = dd.groupBy("dg").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("dg")
+    val f = dd.join(keep, "dg")
+    val want = f.select(col("dg"), col("id").as("a"))
+      .join(f.select(col("dg"), col("id").as("b")), "dg")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.toSeq.contains((10L, 20L, 2L)), "cross-key shared pair must count both keys")
+    assert(!got.map(t => (t._1, t._2)).contains((1L, 5L)), "over-cap group must be dropped")
+  }
 }
