@@ -1233,32 +1233,35 @@ object TextOps {
   def winnowedAdmissionPairs(catalogFps: DataFrame, deltaFps: DataFrame,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
-    // delta side materialized (localCheckpoint, guide §3.3): the
-    // admission probe references it through the df count, the cross
-    // leg AND the within-batch self-pair leg. Pre-distinct, lazy (no
-    // construction job); catalog side left store-shaped — see
-    // winnowedCrossPairs.
-    val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
-    val dlt = deltaFps.select(col("doc_id"), col("dg"))
-      .localCheckpoint(false).distinct()
-    val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
-    val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
-    val keep = dDf.join(cDf, Seq("dg"), "left")
-      .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) <= maxDf)
-      .select("dg")
-    val keptDlt = dlt.join(keep, "dg")
-    val cross = cat.select(col("dg"), col("doc_id").as("u"))
-      .join(keptDlt.select(col("dg"), col("doc_id").as("v")), "dg")
-    val within = keptDlt.alias("x").join(keptDlt.alias("y"),
-        col("x.dg") === col("y.dg") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.dg").as("dg"), col("x.doc_id").as("u"),
-        col("y.doc_id").as("v"))
-    cross.unionByName(within)
-      .filter(col("u") =!= col("v"))
-      .select(col("dg"), least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    // grouped member-SET probe (r15, the pairCounts discipline applied
+    // across two sides): one collect_set per side per digest — the
+    // catalog aggregate rides the dg-bucketed store exchange-free, the
+    // delta aggregate is the ONLY delta exchange (collect_set IS the
+    // old standalone distinct) — then one dg-keyed join, and each
+    // ≤ maxDf union-set expands its sorted pairs group-locally, kept
+    // when at least one member is a delta doc (exactly the old
+    // cross ∪ within legs: a pair with both members catalog-only never
+    // arose there either). array_union dedups a RE-DELIVERED doc_id
+    // across sides, so the (pair, digest) vote stays deduplicated and
+    // no doc pairs with itself — the old union → distinct contract.
+    // The df cap sums the per-side DISTINCT counts (double-counting a
+    // re-delivered id), byte-identical to the old __ddf + __cdf gate.
+    val catG = catalogFps.select(col("doc_id"), col("dg"))
+      .groupBy("dg").agg(collect_set(col("doc_id")).as("__cs"))
+    val dltG = deltaFps.select(col("doc_id"), col("dg"))
+      .groupBy("dg").agg(collect_set(col("doc_id")).as("__ds"))
+    dltG.join(catG, Seq("dg"), "left")
+      .filter(size(col("__ds")) + coalesce(size(col("__cs")), lit(0))
+        <= maxDf)
+      .select(col("__ds"),
+        sort_array(array_union(col("__ds"),
+          coalesce(col("__cs"), slice(col("__ds"), 1, 0)))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(col("__ds"), explode(Dedup.sortedPairs("__m")).as("__p"))
+      .filter(array_contains(col("__ds"), col("__p.a")) ||
+        array_contains(col("__ds"), col("__p.b")))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
