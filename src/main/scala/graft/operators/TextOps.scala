@@ -1191,25 +1191,28 @@ object TextOps {
   def winnowedCrossPairs(catalogFps: DataFrame, deltaFps: DataFrame,
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
-    // delta side materialized (localCheckpoint, guide §3.3): it
-    // feeds the df count AND a join leg, and each reference would
-    // re-winnow the batch. Pre-distinct (exchange-free projection →
-    // no construction job; the identical distinct exchanges reuse at
-    // runtime). The CATALOG side is deliberately NOT checkpointed: a
-    // bucketed fingerprint store joins and aggregates exchange-free,
-    // and materializing it would trade two exchange-free scans for a
-    // full shuffle of the store.
-    val cat = catalogFps.select(col("doc_id"), col("dg")).distinct()
-    val dlt = deltaFps.select(col("doc_id"), col("dg"))
-      .localCheckpoint(false).distinct()
-    val dDf = dlt.groupBy("dg").agg(count(lit(1)).as("__ddf"))
-    val cDf = cat.groupBy("dg").agg(count(lit(1)).as("__cdf"))
-    val keep = dDf.join(cDf, Seq("dg"), "left")
-      .filter(col("__ddf") + coalesce(col("__cdf"), lit(0L)) <= maxDf)
-      .select("dg")
-    cat.select(col("dg"), col("doc_id").as("a")).join(keep, "dg")
-      .join(dlt.select(col("dg"), col("doc_id").as("b")), "dg")
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    // grouped member-SET probe (r15, the winnowedAdmissionPairs shape
+    // restricted to the cross leg): one collect_set per side per
+    // digest — the catalog aggregate rides the dg-bucketed store
+    // exchange-free, the delta aggregate is the only delta exchange
+    // (collect_set IS the old standalone distinct) — an INNER dg join
+    // (the old cap join kept delta-only digests, but the cross leg
+    // dropped them anyway), the combined-df cap on the set sizes, and
+    // a group-local catalog×delta product. Pairs stay (catalog a,
+    // delta b) UN-normalized, exactly the old output (including a
+    // re-delivered id pairing with itself — the admission variant is
+    // the one that dedups).
+    val catG = catalogFps.select(col("doc_id"), col("dg"))
+      .groupBy("dg").agg(collect_set(col("doc_id")).as("__cs"))
+    val dltG = deltaFps.select(col("doc_id"), col("dg"))
+      .groupBy("dg").agg(collect_set(col("doc_id")).as("__ds"))
+    dltG.join(catG, Seq("dg"))
+      .filter(size(col("__ds")) + size(col("__cs")) <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(__cs, u -> transform(__ds, v -> struct(u AS a, v AS b))))"))
+        .as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 
