@@ -261,30 +261,35 @@ object Dedup {
 
   private def nearDupProbe(catBanded: DataFrame, deltaBanded: DataFrame,
       maxBucketSize: Int): DataFrame = {
-    // combined bucket sizes: the store-side count aggregates WITHOUT
-    // an exchange (grouping key = bucketing key); only delta
-    // shuffles. shuffle_hash on the count join keeps the store-side
-    // aggregate sort-free too (an SMJ would re-sort it per ingest —
-    // the plan spec pins both properties).
-    val sc = catBanded.groupBy("band_key").agg(count(lit(1)).as("__sn"))
-    val dc = deltaBanded.groupBy("band_key").agg(count(lit(1)).as("__dn"))
-    val valid = dc.join(sc.hint("shuffle_hash"), Seq("band_key"), "left_outer")
-      .filter(col("__dn") + coalesce(col("__sn"), lit(0L)) <= maxBucketSize)
-      .select("band_key")
-    val dOk = deltaBanded.join(valid, "band_key")
-    // the store side needs NO valid filter of its own: pairs only form
-    // against dOk keys, which are already capped — an oversized key is
-    // simply absent from the probe side, so its store rows stream
-    // through the join unmatched instead of fanning out
-    val cross = dOk.alias("a").join(catBanded.alias("b"),
-        col("a.band_key") === col("b.band_key") && col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id1"),
-        greatest(col("a.id"), col("b.id")).as("id2"))
-    val self = dOk.alias("a").join(dOk.alias("b"),
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-    cross.unionByName(self)
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared_bands"))
+    // grouped member-SET probe (r15, the winnow-admission shape): one
+    // collect_set per side per band_key — the store-side aggregate
+    // runs WITHOUT an exchange (grouping key = bucketing key), only
+    // the delta shuffles. The delta side is the BUILD side of a
+    // shuffled-hash left-outer join (delta-sized build; an SMJ would
+    // re-sort the store-side aggregate per ingest, the plan-spec'd
+    // q98 scale killer), the combined cap gates on the summed set
+    // sizes exactly like the old __dn + __sn counts, and each ≤ cap
+    // union-set expands its sorted pairs group-locally, kept when at
+    // least one member is a delta doc — the old cross ∪ self legs
+    // (ids are disjoint across sides by precondition, so the
+    // normalized pair spaces never overlapped there either).
+    val catG = catBanded.groupBy("band_key")
+      .agg(collect_set(col("id")).as("__cs"))
+    val dltG = deltaBanded.groupBy("band_key")
+      .agg(collect_set(col("id")).as("__ds"))
+    dltG.hint("shuffle_hash")
+      .join(catG, Seq("band_key"), "left_outer")
+      .filter(size(col("__ds")) + coalesce(size(col("__cs")), lit(0))
+        <= maxBucketSize)
+      .select(col("__ds"),
+        sort_array(array_union(col("__ds"),
+          coalesce(col("__cs"), slice(col("__ds"), 1, 0)))).as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(col("__ds"), explode(sortedPairs("__m")).as("__p"))
+      .filter(array_contains(col("__ds"), col("__p.a")) ||
+        array_contains(col("__ds"), col("__p.b")))
+      .groupBy(col("__p.a").as("id1"), col("__p.b").as("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** Exact dedup with a KEEPER POLICY: among content duplicates, keep
@@ -369,7 +374,7 @@ object Dedup {
        |  j -> transform(slice($arr, 1, j - 1),
        |    x -> struct(x AS a, element_at($arr, j) AS b))))""".stripMargin)
 
-  /** Shared-key pair counting via [[sortedPairs]]: for each `keyCol`
+  /** Shared-key pair counting via [[sortedPairs]]: for each `keyCols`
     * group whose DISTINCT `idCol` membership has 2..`maxDf` members,
     * emit every (a, b) with a < b, then count shared keys per pair —
     * `(a, b, n_shared)`. Output-identical to the classic
@@ -378,9 +383,9 @@ object Dedup {
     * key plus the unavoidable pair exchange. The `sortedPairs` caveat
     * applies: only for bounded `maxDf`.
     */
-  private[graft] def pairCounts(rows: DataFrame, keyCol: String,
+  private[graft] def pairCounts(rows: DataFrame, keyCols: Seq[String],
       idCol: String, maxDf: Int): DataFrame =
-    rows.groupBy(keyCol)
+    rows.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .filter(size(col("__ids")).between(2, maxDf))
       .select(explode(sortedPairs("__ids")).as("__p"))
@@ -515,25 +520,23 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
-    // banded frame materialized (localCheckpoint, guide §3.3): the
-    // hot-cap count and both self-join legs reference it, and each
-    // reference would otherwise re-run the shingle/MinHash kernel
-    // over the corpus; (id, band, key) rows only — text never enters
-    // the checkpoint
+    // per-bucket member-SET aggregation (r15, the pairCounts shape):
+    // each (band, key) bucket collects its ≤ maxBucketSize ids in ONE
+    // hash aggregate — the set size IS the old hot-cap count, and the
+    // group-local pair expansion is the exact pair multiset the capped
+    // self-join streamed. The banded frame now has a single reference,
+    // so the checkpoint and the canonical-exchange repartition that
+    // shared it across three consumers are gone with the join.
+    // (id, band, key) is unique by construction (one key per band per
+    // doc), so collect_set ≡ collect rows.
     val banded = df
       .select(col(idCol).as("id"), posexplode(
         graft.plans.ShingleMinHashBandKeysExpr.shingle_minhash_band_keys(
           col(textCol), bands, rowsPerBand, shingleSize))
         .as(Seq("band", "key")))
-      .localCheckpoint(false)
-      .repartition(col("band"), col("key"))
-    val capped = HotBuckets.dropOversized(banded, maxBucketSize, "band", "key")
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    pairCounts(banded, Seq("band", "key"), "id", maxBucketSize)
+      .withColumnsRenamed(Map(
+        "a" -> "id1", "b" -> "id2", "n_shared" -> "n_shared_bands"))
   }
 
   /** 32-bit SimHash over tokens: each token hash votes ±1 per bit

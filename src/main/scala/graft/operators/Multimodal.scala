@@ -1485,7 +1485,7 @@ object Multimodal {
     // sorted pairs group-locally is the exact pair multiset the
     // x.fd = y.fd AND x.id < y.id join streamed — one hash exchange
     // where the old shape paid the cap join plus two sorted legs.
-    graft.operators.Dedup.pairCounts(frames, "fd", "id", maxFrameDf)
+    graft.operators.Dedup.pairCounts(frames, Seq("fd"), "id", maxFrameDf)
       .withColumnsRenamed(Map("a" -> "id1", "b" -> "id2"))
       .join(nf.select(col("id").as("id1"), col("n").as("__n1")), "id1")
       .join(nf.select(col("id").as("id2"), col("n").as("__n2")), "id2")

@@ -444,7 +444,7 @@ object TextOps {
     // yields the identical pair multiset the a.d = b.d AND a.g < b.g
     // merge join streamed — minus both sort legs and the second scan
     // of the digest frame (guide §2.1/§3).
-    val inter = Dedup.pairCounts(sh, "d", "g", Int.MaxValue)
+    val inter = Dedup.pairCounts(sh, Seq("d"), "g", Int.MaxValue)
       .withColumnsRenamed(Map(
         "a" -> "src1", "b" -> "src2", "n_shared" -> "n_inter"))
     sizes.select(col("g").as("src1"), col("n").as("n1"))
@@ -1153,7 +1153,7 @@ object TextOps {
       minShared: Int = 3, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1, maxDf >= 2")
     Dedup.pairCounts(fps.select(col(idCol).as("__id"), col("dg")),
-        "dg", "__id", maxDf)
+        Seq("dg"), "__id", maxDf)
       .filter(col("n_shared") >= minShared)
   }
 
