@@ -503,19 +503,16 @@ object Dedup {
     * (CodegenFallback, no CSE — split/filter ran 4×/row, ~6 s of the
     * remaining 7 s).
     *
-    * The banded projection is still forced through an explicit
-    * `repartition(band, key)` exchange before the self-join: the two
-    * join sides share one canonical Exchange subplan, ReuseExchange
-    * computes the band keys once, and the join is already
-    * co-partitioned on its keys so no further shuffle is needed.
-    *
     * `maxBucketSize` is the production-LSH hot-bucket guard: one
     * degenerate (band, key) bucket of m rows (boilerplate text, empty
     * docs) would emit m² candidate pairs. Buckets above the cap are
     * dropped entirely — their members are still compared through
     * their other bands, and at web scale a mega-bucket carries no
-    * near-dup signal worth O(m²) shuffle. Enforced sort-free via
-    * [[HotBuckets.dropOversized]].
+    * near-dup signal worth O(m²) shuffle. Enforced sort-free as the
+    * [[pairCounts]] set-size filter (r15; the banded projection, its
+    * checkpoint and the canonical-exchange repartition that shared it
+    * across the old cap count + self-join legs are gone with the
+    * join).
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 8, shingleSize: Int = 3,

@@ -283,21 +283,16 @@ object Multimodal {
         graft.plans.SignBucketExpr.sign_bucket(
           expr(s"transform(__e, v -> CAST(v * $bands - __t AS DOUBLE))"), bands)
           .cast("string")))
-      .select(col("media_id").as("id"), col("__key"), col("__e"), col("__t"))
-      .repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__e").as("e1"), col("b.__e").as("e2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .select(col("media_id").as("id"), col("__key"),
+        col("__e").as("__v"), col("__t"))
+    groupedSignaturePairs(withKey, maxBucketSize)
       .withColumn("l1", expr(
         // Cross-multiplied terms ride DECIMAL(38,0) (the q180/q198
         // overflow convention): band energy × total energy reaches
         // ~1e27 for minutes-long 16-bit PCM, far past Long range —
         // Long arithmetic here would wrap silently (ANSI off) on
         // exactly the corpora this operator targets.
-        "aggregate(zip_with(e1, e2, (x, y) -> abs(CAST(x AS DECIMAL(38,0)) * t2 - CAST(y AS DECIMAL(38,0)) * t1)), " +
+        "aggregate(zip_with(v1, v2, (x, y) -> abs(CAST(x AS DECIMAL(38,0)) * t2 - CAST(y AS DECIMAL(38,0)) * t1)), " +
           "CAST(0 AS DECIMAL(38,0)), (acc, v) -> CAST(acc + v AS DECIMAL(38,0)))"))
       .filter(col("l1") * 1000 <=
         lit(thrPermille.toLong) * col("t1").cast("decimal(38,0)") * col("t2"))
@@ -446,27 +441,24 @@ object Multimodal {
       .select(col("media_id").as("id"), col("__key"), col("__f"), col("__t"))
   }
 
-  /** The shared candidate stage over a signature frame: repartition on
-    * the key, hot-bucket cap, keyed self-join, cross-multiplied
+  /** The shared candidate stage over a signature frame: one grouped
+    * member-set aggregate per sign bucket ([[groupedSignaturePairs]] —
+    * the hot-bucket cap is the set-size filter), cross-multiplied
     * integer L1 gate. Long-safe by construction (mean_e3 ≤ 255 000,
     * t ≤ 49·255 000 — bounded means, not unbounded sums, so the PCM
     * tier's DECIMAL(38,0) treatment is not needed).
     */
   private def perceptualSelfPairs(sigs: DataFrame, maxBucketSize: Int,
-      thrPermille: Int): DataFrame = {
-    val withKey = sigs.repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__f").as("f1"), col("b.__f").as("f2"),
-        col("a.__t").as("t1"), col("b.__t").as("t2"))
+      thrPermille: Int): DataFrame =
+    groupedSignaturePairs(
+        sigs.select(col("id"), col("__key"), col("__f").as("__v"),
+          col("__t")),
+        maxBucketSize)
       .withColumn("l1", expr(
-        "aggregate(zip_with(f1, f2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+        "aggregate(zip_with(v1, v2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
       .filter(col("l1") * 1000 <=
         lit(thrPermille.toLong) * col("t1") * col("t2"))
       .select("id1", "id2", "l1")
-  }
 
   /** Synthesize [[pngPayload]] PNGs from a (media_id, base id,
     * nearest-neighbor scale, re-encode-variant flag) frame — the q203
@@ -1411,6 +1403,31 @@ object Multimodal {
   /** The shared perceptual pipeline; `blockCol` prepends a blocking
     * key to the sign-bucket join key (empty string = unblocked, the
     * historical q126 behavior — same groups, same output). */
+  /** The grouped candidate stage shared by every signature tier
+    * (r15, the pairCounts discipline with payload-carrying members):
+    * input `(id, __key, __v, __t)`, output
+    * `(id1, id2, v1, v2, t1, t2)` for every same-key pair with
+    * id1 < id2 from buckets of 2..`maxBucketSize` members. One
+    * collect_set per bucket replaces the repartition + hot-cap
+    * anti-join + keyed self-join: the set size IS the old bucket
+    * count (ids are unique per bucket — one key per media), the
+    * member structs sort by id (ids distinct, so struct order ≡ id
+    * order), and the group-local expansion is the exact pair stream
+    * the a.__key = b.__key AND a.id < b.id join produced. Member
+    * payloads are bounded (≤ 64 members × a ≤ 63-long vector), so
+    * the sortedPairs materialization caveat is satisfied.
+    */
+  private def groupedSignaturePairs(sigs: DataFrame,
+      maxBucketSize: Int): DataFrame =
+    sigs.groupBy("__key")
+      .agg(sort_array(collect_set(
+        struct(col("id"), col("__v"), col("__t")))).as("__mem"))
+      .filter(size(col("__mem")).between(2, maxBucketSize))
+      .select(explode(graft.operators.Dedup.sortedPairs("__mem")).as("__p"))
+      .select(col("__p.a.id").as("id1"), col("__p.b.id").as("id2"),
+        col("__p.a.__v").as("v1"), col("__p.b.__v").as("v2"),
+        col("__p.a.__t").as("t1"), col("__p.b.__t").as("t2"))
+
   private def perceptualCore(media: DataFrame, dim: Int,
       maxBucketSize: Int, thrPermille: Int, blockCol: Column): DataFrame = {
     require(dim >= 1 && dim <= 63, "dim must fit the sign-bucket bit range")
@@ -1422,17 +1439,12 @@ object Multimodal {
         graft.plans.SignBucketExpr.sign_bucket(
           expr(s"transform(__counts, c -> CAST(c * $dim - __n AS DOUBLE))"), dim)
           .cast("string")))
-      .select(col("media_id").as("id"), col("__key"), col("__counts"), col("__n"))
-      .repartition(col("__key"))
-    val capped = HotBuckets.dropOversized(withKey, maxBucketSize, "__key")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.__counts").as("c1"), col("b.__counts").as("c2"),
-        col("a.__n").as("n1"), col("b.__n").as("n2"))
+      .select(col("media_id").as("id"), col("__key"),
+        col("__counts").as("__v"), col("__n").as("__t"))
+    groupedSignaturePairs(withKey, maxBucketSize)
       .withColumn("l1", expr(
-        "aggregate(zip_with(c1, c2, (x, y) -> abs(x * n2 - y * n1)), 0L, (acc, v) -> acc + v)"))
-      .filter(col("l1") * 1000 <= lit(thrPermille.toLong) * col("n1") * col("n2"))
+        "aggregate(zip_with(v1, v2, (x, y) -> abs(x * t2 - y * t1)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1") * 1000 <= lit(thrPermille.toLong) * col("t1") * col("t2"))
       .select("id1", "id2", "l1")
   }
 
