@@ -303,14 +303,24 @@ object Similarity {
       val banded = corpus
         .select(col(idCol).as("id"), explode(bandKeys).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        .repartition(col("band"), col("key"))
-      val capped = HotBuckets.dropOversized(banded, maxBucketSize, "band", "key")
-      val a = capped.alias("a")
-      val b = capped.alias("b")
-      val cands = a.join(b,
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      // grouped member sets (r15): ONE hash aggregate per (band, key)
+      // bucket replaces the repartition → hot-cap anti-join → keyed
+      // self-join. (id, band) is unique by construction (one key per
+      // band per id), so collect_set ≡ collect rows and the set size
+      // IS the old hot-bucket row count. Unlike the `sortedPairs`
+      // callers, the cap here (4096) is far too large to materialize
+      // size²/2 pair structs per group, so the pair expansion STREAMS
+      // through two chained Generates — per-row state is the ≤cap
+      // sorted member array (≤32 KB of longs), never a pair array; the
+      // sorted order makes the inner slice exactly the a.id < b.id
+      // half-product the self-join streamed.
+      val grouped = banded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_set(col("id"))).as("__ids"))
+        .filter(size(col("__ids")).between(2, maxBucketSize))
+      val cands = grouped
+        .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id1")))
+        .select(col("id1"),
+          explode(expr("slice(__ids, __i + 2, size(__ids))")).as("id2"))
         .distinct()
       // vectors and norms computed once per row, joined once per side
       val sides = corpus.select(col(idCol).as("__sid"),
