@@ -613,12 +613,16 @@ SELECT piece, cnt FROM v$rounds ORDER BY piece"""
         base.unionByName(planted), "doc_id", "text", maxNcdE3 = 400L)
       val nPlanted = base.filter(col("doc_id") < 50)
         .agg(count(lit(1)).as("n_planted"))
-      val nFound = pairs
-        .filter(col("id2") === col("id1") + 1000000L && col("id1") < 50)
-        .agg(count(lit(1)).as("n_found"))
-      val bounds = pairs.agg(coalesce(
-        min("ncd_e3") >= 0 && max("ncd_e3") <= 400, lit(false)).as("ncd_bounds_ok"))
-      nPlanted.crossJoin(nFound).crossJoin(bounds)
+      // ONE aggregate consumes the pair tier (r15): the planted-pair
+      // count and the bounds flag fold in the same pass, so the
+      // minhash + per-pair deflate pipeline — previously duplicated
+      // under the two aggregate subtrees — runs once.
+      val stats = pairs.agg(
+        count(when(col("id2") === col("id1") + 1000000L && col("id1") < 50,
+          lit(1))).as("n_found"),
+        coalesce(min("ncd_e3") >= 0 && max("ncd_e3") <= 400,
+          lit(false)).as("ncd_bounds_ok"))
+      nPlanted.crossJoin(stats)
         .select(col("n_planted"), col("n_found"),
           (col("n_planted") === col("n_found")).as("recall_ok"),
           col("ncd_bounds_ok"))
