@@ -243,7 +243,33 @@ object TextOps {
     * chunks.
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int): DataFrame = {
+      chunkSize: Int): DataFrame =
+    // native per-row chunking (r15): chunks are per-document local, so
+    // the token posexplode, the (id, chunk_id) exchange and the
+    // per-group sort of the aggregate formulation (kept below as the
+    // differential oracle) were never inherent — one kernel call per
+    // row emits every chunk in order, and posexplode's position IS the
+    // chunk id.
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.plans.ChunkTokensExpr.chunk_tokens(col(textCol), chunkSize))
+        .as(Seq("chunk_id", "__c")))
+      // the otherwise-less `when` (pos >= 0 always holds) is a
+      // value-level no-op that keeps chunk_id NULLABLE, exactly as the
+      // aggregate formulation's floor-of-divide emitted it — the
+      // driver gate hashes the output schema, so nullability is part
+      // of the contract (a lit(true) branch folds at analysis and
+      // loses the nullability again)
+      .select(col("id"),
+        when(col("chunk_id") >= 0, col("chunk_id").cast("long")).as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"), col("__c.n_tokens").as("n_tokens"))
+
+  /** The pre-r15 explode-aggregate chunking — [[chunkTokens]]'s
+    * differential oracle (the [[Dedup.shinglesHof]] convention: the
+    * oracle shares no kernel with the formulation it checks beyond the
+    * tokenizer differential-pinned elsewhere).
+    */
+  private[graft] def chunkTokensAgg(docs: DataFrame, idCol: String,
+      textCol: String, chunkSize: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
     tok.groupBy(col("id"), floor(col("pos") / chunkSize).cast("long").as("chunk_id"))

@@ -1035,6 +1035,14 @@ class OperatorsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("textops: chunkTokens native kernel ≡ explode-aggregate oracle over the corpus") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = graft.operators.TextOps.chunkTokens(docs, "doc_id", "text", 7)
+    val oracle = graft.operators.TextOps.chunkTokensAgg(docs, "doc_id", "text", 7)
+    assert(native.schema === oracle.schema)
+    assert(native.exceptAll(oracle).isEmpty && oracle.exceptAll(native).isEmpty)
+  }
+
   test("textops: chunkTokens splits on exact boundaries, keeps order, drops empty docs") {
     import spark.implicits._
     val df = Seq(
