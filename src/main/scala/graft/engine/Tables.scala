@@ -15,8 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Analyzed-plan cache (r15): `spark.read.parquet` pays a schema
+  // inference (footer read) and file-listing on EVERY call, and every
+  // query builder calls it per table reference — ~0.1 s of pure
+  // metadata I/O per reference that the SQL door's registerTables pays
+  // ten times per invocation. A real deployment resolves tables
+  // through a catalog that holds exactly this metadata once; this map
+  // is that catalog, scoped per (session, path). It caches ONLY the
+  // logical plan (schema + file index) — never row data and never
+  // `.cache()` — so every action still computes from the parquet
+  // files. Keyed by session so tests with fresh sessions re-list;
+  // testdata directories are immutable for a session's lifetime
+  // (TESTDATA.md), which is the same assumption Spark's own
+  // filesourcePartitionFileCacheSize listing cache makes.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    planCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
