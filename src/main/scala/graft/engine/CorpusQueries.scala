@@ -254,7 +254,12 @@ object CorpusQueries {
       (s, d) =>
         import graft.functions.TextFunctions
         val docs = documents(s, d)
-        val fp = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("f"))
+        // (doc_id, digest) proxy materialized once (r15): the keeper
+        // aggregate and the dup join both read fp — inline, each
+        // re-fingerprinted the corpus
+        val fp = docs.select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("f"))
+          .localCheckpoint(false)
         val keep = fp.groupBy("f").agg(min("doc_id").as("keeper"))
         val dup = fp.join(keep, "f").select(col("doc_id"),
           when(col("keeper") =!= col("doc_id"), 1L).otherwise(0L).as("is_dup"))

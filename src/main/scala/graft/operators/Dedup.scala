@@ -915,7 +915,15 @@ object Dedup {
   def chunkDedupStats(docs: DataFrame, idCol: String, textCol: String,
       chunkLen: Int = 16): DataFrame = {
     require(chunkLen >= 1, "chunkLen must be positive")
+    // the span-digest frame feeds the keeper aggregate AND the join
+    // probe — inline, each re-ran the tokenize + per-chunk md5 pass
+    // over the corpus; a lazy checkpoint (r15, the item-9/14
+    // materialize-once pattern) runs it once. (doc_id, 16-byte digest)
+    // rows only — the narrow proxy, never the text.
+    // chunkSharePairs deliberately does NOT checkpoint: its merge-hint
+    // self-join shares ONE exchange via ReuseExchange already.
     val spans = chunkSpans(docs, idCol, textCol, chunkLen)
+      .localCheckpoint(false)
     val keepers = spans.groupBy("chunk").agg(min(col("doc_id")).as("__keeper"))
     spans.join(keepers, "chunk")
       .groupBy("doc_id")
